@@ -1,0 +1,40 @@
+"""Byte-identical HTML->text extraction (BASELINE.json input_hint invariant)."""
+
+from txiac_qc_ray.sources.pages import pages_batch, _render_html
+from txiac_qc_ray.stages.extract import extract_text, extract_batch
+
+
+def test_extract_byte_identical(pages_small):
+    texts = pages_small.column("text").to_pylist()
+    htmls = pages_small.column("html").to_pylist()
+    for h, t in zip(htmls, texts):
+        assert extract_text(h) == t
+
+
+def test_extract_null_html():
+    assert extract_text(None) is None
+
+
+def test_extract_entities_roundtrip():
+    text = "Tom & Jerry's <show> say \"hi\" > bye"
+    html = _render_html(text, 0)
+    assert extract_text(html.encode()) == text
+
+
+def test_extract_strips_boilerplate():
+    html = _render_html("Body para.", 7)
+    out = extract_text(html.encode())
+    assert out == "Body para."
+    assert "Home" not in out and "boilerplate" not in out and "font-family" not in out
+
+
+def test_extract_batch_drops_html(pages_small):
+    out = extract_batch(pages_small.slice(0, 50))
+    assert "html" not in out.column_names
+    assert out.column("text").to_pylist() == pages_small.slice(0, 50).column("text").to_pylist()
+
+
+def test_multiline_paragraphs():
+    text = "Para one. More.\n\nPara two."
+    html = _render_html(text, 1)
+    assert extract_text(html.encode()) == text

@@ -1,0 +1,63 @@
+"""The flagship QC pipeline: pages -> labeled/scrubbed docs + counters.
+
+Idiomatic Ray Data composition (SURVEY.md §3 E1-E3 re-expressed):
+
+    read_parquet(pages)                     # column-pruned at the read
+      -> map_batches(extract)               # stateless; drops html ASAP
+      -> map_batches(features)              # stateless vectorized heuristics
+      -> map_batches(LangIdStage,  conc=N)  # actor pool, frozen model
+      -> map_batches(PerplexityStage, conc=N)
+      -> map_batches(rules)                 # stateless threshold flagger
+      -> map_batches(ScrubStage, conc=N)    # regex bank per actor
+      -> (a) write_parquet(out)             # resumable layout via state/lineage
+         (b) counters: per-batch partials -> tiny groupby  (no full shuffle)
+
+Everything streams; nothing materializes the corpus. The only wide op is
+the counters groupby, which runs over per-batch PARTIALS (a few rows per
+batch), so the all-to-all exchange is tiny regardless of corpus size
+(SURVEY.md §2.5 A6 note).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+import ray.data
+
+from ..config import PipelineConfig
+from ..functions.urls import host_of_urls
+from ..stages.extract import extract_batch
+from ..stages.features import features_batch
+from ..stages.langid import LangIdStage
+from ..stages.perplexity import PerplexityStage
+from ..stages.rules import make_rules_stage
+from ..stages.scrub import ScrubStage
+
+PAGES_READ_COLUMNS = ["url", "warc_ts", "html", "lang"]
+
+
+def _add_host(batch: pa.Table) -> pa.Table:
+    return batch.append_column("host", host_of_urls(batch.column("url")))
+
+
+def read_pages(paths: str | list[str]) -> ray.data.Dataset:
+    """Column-pruned read: the ground-truth `text` column is NOT read in
+    production (it exists only for fixture verification)."""
+    return ray.data.read_parquet(paths, columns=PAGES_READ_COLUMNS)
+
+
+def build_qc_pipeline(ds: ray.data.Dataset, cfg: PipelineConfig | None = None) -> ray.data.Dataset:
+    cfg = cfg or PipelineConfig()
+    kw = dict(batch_format="pyarrow", batch_size=cfg.batch_size)
+    ds = ds.map_batches(extract_batch, **kw)
+    ds = ds.map_batches(_add_host, **kw)
+    ds = ds.map_batches(features_batch, **kw)
+    ds = ds.map_batches(LangIdStage, concurrency=cfg.langid_concurrency, num_cpus=1, **kw)
+    ds = ds.map_batches(PerplexityStage, concurrency=cfg.ppl_concurrency, num_cpus=1, **kw)
+    ds = ds.map_batches(make_rules_stage(cfg.rules), **kw)
+    ds = ds.map_batches(ScrubStage, concurrency=cfg.scrub_concurrency, num_cpus=1, **kw)
+    return ds
+
+
+def qc_pipeline_from_parquet(paths: str | list[str], cfg: PipelineConfig | None = None) -> ray.data.Dataset:
+    return build_qc_pipeline(read_pages(paths), cfg)

@@ -1,0 +1,65 @@
+"""Frozen, deterministic HTML -> text extraction.
+
+The byte-identical-per-url invariant (BASELINE.json `input_hint`) demands a
+fully deterministic pure-Python extractor with no library drift: regexes
+only, version-pinned by this file. Do NOT "improve" the extraction without
+regenerating golden fixtures.
+
+Pipeline position: first `map_batches` stage after the read. It drops the
+wide `html: binary` column immediately after extraction (SURVEY.md §4:
+wide-record pressure — the html payload should never travel further down
+the pipeline or through any shuffle).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pyarrow as pa
+
+_SCRIPT = re.compile(r"(?is)<script\b.*?</script>")
+_STYLE = re.compile(r"(?is)<style\b.*?</style>")
+_NAV = re.compile(r"(?is)<nav\b.*?</nav>")
+_FOOTER = re.compile(r"(?is)<footer\b.*?</footer>")
+_PARA = re.compile(r"(?is)<p\b[^>]*>(.*?)</p>")
+
+# Inverse of sources/pages.py:_escape — order matters (&amp; last).
+_UNESCAPES = (
+    ("&#x27;", "'"),
+    ("&quot;", '"'),
+    ("&gt;", ">"),
+    ("&lt;", "<"),
+    ("&amp;", "&"),
+)
+
+
+def extract_text(html: bytes | str | None) -> str | None:
+    """Extract body text from one HTML document (deterministic, pure)."""
+    if html is None:
+        return None
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    html = _SCRIPT.sub("", html)
+    html = _STYLE.sub("", html)
+    html = _NAV.sub("", html)
+    html = _FOOTER.sub("", html)
+    paras = _PARA.findall(html)
+    out = "\n\n".join(paras)
+    for ent, ch in _UNESCAPES:
+        out = out.replace(ent, ch)
+    return out
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """map_batches stage: html:binary -> text:string; drops `html`.
+
+    Keeps any pre-existing `text` column under `text_ground_truth` only if
+    requested upstream; the pipeline's canonical text column after this
+    stage is the extracted one.
+    """
+    html_col = batch.column("html").to_pylist()
+    texts = [extract_text(h) for h in html_col]
+    batch = batch.drop_columns(["html"])
+    if "text" in batch.column_names:
+        batch = batch.drop_columns(["text"])
+    return batch.append_column("text", pa.array(texts, type=pa.string()))

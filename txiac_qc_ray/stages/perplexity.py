@@ -1,0 +1,67 @@
+"""Unigram language-model perplexity — a from-scratch, deterministic
+KenLM-style scorer run as an actor-pool `map_batches` stage.
+
+The LM is frozen: unigram probabilities are the exact Zipf weights the
+fixture corpus draws English words from (vocab.py + sources/pages.py
+``_zipf_cdf``), so scores are bit-reproducible with no external model
+download. OOV tokens get a fixed floor log-prob (config.PPL_OOV_LOGP).
+
+    ppl(doc) = exp( -(1/n) * sum_i log p(w_i) ),   NaN when n == 0.
+
+Vectorized: one `pc.index_in` of the batch's flattened tokens into the
+frozen vocab, then a segmented mean via cumulative sums — no per-row loop.
+
+Reference analog: the derived per-row measure columns that threshold
+rules consume (Home.py:138-139 -> 176-183); `ppl` is one more feature
+column with a `gt` rule on it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..config import PPL_OOV_LOGP
+from ..functions import textstats as ts
+from ..vocab import EN_WORDS
+
+
+class UnigramLM:
+    def __init__(self) -> None:
+        # De-duplicate (keeping first occurrence order) then freeze probs.
+        seen: dict[str, int] = {}
+        for w in EN_WORDS:
+            if w not in seen:
+                seen[w] = len(seen)
+        self.vocab = pa.array(list(seen.keys()), type=pa.string())
+        ranks = np.arange(len(seen), dtype=np.float64)
+        w = 1.0 / (ranks + 5.0)
+        self.logp = np.log(w / w.sum())
+
+    def score(self, texts: pa.Array) -> np.ndarray:
+        """Per-document perplexity (float64; NaN for empty/null docs)."""
+        tv = ts.tokenize(texts)
+        n = ts.token_counts(tv).astype(np.float64)
+        out = np.full(len(n), np.nan, dtype=np.float64)
+        if len(tv.flat) > 0:
+            idx = pc.index_in(tv.flat, value_set=self.vocab)
+            idx_np = np.asarray(idx.fill_null(-1)) if hasattr(idx, "fill_null") else np.asarray(pc.fill_null(idx, -1))
+            tok_logp = np.where(idx_np >= 0, self.logp[np.clip(idx_np, 0, None)], PPL_OOV_LOGP)
+            sums = ts.seg_sum(tok_logp, tv.offsets)
+            has = n > 0
+            out[has] = np.exp(-sums[has] / n[has])
+        out[tv.is_null] = np.nan
+        return out
+
+
+class PerplexityStage:
+    """Actor-pool stage: model built once per actor, batches scored in
+    __call__ (`ds.map_batches(PerplexityStage, concurrency=N)`)."""
+
+    def __init__(self) -> None:
+        self.lm = UnigramLM()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ppl = self.lm.score(batch.column("text"))
+        return batch.append_column("ppl", pa.array(ppl, type=pa.float64()))
