@@ -1,44 +1,244 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported; nothing
+here (or in txiac_qc_ray) calls ray.init()/ray.shutdown().
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- entry(): flagship QC pipeline (features -> langid -> ppl -> rules ->
+  scrub) over /root/testdata/sf0.001's documents table.
+- queries(): one entry per implemented operator family (SURVEY.md §2 +
+  the training-data operators); each takes sf_dir.
+- oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query,
+  with IDENTICAL output column names. Model-based / hash-based ops
+  (langid, minhash, simhash, fingerprints, LSH ANN, the QC pipeline
+  itself) have no SQL twin -> rows-only check.
 """
 
 from __future__ import annotations
 
+import sys
+import os
 from collections.abc import Callable
 from typing import Any
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    from txiac_qc_ray.pipelines.qc import qc_label_documents
+
+    return qc_label_documents("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from txiac_qc_ray.pipelines import docs as D
+    from txiac_qc_ray.pipelines import relational as R
+    from txiac_qc_ray.pipelines.qc import qc_label_documents
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # §2.1/§2.2 sources, projections, maps
+        "project_derive": R.project_derive,
+        "timestamp_days": R.timestamp_days,
+        "filter_isin": R.filter_isin,
+        "pair_concat": R.pair_concat,
+        "binned_histogram": R.binned_histogram,
+        # §2.2 M4 threshold flaggers
+        "threshold_flag_audit": R.threshold_flag_audit,
+        "threshold_flag_two_sided": R.threshold_flag_two_sided,
+        # §2.4 joins
+        "semi_join_agg": R.semi_join_agg,
+        "tolerance_join": R.tolerance_join,
+        # §2.5 aggregations
+        "grouped_counters": R.grouped_counters,
+        "grouped_mean": R.grouped_mean,
+        "grouped_mean_by_priority": R.grouped_mean_by_priority,
+        "group_size": R.group_size,
+        "pivot_sum_wide": R.pivot_sum_wide,
+        "quantile_thresholds": R.quantile_thresholds_q,
+        "tukey_fences": R.tukey_fences_q,
+        # §2.6 sort/limit/union/distinct/count
+        "sort_desc_topk": R.sort_desc_topk,
+        "union_all_summaries": R.union_all_summaries,
+        "distinct_vals": R.distinct_vals,
+        "row_count": R.row_count,
+        # §2.8 streaming analog
+        "tumbling_window": R.tumbling_window,
+        # dedup family
+        "exact_dedup": D.exact_dedup,
+        "minhash_lsh_dedup": D.minhash_lsh_candidates,
+        "simhash_docs": D.simhash_docs,
+        "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
+        "embedding_neardup_pairs": D.embedding_neardup_pairs,
+        # similarity search
+        "ann_topk_bruteforce": D.ann_topk_bruteforce,
+        "ann_topk_lsh": D.ann_topk_lsh,
+        # text analysis
+        "token_counts": D.token_counts_docs,
+        "quality_stats": D.quality_stats_docs,
+        "fingerprint_docs": D.fingerprint_docs,
+        "langid_docs": D.langid_docs,
+        # flagship QC pipeline (model-based; rows-only check)
+        "qc_label_documents": qc_label_documents,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "project_derive": """
+            SELECT l_orderkey, l_linenumber,
+                   abs(l_extendedprice * l_discount - l_tax * 100.0) AS deriv
+            FROM lineitem
+        """,
+        "timestamp_days": """
+            SELECT event_id,
+                   date_diff('day', TIMESTAMP '2024-01-01', ts) AS days_since
+            FROM events
+        """,
+        "filter_isin": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE lang IN ('en', 'fr')
+        """,
+        "pair_concat": """
+            SELECT event_type || '-' || CAST(user_id % 5 AS VARCHAR) AS pair,
+                   count(*) AS cnt
+            FROM events GROUP BY 1
+        """,
+        "binned_histogram": """
+            SELECT CASE WHEN l_extendedprice < 1000 THEN 'b0'
+                        WHEN l_extendedprice < 5000 THEN 'b1'
+                        WHEN l_extendedprice < 20000 THEN 'b2'
+                        WHEN l_extendedprice < 50000 THEN 'b3'
+                        ELSE 'b4' END AS bin,
+                   count(*) AS cnt
+            FROM lineitem GROUP BY 1
+        """,
+        "threshold_flag_audit": """
+            SELECT l_orderkey, l_linenumber, l_quantity - 25.0 AS diff_qty
+            FROM lineitem WHERE abs(l_quantity - 25.0) >= 20.0
+        """,
+        "threshold_flag_two_sided": """
+            SELECT l_orderkey, l_linenumber,
+                   l_extendedprice * l_discount AS diff_disc
+            FROM lineitem
+            WHERE l_extendedprice * l_discount >= 3000.0
+               OR l_extendedprice * l_discount <= 100.0
+        """,
+        "semi_join_agg": """
+            SELECT CAST(count(*) AS BIGINT) AS cnt, sum(l_quantity) AS sum_qty
+            FROM lineitem
+            WHERE l_suppkey IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
+        """,
+        "tolerance_join": """
+            SELECT c_custkey, s_suppkey, c_acctbal, s_acctbal
+            FROM customer JOIN supplier
+              ON c_nationkey = s_nationkey
+             AND abs(c_acctbal - s_acctbal) < 500.0
+        """,
+        "grouped_counters": """
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS count_all,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   CAST(sum(CASE WHEN abs(l_quantity - 25.0) >= 20.0 THEN 1 ELSE 0 END) AS BIGINT) AS count_out,
+                   round(sum(CASE WHEN abs(l_quantity - 25.0) >= 20.0 THEN l_quantity ELSE 0 END), 4) AS sum_qty_out,
+                   round(100.0 * sum(CASE WHEN abs(l_quantity - 25.0) >= 20.0 THEN 1 ELSE 0 END) / count(*), 4) AS pct_out
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "grouped_mean": """
+            SELECT c_mktsegment, round(avg(c_acctbal), 4) AS avg_bal,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM customer GROUP BY 1
+        """,
+        "grouped_mean_by_priority": """
+            SELECT o_orderpriority,
+                   round(avg(o_totalprice), 4) AS avg_price,
+                   round(min(o_totalprice), 4) AS min_price,
+                   round(max(o_totalprice), 4) AS max_price
+            FROM orders GROUP BY 1
+        """,
+        "group_size": """
+            SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS cnt
+            FROM orders GROUP BY 1
+        """,
+        "pivot_sum_wide": """
+            SELECT event_type,
+                   round(sum(CASE WHEN user_id % 3 = 0 THEN value ELSE 0 END), 4) AS bucket0,
+                   round(sum(CASE WHEN user_id % 3 = 1 THEN value ELSE 0 END), 4) AS bucket1,
+                   round(sum(CASE WHEN user_id % 3 = 2 THEN value ELSE 0 END), 4) AS bucket2
+            FROM events GROUP BY 1
+        """,
+        "quantile_thresholds": """
+            SELECT round(quantile_cont(l_quantity, 0.025), 4) AS lo,
+                   round(quantile_cont(l_quantity, 0.975), 4) AS hi
+            FROM lineitem
+        """,
+        "tukey_fences": """
+            WITH q AS (SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+                              quantile_cont(l_extendedprice, 0.75) AS q3
+                       FROM lineitem)
+            SELECT round(q1 - 1.5 * (q3 - q1), 4) AS lo,
+                   round(q3 + 1.5 * (q3 - q1), 4) AS hi
+            FROM q
+        """,
+        "sort_desc_topk": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey LIMIT 20
+        """,
+        "union_all_summaries": """
+            SELECT 'customer' AS side, CAST(c_nationkey AS BIGINT) AS nationkey,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM customer GROUP BY 2
+            UNION ALL
+            SELECT 'supplier' AS side, CAST(s_nationkey AS BIGINT) AS nationkey,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM supplier GROUP BY 2
+        """,
+        "distinct_vals": """
+            SELECT DISTINCT l_returnflag AS v FROM lineitem
+        """,
+        "row_count": """
+            SELECT CAST(count(*) AS BIGINT) AS n FROM documents
+        """,
+        "tumbling_window": """
+            SELECT event_type, date_trunc('hour', ts) AS win,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(sum(value), 4) AS sum_val
+            FROM events GROUP BY 1, 2
+        """,
+        "exact_dedup": """
+            SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        "token_counts": """
+            SELECT doc_id, len(regexp_extract_all(text, '\\S+')) AS n_tokens
+            FROM documents
+        """,
+        "quality_stats": """
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                   CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                         / len(regexp_extract_all(text, '\\S+')) AS mean_tok_len
+            FROM documents
+        """,
+        "ann_topk_bruteforce": """
+            WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings WHERE vec_id < 4),
+                 c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings WHERE vec_id >= 4)
+            SELECT qid, nid, sim FROM (
+                SELECT q.vec_id AS qid, c.vec_id AS nid,
+                       round(list_cosine_similarity(q.emb, c.emb), 4) AS sim,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id
+                       ) AS rk
+                FROM q CROSS JOIN c
+            ) WHERE rk <= 5
+        """,
+        "embedding_neardup_pairs": """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """,
+    }

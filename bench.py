@@ -1,0 +1,126 @@
+"""Benchmark harness (driver contract + scaling evidence).
+
+Headline: end-to-end QC filter throughput (extract -> features -> langid
+-> ppl -> rules -> scrub -> write_parquet) over the deterministic synthetic
+pages corpus sized to the scale factor (sf0.1 -> 100k docs), plus a set of
+representative operator pipelines over $GRAFT_SF_DIR's tables.
+
+Prints ONE JSON line:
+  {"metric": "qc_e2e_sec", "value": <sec>, "unit": "sec",
+   "queries": {...}, "sf": ..., "num_cpus": N, "docs_per_sec": ...}
+
+--scaling: runs the headline job in two FRESH processes at num_cpus=8 and
+num_cpus=32 on the same input (two-cluster-size criterion evidence) and
+prints throughput at both plus scaling efficiency.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+
+def sf_of(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.1
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf = sf_of(sf_dir)
+    n_docs = max(1000, int(1_000_000 * sf))
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from txiac_qc_ray.config import PipelineConfig
+    from txiac_qc_ray.pipelines.qc import build_qc_pipeline, read_pages
+    from txiac_qc_ray.sources.pages import default_pages_dir
+
+    corpus = default_pages_dir(n_docs)  # cached; generation NOT timed
+
+    # warm OS page cache (untimed) so we measure compute+shuffle, not disk
+    read_pages(corpus).count()
+
+    pool = (1, max(2, num_cpus // 4))
+    cfg = PipelineConfig(batch_size=2048, langid_concurrency=pool,
+                         ppl_concurrency=pool, scrub_concurrency=pool)
+    out_dir = f"/tmp/bench_out_{num_cpus}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    t0 = time.time()
+    build_qc_pipeline(read_pages(corpus), cfg).write_parquet(out_dir)
+    qc_sec = time.time() - t0
+
+    # representative operator pipelines over the sf tables
+    from txiac_qc_ray.pipelines import docs as D
+    from txiac_qc_ray.pipelines import relational as R
+
+    queries = {}
+    for name, fn in [
+        ("grouped_counters", R.grouped_counters),
+        ("tolerance_join", R.tolerance_join),
+        ("tumbling_window", R.tumbling_window),
+        ("exact_dedup", D.exact_dedup),
+        ("minhash_lsh_dedup", D.minhash_lsh_candidates),
+        ("ann_topk_bruteforce", D.ann_topk_bruteforce),
+        ("quantile_thresholds", R.quantile_thresholds_q),
+    ]:
+        t0 = time.time()
+        res = fn(sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+        queries[name] = round(time.time() - t0, 3)
+
+    ray.shutdown()
+    return {
+        "metric": "qc_e2e_sec",
+        "value": round(qc_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / qc_sec, 1),
+    }
+
+
+def run_scaling() -> dict:
+    """Same headline job, fresh processes, num_cpus=8 then 32."""
+    results = {}
+    for ncpu in (8, 32):
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                             env=env, capture_output=True, text=True, check=True).stdout
+        results[ncpu] = json.loads(out.strip().splitlines()[-1])
+    t8, t32 = results[8]["value"], results[32]["value"]
+    eff = (t8 / t32) / (32 / 8)
+    return {
+        "metric": "scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "sec_8": t8,
+        "sec_32": t32,
+        "docs_per_sec_8": results[8]["docs_per_sec"],
+        "docs_per_sec_32": results[32]["docs_per_sec"],
+        "n_docs": results[32]["n_docs"],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

@@ -1,0 +1,92 @@
+"""Calibration aggregates: exact percentile/Tukey semantics (Home.py:337-365)
+and t-digest sketch accuracy."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from txiac_qc_ray.config import RuleSpec
+from txiac_qc_ray.state.tdigest import TDigest
+
+
+@pytest.fixture(scope="module")
+def feature_ds(ray_session):
+    import ray.data
+
+    rng = np.random.default_rng(11)
+    vals = rng.normal(10.0, 3.0, 20_000)
+    vals[::97] = np.nan  # NaN skipping must match np.nanpercentile
+    return ray.data.from_arrow(pa.table({"f": vals})), vals
+
+
+def test_percentile_thresholds_exact(feature_ds):
+    from txiac_qc_ray.pipelines.calibrate import percentile_thresholds
+
+    ds, vals = feature_ds
+    lo, hi = percentile_thresholds(ds, "f")
+    explo, exphi = np.nanpercentile(vals, [2.5, 97.5])
+    assert lo == pytest.approx(explo, abs=0)
+    assert hi == pytest.approx(exphi, abs=0)
+
+
+def test_tukey_fences_formula(feature_ds):
+    from txiac_qc_ray.pipelines.calibrate import tukey_fences
+
+    ds, vals = feature_ds
+    lo, hi = tukey_fences(ds, "f")
+    q1, q3 = np.nanpercentile(vals, [25, 75])
+    iqr = q3 - q1
+    assert lo == pytest.approx(q1 - 1.5 * iqr)
+    assert hi == pytest.approx(q3 + 1.5 * iqr)
+
+
+def test_audit_threshold(feature_ds):
+    from txiac_qc_ray.pipelines.calibrate import audit_threshold
+
+    ds, vals = feature_ds
+    assert audit_threshold(ds, "f") == pytest.approx(
+        np.nanpercentile(np.abs(vals), 95), abs=0
+    )
+
+
+def test_sketch_quantiles_close(feature_ds):
+    from txiac_qc_ray.pipelines.calibrate import sketch_quantiles
+
+    ds, vals = feature_ds
+    (q025, q975) = sketch_quantiles(ds, "f", (0.025, 0.975))
+    exact = np.nanpercentile(vals, [2.5, 97.5])
+    spread = exact[1] - exact[0]
+    assert abs(q025 - exact[0]) / spread < 0.02
+    assert abs(q975 - exact[1]) / spread < 0.02
+
+
+def test_calibrate_rules_two_pass(feature_ds):
+    from txiac_qc_ray.pipelines.calibrate import calibrate_rules
+
+    ds, vals = feature_ds
+    rules = (
+        RuleSpec("fixed", "f", "gt", hi=1.0),
+        RuleSpec("cal", "f", "two_sided", lo=0.0, hi=0.0, calibration="percentile"),
+    )
+    out = calibrate_rules(ds, rules)
+    assert out[0] == rules[0]
+    explo, exphi = np.nanpercentile(vals, [2.5, 97.5])
+    assert out[1].lo == pytest.approx(explo) and out[1].hi == pytest.approx(exphi)
+
+
+def test_tdigest_merge_associative():
+    rng = np.random.default_rng(3)
+    a, b, c = rng.exponential(2.0, 5000), rng.normal(5, 1, 5000), rng.uniform(0, 20, 5000)
+    allv = np.concatenate([a, b, c])
+    merged = TDigest().add_values(a).merge(TDigest().add_values(b)).merge(TDigest().add_values(c))
+    for q in (0.025, 0.25, 0.5, 0.75, 0.975):
+        exact = np.quantile(allv, q)
+        assert abs(merged.quantile(q) - exact) < 0.05 * (allv.max() - allv.min())
+    assert merged.total_weight == len(allv)
+
+
+def test_tdigest_nan_and_empty():
+    td = TDigest().add_values(np.array([np.nan, np.nan]))
+    assert np.isnan(td.quantile(0.5))
+    td.add_values(np.array([1.0, np.nan, 3.0]))
+    assert td.total_weight == 2.0

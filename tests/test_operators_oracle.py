@@ -1,0 +1,104 @@
+"""DuckDB-oracle spot checks for the operator suite (fast subset of
+scripts/check_oracle.py, run at sf0.001; the driver runs the full set at
+sf0.01)."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+SF = "/root/testdata/sf0.001"
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TABLES = ("region nation customer supplier part orders lineitem events "
+          "documents embeddings").split()
+
+
+@pytest.fixture(scope="module")
+def oracle_con():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con
+
+
+@pytest.fixture(scope="module")
+def entry_mod(ray_session):
+    sys.path.insert(0, REPO)
+    import __ray_entry__ as E
+
+    return E
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = pd.to_datetime(df[c]).astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        elif np.issubdtype(df[c].dtype, np.integer):
+            df[c] = df[c].astype("int64")
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+CHECKED = [
+    "grouped_counters", "tolerance_join", "quantile_thresholds",
+    "threshold_flag_audit", "tumbling_window", "exact_dedup",
+    "ann_topk_bruteforce", "token_counts", "union_all_summaries",
+]
+
+
+@pytest.mark.parametrize("name", CHECKED)
+def test_query_matches_oracle(entry_mod, oracle_con, name):
+    fn = entry_mod.queries()[name]
+    sql = entry_mod.oracle_sql()[name]
+    got = fn(SF)
+    if hasattr(got, "to_pandas"):
+        got = got.to_pandas()
+    exp = oracle_con.execute(sql).fetchdf()
+    got, exp = normalize(got), normalize(exp)
+    assert list(got.columns) == list(exp.columns)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False, rtol=0, atol=1e-9)
+
+
+def test_lsh_ann_recall_vs_bruteforce(entry_mod):
+    """The LSH-bucketed ANN must recover most of the brute-force top-k."""
+    qs = entry_mod.queries()
+    bf = qs["ann_topk_bruteforce"](SF)
+    lsh = qs["ann_topk_lsh"](SF)
+    bf_pairs = set(zip(bf["qid"], bf["nid"]))
+    lsh_pairs = set(zip(lsh["qid"], lsh["nid"]))
+    recall = len(bf_pairs & lsh_pairs) / len(bf_pairs)
+    assert recall >= 0.5  # 8-bit signatures + Hamming-1 probing, d=64
+
+
+def test_minhash_close_to_jaccard(ray_session):
+    """MinHash signature agreement estimates Jaccard (Broder)."""
+    import pyarrow as pa
+
+    from txiac_qc_ray.pipelines.docs import minhash_signatures, ngram_jaccard
+
+    a = "the quick brown fox jumps over the lazy dog again and again ok"
+    b = "the quick brown fox jumps over the lazy cat again and again ok"
+    sigs = minhash_signatures(pa.array([a, b], type=pa.string()))
+    est = (sigs[0] == sigs[1]).mean()
+    true = ngram_jaccard(a, b)
+    assert abs(est - true) < 0.25
+
+
+def test_simhash_similar_docs_close(ray_session):
+    import pyarrow as pa
+
+    from txiac_qc_ray.pipelines.docs import simhash_64
+
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    b = "alpha beta gamma delta epsilon zeta eta theta iota lambda"
+    c = "completely different words entirely unrelated content here now"
+    h = simhash_64(pa.array([a, b, c], type=pa.string()))
+    near = bin(int(h[0]) ^ int(h[1])).count("1")
+    far = bin(int(h[0]) ^ int(h[2])).count("1")
+    assert near < far

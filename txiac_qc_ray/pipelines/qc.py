@@ -61,3 +61,36 @@ def build_qc_pipeline(ds: ray.data.Dataset, cfg: PipelineConfig | None = None) -
 
 def qc_pipeline_from_parquet(paths: str | list[str], cfg: PipelineConfig | None = None) -> ray.data.Dataset:
     return build_qc_pipeline(read_pages(paths), cfg)
+
+
+def qc_label_documents(sf_dir: str, cfg: PipelineConfig | None = None) -> ray.data.Dataset:
+    """The QC stack over the driver's `documents` table (no html, so the
+    extract stage is skipped): features -> langid -> ppl -> rules -> scrub.
+    Stands in for `pages` in smoke/correctness runs (FIXTURES.md F4)."""
+    cfg = cfg or PipelineConfig()
+    ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text", "lang", "source"])
+
+    def adapt(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        url = pc.binary_join_element_wise(
+            pa.array(["doc://"] * batch.num_rows), pc.cast(batch["doc_id"], pa.string()), "")
+        return pa.table({
+            "url": url,
+            "doc_id": batch["doc_id"],
+            "host": batch["source"],
+            "lang": batch["lang"],
+            "text": batch["text"],
+        })
+
+    kw = dict(batch_format="pyarrow", batch_size=cfg.batch_size)
+    ds = ds.map_batches(adapt, **kw)
+    ds = ds.map_batches(features_batch, **kw)
+    ds = ds.map_batches(LangIdStage, concurrency=cfg.langid_concurrency, num_cpus=1, **kw)
+    ds = ds.map_batches(PerplexityStage, concurrency=cfg.ppl_concurrency, num_cpus=1, **kw)
+    ds = ds.map_batches(make_rules_stage(cfg.rules), **kw)
+    ds = ds.map_batches(ScrubStage, concurrency=cfg.scrub_concurrency, num_cpus=1, **kw)
+    # list columns don't survive every downstream consumer (pandas hashing);
+    # project rule_flags away for the tabular consumers, keep bool columns
+    return ds.drop_columns(["rule_flags"])

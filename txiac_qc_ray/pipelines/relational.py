@@ -1,0 +1,418 @@
+"""Relational operator suite over the driver's TPC-H-ish testdata tables.
+
+One function per operator family from SURVEY.md §2, implemented
+Ray-Data-first; every function here has a matching ANSI-SQL oracle in
+`__ray_entry__.oracle_sql()` and is checked row/schema/value-wise by the
+driver at sf=0.01. Reference file:line citations mark which reference
+behavior each operator re-expresses.
+
+Conventions:
+  - column names of computed/aggregate outputs are chosen once and used
+    verbatim in the SQL oracle (driver hashes by sorted column name);
+  - float aggregate outputs are rounded with `round_half_away` (DuckDB
+    `round` semantics) on BOTH sides to absorb summation-order jitter;
+  - results are small (aggregates / flagged subsets); full-table maps
+    return the mapped rows themselves.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def round_half_away(x: np.ndarray | float, digits: int) -> np.ndarray | float:
+    """DuckDB-compatible ROUND (half away from zero; numpy rounds half
+    to even, which would disagree with the SQL oracle on exact halves)."""
+    s = 10.0 ** digits
+    return np.sign(x) * np.floor(np.abs(x) * s + 0.5) / s
+
+
+def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
+
+
+# ---- S3/S4: projection + derived column (data_load, Home.py:95-105) ------
+
+def project_derive(sf_dir: str) -> ray.data.Dataset:
+    """SECTION LENGTH analog: abs-difference derived column + projection."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount", "l_tax"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        deriv = pc.abs(pc.subtract(pc.multiply(t["l_extendedprice"], t["l_discount"]),
+                                   pc.multiply(t["l_tax"], pa.scalar(100.0))))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "deriv": deriv,  # unrounded: same IEEE ops as the SQL oracle -> bitwise equal
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+# ---- S2/M8: timestamp arithmetic (Home.py:99,713-721) --------------------
+
+def timestamp_days(sf_dir: str) -> ray.data.Dataset:
+    """Days since epoch base per event (time_diff -> .dt.days analog)."""
+    ds = _read(sf_dir, "events", ["event_id", "ts"])
+    base = pa.scalar(np.datetime64("2024-01-01T00:00:00", "us"), type=pa.timestamp("us"))
+
+    def stage(t: pa.Table) -> pa.Table:
+        days = pc.days_between(base, t["ts"])
+        return pa.table({"event_id": t["event_id"],
+                         "days_since": pc.cast(days, pa.int64())})
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+# ---- M2: categorical isin filter (pav_filter, Home.py:143-158) -----------
+
+def filter_isin(sf_dir: str) -> ray.data.Dataset:
+    langs = pa.array(["en", "fr"], type=pa.string())
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["lang"], value_set=langs)),
+        batch_format="pyarrow",
+    )
+
+
+# ---- M3: semi-join via broadcast key set (Home.py:124) -------------------
+
+def semi_join_agg(sf_dir: str) -> pd.DataFrame:
+    """Keep lineitems whose suppkey belongs to nation 3's suppliers
+    (broadcast small-side key set; no shuffle), then aggregate."""
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    keys = supp.map_batches(
+        lambda t: t.filter(pc.equal(t["s_nationkey"], pa.scalar(3, pa.int32()))).select(["s_suppkey"]),
+        batch_format="pyarrow",
+    ).to_pandas()["s_suppkey"].to_numpy()
+    key_set = pa.array(np.sort(keys), type=pa.int64())  # broadcast (tiny)
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity"])
+    flt = ds.map_batches(
+        lambda t: t.filter(pc.is_in(t["l_suppkey"], value_set=key_set)),
+        batch_format="pyarrow",
+    )
+    agg = flt.aggregate(Count(alias_name="cnt"), Sum("l_quantity", alias_name="sum_qty"))
+    return pd.DataFrame({"cnt": [int(agg["cnt"])], "sum_qty": [float(agg["sum_qty"])]})
+
+
+# ---- J1: tolerance (band) join — the centerpiece (Home.py:128-132) -------
+
+def tolerance_join(sf_dir: str) -> pd.DataFrame:
+    """Equi-join customer x supplier on nationkey + band predicate
+    abs(c_acctbal - s_acctbal) < 500 (strict <, mirroring the reference's
+    strict <0.05 DFO band, Home.py:132). Small side broadcast into a
+    map_batches hash-lookup — the at-scale pattern for dimension joins."""
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"]).to_pandas()
+    supp_by_nation = {k: g[["s_suppkey", "s_acctbal"]].to_numpy()
+                      for k, g in supp.groupby("s_nationkey")}
+
+    def stage(t: pa.Table) -> pa.Table:
+        ck = np.asarray(t["c_custkey"])
+        cn = np.asarray(t["c_nationkey"])
+        cb = np.asarray(t["c_acctbal"])
+        out_c, out_s, out_cb, out_sb = [], [], [], []
+        for nation, rows in supp_by_nation.items():
+            m = cn == nation
+            if not m.any():
+                continue
+            # band predicate vectorized over the candidate cross block
+            diffs = np.abs(cb[m][:, None] - rows[:, 1][None, :])
+            ci, si = np.nonzero(diffs < 500.0)
+            out_c.append(ck[m][ci])
+            out_s.append(rows[:, 0][si].astype(np.int64))
+            out_cb.append(cb[m][ci])
+            out_sb.append(rows[:, 1][si])
+        if not out_c:
+            return pa.table({"c_custkey": pa.array([], pa.int64()),
+                             "s_suppkey": pa.array([], pa.int64()),
+                             "c_acctbal": pa.array([], pa.float64()),
+                             "s_acctbal": pa.array([], pa.float64())})
+        return pa.table({
+            "c_custkey": np.concatenate(out_c),
+            "s_suppkey": np.concatenate(out_s),
+            "c_acctbal": np.concatenate(out_cb),
+            "s_acctbal": np.concatenate(out_sb),
+        })
+
+    ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+    df = ds.map_batches(stage, batch_format="pyarrow").to_pandas()
+    return df.sort_values(["c_custkey", "s_suppkey"], ignore_index=True)
+
+
+# ---- M4: threshold flaggers (thre_filter, Home.py:161-184) ---------------
+
+def threshold_flag_audit(sf_dir: str) -> ray.data.Dataset:
+    """Audit shape: keep rows where abs(diff) >= hi (H:178; the reference
+    SELECTS the flagged rows, H:183 — so do we)."""
+    ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        diff = pc.subtract(t["l_quantity"], pa.scalar(25.0))
+        fired = pc.greater_equal(pc.abs(diff), pa.scalar(20.0))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "diff_qty": diff,
+        }).filter(fired)
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def threshold_flag_two_sided(sf_dir: str) -> ray.data.Dataset:
+    """Year-by-year shape: keep rows where diff >= hi OR diff <= lo (H:181)."""
+    ds = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        diff = pc.multiply(t["l_extendedprice"], t["l_discount"])
+        fired = pc.or_(pc.greater_equal(diff, pa.scalar(3000.0)),
+                       pc.less_equal(diff, pa.scalar(100.0)))
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "l_linenumber": t["l_linenumber"],
+            "diff_disc": diff,  # unrounded: bitwise-equal to the SQL expression
+        }).filter(fired)
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+# ---- A6/J4/M9: grouped outlier counters in ONE pass (Home.py:444-904) ----
+
+def grouped_counters(sf_dir: str) -> pd.DataFrame:
+    """The reference's per-dimension outlier blocks: groupby(dim) over
+    flagged AND all rows + merge + pct (H:456-462) — computed in a single
+    groupby with pre-aggregated per-batch partials (no join at all)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        qty = np.asarray(t["l_quantity"])
+        flag = np.abs(qty - 25.0) >= 20.0
+        keys = np.asarray(t["l_returnflag"], dtype=object)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        return pa.table({
+            "l_returnflag": pa.array(uniq.tolist(), type=pa.string()),
+            "count_all": np.bincount(inv, minlength=len(uniq)).astype(np.int64),
+            "sum_qty": np.bincount(inv, weights=qty, minlength=len(uniq)),
+            "count_out": np.bincount(inv, weights=flag, minlength=len(uniq)).astype(np.int64),
+            "sum_qty_out": np.bincount(inv, weights=qty * flag, minlength=len(uniq)),
+        })
+
+    agg = ds.map_batches(partials, batch_format="pyarrow").groupby("l_returnflag").aggregate(
+        Sum("count_all", alias_name="count_all"),
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("count_out", alias_name="count_out"),
+        Sum("sum_qty_out", alias_name="sum_qty_out"),
+    )
+    df = agg.to_pandas()
+    df["pct_out"] = round_half_away(100.0 * df["count_out"] / df["count_all"], 4)
+    df["sum_qty"] = round_half_away(df["sum_qty"], 4)
+    df["sum_qty_out"] = round_half_away(df["sum_qty_out"], 4)
+    return df.sort_values("l_returnflag", ignore_index=True)
+
+
+# ---- A2: grouped mean (county summary, Home.py:215-222) ------------------
+
+def grouped_mean(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "customer", ["c_mktsegment", "c_acctbal"])
+    agg = ds.groupby("c_mktsegment").aggregate(
+        Mean("c_acctbal", alias_name="avg_bal"),
+        Count(alias_name="cnt"),
+    )
+    df = agg.to_pandas()
+    df["avg_bal"] = round_half_away(df["avg_bal"], 4)
+    return df.sort_values("c_mktsegment", ignore_index=True)
+
+
+# ---- A4: group size (Home.py:256-260) ------------------------------------
+
+def group_size(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", ["o_orderstatus"])
+    df = ds.groupby("o_orderstatus").aggregate(Count(alias_name="cnt")).to_pandas()
+    return df.sort_values("o_orderstatus", ignore_index=True)
+
+
+# ---- A3: grouped sum pivoted wide (Home.py:226-254) ----------------------
+
+def pivot_sum_wide(sf_dir: str) -> pd.DataFrame:
+    """Sum `value` by event_type, pivoted into three user-bucket columns
+    (LOW/MEDIUM/HIGH traffic analog) — partial per batch, tiny groupby."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"], dtype=object)
+        bucket = np.asarray(t["user_id"]) % 3
+        val = np.asarray(t["value"])
+        uniq, inv = np.unique(et, return_inverse=True)
+        cols = {"event_type": pa.array(uniq.tolist(), type=pa.string())}
+        for b, name in enumerate(("bucket0", "bucket1", "bucket2")):
+            cols[name] = np.bincount(inv, weights=val * (bucket == b), minlength=len(uniq))
+        return pa.table(cols)
+
+    agg = ds.map_batches(partials, batch_format="pyarrow").groupby("event_type").aggregate(
+        Sum("bucket0", alias_name="bucket0"),
+        Sum("bucket1", alias_name="bucket1"),
+        Sum("bucket2", alias_name="bucket2"),
+    )
+    df = agg.to_pandas()
+    for c in ("bucket0", "bucket1", "bucket2"):
+        df[c] = round_half_away(df[c], 4)
+    return df.sort_values("event_type", ignore_index=True)
+
+
+# ---- A1: quantile calibration (Home.py:337-365) --------------------------
+
+def quantile_thresholds_q(sf_dir: str) -> pd.DataFrame:
+    from .calibrate import percentile_thresholds
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+    lo, hi = percentile_thresholds(ds, "l_quantity", (2.5, 97.5))
+    return pd.DataFrame({"lo": [round_half_away(lo, 4)], "hi": [round_half_away(hi, 4)]})
+
+
+def tukey_fences_q(sf_dir: str) -> pd.DataFrame:
+    from .calibrate import tukey_fences
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+    lo, hi = tukey_fences(ds, "l_extendedprice")
+    return pd.DataFrame({"lo": [round_half_away(lo, 4)], "hi": [round_half_away(hi, 4)]})
+
+
+# ---- M6/A7: binning + histogram (Home.py:417-421,623-630) ----------------
+
+_BIN_EDGES = np.array([1000.0, 5000.0, 20000.0, 50000.0])  # implicit ±inf ends
+_BIN_LABELS = np.array(["b0", "b1", "b2", "b3", "b4"], dtype=object)
+
+
+def binned_histogram(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["l_extendedprice"])
+        b = np.digitize(v, _BIN_EDGES)  # edges are right-open: v < e -> bin
+        cnt = np.bincount(b, minlength=5)
+        return pa.table({"bin": pa.array(_BIN_LABELS.tolist(), type=pa.string()),
+                         "cnt": cnt.astype(np.int64)})
+
+    df = (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("bin").aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+    df = df[df["cnt"] > 0]
+    return df.sort_values("bin", ignore_index=True)
+
+
+# ---- M7: pair-indicator concat (Home.py:520-521) -------------------------
+
+def pair_concat(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        pair = pc.binary_join_element_wise(
+            t["event_type"],
+            pc.cast(pc.subtract(t["user_id"], pc.multiply(pc.divide(t["user_id"], pa.scalar(5)), pa.scalar(5))), pa.string()),
+            "-",
+        )
+        uniq, inv = np.unique(np.asarray(pair, dtype=object), return_inverse=True)
+        return pa.table({"pair": pa.array(uniq.tolist(), type=pa.string()),
+                         "cnt": np.bincount(inv, minlength=len(uniq)).astype(np.int64)})
+
+    df = (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("pair").aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+    return df.sort_values("pair", ignore_index=True)
+
+
+# ---- O1/O2 + limit: sort / top-k (Home.py:461 etc.) ----------------------
+
+def sort_desc_topk(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+    top = ds.sort(["o_totalprice", "o_orderkey"], descending=[True, False]).limit(20)
+    return top.to_pandas()
+
+
+# ---- O3: union-all of per-side summaries (Home.py:222,249,269) -----------
+
+def union_all_summaries(sf_dir: str) -> pd.DataFrame:
+    cust = _read(sf_dir, "customer", ["c_nationkey"]).groupby("c_nationkey").aggregate(
+        Count(alias_name="cnt"))
+    supp = _read(sf_dir, "supplier", ["s_nationkey"]).groupby("s_nationkey").aggregate(
+        Count(alias_name="cnt"))
+
+    def tag(side):
+        def _t(t: pa.Table) -> pa.Table:
+            key = t.column(0).cast(pa.int64())
+            return pa.table({
+                "side": pa.array([side] * t.num_rows, type=pa.string()),
+                "nationkey": key,
+                "cnt": t["cnt"],
+            })
+        return _t
+
+    un = cust.map_batches(tag("customer"), batch_format="pyarrow").union(
+        supp.map_batches(tag("supplier"), batch_format="pyarrow"))
+    return un.to_pandas().sort_values(["side", "nationkey"], ignore_index=True)
+
+
+# ---- A9: distinct (Home.py:116) ------------------------------------------
+
+def distinct_vals(sf_dir: str) -> pd.DataFrame:
+    vals = _read(sf_dir, "lineitem", ["l_returnflag"]).unique("l_returnflag")
+    return pd.DataFrame({"v": sorted(vals)})
+
+
+# ---- O4: row count (Home.py:435) -----------------------------------------
+
+def row_count(sf_dir: str) -> pd.DataFrame:
+    n = _read(sf_dir, "documents", ["doc_id"]).count()
+    return pd.DataFrame({"n": [n]})
+
+
+# ---- A5-analog: grouped mean over a second dimension (Home.py:263-270) ---
+
+def grouped_mean_by_priority(sf_dir: str) -> pd.DataFrame:
+    ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    df = ds.groupby("o_orderpriority").aggregate(
+        Mean("o_totalprice", alias_name="avg_price"),
+        Min("o_totalprice", alias_name="min_price"),
+        Max("o_totalprice", alias_name="max_price"),
+    ).to_pandas()
+    for c in ("avg_price", "min_price", "max_price"):
+        df[c] = round_half_away(df[c], 4)
+    return df.sort_values("o_orderpriority", ignore_index=True)
+
+
+# ---- streaming analog: tumbling window aggregate (SURVEY.md §2.8) --------
+
+def tumbling_window(sf_dir: str) -> pd.DataFrame:
+    """1-hour tumbling windows over the events stream; partial per batch
+    then tiny groupby — the Ray Data shape for windowed aggregates."""
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        win = pc.floor_temporal(t["ts"], unit="hour")
+        key = pc.binary_join_element_wise(
+            t["event_type"], pc.cast(pc.cast(win, pa.int64()), pa.string()), "|")
+        val = np.asarray(t["value"])
+        uniq, inv = np.unique(np.asarray(key, dtype=object), return_inverse=True)
+        return pa.table({
+            "k": pa.array(uniq.tolist(), type=pa.string()),
+            "cnt": np.bincount(inv, minlength=len(uniq)).astype(np.int64),
+            "sum_val": np.bincount(inv, weights=val, minlength=len(uniq)),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby("k").aggregate(Sum("cnt", alias_name="cnt"),
+                                     Sum("sum_val", alias_name="sum_val")).to_pandas())
+    parts = agg["k"].str.split("|", expand=True)
+    out = pd.DataFrame({
+        "event_type": parts[0],
+        "win": pd.to_datetime(parts[1].astype(np.int64), unit="us"),
+        "cnt": agg["cnt"],
+        "sum_val": round_half_away(agg["sum_val"], 4),
+    })
+    return out.sort_values(["event_type", "win"], ignore_index=True)
