@@ -78,7 +78,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": D.langid_docs,
         # flagship QC pipeline (model-based; rows-only check)
         "qc_label_documents": qc_label_documents,
+        # reference-parity PMIS flow over the deterministic two-cycle
+        # sections fixture (generated, not in sf_dir -> rows-only; the
+        # pandas mirror parity lives in tests/test_pmis_parity.py)
+        "pmis_audit_flow": _pmis_audit_flow,
+        "pmis_county_summary": _pmis_county_summary,
     }
+
+
+def _pmis_merged(_sf_dir: str):
+    import ray.data
+
+    from txiac_qc_ray.pipelines.pmis import data_merge
+    from txiac_qc_ray.sources.sections import sections_tables
+
+    a, b = sections_tables(seed=42, n=1000)
+    return data_merge(ray.data.from_arrow(a), ray.data.from_arrow(b), num_partitions=8)
+
+
+def _pmis_audit_flow(sf_dir: str):
+    from txiac_qc_ray.pipelines.pmis import audit_default_thresholds, thre_filter
+    from txiac_qc_ray.sources.sections import MEASURES
+
+    merged = _pmis_merged(sf_dir)
+    thresholds = audit_default_thresholds(merged, MEASURES)
+    out = thre_filter(merged, thresholds, qctype="Audit").to_pandas()
+    return out.sort_values(["hwy_id", "county", "begin_dfo_a", "begin_dfo_b"],
+                           ignore_index=True)
+
+
+def _pmis_county_summary(sf_dir: str):
+    from txiac_qc_ray.pipelines.pmis import county_summary
+
+    return county_summary(_pmis_merged(sf_dir))
 
 
 def oracle_sql() -> dict[str, str]:
