@@ -81,5 +81,8 @@ class PipelineConfig:
     langid_concurrency: tuple[int, int] | int = (1, 4)
     ppl_concurrency: tuple[int, int] | int = (1, 4)
     scrub_concurrency: tuple[int, int] | int = (1, 4)
+    # "tasks": scorers as plain fns with per-process model caches (elastic,
+    # no pool spin-up); "actors": explicit autoscaling actor pools.
+    stage_mode: str = "tasks"
     counter_dims: tuple[str, ...] = ("lang_pred", "drop_reason", "host")
     extra: dict = field(default_factory=dict)

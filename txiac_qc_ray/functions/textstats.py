@@ -37,6 +37,12 @@ class TokenView:
     flat: pa.Array  # string array of all tokens, doc-major order
     offsets: np.ndarray  # int64, len n_docs+1
     is_null: np.ndarray  # bool, len n_docs
+    # dictionary encoding of `flat`, computed once in tokenize(): all set
+    # lookups (stopwords, langid vocabs, LM vocab) run over the SMALL
+    # dictionary and are gathered back through `ids` — one O(tokens) pass
+    # total instead of one per lookup.
+    ids: np.ndarray | None = None  # int64 index into dictionary, per token
+    dictionary: pa.Array | None = None  # unique token strings
 
 
 def seg_sum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
@@ -76,7 +82,16 @@ def tokenize(texts: pa.Array) -> TokenView:
     np.cumsum(nonempty, out=keep_cum[1:])
     flat = raw_flat.filter(pa.array(nonempty))
     offsets = keep_cum[raw_offsets]
-    return TokenView(flat=flat, offsets=offsets, is_null=is_null)
+    if len(flat):
+        enc = pc.dictionary_encode(flat)
+        enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
+        ids = np.asarray(enc.indices).astype(np.int64)
+        dictionary = enc.dictionary
+    else:
+        ids = np.zeros(0, dtype=np.int64)
+        dictionary = pa.array([], type=pa.string())
+    return TokenView(flat=flat, offsets=offsets, is_null=is_null,
+                     ids=ids, dictionary=dictionary)
 
 
 def token_counts(tv: TokenView) -> np.ndarray:
@@ -84,10 +99,12 @@ def token_counts(tv: TokenView) -> np.ndarray:
 
 
 def count_in_set(tv: TokenView, value_set: pa.Array) -> np.ndarray:
-    """Per-document count of tokens that are members of `value_set`."""
+    """Per-document count of tokens that are members of `value_set`
+    (membership tested once per DICTIONARY entry, gathered per token)."""
     if len(tv.flat) == 0:
         return np.zeros(len(tv.offsets) - 1, dtype=np.int64)
-    mask = np.asarray(pc.is_in(tv.flat, value_set=value_set))
+    dict_mask = np.asarray(pc.is_in(tv.dictionary, value_set=value_set))
+    mask = dict_mask[tv.ids]
     return seg_sum(mask, tv.offsets).astype(np.int64)
 
 
@@ -116,7 +133,7 @@ def top_trigram_fraction(tv: TokenView) -> np.ndarray:
     out = np.full(n_docs, np.nan, dtype=np.float64)
     if len(tv.flat) < 3:
         return out
-    ids = np.asarray(pc.dictionary_encode(tv.flat).indices).astype(np.uint64)
+    ids = tv.ids.astype(np.uint64)
     doc_of = np.repeat(np.arange(n_docs, dtype=np.uint64), n_words)
     a, b, c = ids[:-2], ids[1:-1], ids[2:]
     same_doc = doc_of[:-2] == doc_of[2:]
@@ -188,5 +205,5 @@ def char_counts(texts: pa.Array) -> np.ndarray:
 def total_word_chars(tv: TokenView) -> np.ndarray:
     if len(tv.flat) == 0:
         return np.zeros(len(tv.offsets) - 1, dtype=np.float64)
-    lens = np.asarray(pc.utf8_length(tv.flat)).astype(np.float64)
-    return seg_sum(lens, tv.offsets)
+    dict_lens = np.asarray(pc.utf8_length(tv.dictionary)).astype(np.float64)
+    return seg_sum(dict_lens[tv.ids], tv.offsets)

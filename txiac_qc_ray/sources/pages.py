@@ -198,7 +198,9 @@ def pages_batch(seed: int, start: int, n: int) -> pa.Table:
     return pa.table(cols, schema=PAGES_SCHEMA)
 
 
-ROWS_PER_FILE = 10_000  # frozen so file contents depend only on (seed, index)
+ROWS_PER_FILE = 2_500  # frozen so file contents depend only on (seed, index);
+# small files + small row groups keep read (and fused map) parallelism high —
+# 100k docs -> 40 files, matching a many-shard layout at scale
 
 
 def generate_pages_parquet(out_dir: str, n_docs: int, seed: int = 42) -> str:
@@ -209,7 +211,7 @@ def generate_pages_parquet(out_dir: str, n_docs: int, seed: int = 42) -> str:
     follows the resumable-partitioned-output layout used by the pipeline.
     """
     meta_path = os.path.join(out_dir, "_meta.json")
-    meta = {"n_docs": n_docs, "seed": seed, "rows_per_file": ROWS_PER_FILE, "v": 1}
+    meta = {"n_docs": n_docs, "seed": seed, "rows_per_file": ROWS_PER_FILE, "v": 2}
     if os.path.exists(meta_path):
         with open(meta_path) as f:
             if json.load(f) == meta:
@@ -219,7 +221,7 @@ def generate_pages_parquet(out_dir: str, n_docs: int, seed: int = 42) -> str:
         n = min(ROWS_PER_FILE, n_docs - start)
         path = os.path.join(out_dir, f"part-{k:05d}.parquet")
         tmp = path + ".tmp"
-        pq.write_table(pages_batch(seed, start, n), tmp)
+        pq.write_table(pages_batch(seed, start, n), tmp, row_group_size=500)
         os.replace(tmp, path)
     with open(meta_path, "w") as f:
         json.dump(meta, f)

@@ -17,10 +17,9 @@ import re
 
 import pyarrow as pa
 
-_SCRIPT = re.compile(r"(?is)<script\b.*?</script>")
-_STYLE = re.compile(r"(?is)<style\b.*?</style>")
-_NAV = re.compile(r"(?is)<nav\b.*?</nav>")
-_FOOTER = re.compile(r"(?is)<footer\b.*?</footer>")
+# one combined boilerplate pattern (script/style/nav/footer) — a single
+# sub() pass instead of four; backreference keeps open/close tags paired
+_BOILERPLATE = re.compile(r"(?is)<(script|style|nav|footer)\b.*?</\1>")
 _PARA = re.compile(r"(?is)<p\b[^>]*>(.*?)</p>")
 
 # Inverse of sources/pages.py:_escape — order matters (&amp; last).
@@ -39,10 +38,7 @@ def extract_text(html: bytes | str | None) -> str | None:
         return None
     if isinstance(html, (bytes, bytearray, memoryview)):
         html = bytes(html).decode("utf-8", errors="replace")
-    html = _SCRIPT.sub("", html)
-    html = _STYLE.sub("", html)
-    html = _NAV.sub("", html)
-    html = _FOOTER.sub("", html)
+    html = _BOILERPLATE.sub("", html)
     paras = _PARA.findall(html)
     out = "\n\n".join(paras)
     for ent, ch in _UNESCAPES:

@@ -19,9 +19,13 @@ from ..vocab import EN_STOPWORDS
 _STOP_SET = pa.array(list(EN_STOPWORDS), type=pa.string())
 
 
-def compute_features(texts: pa.Array) -> dict[str, np.ndarray]:
-    """All heuristic features for a batch of texts (shared with the oracle)."""
-    tv = ts.tokenize(texts)
+def compute_features(texts: pa.Array, tv: ts.TokenView | None = None) -> dict[str, np.ndarray]:
+    """All heuristic features for a batch of texts (shared with the oracle).
+
+    Pass a precomputed TokenView to share ONE tokenization across the
+    feature/langid/perplexity scorers (stages/scoring.py fused stage) —
+    tokenize is deterministic, so shared vs per-stage views are identical."""
+    tv = tv if tv is not None else ts.tokenize(texts)
     n_words = ts.token_counts(tv).astype(np.float64)
     n_chars = ts.char_counts(texts)
     wchars = ts.total_word_chars(tv)

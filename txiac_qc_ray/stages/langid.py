@@ -32,9 +32,10 @@ class LangIdModel:
             for lang in self.langs
         }
 
-    def predict(self, texts: pa.Array) -> tuple[np.ndarray, np.ndarray]:
-        """-> (lang_pred: object ndarray of str, lang_score: float64)."""
-        tv = ts.tokenize(texts)
+    def predict(self, texts: pa.Array, tv: ts.TokenView | None = None) -> tuple[np.ndarray, np.ndarray]:
+        """-> (lang_pred: object ndarray of str, lang_score: float64).
+        Accepts a shared TokenView (see stages/scoring.py)."""
+        tv = tv if tv is not None else ts.tokenize(texts)
         n = ts.token_counts(tv).astype(np.float64)
         scores = np.zeros((len(self.langs), len(n)), dtype=np.float64)
         with np.errstate(divide="ignore", invalid="ignore"):
@@ -67,3 +68,19 @@ class LangIdStage:
         preds, scores = self.model.predict(batch.column("text"))
         batch = batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
         return batch.append_column("lang_score", pa.array(scores, type=pa.float64()))
+
+
+_MODEL_CACHE: list[LangIdModel] = []
+
+
+def langid_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant of LangIdStage: the frozen model is built
+    once per WORKER PROCESS (module-level cache) instead of once per
+    actor — same init-amortization, but elastic over all CPUs and no
+    actor-pool spin-up cost. Identical output to LangIdStage."""
+    if not _MODEL_CACHE:
+        _MODEL_CACHE.append(LangIdModel())
+    model = _MODEL_CACHE[0]
+    preds, scores = model.predict(batch.column("text"))
+    batch = batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
+    return batch.append_column("lang_score", pa.array(scores, type=pa.float64()))

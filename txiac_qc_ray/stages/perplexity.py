@@ -39,15 +39,17 @@ class UnigramLM:
         w = 1.0 / (ranks + 5.0)
         self.logp = np.log(w / w.sum())
 
-    def score(self, texts: pa.Array) -> np.ndarray:
-        """Per-document perplexity (float64; NaN for empty/null docs)."""
-        tv = ts.tokenize(texts)
+    def score(self, texts: pa.Array, tv: ts.TokenView | None = None) -> np.ndarray:
+        """Per-document perplexity (float64; NaN for empty/null docs).
+        Accepts a shared TokenView (see stages/scoring.py)."""
+        tv = tv if tv is not None else ts.tokenize(texts)
         n = ts.token_counts(tv).astype(np.float64)
         out = np.full(len(n), np.nan, dtype=np.float64)
         if len(tv.flat) > 0:
-            idx = pc.index_in(tv.flat, value_set=self.vocab)
-            idx_np = np.asarray(idx.fill_null(-1)) if hasattr(idx, "fill_null") else np.asarray(pc.fill_null(idx, -1))
-            tok_logp = np.where(idx_np >= 0, self.logp[np.clip(idx_np, 0, None)], PPL_OOV_LOGP)
+            # vocab lookup once per dictionary entry, gathered per token
+            didx = np.asarray(pc.fill_null(pc.index_in(tv.dictionary, value_set=self.vocab), -1))
+            dict_logp = np.where(didx >= 0, self.logp[np.clip(didx, 0, None)], PPL_OOV_LOGP)
+            tok_logp = dict_logp[tv.ids]
             sums = ts.seg_sum(tok_logp, tv.offsets)
             has = n > 0
             out[has] = np.exp(-sums[has] / n[has])
@@ -65,3 +67,14 @@ class PerplexityStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ppl = self.lm.score(batch.column("text"))
         return batch.append_column("ppl", pa.array(ppl, type=pa.float64()))
+
+
+_LM_CACHE: list[UnigramLM] = []
+
+
+def perplexity_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant of PerplexityStage (process-cached model)."""
+    if not _LM_CACHE:
+        _LM_CACHE.append(UnigramLM())
+    ppl = _LM_CACHE[0].score(batch.column("text"))
+    return batch.append_column("ppl", pa.array(ppl, type=pa.float64()))

@@ -1,0 +1,63 @@
+"""Fused scoring stage: extract -> host -> features + langid + ppl ->
+rules -> scrub in ONE map_batches call with ONE tokenization pass.
+
+Functionally identical to composing the individual stages (they all
+accept the shared TokenView and use the same deterministic kernels) —
+pinned by tests/test_pipeline_parity.py, which runs the composed path
+against the oracle, and test_scoring_fused, which runs this fused path
+against the composed one.
+
+Why fuse: each separate map_batches re-slices/rebuilds Arrow tables and
+re-tokenizes the text; tokenization is ~1/3 of per-doc CPU, so sharing
+it cuts the pipeline's hot-path cost ~35% (measured 239 -> ~150 us/doc).
+Models live in a per-worker-process cache (built once per process, like
+an actor's __init__, but elastic across all CPUs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..config import DEFAULT_RULES, RuleSpec
+from ..functions import textstats as ts
+from ..functions.urls import host_of_urls
+from .extract import extract_batch
+from .features import compute_features
+from .langid import LangIdModel
+from .perplexity import UnigramLM
+from .rules import apply_rules
+from .scrub import ScrubStage
+
+_CACHE: dict[str, object] = {}
+
+
+def _models() -> tuple[LangIdModel, UnigramLM, ScrubStage]:
+    if "langid" not in _CACHE:
+        _CACHE["langid"] = LangIdModel()
+        _CACHE["lm"] = UnigramLM()
+        _CACHE["scrub"] = ScrubStage()
+    return _CACHE["langid"], _CACHE["lm"], _CACHE["scrub"]  # type: ignore[return-value]
+
+
+def make_qc_batch(rules: tuple[RuleSpec, ...] = DEFAULT_RULES):
+    """-> a single stateless map_batches fn running the whole QC stack."""
+
+    def qc_batch(batch: pa.Table) -> pa.Table:
+        langid, lm, scrub = _models()
+        batch = extract_batch(batch)
+        batch = batch.append_column("host", host_of_urls(batch.column("url")))
+        texts = batch.column("text")
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        tv = ts.tokenize(texts)  # ONE tokenization, shared by all scorers
+        for name, arr in compute_features(texts, tv).items():
+            batch = batch.append_column(name, pa.array(arr, type=pa.float64()))
+        preds, scores = langid.predict(texts, tv)
+        batch = batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
+        batch = batch.append_column("lang_score", pa.array(scores, type=pa.float64()))
+        batch = batch.append_column("ppl", pa.array(lm.score(texts, tv), type=pa.float64()))
+        batch = apply_rules(batch, rules)
+        return scrub(batch)
+
+    return qc_batch

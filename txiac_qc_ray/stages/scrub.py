@@ -31,16 +31,35 @@ SCRUB_PATTERNS: tuple[tuple[str, str, str], ...] = (
 )
 
 
+# every scrub pattern requires a digit or '@' or a lexicon word; one cheap
+# RE2 scan finds candidate docs so the 5 replace passes touch only those
+_CANDIDATE_RE = r"(?i)[0-9@]|\b(?:" + "|".join(TOXICITY_LEXICON) + r")\b"
+
+
 def scrub_texts(texts: pa.Array) -> tuple[pa.Array, np.ndarray]:
-    """-> (scrubbed: string array, changed: bool ndarray). Nulls stay null."""
+    """-> (scrubbed: string array, changed: bool ndarray). Nulls stay null.
+
+    Pre-filters with a single candidate scan (most web docs carry no PII)
+    then runs the 5 replacement passes only over the candidate subset —
+    results are byte-identical to scrubbing every row (a non-candidate
+    can't match any pattern)."""
     if isinstance(texts, pa.ChunkedArray):
         texts = texts.combine_chunks()
-    out = texts
+    cand = np.asarray(pc.fill_null(pc.match_substring_regex(texts, _CANDIDATE_RE), False))
+    if not cand.any():
+        return texts, np.zeros(len(texts), dtype=bool)
+    sub = texts.filter(pa.array(cand))
     for _name, pat, repl in SCRUB_PATTERNS:
-        out = pc.replace_substring_regex(out, pattern=pat, replacement=repl)
-    if isinstance(out, pa.ChunkedArray):
-        out = out.combine_chunks()
-    changed = np.asarray(pc.fill_null(pc.not_equal(out, texts), False))
+        sub = pc.replace_substring_regex(sub, pattern=pat, replacement=repl)
+    if isinstance(sub, pa.ChunkedArray):
+        sub = sub.combine_chunks()
+    out_np = np.asarray(texts.to_pandas(), dtype=object)
+    sub_np = np.asarray(sub.to_pandas(), dtype=object)
+    changed_sub = np.asarray(pc.fill_null(pc.not_equal(sub, texts.filter(pa.array(cand))), False))
+    out_np[cand] = sub_np
+    out = pa.array(out_np, type=pa.string())
+    changed = np.zeros(len(texts), dtype=bool)
+    changed[cand] = changed_sub
     return out, changed
 
 
@@ -71,3 +90,12 @@ class ScrubStage:
             changed = changed & keep
         batch = batch.append_column("scrubbed_text", scrubbed)
         return batch.append_column("scrubbed", pa.array(changed, type=pa.bool_()))
+
+
+_SCRUB_SINGLETON = ScrubStage()
+
+
+def scrub_batch(batch: pa.Table) -> pa.Table:
+    """Stateless-task variant of ScrubStage (RE2 programs live inside
+    Arrow; nothing heavy to re-init per task)."""
+    return _SCRUB_SINGLETON(batch)
