@@ -62,9 +62,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "row_count": R.row_count,
         # §2.8 streaming analog
         "tumbling_window": R.tumbling_window,
+        # §2.5 A8 ECDF + deterministic sampling
+        "ecdf_quantity": R.ecdf_quantity,
+        "hash_sample": R.hash_sample,
         # dedup family
         "exact_dedup": D.exact_dedup,
         "minhash_lsh_dedup": D.minhash_lsh_candidates,
+        "neardup_clusters": D.neardup_clusters,
         "simhash_docs": D.simhash_docs,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
         "embedding_neardup_pairs": D.embedding_neardup_pairs,
@@ -233,6 +237,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS cnt,
                    round(sum(value), 4) AS sum_val
             FROM events GROUP BY 1, 2
+        """,
+        "ecdf_quantity": """
+            SELECT v, CAST(cnt AS BIGINT) AS cnt,
+                   CAST(sum(cnt) OVER (ORDER BY v) AS DOUBLE)
+                       / (SELECT count(*) FROM lineitem) AS ecdf
+            FROM (SELECT l_quantity AS v, count(*) AS cnt
+                  FROM lineitem GROUP BY 1)
+        """,
+        "hash_sample": """
+            SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 = 0
         """,
         "exact_dedup": """
             SELECT min(doc_id) AS doc_id, CAST(count(*) AS BIGINT) AS n_dups

@@ -419,3 +419,34 @@ def langid_docs(sf_dir: str) -> pd.DataFrame:
                          concurrency=(1, 2), num_cpus=1)
     df = out.select_columns(["doc_id", "lang_pred"]).to_pandas()
     return df.sort_values("doc_id", ignore_index=True)
+
+
+# ---- near-dup clusters: connected components over LSH pairs --------------
+
+def neardup_clusters(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFrame:
+    """Group near-duplicate documents into clusters: MinHash-LSH candidate
+    pairs -> union-find on the driver (candidate set is tiny after LSH;
+    at 10^12 docs the scale path is iterative min-label propagation —
+    repeat `groupby(label).min()` joins until fixpoint — with the SAME
+    pair input). Returns (doc_id, cluster_id=min doc_id of component)
+    for docs that belong to a multi-doc cluster."""
+    pairs = minhash_lsh_candidates(sf_dir, jaccard_threshold)
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    def union(a: int, b: int) -> None:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+
+    for a, b in zip(pairs["id_a"], pairs["id_b"]):
+        union(int(a), int(b))
+    rows = sorted({int(x) for x in pairs[["id_a", "id_b"]].to_numpy().ravel()})
+    return pd.DataFrame({"doc_id": rows,
+                         "cluster_id": [find(x) for x in rows]})

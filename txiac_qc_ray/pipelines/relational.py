@@ -416,3 +416,39 @@ def tumbling_window(sf_dir: str) -> pd.DataFrame:
         "sum_val": round_half_away(agg["sum_val"], 4),
     })
     return out.sort_values(["event_type", "win"], ignore_index=True)
+
+
+# ---- A8: ECDF (Home.py:409-410) ------------------------------------------
+
+def ecdf_quantity(sf_dir: str) -> pd.DataFrame:
+    """ECDF of l_quantity: distinct value -> cumulative fraction of rows
+    <= value. Grouped count (shuffle over ~50 partials) + driver-side
+    cumsum over the tiny distinct-value table — the px.ecdf analog."""
+    ds = _read(sf_dir, "lineitem", ["l_quantity"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        v = np.asarray(t["l_quantity"])
+        uniq, cnt = np.unique(v, return_counts=True)
+        return pa.table({"v": uniq, "cnt": cnt.astype(np.int64)})
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby("v").aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+    agg = agg.sort_values("v", ignore_index=True)
+    total = int(agg["cnt"].sum())
+    agg["ecdf"] = agg["cnt"].cumsum() / total
+    return agg[["v", "cnt", "ecdf"]]
+
+
+# ---- deterministic hash/modulo sampling (training-data op) ---------------
+
+def hash_sample(sf_dir: str, k: int = 10) -> ray.data.Dataset:
+    """Deterministic 1/k sample of documents via doc_id % k == 0 —
+    the reproducible-sampling primitive (a seeded random_sample cannot be
+    replayed across engines; a key-hash/modulo sample can)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    return ds.map_batches(
+        lambda t: t.filter(pc.equal(
+            pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], pa.scalar(k)), pa.scalar(k))),
+            pa.scalar(0))),
+        batch_format="pyarrow",
+    )
