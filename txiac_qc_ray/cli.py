@@ -1,0 +1,74 @@
+"""Job entrypoint — what `ray job submit -- python -m txiac_qc_ray ...`
+runs on a cluster (north_rule launch path). Owns its Ray session (guarded
+init; the library itself never calls ray.init).
+
+    python -m txiac_qc_ray run --input DIR --output DIR \
+        [--files-per-partition K] [--calibrate] [--num-cpus N]
+
+Resumable by default: rerunning with the same --output skips partitions
+whose lineage records exist (state/lineage.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="txiac_qc_ray")
+    sub = p.add_subparsers(dest="cmd", required=True)
+    runp = sub.add_parser("run", help="run the QC pipeline over a pages parquet dir")
+    runp.add_argument("--input", required=True, help="dir of pages parquet shards")
+    runp.add_argument("--output", required=True, help="output dir (partitioned, resumable)")
+    runp.add_argument("--files-per-partition", type=int, default=8)
+    runp.add_argument("--batch-size", type=int, default=4096)
+    runp.add_argument("--calibrate", action="store_true",
+                      help="two-pass: recompute percentile/tukey rule thresholds "
+                           "from this corpus before flagging (Home.py:337-365 E2 flow)")
+    runp.add_argument("--num-cpus", type=int, default=None,
+                      help="only used when Ray is not already initialised")
+    args = p.parse_args(argv)
+
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=args.num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+    from .config import PipelineConfig
+    from .pipelines.qc import PAGES_READ_COLUMNS, build_qc_pipeline, read_pages
+    from .state.lineage import run_resumable
+
+    cfg = PipelineConfig(batch_size=args.batch_size)
+    if args.calibrate:
+        from .pipelines.calibrate import calibrate_rules
+        from .stages.extract import extract_batch
+        from .stages.features import features_batch
+        from .stages.perplexity import perplexity_batch
+
+        # pass 1: stream the corpus once to calibrate data-dependent rules
+        feat = (read_pages(args.input)
+                .map_batches(extract_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
+                .map_batches(features_batch, batch_format="pyarrow", batch_size=cfg.batch_size)
+                .map_batches(perplexity_batch, batch_format="pyarrow", batch_size=cfg.batch_size))
+        cfg.rules = calibrate_rules(feat, cfg.rules, exact=False)  # t-digest path
+
+    summary = run_resumable(
+        args.input, args.output,
+        lambda ds: build_qc_pipeline(ds, cfg),
+        files_per_partition=args.files_per_partition,
+        read_columns=PAGES_READ_COLUMNS,
+    )
+    print(json.dumps({k: summary[k] for k in
+                      ("partitions", "skipped", "rows", "kept", "scrubbed")}))
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -73,7 +73,9 @@ PPL_OOV_LOGP = -13.815510557964274  # log(1e-6), frozen constant
 @dataclass
 class PipelineConfig:
     rules: tuple[RuleSpec, ...] = DEFAULT_RULES
-    batch_size: int = 2048  # rows per batch; pages rows are ~1-4 KB of text
+    batch_size: int = 4096  # rows per batch; pages rows are ~1-4 KB of text, so a
+    # batch is ~4-16 MB — large enough to amortize Arrow kernel dispatch,
+    # small enough that batch x concurrency fits worker heaps
     # Actor-pool sizes as (min, max): autoscaling pools with min=1 so the
     # three stateful stages can never deadlock each other on a small CPU
     # budget (each pool eagerly reserves `min` CPUs; fixed pools summing
