@@ -32,6 +32,7 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from txiac_qc_ray.pipelines import docs as D
     from txiac_qc_ray.pipelines import relational as R
+    from txiac_qc_ray.pipelines import windows as W
     from txiac_qc_ray.pipelines.qc import qc_label_documents
 
     return {
@@ -65,6 +66,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # §2.5 A8 ECDF + deterministic sampling
         "ecdf_quantity": R.ecdf_quantity,
         "hash_sample": R.hash_sample,
+        # stream-shaped custom operators (as-of join / windows)
+        "asof_join": W.asof_join_clicks_errors,
+        "session_windows": W.session_windows,
+        "topk_per_group": W.topk_per_group,
+        "rolling_sum_cents": W.rolling_sum_cents,
         # dedup family
         "exact_dedup": D.exact_dedup,
         "minhash_lsh_dedup": D.minhash_lsh_candidates,
@@ -237,6 +243,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS cnt,
                    round(sum(value), 4) AS sum_val
             FROM events GROUP BY 1, 2
+        """,
+        "asof_join": """
+            SELECT c.event_id AS click_id, e.event_id AS error_id,
+                   round(epoch(c.ts - e.ts), 6) AS gap_sec
+            FROM (SELECT * FROM events WHERE event_type = 'click') c
+            ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') e
+              ON c.user_id = e.user_id AND c.ts > e.ts
+        """,
+        "session_windows": """
+            WITH d AS (
+                SELECT user_id, ts, value,
+                       CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                                 > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_sess
+                FROM events),
+            s AS (
+                SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                              ROWS UNBOUNDED PRECEDING) AS sess
+                FROM d)
+            SELECT user_id, min(ts) AS session_start,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 4) AS sum_val
+            FROM s GROUP BY user_id, sess
+        """,
+        "topk_per_group": """
+            SELECT event_type, event_id, value FROM (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY value DESC, event_id) AS rk
+                FROM events) WHERE rk <= 3
+        """,
+        "rolling_sum_cents": """
+            SELECT event_id, user_id,
+                   sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_sum_cents
+            FROM events
         """,
         "ecdf_quantity": """
             SELECT v, CAST(cnt AS BIGINT) AS cnt,

@@ -104,6 +104,12 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.Da
     exactly as the ray_guide LSH pattern prescribes)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
+    _N_SHARDS = 64  # two-level grouping: shuffle on a bounded shard key,
+    # then a vectorized within-shard groupby — a per-(band,hash) map_groups
+    # would schedule one task per TINY bucket (millions at scale); sharding
+    # keeps the shuffle key cardinality fixed while preserving exactness
+    # (every (band, band_hash) bucket lands wholly in one shard).
+
     def explode_bands(t: pa.Table) -> pa.Table:
         sig = minhash_signatures(t["text"])
         ids = np.asarray(t["doc_id"])
@@ -117,23 +123,42 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.Da
             band_ids.append(np.full(len(ids), b, dtype=np.int64))
             band_hashes.append(bh.astype(np.int64))
             doc_ids.append(ids)
+        band = np.concatenate(band_ids)
+        bh = np.concatenate(band_hashes)
         return pa.table({
-            "band": np.concatenate(band_ids),
-            "band_hash": np.concatenate(band_hashes),
+            "band": band,
+            "band_hash": bh,
+            "shard": (bh.astype(np.uint64) ^ (band.astype(np.uint64) << np.uint64(56)))
+                     % np.uint64(_N_SHARDS),
             "doc_id": np.concatenate(doc_ids),
         })
 
     bands = ds.map_batches(explode_bands, batch_format="pyarrow")
 
-    def bucket_pairs(g: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(g["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": []})
-        a, b = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"id_a": ids[a], "id_b": ids[b]})
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # vectorized per-bucket pair expansion within one shard
+        g = g.sort_values(["band", "band_hash", "doc_id"], ignore_index=True)
+        key = g["band"].to_numpy() * np.int64(1 << 48) + (
+            g["band_hash"].to_numpy() & np.int64((1 << 48) - 1))
+        ids = g["doc_id"].to_numpy()
+        out_a, out_b = [], []
+        start = 0
+        change = np.nonzero(np.diff(key))[0] + 1
+        bounds = np.concatenate([[0], change, [len(key)]])
+        for i in range(len(bounds) - 1):
+            s, e = bounds[i], bounds[i + 1]
+            if e - s >= 2:
+                a, b = np.triu_indices(e - s, k=1)
+                out_a.append(ids[s:e][a])
+                out_b.append(ids[s:e][b])
+        if not out_a:
+            return pd.DataFrame({"id_a": np.array([], dtype=np.int64),
+                                 "id_b": np.array([], dtype=np.int64)})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b)})
 
-    pairs = bands.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas").to_pandas()
+    pairs = bands.groupby("shard").map_groups(
+        shard_pairs, batch_format="pandas").to_pandas()
     if len(pairs) == 0:
         return pd.DataFrame({"id_a": [], "id_b": [], "jaccard": []})
     pairs = pairs.drop_duplicates(ignore_index=True)
