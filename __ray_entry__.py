@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # similarity search
         "ann_topk_bruteforce": D.ann_topk_bruteforce,
         "ann_topk_lsh": D.ann_topk_lsh,
+        "ann_topk_ivf": D.ann_topk_ivf,
         # text analysis
         "token_counts": D.token_counts_docs,
         "quality_stats": D.quality_stats_docs,

@@ -102,3 +102,12 @@ def test_simhash_similar_docs_close(ray_session):
     near = bin(int(h[0]) ^ int(h[1])).count("1")
     far = bin(int(h[0]) ^ int(h[2])).count("1")
     assert near < far
+
+
+def test_ivf_ann_recall_vs_bruteforce(entry_mod):
+    qs = entry_mod.queries()
+    bf = qs["ann_topk_bruteforce"](SF)
+    ivf = qs["ann_topk_ivf"](SF)
+    bf_pairs = set(zip(bf["qid"], bf["nid"]))
+    ivf_pairs = set(zip(ivf["qid"], ivf["nid"]))
+    assert len(bf_pairs & ivf_pairs) / len(bf_pairs) >= 0.5

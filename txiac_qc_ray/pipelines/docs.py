@@ -475,3 +475,55 @@ def neardup_clusters(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFram
     rows = sorted({int(x) for x in pairs[["id_a", "id_b"]].to_numpy().ravel()})
     return pd.DataFrame({"doc_id": rows,
                          "cluster_id": [find(x) for x in rows]})
+
+
+# ---- IVF ANN (inverted-file index over deterministic k-means) ------------
+
+def _kmeans_deterministic(x: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
+    """Tiny deterministic k-means (k-means|| would be the at-scale choice;
+    here: centroids seeded by evenly-strided sorted-norm picks, Lloyd
+    iterations, all pure numpy, no RNG) -> (k, d) centroids."""
+    order = np.argsort(np.linalg.norm(x, axis=1), kind="stable")
+    cent = x[order[np.linspace(0, len(x) - 1, k).astype(int)]].copy()
+    for _ in range(iters):
+        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+        assign = d2.argmin(1)
+        for c in range(k):
+            m = assign == c
+            if m.any():
+                cent[c] = x[m].mean(0)
+    return cent
+
+
+def ann_topk_ivf(sf_dir: str, n_queries: int = 4, k: int = 5,
+                 n_lists: int = 16, n_probe: int = 4) -> pd.DataFrame:
+    """IVF ANN: corpus vectors partitioned into `n_lists` inverted lists by
+    nearest centroid (the at-scale shuffle key); each query scans only its
+    `n_probe` nearest lists. Approximate; recall vs ann_topk_bruteforce is
+    tested. -> (qid, nid, sim), same schema as the brute-force baseline."""
+    ids_all, mat_all = _embedding_matrix(sf_dir)
+    order = np.argsort(ids_all)
+    ids_all, mat_all = ids_all[order], mat_all[order]
+    q_ids, q_mat = ids_all[:n_queries], mat_all[:n_queries]
+    corpus_mask = ids_all >= q_ids.max() + 1
+    c_ids, c_mat = ids_all[corpus_mask], mat_all[corpus_mask]
+    c_norm = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+
+    cent = _kmeans_deterministic(c_norm, n_lists)
+    d2 = ((c_norm[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
+    lists = d2.argmin(1)
+
+    out_q, out_n, out_s = [], [], []
+    for qi, qv in zip(q_ids, q_mat):
+        qn = qv / np.linalg.norm(qv)
+        probe = np.argsort(((cent - qn) ** 2).sum(1), kind="stable")[:n_probe]
+        cand = np.nonzero(np.isin(lists, probe))[0]
+        if len(cand) == 0:
+            continue
+        sims = c_norm[cand] @ qn
+        top = np.argsort(-sims, kind="stable")[:k]
+        out_q.extend([qi] * len(top))
+        out_n.extend(c_ids[cand][top].tolist())
+        out_s.extend(sims[top].tolist())
+    return pd.DataFrame({"qid": out_q, "nid": out_n,
+                         "sim": round_half_away(np.array(out_s), 4) if out_s else []})
