@@ -18,8 +18,6 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 
-import ray.data
-
 from .relational import _read, round_half_away
 
 

@@ -26,7 +26,6 @@ from __future__ import annotations
 import datetime
 import json
 import os
-from bisect import bisect_left
 
 import numpy as np
 import pyarrow as pa

@@ -16,7 +16,6 @@ an actor's __init__, but elastic across all CPUs).
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from ..config import DEFAULT_RULES, RuleSpec
