@@ -23,6 +23,41 @@ from typing import Any
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _register_by_value() -> None:
+    """Make txiac_qc_ray closures deserializable on Ray workers even when
+    the driver imported this repo via a sys.path hack from another cwd
+    (workers then can't `import txiac_qc_ray`, so reference-pickled stage
+    functions raise RaySystemError at deserialization). Forcing by-VALUE
+    cloudpickle serialization of the package's modules removes the
+    worker-side import requirement entirely."""
+    try:
+        import txiac_qc_ray  # noqa: F401  (ensures the package is loaded)
+        from ray import cloudpickle
+
+        # import every submodule the queries use, then register them all
+        from txiac_qc_ray import config, oracle, vocab  # noqa: F401
+        from txiac_qc_ray.functions import textstats, urls  # noqa: F401
+        from txiac_qc_ray.pipelines import (  # noqa: F401
+            calibrate, counters, docs, pmis, qc, relational, windows)
+        from txiac_qc_ray.sources import pages, sections  # noqa: F401
+        from txiac_qc_ray.stages import (  # noqa: F401
+            extract, features, langid, multimodal, perplexity, rules,
+            scoring, scrub)
+        from txiac_qc_ray.state import lineage, tdigest  # noqa: F401
+
+        for name, mod in list(sys.modules.items()):
+            if name.startswith("txiac_qc_ray") and mod is not None:
+                try:
+                    cloudpickle.register_pickle_by_value(mod)
+                except Exception:  # pragma: no cover - best-effort
+                    pass
+    except Exception:  # pragma: no cover - never block the driver import
+        pass
+
+
+_register_by_value()
+
+
 def entry() -> Any:
     from txiac_qc_ray.pipelines.qc import qc_label_documents
 

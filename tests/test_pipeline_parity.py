@@ -87,3 +87,22 @@ def test_counters_sum_to_rowcount(ray_session, pages_small_dir, golden_small):
     ds = qc_pipeline_from_parquet(pages_small_dir, PipelineConfig())
     got = compute_counters(ds, ("lang_pred",))
     assert got["count_all"].sum() == golden_small.num_rows
+
+
+def test_rule_counters_match_golden(ray_session, pages_small_dir, golden_small):
+    from txiac_qc_ray.pipelines.counters import rule_counters
+
+    ds = qc_pipeline_from_parquet(pages_small_dir, PipelineConfig())
+    rc = rule_counters(ds).set_index("rule")
+    gold = golden_small
+    total = rc.loc["_total"]
+    assert total["fired"] == gold.num_rows
+    assert total["kept"] == sum(1 for k in gold.column("keep").to_pylist() if k)
+    assert total["scrubbed"] == sum(1 for s in gold.column("scrubbed").to_pylist() if s)
+    import collections
+    fired = collections.Counter()
+    for flags in gold.column("rule_flags").to_pylist():
+        for f in flags:
+            fired[f] += 1
+    for rule, cnt in fired.items():
+        assert rc.loc[rule, "fired"] == cnt, rule

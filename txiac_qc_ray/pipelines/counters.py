@@ -60,6 +60,34 @@ def counter_partials(batch: pa.Table, dims: tuple[str, ...]) -> pa.Table:
     )
 
 
+def rule_counters(labeled: ray.data.Dataset) -> pd.DataFrame:
+    """Global per-rule counters (north_rule: 'counters kept/dropped/
+    scrubbed per rule'): for every rule_<name> column, how many rows fired
+    it, plus overall kept/dropped/scrubbed totals. One tiny partial row
+    per batch -> driver sum; no shuffle."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cols: dict[str, list[int]] = {}
+        for c in batch.column_names:
+            if (c.startswith("rule_") and c != "rule_flags") or c in ("keep", "scrubbed"):
+                col = batch.column(c)
+                if isinstance(col, pa.ChunkedArray):
+                    col = col.combine_chunks()
+                cols[c] = [int(np.asarray(pc.fill_null(col, False)).sum())]
+        cols["rows"] = [batch.num_rows]
+        return pa.table(cols)
+
+    part = labeled.map_batches(partials, batch_format="pyarrow").to_pandas().sum()
+    rows = int(part["rows"])
+    recs = [{"rule": "_total", "fired": rows, "kept": int(part.get("keep", 0)),
+             "scrubbed": int(part.get("scrubbed", 0))}]
+    for c in sorted(part.index):
+        if c.startswith("rule_"):
+            recs.append({"rule": c[len("rule_"):], "fired": int(part[c]),
+                         "kept": 0, "scrubbed": 0})
+    return pd.DataFrame(recs)
+
+
 def compute_counters(labeled: ray.data.Dataset, dims: tuple[str, ...]) -> pd.DataFrame:
     """Counters over a labeled dataset; returns a small sorted DataFrame."""
     partials = labeled.map_batches(
