@@ -60,7 +60,8 @@ def seg_sum(values: np.ndarray, offsets: np.ndarray) -> np.ndarray:
     if len(values) and nonempty.any():
         # consecutive non-empty starts tile the value array exactly (empty
         # segments contribute no gap), so reduceat yields per-segment sums
-        out[nonempty] = np.add.reduceat(values.astype(np.float64), starts[nonempty].astype(np.intp))
+        v = values if values.dtype == np.float64 else values.astype(np.float64)
+        out[nonempty] = np.add.reduceat(v, starts[nonempty].astype(np.intp))
     return out
 
 
@@ -109,11 +110,11 @@ def count_in_set(tv: TokenView, value_set: pa.Array) -> np.ndarray:
 
 
 def _mix3(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    """64-bit mix of three token-id arrays -> 40-bit trigram key."""
+    """64-bit mix of three token-id arrays (uint64 in) -> 40-bit key."""
     x = (
-        a.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-        ^ b.astype(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F)
-        ^ c.astype(np.uint64) * np.uint64(0x165667B19E3779F9)
+        a * np.uint64(0x9E3779B97F4A7C15)
+        ^ b * np.uint64(0xC2B2AE3D27D4EB4F)
+        ^ c * np.uint64(0x165667B19E3779F9)
     )
     x ^= x >> np.uint64(29)
     x *= np.uint64(0xBF58476D1CE4E5B9)

@@ -41,8 +41,9 @@ def extract_text(html: bytes | str | None) -> str | None:
     html = _BOILERPLATE.sub("", html)
     paras = _PARA.findall(html)
     out = "\n\n".join(paras)
-    for ent, ch in _UNESCAPES:
-        out = out.replace(ent, ch)
+    if "&" in out:  # every entity contains '&'; skip 5 passes otherwise
+        for ent, ch in _UNESCAPES:
+            out = out.replace(ent, ch)
     return out
 
 
