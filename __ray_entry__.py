@@ -281,10 +281,14 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2
         """,
         "asof_join": """
+            -- errors deduped to max event_id per (user_id, ts) on BOTH
+            -- sides so the equal-ts tie-break is pinned (ADVICE r1)
             SELECT c.event_id AS click_id, e.event_id AS error_id,
                    round(epoch(c.ts - e.ts), 6) AS gap_sec
             FROM (SELECT * FROM events WHERE event_type = 'click') c
-            ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') e
+            ASOF JOIN (SELECT user_id, ts, max(event_id) AS event_id
+                       FROM events WHERE event_type = 'error'
+                       GROUP BY user_id, ts) e
               ON c.user_id = e.user_id AND c.ts > e.ts
         """,
         "session_windows": """
@@ -311,10 +315,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM events) WHERE rk <= 3
         """,
         "rolling_sum_cents": """
+            -- CAST: DuckDB window SUM(BIGINT) yields HUGEINT -> float64 in
+            -- pandas; the Ray side emits int64 (values identical, r1 hash
+            -- mismatch was dtype-only)
             SELECT event_id, user_id,
-                   sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS roll_sum_cents
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_sum_cents
             FROM events
         """,
         "ecdf_quantity": """

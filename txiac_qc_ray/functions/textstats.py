@@ -110,7 +110,17 @@ def count_in_set(tv: TokenView, value_set: pa.Array) -> np.ndarray:
 
 
 def _mix3(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
-    """64-bit mix of three token-id arrays (uint64 in) -> 40-bit key."""
+    """64-bit mix of three token-id arrays (uint64 in) -> 40-bit key.
+
+    COLLISION TOLERANCE (ADVICE r1, deliberate): the 40-bit truncation
+    leaves 24 bits for the doc id in the packed (doc << 40 | key) sort key
+    of top_trigram_fraction. Two distinct trigrams within ONE document
+    collide with p ~ n_trigrams^2 / 2^41 (< 1e-5 for a 10k-word doc),
+    which can only ever INFLATE frac_top_3gram by merging two counts.
+    The same function is used by the frozen pandas oracle, so golden
+    parity is exact by construction; the feature feeds order-statistics
+    thresholds where a <1e-5 perturbation probability is immaterial.
+    """
     x = (
         a * np.uint64(0x9E3779B97F4A7C15)
         ^ b * np.uint64(0xC2B2AE3D27D4EB4F)

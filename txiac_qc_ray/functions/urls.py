@@ -34,6 +34,11 @@ def fnv1a64(strings: pa.ChunkedArray | pa.Array) -> np.ndarray:
         strings = strings.combine_chunks()
     filled = pc.fill_null(strings, "")
     arr = filled.cast(pa.large_binary())
+    if arr.offset != 0:
+        # raw-buffer reads below assume offset 0; a sliced array would
+        # silently hash the wrong byte ranges (ADVICE r1) -> rebase
+        arr = pa.concat_arrays([arr])  # compacts to offset-0 buffers
+    assert arr.offset == 0
     buf = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] is not None else np.zeros(0, np.uint8)
     offsets = np.frombuffer(arr.buffers()[1], dtype=np.int64, count=len(arr) + 1)
     starts, ends = offsets[:-1].copy(), offsets[1:]

@@ -24,12 +24,18 @@ from .relational import _read, round_half_away
 def asof_join_clicks_errors(sf_dir: str) -> pd.DataFrame:
     """For every 'click' event: the latest strictly-earlier 'error' event
     of the same user (as-of backward join). Rows with no prior error are
-    dropped (inner as-of). -> (click_id, error_id, gap_sec)."""
+    dropped (inner as-of). -> (click_id, error_id, gap_sec).
+
+    Tie-break is EXPLICIT on both sides (ADVICE r1): errors sharing one
+    (user_id, ts) are deduped to the max event_id BEFORE the as-of join,
+    and the SQL oracle applies the same dedup, so neither engine's
+    unspecified equal-ts choice can leak into the result."""
     ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
     def per_user(g: pd.DataFrame) -> pd.DataFrame:
         clicks = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
-        errors = g[g["event_type"] == "error"].sort_values(["ts", "event_id"])
+        errors = (g[g["event_type"] == "error"].sort_values(["ts", "event_id"])
+                  .drop_duplicates(subset=["ts"], keep="last"))
         if clicks.empty or errors.empty:
             return pd.DataFrame({"click_id": pd.Series([], dtype="int64"),
                                  "error_id": pd.Series([], dtype="int64"),
