@@ -1,0 +1,133 @@
+"""Round-2 scale-path parity tests for the dedup/ANN family:
+
+- the distributed ANN LSH/IVF pipelines (VERDICT r1 item 2) must return
+  the exact brute-force top-k (IVF by construction — triangle-inequality
+  pruning; LSH empirically with the frozen parameters);
+- the sign-LSH bucketed near-dup path (item 4) must equal the exact
+  broadcast path;
+- the vectorized n-gram Jaccard sweep (item 5) must match a brute-force
+  set reimplementation;
+- keep-winning-row exact dedup (item 8) must be layout-invariant and
+  keep exactly the min-doc_id row of each distinct text.
+"""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def _key(df):
+    return list(zip(df["qid"], df["nid"], df["sim"]))
+
+
+def test_ann_lsh_equals_bruteforce(ray_session):
+    from txiac_qc_ray.pipelines import docs as D
+
+    assert _key(D.ann_topk_lsh(SF)) == _key(D.ann_topk_bruteforce(SF))
+
+
+def test_ann_ivf_equals_bruteforce(ray_session):
+    from txiac_qc_ray.pipelines import docs as D
+
+    # exact by construction (bound-pruned scan) — any params agree
+    assert _key(D.ann_topk_ivf(SF)) == _key(D.ann_topk_bruteforce(SF))
+    assert _key(D.ann_topk_ivf(SF, n_lists=8, n_probe=2)) == _key(
+        D.ann_topk_bruteforce(SF))
+
+
+def test_neardup_lsh_equals_exact(ray_session):
+    from txiac_qc_ray.pipelines import docs as D
+
+    exact = D.embedding_neardup_pairs(SF)
+    lsh = D.embedding_neardup_pairs_lsh(SF)
+    pd.testing.assert_frame_equal(exact, lsh)
+
+
+def test_ngram_jaccard_vectorized_matches_bruteforce(ray_session):
+    import pyarrow.parquet as pq
+
+    from txiac_qc_ray.pipelines import docs as D
+
+    got = D.ngram_jaccard_pairs(SF, threshold=0.25)
+    t = pq.read_table(f"{SF}/documents.parquet",
+                      columns=["doc_id", "source", "text"])
+    df = t.to_pandas()
+    rows = []
+    for _, g in df.groupby("source"):
+        g = g.sort_values("doc_id", ignore_index=True)
+        sets = [set(D.token_ngram_hashes(pa.array([x], type=pa.string()), 3)[0].tolist())
+                for x in g["text"]]
+        ids = g["doc_id"].to_numpy()
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                si, sj = sets[i], sets[j]
+                if not si or not sj:
+                    continue
+                jac = len(si & sj) / len(si | sj)
+                if round(jac, 4) >= 0.25:
+                    rows.append((ids[i], ids[j], round(jac, 4)))
+    exp = (pd.DataFrame(rows, columns=["id_a", "id_b", "jaccard"])
+           .sort_values(["id_a", "id_b"], ignore_index=True))
+    assert list(map(tuple, got.to_numpy())) == list(map(tuple, exp.to_numpy()))
+
+
+def test_minhash_verify_worker_side_matches_exact_jaccard(ray_session):
+    """LSH candidates verified worker-side == exact all-pairs >= tau."""
+    import pyarrow.parquet as pq
+
+    from txiac_qc_ray.pipelines import docs as D
+
+    got = D.minhash_lsh_candidates(SF, 0.5)
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    ids = np.asarray(t["doc_id"])
+    h, off = D.token_ngram_hashes(t["text"].combine_chunks(), 3)
+    sets = [set(h[off[i]:off[i + 1]].tolist()) for i in range(len(off) - 1)]
+    exp = set()
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            si, sj = sets[i], sets[j]
+            jac = (1.0 if not si and not sj else
+                   0.0 if not si or not sj else len(si & sj) / len(si | sj))
+            if round(jac, 4) >= 0.5:
+                exp.add((int(ids[i]), int(ids[j])))
+    assert set(zip(got["id_a"].astype(int), got["id_b"].astype(int))) == exp
+
+
+def test_exact_dedup_rows(ray_session):
+    import pyarrow.parquet as pq
+
+    from txiac_qc_ray.pipelines import docs as D
+
+    got = D.exact_dedup_rows(SF)
+    df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
+    exp_ids = set(df.groupby("text")["doc_id"].min())
+    assert set(got["doc_id"]) == exp_ids
+    assert got["text"].is_unique
+    # winners carry their own full payload
+    merged = got.merge(df, on="doc_id", suffixes=("", "_orig"))
+    assert (merged["text"] == merged["text_orig"]).all()
+    assert (merged["n_chars"] == merged["n_chars_orig"]).all()
+
+
+def test_hex16_matches_format(ray_session):
+    from txiac_qc_ray.pipelines.docs import _hex16
+
+    x = np.array([0, 1, 0xDEADBEEF, np.iinfo(np.uint64).max], dtype=np.uint64)
+    assert _hex16(x).to_pylist() == [f"{int(v):016x}" for v in x]
+    assert _hex16(np.zeros(0, np.uint64)).to_pylist() == []
+
+
+def test_emb_ndarray_zero_copy_shape(ray_session):
+    from txiac_qc_ray.pipelines.docs import emb_ndarray
+
+    lst = pa.array([[1.0, 2.0], [3.0, 4.0], [5.0, 6.0]],
+                   type=pa.list_(pa.float32()))
+    m = emb_ndarray(lst)
+    assert m.shape == (3, 2) and m.dtype == np.float64
+    np.testing.assert_array_equal(m, [[1, 2], [3, 4], [5, 6]])
+    # sliced (offset != 0) chunked input still reshapes correctly
+    sl = lst.slice(1, 2)
+    np.testing.assert_array_equal(emb_ndarray(sl), [[3, 4], [5, 6]])
