@@ -108,11 +108,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_sum_cents": W.rolling_sum_cents,
         # dedup family
         "exact_dedup": D.exact_dedup,
+        "exact_dedup_rows": D.exact_dedup_rows,
         "minhash_lsh_dedup": D.minhash_lsh_candidates,
         "neardup_clusters": D.neardup_clusters,
         "simhash_docs": D.simhash_docs,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
         "embedding_neardup_pairs": D.embedding_neardup_pairs,
+        "embedding_neardup_lsh": D.embedding_neardup_pairs_lsh,
         # similarity search
         "ann_topk_bruteforce": D.ann_topk_bruteforce,
         "ann_topk_lsh": D.ann_topk_lsh,
@@ -160,7 +162,52 @@ def _pmis_county_summary(sf_dir: str):
 
 
 def oracle_sql() -> dict[str, str]:
+    from txiac_qc_ray import oracles as O
+
+    embedding_neardup = """
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                                CAST(b.embedding AS DOUBLE[])), 4) AS sim
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
+        """
+    ann_bruteforce = """
+            WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings WHERE vec_id < 4),
+                 c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+                       FROM embeddings WHERE vec_id >= 4)
+            SELECT qid, nid, sim FROM (
+                SELECT q.vec_id AS qid, c.vec_id AS nid,
+                       round(list_cosine_similarity(q.emb, c.emb), 4) AS sim,
+                       row_number() OVER (
+                           PARTITION BY q.vec_id
+                           ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id
+                       ) AS rk
+                FROM q CROSS JOIN c
+            ) WHERE rk <= 5
+        """
     return {
+        # hash/model-based ops: independent SQL re-implementations of the
+        # frozen algorithms (txiac_qc_ray/oracles.py builds the text)
+        "minhash_lsh_dedup": O.minhash_pairs_sql(0.5),
+        "ngram_jaccard_pairs": O.ngram_jaccard_sql(0.25),
+        "neardup_clusters": O.neardup_clusters_sql(0.5),
+        "simhash_docs": O.simhash_sql(),
+        "fingerprint_docs": O.fingerprint_sql(),
+        "langid_docs": O.langid_sql(),
+        # ANN: IVF is exact by construction (bound-pruned probe); LSH
+        # parameters give recall 1.0 on the test corpora (pytest-pinned),
+        # so both must equal the brute-force top-k
+        "ann_topk_lsh": ann_bruteforce,
+        "ann_topk_ivf": ann_bruteforce,
+        # bucketed LSH near-dup path: exact-verified pairs, full recall at
+        # the frozen parameters (pytest-pinned vs the exact path)
+        "embedding_neardup_lsh": embedding_neardup,
+        "exact_dedup_rows": """
+            SELECT doc_id, text, lang, source, n_chars FROM documents
+            WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        """,
         "project_derive": """
             SELECT l_orderkey, l_linenumber,
                    abs(l_extendedprice * l_discount - l_tax * 100.0) AS deriv
@@ -350,27 +397,6 @@ def oracle_sql() -> dict[str, str]:
                          / len(regexp_extract_all(text, '\\S+')) AS mean_tok_len
             FROM documents
         """,
-        "ann_topk_bruteforce": """
-            WITH q AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-                       FROM embeddings WHERE vec_id < 4),
-                 c AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
-                       FROM embeddings WHERE vec_id >= 4)
-            SELECT qid, nid, sim FROM (
-                SELECT q.vec_id AS qid, c.vec_id AS nid,
-                       round(list_cosine_similarity(q.emb, c.emb), 4) AS sim,
-                       row_number() OVER (
-                           PARTITION BY q.vec_id
-                           ORDER BY list_cosine_similarity(q.emb, c.emb) DESC, c.vec_id
-                       ) AS rk
-                FROM q CROSS JOIN c
-            ) WHERE rk <= 5
-        """,
-        "embedding_neardup_pairs": """
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                                CAST(b.embedding AS DOUBLE[])), 4) AS sim
-            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
-                                         CAST(b.embedding AS DOUBLE[])) >= 0.4
-        """,
+        "ann_topk_bruteforce": ann_bruteforce,
+        "embedding_neardup_pairs": embedding_neardup,
     }
