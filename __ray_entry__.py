@@ -126,39 +126,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": D.langid_docs,
         # flagship QC pipeline (model-based; rows-only check)
         "qc_label_documents": qc_label_documents,
-        # reference-parity PMIS flow over the deterministic two-cycle
-        # sections fixture (generated, not in sf_dir -> rows-only; the
-        # pandas mirror parity lives in tests/test_pmis_parity.py)
+        # reference-parity PMIS flows over the FROZEN two-cycle sections
+        # fixture (tests/data/pmis; not in sf_dir — the DuckDB oracle
+        # reads the same parquet/CSV via read_parquet/read_csv, so these
+        # are fully value-checked; pandas-mirror parity additionally
+        # lives in tests/test_pmis_parity.py)
         "pmis_audit_flow": _pmis_audit_flow,
+        "pmis_yby_flow": _pmis_yby_flow,
         "pmis_county_summary": _pmis_county_summary,
+        "pmis_yby_district": _pmis_yby_district,
+        "csv_ingest_sections": _csv_ingest_sections,
     }
 
 
+_PMIS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "tests", "data", "pmis")
+
+
 def _pmis_merged(_sf_dir: str):
-    import ray.data
-
+    """Tolerance-join of the FROZEN two-cycle fixture (the same parquet
+    bytes the DuckDB oracle reads; scripts/freeze_pmis_fixture.py)."""
     from txiac_qc_ray.pipelines.pmis import data_merge
-    from txiac_qc_ray.sources.sections import sections_tables
+    from txiac_qc_ray.sources.sections import read_sections_parquet
 
-    a, b = sections_tables(seed=42, n=1000)
-    return data_merge(ray.data.from_arrow(a), ray.data.from_arrow(b), num_partitions=8)
+    a = read_sections_parquet(os.path.join(_PMIS_DIR, "cycle_a.parquet"))
+    b = read_sections_parquet(os.path.join(_PMIS_DIR, "cycle_b.parquet"))
+    return data_merge(a, b, num_partitions=8)
 
 
 def _pmis_audit_flow(sf_dir: str):
     from txiac_qc_ray.pipelines.pmis import audit_default_thresholds, thre_filter
-    from txiac_qc_ray.sources.sections import MEASURES
 
     merged = _pmis_merged(sf_dir)
-    thresholds = audit_default_thresholds(merged, MEASURES)
+    thresholds = audit_default_thresholds(merged)  # non-UTIL measures, one pass
     out = thre_filter(merged, thresholds, qctype="Audit").to_pandas()
     return out.sort_values(["hwy_id", "county", "begin_dfo_a", "begin_dfo_b"],
                            ignore_index=True)
 
 
-def _pmis_county_summary(sf_dir: str):
-    from txiac_qc_ray.pipelines.pmis import county_summary
+def _pmis_yby_flow(sf_dir: str):
+    from txiac_qc_ray.pipelines.pmis import thre_filter, yby_default_thresholds
 
-    return county_summary(_pmis_merged(sf_dir))
+    merged = _pmis_merged(sf_dir)
+    thresholds = yby_default_thresholds(merged)  # two-sided p2.5/p97.5
+    out = thre_filter(merged, thresholds, qctype="Year by year").to_pandas()
+    return out.sort_values(["hwy_id", "county", "begin_dfo_a", "begin_dfo_b"],
+                           ignore_index=True)
+
+
+def _round4(df, cols):
+    from txiac_qc_ray.pipelines.relational import round_half_away
+
+    for c in cols:
+        df[c] = round_half_away(df[c].to_numpy(), 4)
+    return df
+
+
+def _pmis_county_summary(sf_dir: str):
+    from txiac_qc_ray.pipelines.pmis import MEASURES, county_summary
+
+    # fixture values are exact decimals (2dp measures, 3dp lengths) ->
+    # integer-exact units make every mean order-independent and
+    # bit-identical to the SQL oracle's (see county_summary docstring)
+    df = county_summary(_pmis_merged(sf_dir), decimal_scales=(100, 1000))
+    return _round4(df, list(MEASURES) + ["len_low", "len_medium", "len_high"])
+
+
+def _pmis_yby_district(sf_dir: str):
+    from txiac_qc_ray.pipelines.pmis import UTIL_MEASURES, district_summary
+
+    df = district_summary(_pmis_merged(sf_dir), measure_scale=100)
+    return _round4(df, list(UTIL_MEASURES))
+
+
+def _csv_ingest_sections(sf_dir: str):
+    from txiac_qc_ray.sources.sections import read_sections_csv
+
+    ds = read_sections_csv(os.path.join(_PMIS_DIR, "cycle_a.csv"))
+    return ds.to_pandas().sort_values(
+        ["hwy_id", "county", "begin_dfo"], ignore_index=True)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -187,7 +233,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM q CROSS JOIN c
             ) WHERE rk <= 5
         """
+    pa_path = os.path.join(_PMIS_DIR, "cycle_a.parquet")
+    pb_path = os.path.join(_PMIS_DIR, "cycle_b.parquet")
     return {
+        # PMIS flows: independent SQL over the frozen fixture files
+        "pmis_audit_flow": O.pmis_audit_flow_sql(pa_path, pb_path),
+        "pmis_yby_flow": O.pmis_yby_flow_sql(pa_path, pb_path),
+        "pmis_county_summary": O.pmis_county_summary_sql(pa_path, pb_path),
+        "pmis_yby_district": O.pmis_yby_district_sql(pa_path, pb_path),
+        "csv_ingest_sections": O.csv_ingest_sql(os.path.join(_PMIS_DIR, "cycle_a.csv")),
         # hash/model-based ops: independent SQL re-implementations of the
         # frozen algorithms (txiac_qc_ray/oracles.py builds the text)
         "minhash_lsh_dedup": O.minhash_pairs_sql(0.5),

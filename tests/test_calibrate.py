@@ -74,6 +74,46 @@ def test_calibrate_rules_two_pass(feature_ds):
     assert out[1].lo == pytest.approx(explo) and out[1].hi == pytest.approx(exphi)
 
 
+def test_calibrate_rules_single_pass(ray_session, tmp_path):
+    """Calibrating N rules must execute the upstream pipeline ONCE
+    (VERDICT r1 item 7): a tracer stage drops one marker file per batch
+    invocation; with 3 calibratable rules over 2 features the marker
+    count equals the single-pass batch count, not 3x."""
+    import os
+    import uuid
+
+    import ray.data
+
+    from txiac_qc_ray.pipelines.calibrate import calibrate_rules
+
+    marker_dir = str(tmp_path)
+    rng = np.random.default_rng(5)
+    t = pa.table({"f1": rng.normal(size=4096), "f2": rng.normal(size=4096)})
+
+    def tracer(batch: pa.Table) -> pa.Table:
+        with open(os.path.join(marker_dir, uuid.uuid4().hex), "w"):
+            pass
+        return batch
+
+    ds = ray.data.from_arrow(t).map_batches(
+        tracer, batch_format="pyarrow", batch_size=1024)
+    rules = (
+        RuleSpec("c1", "f1", "two_sided", lo=0, hi=0, calibration="percentile"),
+        RuleSpec("c2", "f1", "two_sided", lo=0, hi=0, calibration="tukey"),
+        RuleSpec("c3", "f2", "two_sided", lo=0, hi=0, calibration="percentile"),
+    )
+    calibrate_rules(ds, rules, exact=True)
+    n_exact = len(os.listdir(marker_dir))
+    for f in os.listdir(marker_dir):
+        os.unlink(os.path.join(marker_dir, f))
+    calibrate_rules(ds, rules, exact=False)
+    n_sketch = len(os.listdir(marker_dir))
+    # one streamed execution -> at most ceil(4096/1024)=4 tracer batches
+    # (+1 tolerance for block splitting), NOT one execution per rule
+    assert n_exact <= 5, n_exact
+    assert n_sketch <= 5, n_sketch
+
+
 def test_tdigest_merge_associative():
     rng = np.random.default_rng(3)
     a, b, c = rng.exponential(2.0, 5000), rng.normal(5, 1, 5000), rng.uniform(0, 20, 5000)

@@ -121,9 +121,12 @@ def test_county_summary_parity(ray_session, cycles):
     import ray.data
 
     from txiac_qc_ray.pipelines.pmis import county_summary, data_merge
+    from txiac_qc_ray.sources.sections import derive_section_length
 
     a, b = cycles
-    merged = data_merge(ray.data.from_arrow(a), ray.data.from_arrow(b), num_partitions=4)
+    merged = data_merge(
+        ray.data.from_arrow(derive_section_length(a)),
+        ray.data.from_arrow(derive_section_length(b)), num_partitions=4)
     got = county_summary(merged)
     exp_m = pandas_reference(a, b)
     # independent mirror: per-cycle county means (NaN-skipping) + count

@@ -187,6 +187,144 @@ def fingerprint_sql() -> str:
     """
 
 
+# ---- PMIS flow oracles over the frozen sections fixture ------------------
+
+# every non-equi-key column of the sections schema (suffixed after join)
+PMIS_NONKEY = ("fiscal_year", "begin_dfo", "end_dfo", "start_time",
+               "lane_number", "direction", "vehicle_id", "comment_code",
+               "avg_speed", "measure_iri", "measure_rut", "util_score",
+               "traffic_level", "section_length")
+PMIS_MEASURES = ("measure_iri", "measure_rut", "util_score")
+PMIS_FILTER_MEASURES = ("measure_iri", "measure_rut")
+PMIS_UTIL_MEASURES = ("util_score",)
+
+
+def pmis_merged_cte(path_a: str, path_b: str) -> str:
+    """CTE reproducing pipelines.pmis.data_merge over the frozen fixture:
+    load-derive section_length (S3), inner equi-join on (hwy_id, county)
+    (which subsumes the reference's county semi-join), STRICT <0.05 band,
+    NaN-propagating diff columns."""
+    sel = ["a.hwy_id", "a.county"]
+    for s, side in (("_a", "a"), ("_b", "b")):
+        sel += [f"{side}.{c} AS {c}{s}" for c in PMIS_NONKEY]
+    sel += [f"a.{m} - b.{m} AS diff_{m}" for m in PMIS_MEASURES]
+    return f"""
+    ca AS (SELECT *, abs(begin_dfo - end_dfo) AS section_length
+           FROM read_parquet('{path_a}')),
+    cb AS (SELECT *, abs(begin_dfo - end_dfo) AS section_length
+           FROM read_parquet('{path_b}')),
+    m AS (
+      SELECT {', '.join(sel)}
+      FROM ca a JOIN cb b ON a.hwy_id = b.hwy_id AND a.county = b.county
+      WHERE abs(a.begin_dfo - b.begin_dfo) < 0.05
+        AND abs(a.end_dfo - b.end_dfo) < 0.05
+    )
+    """
+
+
+def pmis_audit_flow_sql(path_a: str, path_b: str, percentile: float = 0.95) -> str:
+    """Audit flow: p95-of-abs(diff) thresholds per filter measure
+    (quantile_cont == numpy linear interpolation), keep rows where ANY
+    abs(diff) >= threshold. NaN guards are explicit: DuckDB orders NaN
+    greatest, so `abs(NaN) >= t` would spuriously flag — the reference's
+    pandas semantics (NaN never flags, Home.py:139) need NOT isnan."""
+    thr = ", ".join(
+        f"quantile_cont(abs(diff_{m}), {percentile}) "
+        f"FILTER (WHERE NOT isnan(diff_{m})) AS thr_{m}"
+        for m in PMIS_FILTER_MEASURES)
+    flag = " OR ".join(
+        f"(NOT isnan(diff_{m}) AND abs(diff_{m}) >= thr_{m})"
+        for m in PMIS_FILTER_MEASURES)
+    return f"""
+    WITH {pmis_merged_cte(path_a, path_b)},
+    thr AS (SELECT {thr} FROM m)
+    SELECT m.*, CAST(1 AS BIGINT) AS flag FROM m, thr WHERE {flag}
+    """
+
+
+def pmis_yby_flow_sql(path_a: str, path_b: str) -> str:
+    """Year-by-year flow: two-sided [p2.5, p97.5] thresholds of the
+    SIGNED diff (Home.py:340), keep rows where diff >= hi OR diff <= lo."""
+    thr = ", ".join(
+        f"quantile_cont(diff_{m}, 0.025) FILTER (WHERE NOT isnan(diff_{m})) AS lo_{m}, "
+        f"quantile_cont(diff_{m}, 0.975) FILTER (WHERE NOT isnan(diff_{m})) AS hi_{m}"
+        for m in PMIS_FILTER_MEASURES)
+    flag = " OR ".join(
+        f"(NOT isnan(diff_{m}) AND (diff_{m} >= hi_{m} OR diff_{m} <= lo_{m}))"
+        for m in PMIS_FILTER_MEASURES)
+    return f"""
+    WITH {pmis_merged_cte(path_a, path_b)},
+    thr AS (SELECT {thr} FROM m)
+    SELECT m.*, CAST(1 AS BIGINT) AS flag FROM m, thr WHERE {flag}
+    """
+
+
+def _exact_mean(col: str, scale: int) -> str:
+    """Order-independent NaN-skipping mean of exact-decimal data: sum the
+    `round(v*scale)` integers exactly, divide once (mirrors
+    pipelines.pmis integer-units mode — float sums of decimal data land
+    exactly ON rounding boundaries where engine order would split)."""
+    # the CASE guard matters: DuckDB evaluates the cast argument on every
+    # row BEFORE the aggregate FILTER, and CAST(NaN AS BIGINT) throws
+    safe = f"CASE WHEN isnan({col}) THEN 0 ELSE {col} END"
+    return (f"round(sum(CAST(round({safe} * {scale}) AS BIGINT)) "
+            f"FILTER (WHERE NOT isnan({col})) "
+            f"/ ({scale}.0 * count(*) FILTER (WHERE NOT isnan({col}))), 4)")
+
+
+def pmis_county_summary_sql(path_a: str, path_b: str) -> str:
+    """Per-cycle county means (NaN-skipping), match count, and the IRI
+    traffic-level miles pivot (Home.py:215-260 + 226-254; empty
+    (county, level) cells are 0.0 by deliberate choice, see
+    pipelines.pmis.county_summary). Integer-exact decimal units."""
+    def side(s: str) -> str:
+        means = ", ".join(
+            f"{_exact_mean(f'{m}{s}', 100)} AS {m}" for m in PMIS_MEASURES)
+        lens = ", ".join(
+            f"round(coalesce(sum(CAST(round(section_length{s} * 1000) AS BIGINT)) "
+            f"FILTER (WHERE traffic_level{s} = '{lvl}'), 0) / 1000.0, 4) "
+            f"AS len_{lvl.lower()}"
+            for lvl in ("LOW", "MEDIUM", "HIGH"))
+        return (f"SELECT county, '{s[1:]}' AS cycle, {means}, {lens}, "
+                f"CAST(count(*) AS BIGINT) AS n_match FROM m GROUP BY county")
+
+    return f"""
+    WITH {pmis_merged_cte(path_a, path_b)}
+    {side('_a')} UNION ALL {side('_b')}
+    """
+
+
+def pmis_yby_district_sql(path_a: str, path_b: str) -> str:
+    """YbY district summary (Home.py:263-270): NaN-skipping mean of the
+    UTIL measures per fiscal year (one row per rating cycle)."""
+    def side(s: str) -> str:
+        means = ", ".join(
+            f"{_exact_mean(f'{m}{s}', 100)} AS {m}" for m in PMIS_UTIL_MEASURES)
+        return (f"SELECT CAST(fiscal_year{s} AS BIGINT) AS rating_cycle, "
+                f"'{s[1:]}' AS cycle, {means} FROM m GROUP BY fiscal_year{s}")
+
+    return f"""
+    WITH {pmis_merged_cte(path_a, path_b)}
+    {side('_a')} UNION ALL {side('_b')}
+    """
+
+
+def csv_ingest_sql(path_csv: str) -> str:
+    """S1/S2/S3 CSV-ingestion twin: DuckDB read_csv + strptime
+    `%Y%m%d%H%M%S` + the section-length load-derive. comment_code's empty
+    cells coalesce to '' (matching the Arrow-side fill_null)."""
+    meas = ", ".join(PMIS_MEASURES)
+    return f"""
+    SELECT fiscal_year, hwy_id, county, begin_dfo, end_dfo,
+           strptime(CAST(start_time AS VARCHAR), '%Y%m%d%H%M%S') AS start_time,
+           lane_number, direction, vehicle_id,
+           coalesce(comment_code, '') AS comment_code,
+           avg_speed, {meas}, traffic_level,
+           abs(begin_dfo - end_dfo) AS section_length
+    FROM read_csv('{path_csv}', header = true)
+    """
+
+
 def langid_sql() -> str:
     from .config import LANGID_LANGS, LANGID_MIN_SCORE, LANGID_UNKNOWN
     from .vocab import LANG_VOCABS

@@ -29,16 +29,25 @@ from ..config import RuleSpec
 from ..state.tdigest import TDigest
 
 
-def _column_values(ds: ray.data.Dataset, col: str) -> np.ndarray:
-    """Materialize ONE float64 column (the exact path's only collect)."""
-    parts = []
-    for batch in ds.select_columns([col]).iter_batches(
+def _columns_values(ds: ray.data.Dataset, cols: list[str]) -> dict[str, np.ndarray]:
+    """Materialize the requested float64 columns in ONE streamed pass
+    (the exact path's only collect). One execution of the upstream
+    pipeline no matter how many rules calibrate from it (VERDICT r1
+    item 7)."""
+    parts: dict[str, list[np.ndarray]] = {c: [] for c in cols}
+    for batch in ds.select_columns(list(cols)).iter_batches(
         batch_size=65536, batch_format="pyarrow"
     ):
-        parts.append(np.asarray(batch.column(col).to_numpy(zero_copy_only=False), dtype=np.float64))
-    if not parts:
-        return np.empty(0, dtype=np.float64)
-    return np.concatenate(parts)
+        for c in cols:
+            parts[c].append(np.asarray(
+                batch.column(c).to_numpy(zero_copy_only=False), dtype=np.float64))
+    return {c: (np.concatenate(p) if p else np.empty(0, dtype=np.float64))
+            for c, p in parts.items()}
+
+
+def _column_values(ds: ray.data.Dataset, col: str) -> np.ndarray:
+    """Single-column convenience wrapper over _columns_values."""
+    return _columns_values(ds, [col])[col]
 
 
 def percentile_thresholds(
@@ -69,30 +78,47 @@ def tukey_fences(ds: ray.data.Dataset, col: str) -> tuple[float, float]:
 # ---- sketch path ---------------------------------------------------------
 
 
+def sketch_digests(
+    ds: ray.data.Dataset, cols: list[str], compression: int = 256
+) -> dict[str, TDigest]:
+    """Mergeable t-digests for ALL requested columns in ONE streamed
+    pass: each block emits one (col, centroids) row per column, the
+    driver merges per column. Never materializes any column, and never
+    re-executes the upstream pipeline per rule (VERDICT r1 item 7)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        names, means, weights = [], [], []
+        for c in cols:
+            td = TDigest(compression).add_values(
+                np.asarray(batch.column(c).to_numpy(zero_copy_only=False), dtype=np.float64)
+            )
+            m, w = td.to_arrays()
+            names.append(c)
+            means.append(m.tolist())
+            weights.append(w.tolist())
+        return pa.table({
+            "col": pa.array(names, type=pa.string()),
+            "means": pa.array(means, type=pa.list_(pa.float64())),
+            "weights": pa.array(weights, type=pa.list_(pa.float64())),
+        })
+
+    merged = {c: TDigest(compression) for c in cols}
+    for b in ds.select_columns(list(cols)).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).iter_batches(batch_size=1024, batch_format="pyarrow"):
+        for c, m, w in zip(b.column("col").to_pylist(),
+                           b.column("means").to_pylist(),
+                           b.column("weights").to_pylist()):
+            merged[c].merge(TDigest.from_arrays(np.array(m), np.array(w), compression))
+    return merged
+
+
 def sketch_quantiles(
     ds: ray.data.Dataset, col: str, qs: tuple[float, ...], compression: int = 256
 ) -> tuple[float, ...]:
-    """Approximate quantiles via mergeable t-digest partials: one sketch
-    per block (map_batches), centroids shipped as tiny Arrow rows, merged
-    on the driver. Never materializes the column."""
-
-    def partial(batch: pa.Table) -> pa.Table:
-        td = TDigest(compression).add_values(
-            np.asarray(batch.column(col).to_numpy(zero_copy_only=False), dtype=np.float64)
-        )
-        m, w = td.to_arrays()
-        return pa.table({
-            "means": pa.array([m.tolist()], type=pa.list_(pa.float64())),
-            "weights": pa.array([w.tolist()], type=pa.list_(pa.float64())),
-        })
-
-    merged = TDigest(compression)
-    for b in ds.select_columns([col]).map_batches(
-        partial, batch_format="pyarrow", batch_size=65536
-    ).iter_batches(batch_size=1024, batch_format="pyarrow"):
-        for m, w in zip(b.column("means").to_pylist(), b.column("weights").to_pylist()):
-            merged.merge(TDigest.from_arrays(np.array(m), np.array(w), compression))
-    return tuple(merged.quantile(q) for q in qs)
+    """Single-column convenience wrapper over sketch_digests."""
+    td = sketch_digests(ds, [col], compression)[col]
+    return tuple(td.quantile(q) for q in qs)
 
 
 def calibrate_rules(
@@ -100,24 +126,38 @@ def calibrate_rules(
 ) -> tuple[RuleSpec, ...]:
     """Pass 1 of the two-pass flow: recompute lo/hi for rules whose
     `calibration` is percentile/tukey from the data itself, returning a
-    new frozen rule tuple to broadcast into the flag stage (pass 2)."""
+    new frozen rule tuple to broadcast into the flag stage (pass 2).
+
+    ONE streamed execution of `ds` regardless of rule count: all
+    calibratable feature columns are collected (exact) or sketched
+    (t-digest) together, then each rule's thresholds are derived from
+    the shared pass (VERDICT r1 item 7)."""
+    feats = sorted({r.feature for r in rules
+                    if r.calibration in ("percentile", "tukey")})
+    if not feats:
+        return tuple(rules)
+    if exact:
+        vals = _columns_values(ds, feats)
+
+        def quantiles(f: str, qs: tuple[float, ...]) -> tuple[float, ...]:
+            return tuple(float(x) for x in np.nanpercentile(vals[f], [100 * q for q in qs]))
+    else:
+        digests = sketch_digests(ds, feats)
+
+        def quantiles(f: str, qs: tuple[float, ...]) -> tuple[float, ...]:
+            return tuple(digests[f].quantile(q) for q in qs)
+
     out = []
     for r in rules:
         if r.calibration == "percentile":
-            if exact:
-                lo, hi = percentile_thresholds(ds, r.feature)
-            else:
-                lo, hi = sketch_quantiles(ds, r.feature, (0.025, 0.975))
+            lo, hi = quantiles(r.feature, (0.025, 0.975))
             out.append(RuleSpec(r.name, r.feature, r.kind, lo=lo, hi=hi,
                                 value=r.value, calibration=r.calibration))
         elif r.calibration == "tukey":
-            if exact:
-                lo, hi = tukey_fences(ds, r.feature)
-            else:
-                q1, q3 = sketch_quantiles(ds, r.feature, (0.25, 0.75))
-                iqr = q3 - q1
-                lo, hi = q1 - 1.5 * iqr, q3 + 1.5 * iqr
-            out.append(RuleSpec(r.name, r.feature, r.kind, lo=lo, hi=hi,
+            q1, q3 = quantiles(r.feature, (0.25, 0.75))
+            iqr = q3 - q1
+            out.append(RuleSpec(r.name, r.feature, r.kind,
+                                lo=q1 - 1.5 * iqr, hi=q3 + 1.5 * iqr,
                                 value=r.value, calibration=r.calibration))
         else:
             out.append(r)

@@ -33,6 +33,11 @@ from ..sources.sections import MEASURES
 
 TOL = 0.05
 EQUI_KEYS = ("hwy_id", "county")
+# the reference excludes "UTIL"-substring measures from FILTERING
+# (Home.py:331,354-355) while still summarizing them; our typed analog:
+FILTER_MEASURES = tuple(m for m in MEASURES if "util" not in m)
+UTIL_MEASURES = tuple(m for m in MEASURES if "util" in m)
+TRAFFIC_LEVELS = ("LOW", "MEDIUM", "HIGH")
 
 
 def data_merge(
@@ -103,6 +108,7 @@ def county_summary(
     ds: ray.data.Dataset,
     suffixes: tuple[str, str] = ("_a", "_b"),
     measures: tuple[str, ...] = MEASURES,
+    decimal_scales: tuple[int, int] | None = None,
 ) -> pd.DataFrame:
     """Per-cycle county means + match count (Home.py:215-260).
 
@@ -113,7 +119,24 @@ def county_summary(
     one shuffle partition's partial). Partial-aggregation is also the
     at-scale shape: one tiny row per (batch, county) crosses to the
     driver, never the matched rows themselves. NaN is skipped like
-    pandas/np.nanmean (reference pivot_table 'mean' semantics, H:215)."""
+    pandas/np.nanmean (reference pivot_table 'mean' semantics, H:215).
+
+    The IRI traffic-level pivot (Home.py:226-254) is fused into the same
+    partials: per-cycle sums of the load-derived `section_length` by
+    (county, traffic level), pivoted wide as len_low/len_medium/len_high.
+    A (county, level) with no matched rows reports 0.0 miles — a
+    deliberate improvement over the reference's NaN-filled pivot cells
+    (absent sections have zero miles), mirrored in the SQL oracle.
+
+    decimal_scales=(measure_scale, length_scale): when the input values
+    are exact decimals (the fixture: 2-decimal measures, 3-decimal
+    lengths), summing `round(v * scale)` integers makes every aggregate
+    EXACT and summation-order-independent — the same integer-units trick
+    as rolling_sum_cents — so the result is bit-identical to any other
+    engine's (a float mean of decimal data lands exactly ON rounding
+    boundaries, where engine summation order would otherwise split)."""
+    ms, ls = decimal_scales if decimal_scales else (None, None)
+
     def partials(t: pa.Table) -> pa.Table:
         county = np.asarray(t["county"], dtype=object)
         uniq, inv = np.unique(county, return_inverse=True)
@@ -123,8 +146,17 @@ def county_summary(
             for m in measures:
                 v = np.asarray(t[f"{m}{s}"], dtype=np.float64)
                 ok = ~np.isnan(v)
+                if ms:  # integer-exact units (see docstring)
+                    v = np.round(v * ms)
                 cols[f"sum_{m}{s}"] = np.bincount(inv, weights=np.where(ok, v, 0.0), minlength=len(uniq))
                 cols[f"cnt_{m}{s}"] = np.bincount(inv, weights=ok, minlength=len(uniq)).astype(np.int64)
+            sec = np.asarray(t[f"section_length{s}"], dtype=np.float64)
+            if ls:
+                sec = np.round(sec * ls)
+            lvl = np.asarray(t[f"traffic_level{s}"], dtype=object)
+            for level in TRAFFIC_LEVELS:
+                cols[f"len_{level.lower()}{s}"] = np.bincount(
+                    inv, weights=sec * (lvl == level), minlength=len(uniq))
         return pa.table(cols)
 
     part = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
@@ -134,22 +166,93 @@ def county_summary(
         f = pd.DataFrame({"county": g.index})
         f["cycle"] = s[1:]
         for m in measures:
-            f[m] = (g[f"sum_{m}{s}"] / g[f"cnt_{m}{s}"]).to_numpy()
+            if ms:
+                f[m] = (g[f"sum_{m}{s}"] / (ms * g[f"cnt_{m}{s}"])).to_numpy()
+            else:
+                f[m] = (g[f"sum_{m}{s}"] / g[f"cnt_{m}{s}"]).to_numpy()
+        for level in TRAFFIC_LEVELS:
+            v = g[f"len_{level.lower()}{s}"].to_numpy()
+            f[f"len_{level.lower()}"] = v / ls if ls else v
         f["n_match"] = g["n_match"].to_numpy()
         frames.append(f)
     out = pd.concat(frames, ignore_index=True)
     return out.sort_values(["county", "cycle"], ignore_index=True)
 
 
+def district_summary(
+    ds: ray.data.Dataset,
+    suffixes: tuple[str, str] = ("_a", "_b"),
+    util_measures: tuple[str, ...] = UTIL_MEASURES,
+    measure_scale: int | None = None,
+) -> pd.DataFrame:
+    """Year-by-year district summary (Home.py:263-270): NaN-skipping mean
+    of the UTIL measures per fiscal year (one row per rating cycle),
+    sorted by cycle code. Same partial-aggregation shape as
+    county_summary — one tiny row per (batch, year) reaches the driver;
+    `measure_scale` enables the same integer-exact decimal units."""
+    def partials(t: pa.Table) -> pa.Table:
+        cols: dict[str, object] = {}
+        rows_y, rows_s, rows_m = [], [], {m: [] for m in util_measures}
+        for s in suffixes:
+            yr = np.asarray(t[f"fiscal_year{s}"])
+            uniq, inv = np.unique(yr, return_inverse=True)
+            rows_y.append(uniq.astype(np.int64))
+            rows_s.append(np.full(len(uniq), s[1:], dtype=object))
+            for m in util_measures:
+                v = np.asarray(t[f"{m}{s}"], dtype=np.float64)
+                ok = ~np.isnan(v)
+                if measure_scale:
+                    v = np.round(v * measure_scale)
+                rows_m[m].append(np.stack([
+                    np.bincount(inv, weights=np.where(ok, v, 0.0), minlength=len(uniq)),
+                    np.bincount(inv, weights=ok, minlength=len(uniq)),
+                ], axis=1))
+        cols["rating_cycle"] = np.concatenate(rows_y)
+        cols["cycle"] = pa.array(np.concatenate(rows_s).tolist(), type=pa.string())
+        for m in util_measures:
+            st = np.concatenate(rows_m[m])
+            cols[f"sum_{m}"] = st[:, 0]
+            cols[f"cnt_{m}"] = st[:, 1]
+        return pa.table(cols)
+
+    part = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    g = part.groupby(["rating_cycle", "cycle"], sort=True).sum()
+    out = pd.DataFrame({"rating_cycle": [k[0] for k in g.index],
+                        "cycle": [k[1] for k in g.index]})
+    for m in util_measures:
+        if measure_scale:
+            out[m] = (g[f"sum_{m}"] / (measure_scale * g[f"cnt_{m}"])).to_numpy()
+        else:
+            out[m] = (g[f"sum_{m}"] / g[f"cnt_{m}"]).to_numpy()
+    return out.sort_values(["rating_cycle", "cycle"], ignore_index=True)
+
+
 def audit_default_thresholds(
-    ds: ray.data.Dataset, measures: tuple[str, ...], percentile: float = 95.0
+    ds: ray.data.Dataset, measures: tuple[str, ...] = FILTER_MEASURES,
+    percentile: float = 95.0,
 ) -> dict[str, tuple[float, float]]:
     """Audit-mode defaults: p95 of abs(diff) per measure (Home.py:356),
-    computed in one streaming pass over the diff columns."""
-    from .calibrate import _column_values
+    for ALL measures in ONE streaming pass (VERDICT r1 item 7: no
+    per-measure re-execution of the upstream join pipeline)."""
+    from .calibrate import _columns_values
 
+    vals = _columns_values(ds, [f"diff_{m}" for m in measures])
+    return {m: (0.0, float(np.nanpercentile(np.abs(vals[f"diff_{m}"]), percentile)))
+            for m in measures}
+
+
+def yby_default_thresholds(
+    ds: ray.data.Dataset, measures: tuple[str, ...] = FILTER_MEASURES,
+    percentiles: tuple[float, float] = (2.5, 97.5),
+) -> dict[str, tuple[float, float]]:
+    """Year-by-year defaults: [p2.5, p97.5] of the SIGNED diff per
+    measure (Home.py:340 — two-sided, not absolute), one streaming pass
+    for all measures."""
+    from .calibrate import _columns_values
+
+    vals = _columns_values(ds, [f"diff_{m}" for m in measures])
     out = {}
     for m in measures:
-        v = _column_values(ds, f"diff_{m}")
-        out[m] = (0.0, float(np.nanpercentile(np.abs(v), percentile)))
+        lo, hi = np.nanpercentile(vals[f"diff_{m}"], list(percentiles))
+        out[m] = (float(lo), float(hi))
     return out

@@ -60,6 +60,9 @@ def sections_tables(seed: int = 42, n: int = 1000) -> tuple[pa.Table, pa.Table]:
             v = np.round(rng.uniform(50, 300, n), 2)
             v[rng.random(n) < 0.05] = np.nan
             cols[m] = v
+        # RIDE SCORE TRAFFIC LEVEL analog (Home.py:226-254 IRI pivot);
+        # drawn LAST so earlier fixture values are unchanged across rounds
+        cols["traffic_level"] = rng.choice(["LOW", "MEDIUM", "HIGH"], n)
         t = pa.table(cols)
         keep = ~np.isin(np.asarray(t["county"]), list(drop_counties))
         return t.filter(pa.array(keep))
@@ -67,3 +70,62 @@ def sections_tables(seed: int = 42, n: int = 1000) -> tuple[pa.Table, pa.Table]:
     a = cycle(2024, (), offset=False)
     b = cycle(2023, ("C18", "C19"), offset=True)
     return a, b
+
+
+# ---- loaders: the reference's data_load re-expressed (Home.py:92-106) ----
+
+TS_FMT = "%Y%m%d%H%M%S"  # START TIME format (Home.py:99,102)
+
+
+def derive_section_length(t: pa.Table) -> pa.Table:
+    """S3 load-derive: section_length = abs(begin_dfo - end_dfo)
+    (Home.py:100,103). Stateless, runs inside map_batches."""
+    import pyarrow.compute as pc
+
+    return t.append_column(
+        "section_length", pc.abs(pc.subtract(t["begin_dfo"], t["end_dfo"])))
+
+
+def read_sections_parquet(path: str):
+    """Parquet cycle file -> Dataset with the load-derived column."""
+    import ray.data
+
+    return ray.data.read_parquet(path).map_batches(
+        derive_section_length, batch_format="pyarrow")
+
+
+def read_sections_csv(path: str):
+    """CSV cycle file -> Dataset: S1 CSV ingestion parity (Home.py:98,101)
+    with the S2 `%Y%m%d%H%M%S` timestamp parse and the S3 derive, all as
+    stateless map_batches stages over `ray.data.read_csv` blocks.
+
+    `start_time` arrives as the reference's compact integer-like string;
+    measures with empty cells arrive as nulls (CSV has no NaN literal) —
+    normalized to NaN so the diff/rule semantics are byte-identical to
+    the parquet path (pinned by test_pmis_parity CSV roundtrip)."""
+    import pyarrow.compute as pc
+    import pyarrow.csv as pacsv
+
+    import ray.data
+
+    ds = ray.data.read_csv(
+        path,
+        convert_options=pacsv.ConvertOptions(
+            column_types={"start_time": pa.string(),
+                          "comment_code": pa.string()}),
+    )
+
+    def parse(t: pa.Table) -> pa.Table:
+        ts = pc.strptime(t["start_time"], format=TS_FMT, unit="us")
+        t = t.set_column(t.column_names.index("start_time"),
+                         "start_time", ts)
+        for m in MEASURES:
+            # CSV nulls -> NaN (parquet parity: missing measures are NaN)
+            col = pc.cast(t[m], pa.float64())
+            col = pc.if_else(pc.is_null(col), pa.scalar(float("nan")), col)
+            t = t.set_column(t.column_names.index(m), m, col)
+        cc = pc.fill_null(t["comment_code"], "")  # empty string round-trip
+        t = t.set_column(t.column_names.index("comment_code"), "comment_code", cc)
+        return derive_section_length(t)
+
+    return ds.map_batches(parse, batch_format="pyarrow")
