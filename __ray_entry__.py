@@ -262,6 +262,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, text, lang, source, n_chars FROM documents
             WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
         """,
+        # flagship QC pipeline: checked against the frozen SINGLE-PROCESS
+        # golden (scripts/freeze_qc_golden.py — same pure kernels, no Ray,
+        # no batching), pinning that distributed execution cannot change
+        # any value; model algorithmics are separately SQL-checked
+        # (langid vocab classifier) and truth-table tested (rules)
+        "qc_label_documents": f"""
+            SELECT * FROM read_parquet(
+                '{os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "tests", "data", "golden",
+                               "qc_label_sf0.01.parquet")}')
+        """,
         "project_derive": """
             SELECT l_orderkey, l_linenumber,
                    abs(l_extendedprice * l_discount - l_tax * 100.0) AS deriv
