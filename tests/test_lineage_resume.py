@@ -74,3 +74,28 @@ def test_lineage_counters_sum(ray_session, pages_small_dir, tmp_path, builder, g
 def test_list_input_files_sorted(pages_small_dir):
     files = list_input_files(pages_small_dir)
     assert files == sorted(files) and len(files) == 4
+
+
+def test_run_manifest_guard(ray_session, pages_small_dir, tmp_path, builder):
+    """ADVICE r1: resuming into an output dir built with a different
+    partitioning plan must fail loud (stale part dirs would otherwise be
+    silently excluded from the summary), and clean_mismatch=True must
+    wipe and rebuild."""
+    import pytest
+
+    out = str(tmp_path / "out")
+    run_resumable(pages_small_dir, out, builder, files_per_partition=1,
+                  read_columns=PAGES_READ_COLUMNS)
+    assert os.path.exists(os.path.join(out, "part-00003"))
+    with pytest.raises(RuntimeError, match="different run plan"):
+        run_resumable(pages_small_dir, out, builder, files_per_partition=2,
+                      read_columns=PAGES_READ_COLUMNS)
+    s = run_resumable(pages_small_dir, out, builder, files_per_partition=2,
+                      read_columns=PAGES_READ_COLUMNS, clean_mismatch=True)
+    assert s["partitions"] == 2 and s["skipped"] == []
+    # the stale 4-partition layout is gone
+    assert not os.path.exists(os.path.join(out, "part-00002"))
+    # unchanged plan still resumes (all partitions skipped)
+    s2 = run_resumable(pages_small_dir, out, builder, files_per_partition=2,
+                       read_columns=PAGES_READ_COLUMNS)
+    assert s2["skipped"] == [0, 1]

@@ -130,19 +130,54 @@ def run_partition(
     return record
 
 
+def _check_run_manifest(out_dir: str, files: list[str],
+                        files_per_partition: int, clean_mismatch: bool) -> None:
+    """Run-level manifest guard (ADVICE r1): a rerun against an output
+    directory produced from a DIFFERENT input listing or partitioning
+    would leave stale part-NNNNN/ dirs on disk, silently excluded from
+    the summary but visible to consumers globbing part-*/*.parquet.
+    The manifest records the full plan; a mismatch fails loud (or wipes
+    the output dir when clean_mismatch=True)."""
+    manifest = {"input_files": files, "files_per_partition": files_per_partition}
+    lineage_dir = os.path.join(out_dir, "_lineage")
+    path = os.path.join(lineage_dir, "_manifest.json")
+    if os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        if prev != manifest:
+            if not clean_mismatch:
+                raise RuntimeError(
+                    f"{out_dir} was produced from a different run plan "
+                    f"({len(prev.get('input_files', []))} files / "
+                    f"{prev.get('files_per_partition')} per partition vs "
+                    f"{len(files)} / {files_per_partition}); pass "
+                    "clean_mismatch=True to wipe and rebuild, or use a "
+                    "fresh output directory")
+            shutil.rmtree(out_dir)
+    os.makedirs(lineage_dir, exist_ok=True)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1)
+    os.replace(tmp, path)
+
+
 def run_resumable(
     input_dir: str,
     out_dir: str,
     pipeline_builder: Callable[[ray.data.Dataset], ray.data.Dataset],
     files_per_partition: int = 4,
     read_columns: list[str] | None = None,
+    clean_mismatch: bool = False,
 ) -> dict:
     """Run all partitions, skipping any with an existing lineage record.
 
     Returns a summary: per-partition records plus which were skipped.
+    Refuses to resume into an output dir built from a different input
+    listing / partitioning (see _check_run_manifest).
     """
     files = list_input_files(input_dir)
     parts = plan_partitions(files, files_per_partition)
+    _check_run_manifest(out_dir, files, files_per_partition, clean_mismatch)
     lineage_dir = os.path.join(out_dir, "_lineage")
     done: dict[int, dict] = {}
     skipped: list[int] = []
