@@ -38,3 +38,33 @@ def test_multiline_paragraphs():
     text = "Para one. More.\n\nPara two."
     html = _render_html(text, 1)
     assert extract_text(html.encode()) == text
+
+
+def test_arrow_extract_matches_python_re(pages_small):
+    """The vectorized RE2 extractor must be byte-identical to the frozen
+    Python-re reference on the fixture corpus AND on adversarial edges
+    (null, empty, unclosed <p>, boilerplate interleaving, entities)."""
+    import pyarrow as pa
+
+    from txiac_qc_ray.stages.extract import extract_text, extract_texts_arrow
+
+    adversarial = [
+        None,
+        b"",
+        b"<p>plain</p>",
+        b"<p>unclosed tail",
+        b"<p>a</p>junk<p>unclosed",
+        b"<P CLASS='x'>case</P>",
+        b"<script>var a;</script><p>kept</p><style>.x{}</style>",
+        b"<p>&lt;tag&gt; &amp;amp; &quot;q&quot; &#x27;s&#x27;</p>",
+        b"<p>first</p>\n<p>second</p>",
+        b"<nav><a>x</a></nav><footer>f</footer>",
+        b"no paragraphs at all",
+        b"<p></p>",
+        "<p>unicode é中文</p>".encode(),
+    ]
+    arr = pa.array(list(pages_small.column("html").to_pylist()) + adversarial,
+                   type=pa.binary())
+    got = extract_texts_arrow(arr).to_pylist()
+    exp = [extract_text(h) for h in arr.to_pylist()]
+    assert got == exp

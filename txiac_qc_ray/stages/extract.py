@@ -47,6 +47,66 @@ def extract_text(html: bytes | str | None) -> str | None:
     return out
 
 
+def extract_texts_arrow(html: pa.Array | pa.ChunkedArray) -> pa.Array:
+    """Vectorized RE2 twin of `extract_text` over a whole binary column
+    (VERDICT r1 item 7 — the per-row Python loop was the #2 hot-path
+    cost). Byte-identical to the Python-re path, which remains the
+    independent oracle implementation (oracle.py) and is pinned against
+    this one by the frozen golden tests:
+
+      - boilerplate strip: RE2 has no backreferences, so the combined
+        `<(tag)...</\\1>` pattern becomes one non-backref pass per tag —
+        equivalent because the generator's boilerplate blocks never nest
+        across tags (golden-verified, not assumed);
+      - paragraph extraction: split on `</p>`, then per piece capture
+        from the first `<p...>` to the piece end (each piece holds at
+        most one open tag once closers are consumed), and re-join the
+        matching pieces with a vectorized list join;
+      - entity unescape: plain replace_substring passes in frozen order.
+    """
+    import numpy as np
+    import pyarrow.compute as pc
+
+    if isinstance(html, pa.ChunkedArray):
+        html = html.combine_chunks()
+    is_null = np.asarray(html.is_null())
+    s = pc.cast(pc.fill_null(html, b""), pa.string())  # valid-utf8 corpus
+    # backref-free expansion of `<(tag)...</\1>`: one RE2 pass over the
+    # whole column (leftmost-first across the alternation == the Python
+    # combined pattern's scan order)
+    s = pc.replace_substring_regex(
+        s,
+        pattern=(r"(?is)(?:<script\b.*?</script>|<style\b.*?</style>"
+                 r"|<nav\b.*?</nav>|<footer\b.*?</footer>)"),
+        replacement="")
+    pieces = pc.split_pattern_regex(s, "(?i)</p>")
+    pieces = pieces.combine_chunks() if isinstance(pieces, pa.ChunkedArray) else pieces
+    flat = pc.list_flatten(pieces)
+    row_of = np.repeat(np.arange(len(pieces), dtype=np.int64),
+                       np.diff(np.asarray(pieces.offsets)))
+    # match + head-strip is ~6x cheaper than a capturing extract_regex
+    ok = np.asarray(pc.match_substring_regex(flat, pattern=r"(?i)<p\b[^>]*>"))
+    # the tail piece after a row's final </p> is never a CLOSED paragraph
+    # (python-re `.*?</p>` would not match an unclosed trailing <p>)
+    po = np.asarray(pieces.offsets)
+    ok[po[1:] - 1] = False
+    content = pc.replace_substring_regex(
+        flat, pattern=r"(?is)^.*?<p\b[^>]*>", replacement="", max_replacements=1)
+    kept = content.filter(pa.array(ok))
+    kept_rows = row_of[ok]
+    counts = np.bincount(kept_rows, minlength=len(pieces))
+    offsets = np.zeros(len(pieces) + 1, dtype=np.int32)
+    np.cumsum(counts, out=offsets[1:])
+    joined = pc.binary_join(
+        pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), kept),
+        "\n\n")
+    for ent, ch in _UNESCAPES:
+        joined = pc.replace_substring(joined, pattern=ent, replacement=ch)
+    if is_null.any():
+        joined = pc.if_else(pa.array(~is_null), joined, pa.scalar(None, pa.string()))
+    return joined if isinstance(joined, pa.Array) else joined.combine_chunks()
+
+
 def extract_batch(batch: pa.Table) -> pa.Table:
     """map_batches stage: html:binary -> text:string; drops `html`.
 
@@ -54,9 +114,8 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     requested upstream; the pipeline's canonical text column after this
     stage is the extracted one.
     """
-    html_col = batch.column("html").to_pylist()
-    texts = [extract_text(h) for h in html_col]
+    texts = extract_texts_arrow(batch.column("html"))
     batch = batch.drop_columns(["html"])
     if "text" in batch.column_names:
         batch = batch.drop_columns(["text"])
-    return batch.append_column("text", pa.array(texts, type=pa.string()))
+    return batch.append_column("text", texts)
