@@ -83,8 +83,12 @@ def run_bench() -> dict:
         ("tolerance_join", R.tolerance_join),
         ("tumbling_window", R.tumbling_window),
         ("exact_dedup", D.exact_dedup),
+        ("exact_dedup_rows", D.exact_dedup_rows),
         ("minhash_lsh_dedup", D.minhash_lsh_candidates),
         ("ann_topk_bruteforce", D.ann_topk_bruteforce),
+        ("ann_topk_lsh", D.ann_topk_lsh),
+        ("ann_topk_ivf", D.ann_topk_ivf),
+        ("embedding_neardup_lsh", D.embedding_neardup_pairs_lsh),
         ("quantile_thresholds", R.quantile_thresholds_q),
     ]:
         t0 = time.time()

@@ -1,4 +1,6 @@
-"""Multimodal stub stages: schema, actor signatures, batch plumbing."""
+"""Multimodal stages: REAL pure-numpy codecs (PPM/BMP/WAV/RAWV) + the
+actor-pool batch plumbing. Compressed formats (PNG/JPEG/mp4) still
+require PIL/ffmpeg and raise NotImplementedError with allow_fake=False."""
 
 import numpy as np
 import pyarrow as pa
@@ -9,7 +11,16 @@ from txiac_qc_ray.stages.multimodal import (
     ImageDecodeStage,
     MEDIA_SCHEMA,
     VideoFrameSampleStage,
+    decode_bmp24,
+    decode_ppm,
+    decode_rawv_frames,
+    decode_wav_pcm16,
+    encode_bmp24,
+    encode_ppm,
+    encode_rawv,
+    encode_wav_pcm16,
     media_pipeline,
+    resize_nearest,
     synth_media_table,
 )
 
@@ -20,35 +31,114 @@ def test_synth_media_deterministic():
     assert a.schema.equals(MEDIA_SCHEMA)
 
 
-def test_image_stage_direct():
+def test_ppm_roundtrip():
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (13, 31, 3), dtype=np.uint8)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(img)), img)
+    # first pixel byte is whitespace (0x20): header tokenizer must not eat it
+    img2 = img.copy()
+    img2[0, 0] = (0x20, 0x0A, 0x09)
+    np.testing.assert_array_equal(decode_ppm(encode_ppm(img2)), img2)
+
+
+def test_bmp_roundtrip():
+    rng = np.random.default_rng(2)
+    for w in (5, 8):  # w=5 exercises row padding
+        img = rng.integers(0, 256, (7, w, 3), dtype=np.uint8)
+        np.testing.assert_array_equal(decode_bmp24(encode_bmp24(img)), img)
+
+
+def test_wav_roundtrip():
+    rng = np.random.default_rng(3)
+    samples = rng.integers(-32768, 32767, 1000).astype(np.int16)
+    back, rate = decode_wav_pcm16(encode_wav_pcm16(samples, 22050))
+    assert rate == 22050
+    np.testing.assert_array_equal(back, samples)
+
+
+def test_rawv_frame_extraction():
+    rng = np.random.default_rng(4)
+    frames = rng.integers(0, 256, (9, 6, 5, 3), dtype=np.uint8)
+    data = encode_rawv(frames)
+    got = decode_rawv_frames(data, np.array([0, 4, 8]))
+    np.testing.assert_array_equal(got, frames[[0, 4, 8]])
+    with pytest.raises(IndexError):
+        decode_rawv_frames(data, np.array([9]))
+
+
+def test_resize_nearest():
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    out = resize_nearest(img, (3, 2))
+    assert out.shape == (2, 3, 3)
+    np.testing.assert_array_equal(out[0, 0], img[0, 0])
+
+
+def test_image_stage_real_decode():
     t = synth_media_table(40)
-    out = ImageDecodeStage()(t)
-    assert "img_mean_rgb" in out.column_names
+    out = ImageDecodeStage(target_size=(16, 16), allow_fake=False)(t)
     is_img = np.asarray(pa.compute.equal(t["media_type"], "image"))
     stats = out.column("img_mean_rgb").to_pylist()
+    payloads = t.column("payload").to_pylist()
     for i, m in enumerate(is_img):
-        if m:
-            assert not any(np.isnan(stats[i]))
-        else:
+        if not m:
             assert all(np.isnan(stats[i]))
+            continue
+        img = (decode_ppm(payloads[i]) if payloads[i].startswith(b"P6")
+               else decode_bmp24(payloads[i]))
+        np.testing.assert_allclose(
+            stats[i], img.reshape(-1, 3).mean(axis=0), rtol=1e-6)
+        assert out.column("img_resized_w")[i].as_py() == 16
 
 
-def test_image_stage_fake_flag():
+def test_image_stage_unsupported_codec_contract():
+    fake_png = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "media_type": pa.array(["image"]),
+        "payload": pa.array([b"\x89PNG\r\n\x1a\nnotreal"], pa.binary()),
+        "mime": pa.array(["image/png"]),
+        "width": pa.array([4], pa.int32()),
+        "height": pa.array([4], pa.int32()),
+        "sample_rate": pa.array([0], pa.int32()),
+        "n_frames": pa.array([1], pa.int32()),
+    }, schema=MEDIA_SCHEMA)
     with pytest.raises(NotImplementedError):
-        ImageDecodeStage(allow_fake=False)
+        ImageDecodeStage(allow_fake=False)(fake_png)
+    out = ImageDecodeStage(allow_fake=True)(fake_png)  # deterministic fake
+    assert not any(np.isnan(out.column("img_mean_rgb")[0].as_py()))
 
 
-def test_video_frame_offsets():
-    t = synth_media_table(60)
-    out = VideoFrameSampleStage(k_frames=4)(t)
-    nf = np.asarray(t["n_frames"])
-    for offs, n, mt in zip(out.column("frame_offsets").to_pylist(), nf,
-                           t.column("media_type").to_pylist()):
-        if mt == "video":
-            assert 1 <= len(offs) <= 4
-            assert all(0 <= o < n for o in offs)
+def test_audio_stage_real_features():
+    t = synth_media_table(40)
+    out = AudioFeatureStage(allow_fake=False)(t)
+    is_aud = np.asarray(pa.compute.equal(t["media_type"], "audio"))
+    rms = np.asarray(out["audio_rms"])
+    zcr = np.asarray(out["audio_zcr"])
+    for i, m in enumerate(is_aud):
+        if m:
+            assert 0.0 < rms[i] < 1.0  # sine at amplitude 8000/32768
+            assert 0.0 < zcr[i] < 1.0
         else:
-            assert offs == []
+            assert np.isnan(rms[i]) and np.isnan(zcr[i])
+
+
+def test_video_frame_offsets_and_luma():
+    t = synth_media_table(60)
+    out = VideoFrameSampleStage(k_frames=4, allow_fake=False)(t)
+    nf = np.asarray(t["n_frames"])
+    payloads = t.column("payload").to_pylist()
+    for i, (offs, luma, mt) in enumerate(zip(
+            out.column("frame_offsets").to_pylist(),
+            out.column("frame_mean_luma").to_pylist(),
+            t.column("media_type").to_pylist())):
+        if mt == "video":
+            assert 1 <= len(offs) <= 4 and len(luma) == len(offs)
+            assert all(0 <= o < nf[i] for o in offs)
+            frames = decode_rawv_frames(payloads[i], np.array(offs))
+            w = np.array([0.299, 0.587, 0.114])
+            exp = [(f * w).sum(-1).mean() for f in frames]
+            np.testing.assert_allclose(luma, exp, rtol=1e-12)
+        else:
+            assert offs == [] and luma == []
 
 
 def test_media_pipeline_end_to_end(ray_session):
@@ -59,10 +149,12 @@ def test_media_pipeline_end_to_end(ray_session):
     df = ds.to_pandas()
     assert len(df) == 200
     assert "payload" not in df.columns  # wide column dropped before sink
-    for col in ("img_mean_rgb", "audio_mfcc", "frame_offsets"):
+    for col in ("img_mean_rgb", "audio_band_energy", "frame_offsets",
+                "frame_mean_luma", "audio_rms"):
         assert col in df.columns
-    # deterministic under re-run
-    df2 = media_pipeline(ray.data.from_arrow(t), batch_size=64, concurrency=(1, 2)).to_pandas()
-    a = np.stack(df.sort_values("media_id", ignore_index=True)["audio_mfcc"].to_numpy())
-    b = np.stack(df2.sort_values("media_id", ignore_index=True)["audio_mfcc"].to_numpy())
+    # deterministic under re-batching
+    df2 = media_pipeline(ray.data.from_arrow(t), batch_size=64,
+                         concurrency=(1, 2)).to_pandas()
+    a = np.stack(df.sort_values("media_id", ignore_index=True)["audio_band_energy"].to_numpy())
+    b = np.stack(df2.sort_values("media_id", ignore_index=True)["audio_band_energy"].to_numpy())
     np.testing.assert_array_equal(a, b)  # NaN == NaN under array_equal
