@@ -35,7 +35,7 @@ def _register_by_value() -> None:
         from ray import cloudpickle
 
         # import every submodule the queries use, then register them all
-        from txiac_qc_ray import config, oracle, vocab  # noqa: F401
+        from txiac_qc_ray import config, oracle, oracles, vocab  # noqa: F401
         from txiac_qc_ray.functions import textstats, urls  # noqa: F401
         from txiac_qc_ray.pipelines import (  # noqa: F401
             calibrate, counters, docs, pmis, qc, relational, windows)
@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_rows": D.exact_dedup_rows,
         "minhash_lsh_dedup": D.minhash_lsh_candidates,
         "neardup_clusters": D.neardup_clusters,
+        "neardup_clusters_distributed": D.neardup_clusters_distributed,
         "simhash_docs": D.simhash_docs,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
         "embedding_neardup_pairs": D.embedding_neardup_pairs,
@@ -247,6 +248,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_dedup": O.minhash_pairs_sql(0.5),
         "ngram_jaccard_pairs": O.ngram_jaccard_sql(0.25),
         "neardup_clusters": O.neardup_clusters_sql(0.5),
+        "neardup_clusters_distributed": O.neardup_clusters_sql(0.5),
         "simhash_docs": O.simhash_sql(),
         "fingerprint_docs": O.fingerprint_sql(),
         "langid_docs": O.langid_sql(),

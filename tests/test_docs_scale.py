@@ -131,3 +131,11 @@ def test_emb_ndarray_zero_copy_shape(ray_session):
     # sliced (offset != 0) chunked input still reshapes correctly
     sl = lst.slice(1, 2)
     np.testing.assert_array_equal(emb_ndarray(sl), [[3, 4], [5, 6]])
+
+
+def test_neardup_clusters_distributed_equals_unionfind(ray_session):
+    from txiac_qc_ray.pipelines import docs as D
+
+    a = D.neardup_clusters(SF).reset_index(drop=True).astype("int64")
+    b = D.neardup_clusters_distributed(SF).astype("int64")
+    pd.testing.assert_frame_equal(a, b)
