@@ -101,6 +101,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # §2.5 A8 ECDF + deterministic sampling
         "ecdf_quantity": R.ecdf_quantity,
         "hash_sample": R.hash_sample,
+        # grouped calibration / anti-join / hopping window (r2)
+        "grouped_quantiles": R.grouped_quantiles,
+        "anti_join_agg": R.anti_join_agg,
+        "hopping_window": R.hopping_window,
         # stream-shaped custom operators (as-of join / windows)
         "asof_join": W.asof_join_clicks_errors,
         "session_windows": W.session_windows,
@@ -113,6 +117,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": D.neardup_clusters,
         "neardup_clusters_distributed": D.neardup_clusters_distributed,
         "simhash_docs": D.simhash_docs,
+        "simhash_neardup_pairs": D.simhash_neardup_pairs,
+        "dedup_adjacent_tokens": D.dedup_adjacent_tokens,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
         "embedding_neardup_pairs": D.embedding_neardup_pairs,
         "embedding_neardup_lsh": D.embedding_neardup_pairs_lsh,
@@ -250,6 +256,28 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": O.neardup_clusters_sql(0.5),
         "neardup_clusters_distributed": O.neardup_clusters_sql(0.5),
         "simhash_docs": O.simhash_sql(),
+        "simhash_neardup_pairs": O.simhash_neardup_sql(3),
+        "dedup_adjacent_tokens": O.dedup_adjacent_tokens_sql(),
+        "grouped_quantiles": """
+            SELECT l_returnflag,
+                   round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+                   round(quantile_cont(l_quantity, 0.50), 4) AS q50,
+                   round(quantile_cont(l_quantity, 0.75), 4) AS q75
+            FROM lineitem GROUP BY 1
+        """,
+        "anti_join_agg": """
+            SELECT CAST(count(*) AS BIGINT) AS cnt, sum(l_quantity) AS sum_qty
+            FROM lineitem
+            WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_nationkey = 3)
+        """,
+        "hopping_window": """
+            SELECT event_type,
+                   make_timestamp((epoch_us(ts) // 1800000000 - k.k) * 1800000000) AS win,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   round(sum(value), 4) AS sum_val
+            FROM events CROSS JOIN (VALUES (0), (1)) AS k(k)
+            GROUP BY 1, 2
+        """,
         "fingerprint_docs": O.fingerprint_sql(),
         "langid_docs": O.langid_sql(),
         # ANN: IVF is exact by construction (bound-pruned probe); LSH

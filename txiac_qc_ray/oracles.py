@@ -138,6 +138,69 @@ def hex16(v: str) -> str:
             f"CAST(({v}) % {M32} AS BIGINT))")
 
 
+_SIMHASH_CTES = """
+    tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents
+    ),
+    th AS (SELECT doc_id, {fnv} AS h FROM tok),
+    bits AS (
+      SELECT doc_id, b.bit,
+             sum(CASE WHEN (th.h >> b.bit) % 2 = 1 THEN 1 ELSE -1 END) AS acc
+      FROM th CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bit) b
+      GROUP BY 1, 2
+    ),
+    sh AS (
+      SELECT doc_id,
+             sum(CASE WHEN acc > 0 THEN (1::HUGEINT << bit) ELSE 0::HUGEINT END) AS sh
+      FROM bits GROUP BY doc_id
+    )
+"""
+
+
+def simhash_neardup_sql(max_hamming: int = 3) -> str:
+    """All pairs with hamming(simhash) <= k — checks the banded LSH pair
+    generation end to end (pigeonhole makes the Ray side exact, so the
+    brute-force SQL is a strict oracle)."""
+    ctes = _SIMHASH_CTES.format(fnv=fnv_expr("tok"))
+    return f"""
+    WITH {ctes},
+    fullsh AS (
+      SELECT d.doc_id, coalesce(s.sh, 0::HUGEINT) AS sh
+      FROM documents d LEFT JOIN sh s USING (doc_id)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+    FROM fullsh a JOIN fullsh b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= {max_hamming}
+    """
+
+
+def dedup_adjacent_tokens_sql() -> str:
+    """Within-doc adjacent-token collapse twin (lag() window + ordered
+    string_agg re-join)."""
+    return r"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok,
+             generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS pos
+      FROM documents),
+    keep AS (
+      SELECT doc_id, tok, pos,
+             lag(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM toks),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_dedup,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM keep WHERE prev IS NULL OR tok != prev GROUP BY doc_id),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_all
+            FROM toks GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(a.text_dedup, '') AS text_dedup,
+           coalesce(a.n_kept, 0::BIGINT) AS n_kept,
+           coalesce(t.n_all, 0::BIGINT) - coalesce(a.n_kept, 0::BIGINT) AS n_removed
+    FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN tot t USING (doc_id)
+    """
+
+
 def simhash_sql() -> str:
     return f"""
     WITH tok AS (

@@ -298,6 +298,81 @@ def simhash_docs(sf_dir: str) -> pd.DataFrame:
         "doc_id", ignore_index=True)
 
 
+def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
+    """SimHash near-dup pairs: (id_a < id_b, hamming(simhash) <= k).
+
+    EXACT by construction: the 64-bit simhash is cut into k+1 bands, and
+    any pair within hamming distance k must agree on at least one whole
+    band (pigeonhole), so bucketing on (band, band_bits) generates every
+    qualifying pair; an exact popcount verify in the reduce discards the
+    rest. Shuffle key = bounded shard of (band, bits) — same shape as
+    the MinHash path. -> (id_a, id_b, hamming)."""
+    n_bands = max_hamming + 1
+    band_bits = 64 // n_bands
+    _N_SHARDS = 64
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def explode(t: pa.Table) -> pa.Table:
+        sh = simhash_64(t["text"])
+        ids = np.asarray(t["doc_id"])
+        bands, bits, docs, hashes = [], [], [], []
+        for b in range(n_bands):
+            chunk = (sh >> np.uint64(b * band_bits)) & np.uint64((1 << band_bits) - 1)
+            bands.append(np.full(len(ids), b, dtype=np.int64))
+            bits.append(chunk.astype(np.int64))
+            docs.append(ids)
+            hashes.append(sh.astype(np.int64))  # full hash rides along for verify
+        band = np.concatenate(bands)
+        bb = np.concatenate(bits)
+        return pa.table({
+            "shard": ((band.astype(np.uint64) << np.uint64(56)) ^ bb.astype(np.uint64))
+                     % np.uint64(_N_SHARDS),
+            "band": band,
+            "bits": bb,
+            "doc_id": np.concatenate(docs),
+            "simhash": np.concatenate(hashes),
+        })
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["band"].to_numpy() * np.int64(1 << 48) + (
+            g["bits"].to_numpy() & np.int64((1 << 48) - 1))
+        order = np.lexsort((g["doc_id"].to_numpy(), key))
+        ids = g["doc_id"].to_numpy()[order]
+        sh = g["simhash"].to_numpy()[order].astype(np.uint64)
+        key = key[order]
+        bounds = np.concatenate([[0], np.nonzero(np.diff(key))[0] + 1, [len(key)]])
+        out_a, out_b, out_h = [], [], []
+        for i in range(len(bounds) - 1):
+            s, e = bounds[i], bounds[i + 1]
+            if e - s < 2:
+                continue
+            ai, bj = np.triu_indices(e - s, k=1)
+            x = sh[s:e][ai] ^ sh[s:e][bj]
+            # vectorized popcount via uint8 view + table-free unpackbits
+            ham = np.unpackbits(x.view(np.uint8).reshape(len(x), 8), axis=1).sum(1)
+            m = ham <= max_hamming
+            out_a.append(ids[s:e][ai][m])
+            out_b.append(ids[s:e][bj][m])
+            out_h.append(ham[m].astype(np.int64))
+        if not out_a:
+            return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                                 "id_b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        return pd.DataFrame({"id_a": np.concatenate(out_a),
+                             "id_b": np.concatenate(out_b),
+                             "hamming": np.concatenate(out_h)})
+
+    df = (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby("shard").map_groups(shard_pairs, batch_format="pandas")
+            .to_pandas())
+    if df.empty:
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "hamming": pd.Series([], dtype="int64")})
+    df = df.drop_duplicates(subset=["id_a", "id_b"], ignore_index=True)
+    return df.sort_values(["id_a", "id_b"], ignore_index=True)
+
+
 # ---- n-gram Jaccard dedup (all-pairs within same source, small-side) -----
 
 def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.25) -> pd.DataFrame:
@@ -647,6 +722,50 @@ def ann_topk_lsh(sf_dir: str, n_queries: int = 4, k: int = 5,
 
     parts = ds.map_batches(stage, batch_format="pyarrow").to_pandas()
     return _merge_topk(parts, k)
+
+
+def dedup_adjacent_tokens(sf_dir: str) -> ray.data.Dataset:
+    """Within-document repetition dedup as a TRANSFORM (north_rule:
+    'within-document n-gram repetition dedup'): collapse immediately
+    repeated whitespace tokens ("a a the" -> "a the"), emitting the
+    rewritten text plus kept/removed token counts. Fully vectorized:
+    one whitespace split per batch, dictionary-encoded token ids, a
+    shifted-comparison keep mask, list rebuild + join — no Python loop
+    over rows or tokens. Output text is single-space joined (whitespace
+    runs normalize; mirrored exactly by the SQL oracle)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        txt = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        splits = pc.utf8_split_whitespace(pc.fill_null(txt, ""))
+        splits = splits.combine_chunks() if isinstance(splits, pa.ChunkedArray) else splits
+        flat = pc.list_flatten(splits)
+        n_docs = len(splits)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                           np.diff(np.asarray(splits.offsets)))
+        nonempty = np.asarray(pc.not_equal(flat, ""))
+        flat = flat.filter(pa.array(nonempty))
+        doc_of = doc_of[nonempty]
+        enc = flat.dictionary_encode()
+        ids = np.asarray(enc.indices, dtype=np.int64)
+        keep = np.ones(len(ids), dtype=bool)
+        if len(ids) > 1:
+            keep[1:] = (ids[1:] != ids[:-1]) | (doc_of[1:] != doc_of[:-1])
+        kept_tok = flat.filter(pa.array(keep))
+        kept_counts = np.bincount(doc_of[keep], minlength=n_docs)
+        all_counts = np.bincount(doc_of, minlength=n_docs)
+        off = np.zeros(n_docs + 1, dtype=np.int32)
+        np.cumsum(kept_counts, out=off[1:])
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(off, type=pa.int32()), kept_tok), " ")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "text_dedup": joined,
+            "n_kept": kept_counts.astype(np.int64),
+            "n_removed": (all_counts - kept_counts).astype(np.int64),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow")
 
 
 # ---- text analysis -------------------------------------------------------

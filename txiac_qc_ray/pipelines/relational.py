@@ -439,6 +439,92 @@ def ecdf_quantity(sf_dir: str) -> pd.DataFrame:
     return agg[["v", "cnt", "ecdf"]]
 
 
+# ---- M3-complement: anti-join via broadcast key set ----------------------
+
+def anti_join_agg(sf_dir: str) -> pd.DataFrame:
+    """Aggregate lineitems whose suppkey does NOT belong to nation 3's
+    suppliers — the anti-join complement of semi_join_agg, same broadcast
+    key-set shape (no shuffle; SURVEY.md §2.4)."""
+    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+    keys = supp.map_batches(
+        lambda t: t.filter(pc.equal(t["s_nationkey"], pa.scalar(3, pa.int32()))).select(["s_suppkey"]),
+        batch_format="pyarrow",
+    ).to_pandas()["s_suppkey"].to_numpy()
+    key_set = pa.array(np.sort(keys), type=pa.int64())
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity"])
+    flt = ds.map_batches(
+        lambda t: t.filter(pc.invert(pc.is_in(t["l_suppkey"], value_set=key_set))),
+        batch_format="pyarrow",
+    )
+    agg = flt.aggregate(Count(alias_name="cnt"), Sum("l_quantity", alias_name="sum_qty"))
+    return pd.DataFrame({"cnt": [int(agg["cnt"])], "sum_qty": [float(agg["sum_qty"])]})
+
+
+# ---- A1-by-group: grouped quantiles (per-key calibration) ----------------
+
+def grouped_quantiles(sf_dir: str) -> pd.DataFrame:
+    """Per-group exact quantiles (p25/p50/p75 of l_quantity by
+    returnflag) — the per-key analog of the global calibration aggregate
+    (a data-calibrated threshold PER LANGUAGE/HOST at the webtext scale).
+    groupby(key).map_groups with numpy linear interpolation; the
+    partitioning assumption (one key's values fit a worker) matches the
+    other keyed custom operators."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        q25, q50, q75 = np.percentile(g["l_quantity"].to_numpy(), [25.0, 50.0, 75.0])
+        return pd.DataFrame({"l_returnflag": [g["l_returnflag"].iloc[0]],
+                             "q25": [q25], "q50": [q50], "q75": [q75]})
+
+    df = ds.groupby("l_returnflag").map_groups(per_key, batch_format="pandas").to_pandas()
+    for c in ("q25", "q50", "q75"):
+        df[c] = round_half_away(df[c].to_numpy(), 4)
+    return df.sort_values("l_returnflag", ignore_index=True)
+
+
+# ---- §2.8: hopping (overlapping) window aggregate ------------------------
+
+def hopping_window(sf_dir: str) -> pd.DataFrame:
+    """1-hour windows hopping every 30 minutes (each event lands in two
+    windows). Same partial-aggregation shape as tumbling_window: the
+    per-batch partial emits one row per (window, type) — events are
+    DUPLICATED only into tiny partials, never re-shuffled themselves."""
+    hop_us = 30 * 60 * 1_000_000
+    win_us = 2 * hop_us
+    ds = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        et = np.asarray(t["event_type"], dtype=object)
+        val = np.asarray(t["value"])
+        rows_k, rows_c, rows_s = [], [], []
+        for k in range(2):  # window starts at floor(ts/hop)*hop - k*hop
+            start = (ts // hop_us - k) * hop_us
+            ok = (ts >= start) & (ts < start + win_us)
+            key = np.char.add(np.char.add(et.astype(str), "|"),
+                              start.astype(np.int64).astype(str))
+            uniq, inv = np.unique(key[ok], return_inverse=True)
+            rows_k.append(uniq)
+            rows_c.append(np.bincount(inv, minlength=len(uniq)).astype(np.int64))
+            rows_s.append(np.bincount(inv, weights=val[ok], minlength=len(uniq)))
+        return pa.table({"k": pa.array(np.concatenate(rows_k).tolist(), type=pa.string()),
+                         "cnt": np.concatenate(rows_c),
+                         "sum_val": np.concatenate(rows_s)})
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby("k").aggregate(Sum("cnt", alias_name="cnt"),
+                                     Sum("sum_val", alias_name="sum_val")).to_pandas())
+    parts = agg["k"].str.rsplit("|", n=1, expand=True)
+    out = pd.DataFrame({
+        "event_type": parts[0],
+        "win": pd.to_datetime(parts[1].astype(np.int64), unit="us"),
+        "cnt": agg["cnt"],
+        "sum_val": round_half_away(agg["sum_val"].to_numpy(), 4),
+    })
+    return out.sort_values(["event_type", "win"], ignore_index=True)
+
+
 # ---- deterministic hash/modulo sampling (training-data op) ---------------
 
 def hash_sample(sf_dir: str, k: int = 10) -> ray.data.Dataset:
