@@ -141,6 +141,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmis_audit_flow": _pmis_audit_flow,
         "pmis_yby_flow": _pmis_yby_flow,
         "pmis_county_summary": _pmis_county_summary,
+        "pmis_counters": _pmis_counters,
         "pmis_yby_district": _pmis_yby_district,
         "csv_ingest_sections": _csv_ingest_sections,
     }
@@ -148,6 +149,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _PMIS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "tests", "data", "pmis")
+
+
+def _pmis_counters_sql(pa_path: str, pb_path: str) -> str:
+    from txiac_qc_ray import oracles as O
+    from txiac_qc_ray.pipelines.pmis import SPEED_DIFF_EDGES, SPEED_EDGES
+
+    return O.pmis_counters_sql(pa_path, pb_path, SPEED_EDGES, SPEED_DIFF_EDGES)
 
 
 def _pmis_merged(_sf_dir: str):
@@ -206,6 +214,15 @@ def _pmis_yby_district(sf_dir: str):
     return _round4(df, list(UTIL_MEASURES))
 
 
+def _pmis_counters(sf_dir: str):
+    from txiac_qc_ray.pipelines.pmis import (audit_default_thresholds,
+                                             pmis_outlier_counters)
+
+    merged = _pmis_merged(sf_dir)
+    thresholds = audit_default_thresholds(merged)
+    return pmis_outlier_counters(merged, thresholds, qctype="Audit")
+
+
 def _csv_ingest_sections(sf_dir: str):
     from txiac_qc_ray.sources.sections import read_sections_csv
 
@@ -247,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "pmis_audit_flow": O.pmis_audit_flow_sql(pa_path, pb_path),
         "pmis_yby_flow": O.pmis_yby_flow_sql(pa_path, pb_path),
         "pmis_county_summary": O.pmis_county_summary_sql(pa_path, pb_path),
+        "pmis_counters": _pmis_counters_sql(pa_path, pb_path),
         "pmis_yby_district": O.pmis_yby_district_sql(pa_path, pb_path),
         "csv_ingest_sections": O.csv_ingest_sql(os.path.join(_PMIS_DIR, "cycle_a.csv")),
         # hash/model-based ops: independent SQL re-implementations of the

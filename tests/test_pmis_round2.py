@@ -123,3 +123,38 @@ def test_audit_thresholds_exclude_util(merged):
     # reference excludes "UTIL"-substring measures from filtering
     assert all("util" not in m for m in thr)
     assert set(thr) == {m for m in MEASURES if "util" not in m}
+
+
+def test_pmis_outlier_counters_mirror(merged, merged_pd):
+    """Counters vs an independent pandas mirror for two dimensions
+    (county and lane pair) under a fixed threshold set."""
+    from txiac_qc_ray.pipelines.pmis import pmis_outlier_counters
+
+    thr = {"measure_iri": (0.0, 50.0)}
+    got = pmis_outlier_counters(merged, thr, qctype="Audit")
+    d = merged_pd["diff_measure_iri"].to_numpy()
+    with np.errstate(invalid="ignore"):
+        flag = np.abs(d) >= 50.0
+    mp = merged_pd.assign(flag=flag)
+    # county dim
+    side = got[got["dim"] == "county"].set_index("key")
+    exp_all = mp.groupby("county").size()
+    exp_out = mp.groupby("county")["flag"].sum()
+    np.testing.assert_array_equal(side["count_all"].to_numpy(),
+                                  exp_all.reindex(side.index).to_numpy())
+    np.testing.assert_array_equal(side["count_out"].to_numpy(),
+                                  exp_out.reindex(side.index).to_numpy())
+    exp_len = mp.groupby("county").apply(
+        lambda g: np.round(g["section_length_a"] * 1000).sum() / 1000.0)
+    np.testing.assert_allclose(side["len_all"].to_numpy(),
+                               exp_len.reindex(side.index).to_numpy(), rtol=0)
+    # lane pair dim
+    lp = (mp["lane_number_a"].astype(str) + "-" + mp["lane_number_b"].astype(str))
+    side = got[got["dim"] == "lane_pair"].set_index("key")
+    exp_all = mp.groupby(lp).size()
+    np.testing.assert_array_equal(side["count_all"].to_numpy(),
+                                  exp_all.reindex(side.index).to_numpy())
+    # counters sum to row counts per dim
+    for dim, g in got.groupby("dim"):
+        assert g["count_all"].sum() == len(mp), dim
+        assert g["count_out"].sum() == int(flag.sum()), dim

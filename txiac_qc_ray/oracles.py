@@ -335,6 +335,59 @@ def _exact_mean(col: str, scale: int) -> str:
             f"/ ({scale}.0 * count(*) FILTER (WHERE NOT isnan({col}))), 4)")
 
 
+def _case_bins(expr: str, edges: tuple[float, ...]) -> str:
+    """np.digitize(x, edges) twin: x < e0 -> b0, e0 <= x < e1 -> b1, ..."""
+    whens = " ".join(f"WHEN {expr} < {e} THEN 'b{i}'" for i, e in enumerate(edges))
+    return f"CASE {whens} ELSE 'b{len(edges)}' END"
+
+
+def pmis_counters_sql(path_a: str, path_b: str,
+                      speed_edges: tuple[float, ...],
+                      speed_diff_edges: tuple[float, ...],
+                      percentile: float = 0.95) -> str:
+    """Per-dimension outlier counters twin (Home.py:444-904 blocks fused
+    into one pass on the Ray side; here one grouped select per dimension,
+    UNION ALL). Section-length miles in integer milli units (exact);
+    time_diff as FLOORED days (pandas .dt.days semantics — DuckDB's //
+    truncates toward zero, so floor() over a double division is used)."""
+    thr = ", ".join(
+        f"quantile_cont(abs(diff_{m}), {percentile}) "
+        f"FILTER (WHERE NOT isnan(diff_{m})) AS thr_{m}"
+        for m in PMIS_FILTER_MEASURES)
+    flag = " OR ".join(
+        f"(NOT isnan(diff_{m}) AND abs(diff_{m}) >= thr_{m})"
+        for m in PMIS_FILTER_MEASURES)
+    dims = {
+        "county": "county",
+        "lane_pair": ("CAST(lane_number_a AS VARCHAR) || '-' || "
+                      "CAST(lane_number_b AS VARCHAR)"),
+        "direction": "direction_a",
+        "vehicle_id": "vehicle_id_a",
+        "speed_bin": _case_bins("avg_speed_a", speed_edges),
+        "speed_diff_bin": _case_bins("avg_speed_a - avg_speed_b", speed_diff_edges),
+        "time_diff_days": ("CAST(CAST(floor((epoch_us(start_time_a) - "
+                           "epoch_us(start_time_b)) / 86400000000.0) AS BIGINT) "
+                           "AS VARCHAR)"),
+        "comment_code": "comment_code_a",
+    }
+    sides = " UNION ALL ".join(
+        f"""SELECT '{dim}' AS dim, {expr} AS key,
+               CAST(count(*) AS BIGINT) AS count_all,
+               sum(CAST(round(section_length_a * 1000) AS BIGINT)) / 1000.0 AS len_all,
+               CAST(count(*) FILTER (WHERE flag) AS BIGINT) AS count_out,
+               coalesce(sum(CAST(round(section_length_a * 1000) AS BIGINT))
+                        FILTER (WHERE flag), 0) / 1000.0 AS len_out,
+               100.0 * count(*) FILTER (WHERE flag) / count(*) AS pct_out
+            FROM flagged GROUP BY 2"""
+        for dim, expr in dims.items())
+    return f"""
+    WITH {pmis_merged_cte(path_a, path_b)},
+    thr AS (SELECT {thr} FROM m),
+    flagged AS (SELECT m.*, ({flag}) AS flag FROM m, thr)
+    {sides}
+    """
+
+
 def pmis_county_summary_sql(path_a: str, path_b: str) -> str:
     """Per-cycle county means (NaN-skipping), match count, and the IRI
     traffic-level miles pivot (Home.py:215-260 + 226-254; empty
