@@ -7,10 +7,14 @@ here (or in txiac_qc_ray) calls ray.init()/ray.shutdown().
   scrub) over /root/testdata/sf0.001's documents table.
 - queries(): one entry per implemented operator family (SURVEY.md §2 +
   the training-data operators); each takes sf_dir.
-- oracle_sql(): DuckDB-equivalent SQL for every SQL-expressible query,
-  with IDENTICAL output column names. Model-based / hash-based ops
-  (langid, minhash, simhash, fingerprints, LSH ANN, the QC pipeline
-  itself) have no SQL twin -> rows-only check.
+- oracle_sql(): a DuckDB twin for EVERY query (round 2): relational ops
+  as plain SQL; hash/model ops as independent SQL re-implementations of
+  the frozen algorithms (txiac_qc_ray/oracles.py — FNV-1a/splitmix64 in
+  HUGEINT, trigram-set Jaccard, recursive-CTE components, the vocab
+  langid classifier); the exact ANN paths against the brute-force SQL;
+  PMIS flows over the frozen fixture files; the flagship QC labeler
+  against a frozen single-process golden parquet. Output column names
+  are IDENTICAL on both sides (the driver hashes by sorted column name).
 """
 
 from __future__ import annotations
@@ -131,6 +135,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": D.quality_stats_docs,
         "fingerprint_docs": D.fingerprint_docs,
         "langid_docs": D.langid_docs,
+        "decontaminate": D.decontaminate_against,
+        "vocab_topk": D.vocab_topk,
         # flagship QC pipeline (model-based; rows-only check)
         "qc_label_documents": qc_label_documents,
         # reference-parity PMIS flows over the FROZEN two-cycle sections
@@ -298,6 +304,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprint_docs": O.fingerprint_sql(),
         "langid_docs": O.langid_sql(),
+        "decontaminate": O.decontaminate_sql(50, 5),
+        "vocab_topk": O.vocab_topk_sql(20),
         # ANN: IVF is exact by construction (bound-pruned probe); LSH
         # parameters give recall 1.0 on the test corpora (pytest-pinned),
         # so both must equal the brute-force top-k

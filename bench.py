@@ -90,6 +90,9 @@ def run_bench() -> dict:
         ("ann_topk_ivf", D.ann_topk_ivf),
         ("embedding_neardup_lsh", D.embedding_neardup_pairs_lsh),
         ("quantile_thresholds", R.quantile_thresholds_q),
+        ("decontaminate", D.decontaminate_against),
+        ("dedup_adjacent_tokens", D.dedup_adjacent_tokens),
+        ("simhash_neardup_pairs", D.simhash_neardup_pairs),
     ]:
         t0 = time.time()
         res = fn(sf_dir)

@@ -40,3 +40,53 @@ def test_counters_invariant_to_layout(ray_session, pages_small_dir, pages_onefil
     a = compute_counters(qc_pipeline_from_parquet(pages_small_dir, PipelineConfig()), dims)
     b = compute_counters(qc_pipeline_from_parquet(pages_onefile_dir, PipelineConfig()), dims)
     assert a.to_dict("records") == b.to_dict("records")
+
+
+@pytest.fixture(scope="module")
+def resharded_sf(tmp_path_factory):
+    """sf0.001 with documents re-split into 7 uneven shards and
+    embeddings into 3 — physical layout must not change any answer."""
+    import os
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("resharded")
+    docs = pq.read_table(os.path.join(src, "documents.parquet"))
+    bounds = [0, 41, 99, 160, 260, 333, 420, docs.num_rows]
+    os.mkdir(d / "documents.parquet")
+    for i in range(len(bounds) - 1):
+        pq.write_table(docs.slice(bounds[i], bounds[i + 1] - bounds[i]),
+                       str(d / "documents.parquet" / f"p{i}.parquet"))
+    emb = pq.read_table(os.path.join(src, "embeddings.parquet"))
+    os.mkdir(d / "embeddings.parquet")
+    for i, (s, e) in enumerate(((0, 170), (170, 340), (340, emb.num_rows))):
+        pq.write_table(emb.slice(s, e - s),
+                       str(d / "embeddings.parquet" / f"p{i}.parquet"))
+    return str(d)
+
+
+def test_docs_ops_invariant_to_sharding(ray_session, resharded_sf):
+    """Every dedup/ANN/text op must return identical values over the
+    7-shard layout and the original single file."""
+    import pandas as pd
+
+    from txiac_qc_ray.pipelines import docs as D
+
+    src = "/root/testdata/sf0.001"
+    for name, fn in [
+        ("minhash", D.minhash_lsh_candidates),
+        ("exact_dedup_rows", D.exact_dedup_rows),
+        ("simhash_pairs", D.simhash_neardup_pairs),
+        ("ann_lsh", D.ann_topk_lsh),
+        ("ann_ivf", D.ann_topk_ivf),
+        ("neardup_lsh", D.embedding_neardup_pairs_lsh),
+        ("vocab_topk", D.vocab_topk),
+    ]:
+        a, b = fn(src), fn(resharded_sf)
+        pd.testing.assert_frame_equal(
+            a.reset_index(drop=True), b.reset_index(drop=True),
+            obj=name)
+    for name, fn in [("dedup_adjacent", D.dedup_adjacent_tokens),
+                     ("decontaminate", D.decontaminate_against)]:
+        a = fn(src).to_pandas().sort_values("doc_id", ignore_index=True)
+        b = fn(resharded_sf).to_pandas().sort_values("doc_id", ignore_index=True)
+        pd.testing.assert_frame_equal(a, b, obj=name)

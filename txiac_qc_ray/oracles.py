@@ -97,6 +97,33 @@ def neardup_clusters_sql(threshold: float = 0.5) -> str:
     """
 
 
+def decontaminate_sql(eval_mod: int = 50, min_overlap: int = 5) -> str:
+    """Decontamination twin: distinct-trigram overlap of each non-eval
+    doc against the union of eval-doc trigrams (string shingles — checks
+    the hash path end to end)."""
+    return f"""
+    WITH {_SHINGLES},
+    evs AS (SELECT DISTINCT e.sv FROM
+            (SELECT unnest(s) AS sv FROM sh WHERE doc_id % {eval_mod} = 0) e),
+    tr AS (SELECT doc_id, unnest(s) AS sv FROM sh WHERE doc_id % {eval_mod} != 0),
+    ov AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+           FROM tr JOIN evs USING (sv) GROUP BY 1)
+    SELECT d.doc_id, coalesce(o.n_overlap, 0::BIGINT) AS n_overlap,
+           coalesce(o.n_overlap, 0) >= {min_overlap} AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {eval_mod} != 0) d
+    LEFT JOIN ov o USING (doc_id)
+    """
+
+
+def vocab_topk_sql(k: int = 20) -> str:
+    return f"""
+    SELECT tok, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM documents)
+    GROUP BY tok ORDER BY cnt DESC, tok LIMIT {k}
+    """
+
+
 # ---- 64-bit hash arithmetic in HUGEINT -----------------------------------
 
 def fnv_expr(t: str) -> str:

@@ -768,6 +768,88 @@ def dedup_adjacent_tokens(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
+def decontaminate_against(sf_dir: str, eval_mod: int = 50,
+                          min_overlap: int = 5) -> ray.data.Dataset:
+    """Benchmark decontamination — a first-class training-data op: flag
+    every training document sharing >= min_overlap DISTINCT token
+    trigrams with the evaluation set (here: docs with doc_id % eval_mod
+    == 0 stand in for the benchmark). The eval shingle set is built once
+    with a filtered streamed pass and BROADCAST (ray.put) — at 100 TB the
+    eval set is the tiny side, the corpus streams; membership tests are
+    one sorted np.searchsorted per batch, no shuffle at all.
+    -> (doc_id, n_overlap, contaminated) for non-eval docs."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    # pass 1: distinct shingle hashes of the eval docs (tiny, collected)
+    def eval_shingles(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(
+            pc.subtract(t["doc_id"], pc.multiply(pc.divide(t["doc_id"], pa.scalar(eval_mod)),
+                                                 pa.scalar(eval_mod))), pa.scalar(0)))
+        h, _ = token_ngram_hashes(t["text"], 3)
+        return pa.table({"h": np.unique(h).astype(np.int64)})
+
+    parts = [np.asarray(b["h"]) for b in
+             ds.map_batches(eval_shingles, batch_format="pyarrow")
+               .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    eval_set = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+    ev_ref = ray.put(eval_set)
+
+    # pass 2: streamed overlap count per non-eval doc
+    def stage(t: pa.Table) -> pa.Table:
+        ev = ray.get(ev_ref)
+        keep = np.asarray(t["doc_id"]) % eval_mod != 0
+        t = t.filter(pa.array(keep))
+        h, off = token_ngram_hashes(t["text"], 3)
+        h = h.astype(np.int64)
+        n_docs = len(off) - 1
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(off))
+        # distinct (doc, shingle) then sorted membership against eval set
+        order = np.lexsort((h, doc_of))
+        d, hh = doc_of[order], h[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
+        d, hh = d[first], hh[first]
+        hit = np.zeros(len(hh), dtype=bool)
+        if len(ev):
+            idx = np.searchsorted(ev, hh)
+            idx = np.clip(idx, 0, len(ev) - 1)
+            hit = ev[idx] == hh
+        n_overlap = np.bincount(d[hit], minlength=n_docs).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_overlap": n_overlap,
+            "contaminated": n_overlap >= min_overlap,
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def vocab_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
+    """Global vocabulary top-k: most frequent tokens across the corpus
+    (ties broken by token asc). Per-batch dictionary-encoded partial
+    counts -> groupby(token).sum -> driver top-k — the pre-aggregation
+    shape that keeps the all-to-all exchange at vocabulary size, not
+    token-occurrence size."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        tv = ts.tokenize(t["text"].combine_chunks()
+                         if isinstance(t["text"], pa.ChunkedArray) else t["text"])
+        if tv.ids is None or len(tv.flat) == 0:
+            return pa.table({"tok": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        cnt = np.bincount(tv.ids, minlength=len(tv.dictionary))
+        return pa.table({"tok": tv.dictionary,
+                         "cnt": cnt.astype(np.int64)})
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+             .groupby("tok").aggregate(RaySum("cnt", alias_name="cnt")).to_pandas())
+    out = (agg.sort_values(["cnt", "tok"], ascending=[False, True])
+           .head(k).reset_index(drop=True))
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out[["tok", "cnt"]]
+
+
 # ---- text analysis -------------------------------------------------------
 
 def token_counts_docs(sf_dir: str) -> ray.data.Dataset:
