@@ -148,6 +148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmis_yby_flow": _pmis_yby_flow,
         "pmis_county_summary": _pmis_county_summary,
         "pmis_counters": _pmis_counters,
+        "pmis_diff_histogram": _pmis_diff_histogram,
         "pmis_yby_district": _pmis_yby_district,
         "csv_ingest_sections": _csv_ingest_sections,
     }
@@ -220,6 +221,19 @@ def _pmis_yby_district(sf_dir: str):
     return _round4(df, list(UTIL_MEASURES))
 
 
+def _pmis_diff_histogram(sf_dir: str):
+    from txiac_qc_ray.pipelines.pmis import pmis_diff_histogram
+
+    return pmis_diff_histogram(_pmis_merged(sf_dir))
+
+
+def _pmis_diff_hist_sql(pa_path: str, pb_path: str) -> str:
+    from txiac_qc_ray import oracles as O
+    from txiac_qc_ray.pipelines.pmis import DIFF_HIST_EDGES
+
+    return O.pmis_diff_histogram_sql(pa_path, pb_path, "measure_iri", DIFF_HIST_EDGES)
+
+
 def _pmis_counters(sf_dir: str):
     from txiac_qc_ray.pipelines.pmis import (audit_default_thresholds,
                                              pmis_outlier_counters)
@@ -271,6 +285,7 @@ def oracle_sql() -> dict[str, str]:
         "pmis_yby_flow": O.pmis_yby_flow_sql(pa_path, pb_path),
         "pmis_county_summary": O.pmis_county_summary_sql(pa_path, pb_path),
         "pmis_counters": _pmis_counters_sql(pa_path, pb_path),
+        "pmis_diff_histogram": _pmis_diff_hist_sql(pa_path, pb_path),
         "pmis_yby_district": O.pmis_yby_district_sql(pa_path, pb_path),
         "csv_ingest_sections": O.csv_ingest_sql(os.path.join(_PMIS_DIR, "cycle_a.csv")),
         # hash/model-based ops: independent SQL re-implementations of the

@@ -415,6 +415,30 @@ def pmis_counters_sql(path_a: str, path_b: str,
     """
 
 
+def pmis_diff_histogram_sql(path_a: str, path_b: str, measure: str,
+                            edges: tuple[float, ...]) -> str:
+    """Diff-histogram twin: bin index = count of edges <= d (np.digitize
+    right=False), +-inf end bins, NaN diffs excluded, empty bins kept."""
+    n_bins = len(edges) + 1
+    edge_list = ", ".join(str(e) for e in edges)
+    lo0, step = edges[0], edges[1] - edges[0]
+    return f"""
+    WITH {pmis_merged_cte(path_a, path_b)},
+    counted AS (
+      SELECT len(list_filter([{edge_list}], x -> x <= diff_{measure})) AS i,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM m WHERE NOT isnan(diff_{measure}) GROUP BY 1)
+    SELECT printf('b%02d', b.i) AS bin,
+           CASE WHEN b.i = 0 THEN '-infinity'::DOUBLE
+                ELSE {lo0} + (b.i - 1) * {step} END AS lo,
+           CASE WHEN b.i = {n_bins - 1} THEN 'infinity'::DOUBLE
+                ELSE {lo0} + b.i * {step} END AS hi,
+           coalesce(c.cnt, 0::BIGINT) AS cnt
+    FROM (SELECT unnest(generate_series(0, {n_bins - 1})) AS i) b
+    LEFT JOIN counted c ON b.i = c.i
+    """
+
+
 def pmis_county_summary_sql(path_a: str, path_b: str) -> str:
     """Per-cycle county means (NaN-skipping), match count, and the IRI
     traffic-level miles pivot (Home.py:215-260 + 226-254; empty

@@ -322,6 +322,42 @@ def pmis_outlier_counters(
     return g.sort_values(["dim", "key"], ignore_index=True)
 
 
+# IRI-diff histogram edges (Home.py:418-419 shape: fixed edges, +-inf
+# end bins, NaN diffs excluded like plotly's histogram)
+DIFF_HIST_EDGES = tuple(float(x) for x in range(-80, 81, 10))
+
+
+def pmis_diff_histogram(
+    merged: ray.data.Dataset, measure: str = "measure_iri",
+    edges: tuple[float, ...] = DIFF_HIST_EDGES,
+) -> pd.DataFrame:
+    """Distribution of a diff column over fixed bins incl. +-inf ends
+    (the reference's diff histograms, Home.py:408,417-421). Per-batch
+    bincount partials -> tiny groupby; NaN diffs are excluded (a NaN
+    never lands in any plotly bin). -> (bin, lo, hi, cnt), empty bins
+    kept with cnt=0 so the bin axis is stable."""
+    e = np.asarray(edges, dtype=np.float64)
+    labels = [f"b{i:02d}" for i in range(len(e) + 1)]
+
+    def partials(t: pa.Table) -> pa.Table:
+        d = np.asarray(t[f"diff_{measure}"], dtype=np.float64)
+        d = d[~np.isnan(d)]
+        b = np.digitize(d, e)
+        cnt = np.bincount(b, minlength=len(e) + 1)
+        return pa.table({"bin": pa.array(labels, type=pa.string()),
+                         "cnt": cnt.astype(np.int64)})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    agg = (merged.map_batches(partials, batch_format="pyarrow")
+           .groupby("bin").aggregate(_Sum("cnt", alias_name="cnt")).to_pandas())
+    agg = agg.set_index("bin").reindex(labels, fill_value=0)
+    lo = np.concatenate([[-np.inf], e])
+    hi = np.concatenate([e, [np.inf]])
+    return pd.DataFrame({"bin": labels, "lo": lo, "hi": hi,
+                         "cnt": agg["cnt"].to_numpy().astype(np.int64)})
+
+
 def audit_default_thresholds(
     ds: ray.data.Dataset, measures: tuple[str, ...] = FILTER_MEASURES,
     percentile: float = 95.0,
