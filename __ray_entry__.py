@@ -107,6 +107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_sample": R.hash_sample,
         # grouped calibration / anti-join / hopping window (r2)
         "grouped_quantiles": R.grouped_quantiles,
+        "grouped_variance": R.grouped_variance,
         "anti_join_agg": R.anti_join_agg,
         "hopping_window": R.hopping_window,
         # stream-shaped custom operators (as-of join / windows)
@@ -297,6 +298,22 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": O.simhash_sql(),
         "simhash_neardup_pairs": O.simhash_neardup_sql(3),
         "dedup_adjacent_tokens": O.dedup_adjacent_tokens_sql(),
+        "grouped_variance": """
+            -- same integer-cents expression shape as the Ray side: every
+            -- double op runs on exactly representable ints, so values are
+            -- bit-identical before rounding
+            WITH p AS (
+              SELECT l_returnflag,
+                     CAST(count(*) AS BIGINT) AS n,
+                     sum(CAST(round(l_quantity * 100) AS BIGINT)) AS s1,
+                     sum(CAST(round(l_quantity * 100) AS BIGINT)
+                         * CAST(round(l_quantity * 100) AS BIGINT)) AS s2
+              FROM lineitem GROUP BY 1)
+            SELECT l_returnflag, n,
+                   round(((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (n - 1)) / 10000.0, 4) AS var_qty,
+                   round(sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (n - 1)) / 100.0, 4) AS std_qty
+            FROM p
+        """,
         "grouped_quantiles": """
             SELECT l_returnflag,
                    round(quantile_cont(l_quantity, 0.25), 4) AS q25,

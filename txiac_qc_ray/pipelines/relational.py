@@ -483,6 +483,45 @@ def grouped_quantiles(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("l_returnflag", ignore_index=True)
 
 
+# ---- A-family: grouped variance/stddev (integer-exact decimals) ----------
+
+def grouped_variance(sf_dir: str) -> pd.DataFrame:
+    """Per-group sample variance/stddev of l_quantity — the spread
+    statistic behind z-score-style QC rules. Integer-cents partials
+    (sum, sum-of-squares, count are EXACT int64s, order-independent);
+    the driver applies the textbook formula once, with the SAME
+    expression shape as the SQL oracle so every double op is identical
+    (sums stay < 2^53, so the int->double conversions are exact)."""
+    ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        cents = np.round(np.asarray(t["l_quantity"], dtype=np.float64) * 100)
+        keys = np.asarray(t["l_returnflag"], dtype=object)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        return pa.table({
+            "l_returnflag": pa.array(uniq.tolist(), type=pa.string()),
+            "n": np.bincount(inv, minlength=len(uniq)).astype(np.int64),
+            "s1": np.bincount(inv, weights=cents, minlength=len(uniq)).astype(np.int64),
+            "s2": np.bincount(inv, weights=cents * cents, minlength=len(uniq)).astype(np.int64),
+        })
+
+    agg = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("l_returnflag").aggregate(
+               Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+               Sum("s2", alias_name="s2")).to_pandas())
+    n = agg["n"].to_numpy().astype(np.int64)
+    s1 = agg["s1"].to_numpy().astype(np.int64)
+    s2 = agg["s2"].to_numpy().astype(np.int64)
+    var_cents2 = (s2 - s1 * s1 / n) / (n - 1)
+    out = pd.DataFrame({
+        "l_returnflag": agg["l_returnflag"],
+        "n": n,
+        "var_qty": round_half_away(var_cents2 / 10000.0, 4),
+        "std_qty": round_half_away(np.sqrt(var_cents2) / 100.0, 4),
+    })
+    return out.sort_values("l_returnflag", ignore_index=True)
+
+
 # ---- §2.8: hopping (overlapping) window aggregate ------------------------
 
 def hopping_window(sf_dir: str) -> pd.DataFrame:
