@@ -1008,6 +1008,15 @@ def neardup_clusters_distributed(sf_dir: str, jaccard_threshold: float = 0.5,
 
 # ---- IVF ANN (inverted-file index over deterministic k-means) ------------
 
+def _sq_dists(x: np.ndarray, cent: np.ndarray) -> np.ndarray:
+    """||x_i - c_j||^2 via the matmul identity — O(n*k) memory instead of
+    the O(n*k*d) broadcast-subtract buffer (the per-batch cost that
+    matters when n_lists or d grows)."""
+    return (np.sum(x * x, axis=1)[:, None]
+            + np.sum(cent * cent, axis=1)[None, :]
+            - 2.0 * (x @ cent.T))
+
+
 def _kmeans_deterministic(x: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
     """Tiny deterministic k-means (k-means|| would be the at-scale choice;
     here: centroids seeded by evenly-strided sorted-norm picks, Lloyd
@@ -1015,8 +1024,7 @@ def _kmeans_deterministic(x: np.ndarray, k: int, iters: int = 8) -> np.ndarray:
     order = np.argsort(np.linalg.norm(x, axis=1), kind="stable")
     cent = x[order[np.linspace(0, len(x) - 1, k).astype(int)]].copy()
     for _ in range(iters):
-        d2 = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
-        assign = d2.argmin(1)
+        assign = _sq_dists(x, cent).argmin(1)
         for c in range(k):
             m = assign == c
             if m.any():
@@ -1088,7 +1096,7 @@ def ann_topk_ivf(sf_dir: str, n_queries: int = 4, k: int = 5,
             m = emb_ndarray(t["embedding"])[keep]
             vid = vid[keep]
             mn = m / np.linalg.norm(m, axis=1, keepdims=True)
-            d2 = ((mn[:, None, :] - ce[None, :, :]) ** 2).sum(-1)
+            d2 = np.maximum(_sq_dists(mn, ce), 0.0)  # matmul identity; clamp FP negatives
             assign = d2.argmin(1)
             resid = np.sqrt(d2[np.arange(len(mn)), assign])
             sims = qm @ mn.T  # (nq, nb)
