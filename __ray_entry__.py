@@ -138,6 +138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": D.langid_docs,
         "decontaminate": D.decontaminate_against,
         "vocab_topk": D.vocab_topk,
+        "prep_corpus": D.prep_corpus,
         # flagship QC pipeline (model-based; rows-only check)
         "qc_label_documents": qc_label_documents,
         # reference-parity PMIS flows over the FROZEN two-cycle sections
@@ -338,6 +339,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_docs": O.langid_sql(),
         "decontaminate": O.decontaminate_sql(50, 5),
         "vocab_topk": O.vocab_topk_sql(20),
+        "prep_corpus": O.prep_corpus_sql(),
         # ANN: IVF is exact by construction (bound-pruned probe); LSH
         # parameters give recall 1.0 on the test corpora (pytest-pinned),
         # so both must equal the brute-force top-k

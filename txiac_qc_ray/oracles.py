@@ -97,6 +97,54 @@ def neardup_clusters_sql(threshold: float = 0.5) -> str:
     """
 
 
+def prep_corpus_sql(jaccard_threshold: float = 0.5, eval_mod: int = 50,
+                    min_overlap: int = 5, min_tokens: int = 10,
+                    max_mean_tok_len: float = 12.0) -> str:
+    """Composite corpus-prep twin: the exact-dedup, near-dup-cluster,
+    decontamination and quality-gate CTEs composed into one statement —
+    value-checks the whole chain end to end."""
+    return f"""
+    WITH RECURSIVE {_SHINGLES},
+    winners AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+    jp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) AS na, len(b.s) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ),
+    pairs AS (SELECT id_a, id_b FROM jp WHERE {_JACCARD} >= {jaccard_threshold}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    walk(node, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    cc AS (SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY node),
+    losers AS (SELECT doc_id FROM cc WHERE doc_id != cluster_id),
+    evs AS (SELECT DISTINCT e.sv FROM
+            (SELECT unnest(s) AS sv FROM sh WHERE doc_id % {eval_mod} = 0) e),
+    tr AS (SELECT doc_id, unnest(s) AS sv FROM sh WHERE doc_id % {eval_mod} != 0),
+    cont AS (SELECT tr.doc_id FROM tr JOIN evs USING (sv)
+             GROUP BY 1 HAVING count(*) >= {min_overlap}),
+    gated AS (
+      SELECT doc_id, lang, source, n_chars,
+             len(regexp_extract_all(text, '\\S+')) AS n_tokens,
+             CASE WHEN len(regexp_extract_all(text, '\\S+')) = 0 THEN NULL
+                  ELSE CAST(length(replace(text, ' ', '')) AS DOUBLE)
+                       / len(regexp_extract_all(text, '\\S+')) END AS mean_len
+      FROM documents)
+    SELECT doc_id, lang, source, n_chars, n_tokens
+    FROM gated
+    WHERE doc_id IN (SELECT doc_id FROM winners)
+      AND doc_id NOT IN (SELECT doc_id FROM losers)
+      AND doc_id NOT IN (SELECT doc_id FROM cont)
+      AND doc_id % {eval_mod} != 0
+      AND n_tokens >= {min_tokens}
+      AND mean_len <= {max_mean_tok_len}
+    """
+
+
 def decontaminate_sql(eval_mod: int = 50, min_overlap: int = 5) -> str:
     """Decontamination twin: distinct-trigram overlap of each non-eval
     doc against the union of eval-doc trigrams (string shingles — checks

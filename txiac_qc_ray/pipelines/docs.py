@@ -923,6 +923,61 @@ def langid_docs(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id", ignore_index=True)
 
 
+def prep_corpus(sf_dir: str, jaccard_threshold: float = 0.5,
+                eval_mod: int = 50, min_overlap: int = 5,
+                min_tokens: int = 10, max_mean_tok_len: float = 12.0) -> pd.DataFrame:
+    """The composite training-data preparation flagship — the chain a
+    real corpus build runs, expressed as ONE streamed pass plus tiny
+    broadcast drop-sets (every set is o(corpus): dup losers, near-dup
+    cluster losers, contaminated ids):
+
+      1. exact dedup: keep the min-doc_id row of each distinct text;
+      2. near-dup dedup: of each MinHash-LSH cluster keep only the min
+         doc_id (losers drop even if they survived step 1);
+      3. decontamination: drop docs overlapping the eval split
+         (doc_id % eval_mod == 0) by >= min_overlap distinct trigrams —
+         eval docs themselves are not training data and drop too;
+      4. quality gate: n_tokens >= min_tokens and mean token length
+         <= max_mean_tok_len (cheap Gopher-style heuristics).
+
+    -> surviving (doc_id, lang, source, n_chars, n_tokens) sorted. Each
+    stage reuses the already-oracle-checked operator; the SQL twin
+    composes the same CTEs, so the whole chain is value-checked."""
+    # tiny driver-side sets (each output is already oracle-checked)
+    winners = set(exact_dedup_rows(sf_dir)["doc_id"].astype(int))
+    clusters = neardup_clusters(sf_dir, jaccard_threshold)
+    cluster_losers = {int(d) for d, c in zip(clusters["doc_id"], clusters["cluster_id"])
+                      if int(d) != int(c)}
+    cont = decontaminate_against(sf_dir, eval_mod, min_overlap).to_pandas()
+    contaminated = set(cont[cont["contaminated"]]["doc_id"].astype(int))
+    drop = (contaminated | cluster_losers)
+    keep_ids = np.array(sorted(winners - drop), dtype=np.int64)
+    keep_set = pa.array(keep_ids)
+    ids_ref = ray.put(keep_set)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        ks = ray.get(ids_ref)
+        vid = np.asarray(t["doc_id"])
+        sel = np.asarray(pc.is_in(t["doc_id"], value_set=ks))
+        sel &= vid % eval_mod != 0  # eval split is never training data
+        t = t.filter(pa.array(sel))
+        n_tok = np.asarray(pc.count_substring_regex(t["text"], r"\S+"),
+                           dtype=np.int64)
+        alpha = np.asarray(
+            pc.utf8_length(pc.replace_substring(t["text"], " ", "")),
+            dtype=np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_len = np.where(n_tok > 0, alpha / n_tok, np.inf)
+        ok = (n_tok >= min_tokens) & (mean_len <= max_mean_tok_len)
+        t = t.append_column("n_tokens", pa.array(n_tok))
+        return t.filter(pa.array(ok)).drop_columns(["text"])
+
+    df = ds.map_batches(stage, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id", ignore_index=True)
+
+
 # ---- near-dup clusters: connected components over LSH pairs --------------
 
 def neardup_clusters(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFrame:
