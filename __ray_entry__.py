@@ -131,6 +131,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_bruteforce": D.ann_topk_bruteforce,
         "ann_topk_lsh": D.ann_topk_lsh,
         "ann_topk_ivf": D.ann_topk_ivf,
+        "ann_topk_ivf_indexed": D.ann_topk_ivf_indexed,
         # text analysis
         "token_counts": D.token_counts_docs,
         "quality_stats": D.quality_stats_docs,
@@ -345,6 +346,7 @@ def oracle_sql() -> dict[str, str]:
         # so both must equal the brute-force top-k
         "ann_topk_lsh": ann_bruteforce,
         "ann_topk_ivf": ann_bruteforce,
+        "ann_topk_ivf_indexed": ann_bruteforce,
         # bucketed LSH near-dup path: exact-verified pairs, full recall at
         # the frozen parameters (pytest-pinned vs the exact path)
         "embedding_neardup_lsh": embedding_neardup,

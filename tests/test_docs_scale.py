@@ -139,3 +139,19 @@ def test_neardup_clusters_distributed_equals_unionfind(ray_session):
     a = D.neardup_clusters(SF).reset_index(drop=True).astype("int64")
     b = D.neardup_clusters_distributed(SF).astype("int64")
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_ann_ivf_indexed_equals_bruteforce(ray_session, tmp_path):
+    """Partitioned-index IVF (path-pruned probed-list reads) is exact and
+    idempotent against a cached index."""
+    from txiac_qc_ray.pipelines import docs as D
+
+    idx = str(tmp_path / "ivf_index")
+    bf = D.ann_topk_bruteforce(SF)
+    a = D.ann_topk_ivf_indexed(SF, index_dir=idx)
+    b = D.ann_topk_ivf_indexed(SF, index_dir=idx)  # cache hit path
+    assert _key(a) == _key(bf) and _key(b) == _key(bf)
+    import glob, os
+
+    parts = glob.glob(os.path.join(idx, "list_id=*"))
+    assert len(parts) >= 2  # real hive partitioning on disk

@@ -10,6 +10,8 @@ assumption for the 100 TB path.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -848,6 +850,148 @@ def vocab_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
            .head(k).reset_index(drop=True))
     out["cnt"] = out["cnt"].astype(np.int64)
     return out[["tok", "cnt"]]
+
+
+# ---- partitioned IVF index: the 100 TB similarity-search layout ----------
+
+def build_ivf_index(sf_dir: str, index_dir: str, n_queries: int = 4,
+                    n_lists: int = 16) -> dict:
+    """Materialize the IVF layout a 100 TB deployment actually queries:
+    corpus vectors written as Parquet PARTITIONED BY inverted-list id
+    (`list_id=K/` hive dirs — the list id IS the physical partition), plus
+    a tiny sidecar (centroids + per-list max residual bounds + counts).
+    A query then reads ONLY its probed lists' directories — path-level
+    pruning, no scan of the rest of the corpus, unlike `ann_topk_ivf`
+    which re-assigns every batch per query run."""
+    import json as _json
+
+    cent = _ivf_train_centroids(sf_dir, n_queries, n_lists)
+    cent_ref = ray.put(cent)
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def assign_stage(t: pa.Table) -> pa.Table:
+        ce = ray.get(cent_ref)
+        vid = np.asarray(t["vec_id"])
+        keep = vid >= n_queries
+        t = t.filter(pa.array(keep))
+        if t.num_rows == 0:
+            return t.append_column("list_id", pa.array([], pa.int64()))
+        mn = emb_ndarray(t["embedding"])
+        mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+        d2 = np.maximum(_sq_dists(mn, ce), 0.0)
+        assign = d2.argmin(1)
+        return t.append_column("list_id", pa.array(assign.astype(np.int64)))
+
+    assigned = ds.map_batches(assign_stage, batch_format="pyarrow")
+    assigned.write_parquet(index_dir, partition_cols=["list_id"])
+
+    # sidecar: per-list residual bounds from one partial pass (tiny rows)
+    def bound_partials(t: pa.Table) -> pa.Table:
+        ce = ray.get(cent_ref)
+        vid = np.asarray(t["vec_id"])
+        t = t.filter(pa.array(vid >= n_queries))
+        if t.num_rows == 0:
+            return pa.table({"list_id": pa.array([], pa.int64()),
+                             "r_max": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        mn = emb_ndarray(t["embedding"])
+        mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+        d2 = np.maximum(_sq_dists(mn, ce), 0.0)
+        assign = d2.argmin(1)
+        resid = np.sqrt(d2[np.arange(len(mn)), assign])
+        uniq, inv = np.unique(assign, return_inverse=True)
+        rmax = np.zeros(len(uniq))
+        np.maximum.at(rmax, inv, resid)
+        return pa.table({"list_id": uniq.astype(np.int64),
+                         "r_max": rmax,
+                         "n": np.bincount(inv, minlength=len(uniq)).astype(np.int64)})
+
+    part = (ds.map_batches(bound_partials, batch_format="pyarrow").to_pandas()
+            .groupby("list_id").agg(r_max=("r_max", "max"), n=("n", "sum")))
+    r_max = np.zeros(n_lists)
+    counts = np.zeros(n_lists, dtype=np.int64)
+    for lid, row in part.iterrows():
+        r_max[int(lid)] = row["r_max"]
+        counts[int(lid)] = row["n"]
+    meta = {"n_lists": n_lists, "n_queries": n_queries,
+            "centroids": cent.tolist(), "r_max": r_max.tolist(),
+            "counts": counts.tolist()}
+    with open(os.path.join(index_dir, "_ivf_meta.json"), "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
+def ann_topk_ivf_indexed(sf_dir: str, n_queries: int = 4, k: int = 5,
+                         n_lists: int = 16, n_probe: int = 4,
+                         index_dir: str | None = None) -> pd.DataFrame:
+    """Exact top-k over the PARTITIONED IVF index: probe the n_probe
+    nearest lists by reading only their `list_id=K/` directories, then
+    expand to any list whose triangle-inequality bound
+    (q . c_j + r_max_j, from the sidecar) could still beat the running
+    k-th best. Same provably-exact result as ann_topk_ivf, but the
+    pruning happens AT THE READ (paths), not per batch — the layout a
+    repeated-query deployment uses. The index is built once per
+    (corpus, params) and cached."""
+    import json as _json
+
+    if index_dir is None:
+        import hashlib
+
+        tag = hashlib.sha1(
+            f"{os.path.abspath(sf_dir)}|{n_queries}|{n_lists}".encode()
+        ).hexdigest()[:12]  # stable across processes (hash() is randomized)
+        index_dir = f"/tmp/txiac_ivf_index_{tag}"
+    meta_path = os.path.join(index_dir, "_ivf_meta.json")
+    if not os.path.exists(meta_path):
+        build_ivf_index(sf_dir, index_dir, n_queries, n_lists)
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    cent = np.asarray(meta["centroids"])
+    r_max = np.asarray(meta["r_max"])
+    counts = np.asarray(meta["counts"], dtype=np.int64)
+
+    q_ids, qn = _query_matrix(sf_dir, n_queries)
+    q_cent_sims = qn @ cent.T
+    bc = ray.put((q_ids, qn))
+
+    def scan_lists(list_ids: np.ndarray) -> pd.DataFrame:
+        import glob as _glob
+
+        # read_parquet takes files or ONE dir, never a list of dirs
+        paths = [f for l in list_ids if counts[int(l)] > 0
+                 for f in sorted(_glob.glob(
+                     os.path.join(index_dir, f"list_id={int(l)}", "*.parquet")))]
+        if not paths:
+            return pd.DataFrame({"qid": pd.Series([], dtype="int64"),
+                                 "nid": pd.Series([], dtype="int64"),
+                                 "sim": pd.Series([], dtype="float64")})
+        ds = ray.data.read_parquet(paths, columns=["vec_id", "embedding"])
+
+        def stage(t: pa.Table) -> pa.Table:
+            qi, qm = ray.get(bc)
+            vid = np.asarray(t["vec_id"])
+            mn = emb_ndarray(t["embedding"])
+            mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+            return _partial_topk_table(qi, vid, qm @ mn.T, k)
+
+        return ds.map_batches(stage, batch_format="pyarrow").to_pandas()
+
+    probe0 = np.unique(np.argsort(-q_cent_sims, axis=1,
+                                  kind="stable")[:, :n_probe])
+    top = scan_lists(probe0)
+    # bound expansion (shared scan: any list any query still needs)
+    best = (top.sort_values(["qid", "sim", "nid"], ascending=[True, False, True])
+            .groupby("qid", sort=True).head(k))
+    needed: set[int] = set()
+    for r, qi in enumerate(q_ids):
+        got = best[best["qid"] == qi]["sim"].to_numpy()
+        kth = got[k - 1] if len(got) >= k else -np.inf
+        bounds = q_cent_sims[r] + r_max
+        needed |= set(np.nonzero(bounds >= kth)[0].tolist())
+    extra = np.array(sorted(needed - set(probe0.tolist())), dtype=np.int64)
+    if len(extra):
+        top = pd.concat([top, scan_lists(extra)], ignore_index=True)
+    return _merge_topk(top, k)
 
 
 # ---- text analysis -------------------------------------------------------
