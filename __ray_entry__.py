@@ -115,6 +115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_windows": W.session_windows,
         "topk_per_group": W.topk_per_group,
         "rolling_sum_cents": W.rolling_sum_cents,
+        "lag_diff": W.lag_diff,
+        "left_outer_join": R.left_outer_join,
         # dedup family
         "exact_dedup": D.exact_dedup,
         "exact_dedup_rows": D.exact_dedup_rows,
@@ -517,6 +519,20 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY event_type
                                           ORDER BY value DESC, event_id) AS rk
                 FROM events) WHERE rk <= 3
+        """,
+        "lag_diff": """
+            SELECT event_id, user_id,
+                   CAST(round(value * 100) AS BIGINT)
+                   - lag(CAST(round(value * 100) AS BIGINT)) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id) AS diff_cents
+            FROM events
+        """,
+        "left_outer_join": """
+            SELECT c.c_custkey, c.c_mktsegment,
+                   CAST(coalesce(o.n, 0) AS BIGINT) AS n_orders
+            FROM customer c LEFT JOIN (
+                SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
+              ON c.c_custkey = o.o_custkey
         """,
         "rolling_sum_cents": """
             -- CAST: DuckDB window SUM(BIGINT) yields HUGEINT -> float64 in

@@ -483,6 +483,31 @@ def grouped_quantiles(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("l_returnflag", ignore_index=True)
 
 
+# ---- J-family completion: left-outer join --------------------------------
+
+def left_outer_join(sf_dir: str) -> pd.DataFrame:
+    """Customers LEFT OUTER JOIN their order counts: every customer row
+    survives, customers without orders carry n_orders = 0. Exercises
+    `Dataset.join(join_type='left_outer')` — the hash-shuffle outer join
+    (pre-aggregating the orders side first keeps the shuffled payload at
+    one row per custkey, not one per order)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    orders = (_read(sf_dir, "orders", ["o_custkey"])
+              .groupby("o_custkey").aggregate(Count(alias_name="n_orders")))
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["c_custkey" if c == "o_custkey" else c
+                                 for c in t.column_names])
+
+    joined = cust.join(orders.map_batches(rename, batch_format="pyarrow"),
+                       join_type="left_outer", on=["c_custkey"],
+                       num_partitions=8)
+    df = joined.to_pandas()
+    df["n_orders"] = df["n_orders"].fillna(0).astype(np.int64)
+    return df.sort_values("c_custkey", ignore_index=True)[
+        ["c_custkey", "c_mktsegment", "n_orders"]]
+
+
 # ---- A-family: grouped variance/stddev (integer-exact decimals) ----------
 
 def grouped_variance(sf_dir: str) -> pd.DataFrame:

@@ -105,6 +105,26 @@ def topk_per_group(sf_dir: str, k: int = 3) -> pd.DataFrame:
     return out.reset_index(drop=True)[["event_type", "event_id", "value"]]
 
 
+def lag_diff(sf_dir: str) -> pd.DataFrame:
+    """Per-user lag-1 difference of `value` ordered by (ts, event_id) —
+    the lead/lag window-derive family (a user's first event has a null
+    diff, mirroring SQL LAG — surfaced as float64 NaN, exactly how a
+    SQL NULL over an integer lands in pandas). Integer cents keep the
+    subtraction itself exact. -> (event_id, user_id, diff_cents)."""
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ignore_index=True)
+        cents = round_half_away(g["value"].to_numpy() * 100.0, 0).astype(np.int64)
+        diff = np.full(len(g), np.nan)
+        diff[1:] = (cents[1:] - cents[:-1]).astype(np.float64)
+        return pd.DataFrame({"event_id": g["event_id"], "user_id": g["user_id"],
+                             "diff_cents": diff})
+
+    df = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    return df.sort_values("event_id", ignore_index=True)
+
+
 def rolling_sum_cents(sf_dir: str, window: int = 3) -> pd.DataFrame:
     """Per-user rolling sum of `value` (in integer cents) over the last
     `window` events ordered by (ts, event_id) — the moving-window
