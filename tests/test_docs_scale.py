@@ -155,3 +155,28 @@ def test_ann_ivf_indexed_equals_bruteforce(ray_session, tmp_path):
 
     parts = glob.glob(os.path.join(idx, "list_id=*"))
     assert len(parts) >= 2  # real hive partitioning on disk
+
+
+def test_exact_dedup_losers_with_real_duplicates(ray_session, tmp_path):
+    """Losers = complement of winners within duplicate groups (the
+    broadcast-safe drop side of prep_corpus)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from txiac_qc_ray.pipelines import docs as D
+
+    t = pa.table({
+        "doc_id": pa.array([5, 1, 2, 3, 4, 0], pa.int64()),
+        "text": pa.array(["x", "x", "y", "y", "y", "z"]),
+        "lang": pa.array(["en"] * 6),
+        "source": pa.array(["s"] * 6),
+        "n_chars": pa.array([1] * 6, pa.int64()),
+    })
+    d = str(tmp_path)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    losers = D.exact_dedup_losers(d)
+    assert list(losers["doc_id"]) == [3, 4, 5]
+    winners = D.exact_dedup_rows(d)
+    assert set(winners["doc_id"]) | set(losers["doc_id"]) == {0, 1, 2, 3, 4, 5}
+    assert set(winners["doc_id"]) & set(losers["doc_id"]) == set()

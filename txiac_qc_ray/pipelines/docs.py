@@ -104,6 +104,30 @@ def exact_dedup_rows(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id", ignore_index=True)
 
 
+def exact_dedup_losers(sf_dir: str) -> pd.DataFrame:
+    """doc_ids that LOSE exact dedup (a smaller-doc_id row with identical
+    text exists). Output is O(duplicate rate), not O(corpus) — the side
+    you can afford to broadcast as a drop set."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    _N_SHARDS = 64
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "shard", pa.array((fnv1a64(t["text"]) % np.uint64(_N_SHARDS)).astype(np.int64)))
+
+    def losers(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("doc_id", ignore_index=True)
+        lose = g.duplicated(subset=["text"], keep="first")
+        return g.loc[lose, ["doc_id"]]
+
+    df = (ds.map_batches(add_shard, batch_format="pyarrow")
+            .groupby("shard").map_groups(losers, batch_format="pandas")
+            .to_pandas())
+    if "doc_id" not in df.columns:  # a fully-unique corpus has no losers
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64")})
+    return df.sort_values("doc_id", ignore_index=True)
+
+
 # ---- MinHash + LSH near-dup (public scheme: Broder '97 minhash, banding) -
 
 _MINHASH_PERMS = 64
@@ -844,12 +868,14 @@ def vocab_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
         return pa.table({"tok": tv.dictionary,
                          "cnt": cnt.astype(np.int64)})
 
-    agg = (ds.map_batches(partials, batch_format="pyarrow")
-             .groupby("tok").aggregate(RaySum("cnt", alias_name="cnt")).to_pandas())
-    out = (agg.sort_values(["cnt", "tok"], ascending=[False, True])
-           .head(k).reset_index(drop=True))
+    # distributed sort + limit: only k rows ever reach the driver (a web
+    # vocabulary is itself large — never to_pandas() the whole table)
+    out = (ds.map_batches(partials, batch_format="pyarrow")
+           .groupby("tok").aggregate(RaySum("cnt", alias_name="cnt"))
+           .sort(["cnt", "tok"], descending=[True, False])
+           .limit(k).to_pandas())
     out["cnt"] = out["cnt"].astype(np.int64)
-    return out[["tok", "cnt"]]
+    return out[["tok", "cnt"]].reset_index(drop=True)
 
 
 # ---- partitioned IVF index: the 100 TB similarity-search layout ----------
@@ -1086,25 +1112,28 @@ def prep_corpus(sf_dir: str, jaccard_threshold: float = 0.5,
 
     -> surviving (doc_id, lang, source, n_chars, n_tokens) sorted. Each
     stage reuses the already-oracle-checked operator; the SQL twin
-    composes the same CTEs, so the whole chain is value-checked."""
-    # tiny driver-side sets (each output is already oracle-checked)
-    winners = set(exact_dedup_rows(sf_dir)["doc_id"].astype(int))
+    composes the same CTEs, so the whole chain is value-checked.
+
+    Only DROP-side sets ever reach the driver: exact-dup LOSERS (o(dup
+    rate), never the winner list, which is O(corpus)), near-dup cluster
+    losers, and contaminated ids."""
+    dup_losers = set(exact_dedup_losers(sf_dir)["doc_id"].astype(int))
     clusters = neardup_clusters(sf_dir, jaccard_threshold)
     cluster_losers = {int(d) for d, c in zip(clusters["doc_id"], clusters["cluster_id"])
                       if int(d) != int(c)}
     cont = decontaminate_against(sf_dir, eval_mod, min_overlap).to_pandas()
     contaminated = set(cont[cont["contaminated"]]["doc_id"].astype(int))
-    drop = (contaminated | cluster_losers)
-    keep_ids = np.array(sorted(winners - drop), dtype=np.int64)
-    keep_set = pa.array(keep_ids)
-    ids_ref = ray.put(keep_set)
+    drop_ids = np.array(sorted(dup_losers | cluster_losers | contaminated),
+                        dtype=np.int64)
+    drop_set = pa.array(drop_ids)
+    ids_ref = ray.put(drop_set)
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
 
     def stage(t: pa.Table) -> pa.Table:
         ks = ray.get(ids_ref)
         vid = np.asarray(t["doc_id"])
-        sel = np.asarray(pc.is_in(t["doc_id"], value_set=ks))
+        sel = ~np.asarray(pc.is_in(t["doc_id"], value_set=ks))
         sel &= vid % eval_mod != 0  # eval split is never training data
         t = t.filter(pa.array(sel))
         n_tok = np.asarray(pc.count_substring_regex(t["text"], r"\S+"),
