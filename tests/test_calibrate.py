@@ -130,3 +130,28 @@ def test_tdigest_nan_and_empty():
     assert np.isnan(td.quantile(0.5))
     td.add_values(np.array([1.0, np.nan, 3.0]))
     assert td.total_weight == 2.0
+
+
+def test_grouped_sketch_digests_accuracy(ray_session):
+    """Per-key digests vs exact per-key quantiles (<=2% of spread), and
+    total weights must account for every row exactly."""
+    import ray.data
+
+    from txiac_qc_ray.pipelines.calibrate import grouped_sketch_digests
+
+    rng = np.random.default_rng(77)
+    keys = rng.choice(["en", "fr", "de"], 30_000, p=[0.6, 0.3, 0.1])
+    vals = np.where(keys == "en", rng.normal(0, 1, 30_000),
+                    np.where(keys == "fr", rng.normal(5, 2, 30_000),
+                             rng.exponential(3, 30_000)))
+    ds = ray.data.from_arrow(pa.table({"lang": keys, "f": vals}))
+    digs = grouped_sketch_digests(ds, "lang", "f")
+    assert set(digs) == {"en", "fr", "de"}
+    total = 0.0
+    for k in digs:
+        sel = vals[keys == k]
+        total += digs[k].total_weight
+        spread = np.quantile(sel, 0.975) - np.quantile(sel, 0.025)
+        for q in (0.025, 0.5, 0.975):
+            assert abs(digs[k].quantile(q) - np.quantile(sel, q)) < 0.02 * spread, (k, q)
+    assert total == len(vals)

@@ -121,6 +121,45 @@ def sketch_quantiles(
     return tuple(td.quantile(q) for q in qs)
 
 
+def grouped_sketch_digests(
+    ds: ray.data.Dataset, key: str, col: str, compression: int = 256
+) -> dict[str, TDigest]:
+    """Per-KEY mergeable t-digests in one streamed pass — the scale path
+    for per-language/per-host threshold calibration (grouped_quantiles
+    materializes each group; this never does). Each block emits one
+    (key, centroids) row per key present in the block; the driver merges
+    per key (#keys x compression centroids, independent of row count)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        keys = np.asarray(batch.column(key), dtype=object)
+        vals = np.asarray(batch.column(col).to_numpy(zero_copy_only=False),
+                          dtype=np.float64)
+        uniq, inv = np.unique(keys, return_inverse=True)
+        names, means, weights = [], [], []
+        for i, k in enumerate(uniq):
+            td = TDigest(compression).add_values(vals[inv == i])
+            m, w = td.to_arrays()
+            names.append(str(k))
+            means.append(m.tolist())
+            weights.append(w.tolist())
+        return pa.table({
+            "key": pa.array(names, type=pa.string()),
+            "means": pa.array(means, type=pa.list_(pa.float64())),
+            "weights": pa.array(weights, type=pa.list_(pa.float64())),
+        })
+
+    merged: dict[str, TDigest] = {}
+    for b in ds.select_columns([key, col]).map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).iter_batches(batch_size=1024, batch_format="pyarrow"):
+        for k, m, w in zip(b.column("key").to_pylist(),
+                           b.column("means").to_pylist(),
+                           b.column("weights").to_pylist()):
+            merged.setdefault(k, TDigest(compression)).merge(
+                TDigest.from_arrays(np.array(m), np.array(w), compression))
+    return merged
+
+
 def calibrate_rules(
     ds: ray.data.Dataset, rules: tuple[RuleSpec, ...], exact: bool = True
 ) -> tuple[RuleSpec, ...]:
