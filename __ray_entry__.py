@@ -105,6 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # §2.5 A8 ECDF + deterministic sampling
         "ecdf_quantity": R.ecdf_quantity,
         "hash_sample": R.hash_sample,
+        "stratified_sample": R.stratified_sample,
         # grouped calibration / anti-join / hopping window (r2)
         "grouped_quantiles": R.grouped_quantiles,
         "grouped_variance": R.grouped_variance,
@@ -550,6 +551,11 @@ def oracle_sql() -> dict[str, str]:
                        / (SELECT count(*) FROM lineitem) AS ecdf
             FROM (SELECT l_quantity AS v, count(*) AS cnt
                   FROM lineitem GROUP BY 1)
+        """,
+        "stratified_sample": """
+            SELECT doc_id, lang, n_chars FROM documents
+            WHERE doc_id % (CASE lang WHEN 'en' THEN 4 WHEN 'fr' THEN 2
+                            WHEN 'de' THEN 2 ELSE 1 END) = 0
         """,
         "hash_sample": """
             SELECT doc_id, lang, n_chars FROM documents WHERE doc_id % 10 = 0

@@ -99,3 +99,27 @@ def test_run_manifest_guard(ray_session, pages_small_dir, tmp_path, builder):
     s2 = run_resumable(pages_small_dir, out, builder, files_per_partition=2,
                        read_columns=PAGES_READ_COLUMNS)
     assert s2["skipped"] == [0, 1]
+
+
+def test_corrupt_partition_fails_loud(ray_session, pages_small_dir, tmp_path, builder):
+    """A corrupted written partition WITH a lineage record is trusted
+    (skip-if-done contract: the record is written only after a complete
+    write); but corrupting the INPUT of an unfinished partition must
+    surface an exception, never silent data loss."""
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+    import shutil
+
+    # copy inputs so we can corrupt one file
+    src = tmp_path / "input"
+    shutil.copytree(pages_small_dir, src)
+    files = sorted(os.listdir(src))
+    with open(src / files[1], "wb") as f:
+        f.write(b"not a parquet file")
+    out = str(tmp_path / "out")
+    with _pytest.raises(Exception):
+        run_resumable(str(src), out, builder, files_per_partition=1,
+                      read_columns=PAGES_READ_COLUMNS)
+    # partition 0 (before the corrupt file) completed; 1 has no lineage
+    assert os.path.exists(os.path.join(out, "_lineage", "00000.json"))
+    assert not os.path.exists(os.path.join(out, "_lineage", "00001.json"))

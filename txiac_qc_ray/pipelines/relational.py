@@ -589,6 +589,28 @@ def hopping_window(sf_dir: str) -> pd.DataFrame:
     return out.sort_values(["event_type", "win"], ignore_index=True)
 
 
+# ---- stratified deterministic sampling (corpus balancing) ----------------
+
+_STRATA_RATES = {"en": 4, "fr": 2, "de": 2, "es": 1, "zh": 1}  # keep 1/k per lang
+
+
+def stratified_sample(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic per-stratum downsampling — the corpus-balancing
+    primitive (e.g. cap the dominant language): keep doc_id % k_lang == 0
+    with a per-language modulus. Replayable across engines/runs (a seeded
+    random sample is not), no shuffle, pure filter."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    rates = dict(_STRATA_RATES)
+
+    def stage(t: pa.Table) -> pa.Table:
+        vid = np.asarray(t["doc_id"])
+        lang = np.asarray(t["lang"], dtype=object)
+        k = np.array([rates.get(x, 1) for x in lang], dtype=np.int64)
+        return t.filter(pa.array(vid % k == 0))
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
 # ---- deterministic hash/modulo sampling (training-data op) ---------------
 
 def hash_sample(sf_dir: str, k: int = 10) -> ray.data.Dataset:
