@@ -142,6 +142,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": D.langid_docs,
         "decontaminate": D.decontaminate_against,
         "vocab_topk": D.vocab_topk,
+        "deterministic_shuffle": D.deterministic_shuffle,
         "prep_corpus": D.prep_corpus,
         # flagship QC pipeline (model-based; rows-only check)
         "qc_label_documents": qc_label_documents,
@@ -343,6 +344,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_docs": O.langid_sql(),
         "decontaminate": O.decontaminate_sql(50, 5),
         "vocab_topk": O.vocab_topk_sql(20),
+        "deterministic_shuffle": O.deterministic_shuffle_sql(),
         "prep_corpus": O.prep_corpus_sql(),
         # ANN: IVF is exact by construction (bound-pruned probe); LSH
         # parameters give recall 1.0 on the test corpora (pytest-pinned),

@@ -207,6 +207,29 @@ def mixed_list(hs: str, salt: int) -> str:
     return e
 
 
+def mix64_scalar(x: str) -> str:
+    """splitmix64 finalizer of a scalar HUGEINT expression in [0, 2^64)
+    (textual expansion — each xor step duplicates the operand text)."""
+    e = f"xor(({x}), ({x}) >> 30)"
+    e = f"({mulmod(e, '13787848793156543929::HUGEINT')})"
+    e = f"xor({e}, {e} >> 27)"
+    e = f"({mulmod(e, '10723151780598845931::HUGEINT')})"
+    e = f"xor({e}, {e} >> 31)"
+    return e
+
+
+def deterministic_shuffle_sql() -> str:
+    """Shuffle twin: the same splitmix64 order recomputed in SQL; the
+    rank column encodes the permutation so the (order-insensitive)
+    value compare still verifies it."""
+    mix = mix64_scalar("CAST(doc_id AS HUGEINT)")
+    return f"""
+    SELECT CAST(row_number() OVER (ORDER BY {mix}, doc_id) - 1 AS BIGINT) AS rank,
+           doc_id, lang
+    FROM documents
+    """
+
+
 def hex16(v: str) -> str:
     """16-digit lowercase hex of a HUGEINT in [0, 2^64)."""
     return (f"printf('%08x%08x', CAST(({v}) >> 32 AS BIGINT), "

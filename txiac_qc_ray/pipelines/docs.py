@@ -878,6 +878,27 @@ def vocab_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return out[["tok", "cnt"]].reset_index(drop=True)
 
 
+def deterministic_shuffle(sf_dir: str) -> pd.DataFrame:
+    """Replayable training-order shuffle: global sort on
+    mix64(doc_id) — a seeded `random_shuffle` cannot be reproduced
+    across engines/restarts, a hash-sort can (and it is exactly as
+    uniform as the mixer). Exercises the distributed sort; the rank
+    column makes the PERMUTATION itself value-checked (the driver's
+    order-insensitive compare would otherwise ignore row order).
+    -> (rank, doc_id, lang)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+    def key_stage(t: pa.Table) -> pa.Table:
+        k = _mix64(np.asarray(t["doc_id"]).astype(np.uint64))
+        return t.append_column("shuffle_key", pa.array(k))
+
+    ordered = (ds.map_batches(key_stage, batch_format="pyarrow")
+               .sort(["shuffle_key", "doc_id"]))
+    df = ordered.to_pandas()
+    df["rank"] = np.arange(len(df), dtype=np.int64)
+    return df[["rank", "doc_id", "lang"]]
+
+
 # ---- partitioned IVF index: the 100 TB similarity-search layout ----------
 
 def build_ivf_index(sf_dir: str, index_dir: str, n_queries: int = 4,
