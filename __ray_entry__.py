@@ -117,6 +117,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_per_group": W.topk_per_group,
         "rolling_sum_cents": W.rolling_sum_cents,
         "lag_diff": W.lag_diff,
+        "rolling_time_sum_cents": W.rolling_time_sum_cents,
         "left_outer_join": R.left_outer_join,
         # dedup family
         "exact_dedup": D.exact_dedup,
@@ -522,6 +523,16 @@ def oracle_sql() -> dict[str, str]:
                        row_number() OVER (PARTITION BY event_type
                                           ORDER BY value DESC, event_id) AS rk
                 FROM events) WHERE rk <= 3
+        """,
+        "rolling_time_sum_cents": """
+            -- RANGE frame == the Ray side's [ts - 6h, ts] predicate with
+            -- ALL equal-ts peers included (no tie-break needed)
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts
+                       RANGE BETWEEN INTERVAL 6 HOUR PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS roll_sum_cents
+            FROM events
         """,
         "lag_diff": """
             SELECT event_id, user_id,

@@ -180,3 +180,15 @@ def test_exact_dedup_losers_with_real_duplicates(ray_session, tmp_path):
     winners = D.exact_dedup_rows(d)
     assert set(winners["doc_id"]) | set(losers["doc_id"]) == {0, 1, 2, 3, 4, 5}
     assert set(winners["doc_id"]) & set(losers["doc_id"]) == set()
+
+
+def test_rolling_time_sum_bucket_invariance(ray_session):
+    """The bucketed time-window stitch must be invariant to bucket size
+    (6h == 12h == 48h buckets for a 6h window)."""
+    from txiac_qc_ray.pipelines import windows as W
+
+    a = W.rolling_time_sum_cents(SF, window_hours=6, bucket_hours=6)
+    b = W.rolling_time_sum_cents(SF, window_hours=6, bucket_hours=12)
+    c = W.rolling_time_sum_cents(SF, window_hours=6, bucket_hours=48)
+    pd.testing.assert_frame_equal(a, b)
+    pd.testing.assert_frame_equal(a, c)
