@@ -7,7 +7,10 @@ pattern: treat events as a partitioned log — `groupby(user_id)` co-locates
 a key's history, `map_groups` applies the ordered-window logic with
 pandas over the sorted group. PARTITIONING ASSUMPTION (documented per the
 custom-operator rule): all rows of one key fit one worker's memory; for
-keys too hot for that, split by time range and stitch boundaries.
+keys too hot for that, split by time range and stitch boundaries —
+IMPLEMENTED for time windows in `rolling_time_sum_cents` ((key, bucket)
+shuffle key + one-bucket context duplication; exact because a time
+window's reach is bounded, unlike a count window's over sparse keys).
 
 All outputs carry deterministic orderings and oracle SQL twins
 (DuckDB ASOF JOIN / window functions) in `__ray_entry__.py`.
