@@ -49,6 +49,13 @@ CHECKED = [
     "grouped_counters", "tolerance_join", "quantile_thresholds",
     "threshold_flag_audit", "tumbling_window", "exact_dedup",
     "ann_topk_bruteforce", "token_counts", "union_all_summaries",
+    # round-2 additions (fast subset; the full 66 run in check_oracle)
+    "exact_dedup_rows", "minhash_lsh_dedup", "simhash_docs",
+    "fingerprint_docs", "langid_docs", "dedup_adjacent_tokens",
+    "decontaminate", "vocab_topk", "deterministic_shuffle",
+    "grouped_variance", "anti_join_agg", "hopping_window",
+    "lag_diff", "left_outer_join", "rolling_time_sum_cents",
+    "stratified_sample", "simhash_neardup_pairs",
 ]
 
 
