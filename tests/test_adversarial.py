@@ -1,0 +1,106 @@
+"""Adversarial robustness: pathological corpora that stress the shuffle
+and null-handling paths — an all-identical corpus (every LSH bucket is
+ONE hot bucket), a fully-unique corpus, and null/empty texts."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+
+def _write_docs(tmp_path, texts, langs=None, sources=None):
+    n = len(texts)
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs or ["en"] * n, pa.string()),
+        "source": pa.array(sources or ["s0"] * n, pa.string()),
+        "n_chars": pa.array([len(x) if x else 0 for x in texts], pa.int64()),
+    })
+    pq.write_table(t, os.path.join(str(tmp_path), "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_all_identical_corpus_hot_bucket(ray_session, tmp_path):
+    """40 identical docs: every minhash band hashes to ONE bucket (the
+    hottest possible key) — the sharded pair expansion must still emit
+    exactly C(40,2) pairs at jaccard 1.0, and clustering one component."""
+    from txiac_qc_ray.pipelines import docs as D
+
+    d = _write_docs(tmp_path, ["the quick brown fox jumps over the lazy dog"] * 40)
+    pairs = D.minhash_lsh_candidates(d, 0.5)
+    assert len(pairs) == 40 * 39 // 2
+    assert (pairs["jaccard"] == 1.0).all()
+    clusters = D.neardup_clusters(d, 0.5)
+    assert set(clusters["cluster_id"]) == {0}
+    assert len(clusters) == 40
+    sp = D.simhash_neardup_pairs(d)
+    assert len(sp) == 40 * 39 // 2 and (sp["hamming"] == 0).all()
+    winners = D.exact_dedup_rows(d)
+    assert list(winners["doc_id"]) == [0]
+    losers = D.exact_dedup_losers(d)
+    assert list(losers["doc_id"]) == list(range(1, 40))
+
+
+def test_unique_corpus_no_pairs(ray_session, tmp_path):
+    from txiac_qc_ray.pipelines import docs as D
+
+    # NB tokens are [a-z]+ runs: digits vanish, so uniqueness must be
+    # alphabetic ("doc1" and "doc2" tokenize identically)
+    words = "abcdefghijklmnopqrstuvwxyz"
+    n_docs = 18  # i + k stays < 26: no modular wrap-around duplicates
+    d = _write_docs(tmp_path, [
+        " ".join(words[i + k] * (k + 2) for k in range(8))
+        for i in range(n_docs)])
+    assert len(D.minhash_lsh_candidates(d, 0.5)) == 0
+    assert len(D.neardup_clusters(d, 0.5)) == 0
+    assert len(D.neardup_clusters_distributed(d, 0.5)) == 0
+    assert len(D.exact_dedup_losers(d)) == 0
+    assert len(D.exact_dedup_rows(d)) == n_docs
+
+
+def test_null_and_empty_texts(ray_session, tmp_path):
+    """Null/empty/whitespace texts must flow through every text op
+    without error and with sane outputs."""
+    from txiac_qc_ray.pipelines import docs as D
+
+    texts = [None, "", "   ", "a a a", "hello world hello world"]
+    d = _write_docs(tmp_path, texts)
+    sh = D.simhash_docs(d)
+    assert list(sh["simhash"][:3]) == ["0" * 16] * 3  # no tokens -> 0
+    fp = D.fingerprint_docs(d)
+    assert list(fp["fingerprint"][:4]) == [""] * 4  # < 5 tokens -> empty
+    dd = D.dedup_adjacent_tokens(d).to_pandas().sort_values("doc_id",
+                                                            ignore_index=True)
+    assert dd["text_dedup"].tolist() == ["", "", "", "a", "hello world hello world"]
+    assert dd["n_removed"].tolist() == [0, 0, 0, 2, 0]
+    tc = D.token_counts_docs(d).to_pandas().sort_values("doc_id", ignore_index=True)
+    assert tc["n_tokens"].tolist()[1:] == [0, 0, 3, 4]
+    li = D.langid_docs(d)
+    assert len(li) == 5  # null text -> None/und, no crash
+
+
+def test_skewed_source_ngram_jaccard(ray_session, tmp_path):
+    """One source holding every doc (the documented per-source partition
+    bound) still completes and matches a brute-force mirror."""
+    from txiac_qc_ray.pipelines import docs as D
+
+    base = "alpha beta gamma delta epsilon zeta eta theta"
+    texts = [base + f" tail{i}" for i in range(20)] + [base] * 2
+    d = _write_docs(tmp_path, texts)
+    got = D.ngram_jaccard_pairs(d, threshold=0.25)
+    # brute force
+    sets = []
+    for x in texts:
+        h, _ = D.token_ngram_hashes(pa.array([x], type=pa.string()), 3)
+        sets.append(set(h.tolist()))
+    exp = 0
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            si, sj = sets[i], sets[j]
+            if si and sj and round(len(si & sj) / len(si | sj), 4) >= 0.25:
+                exp += 1
+    assert len(got) == exp > 0
