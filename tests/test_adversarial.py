@@ -104,3 +104,26 @@ def test_skewed_source_ngram_jaccard(ray_session, tmp_path):
             if si and sj and round(len(si & sj) / len(si | sj), 4) >= 0.25:
                 exp += 1
     assert len(got) == exp > 0
+
+
+def test_prep_corpus_invariants_sf01(ray_session):
+    """10x-scale invariants for the composite prep chain (values are
+    oracle-checked at sf0.01; this pins the set algebra at sf0.1):
+    output excludes eval split, every near-dup cluster contributes at
+    most its winner, nothing contaminated survives, quality gate holds."""
+    from txiac_qc_ray.pipelines import docs as D
+
+    sf = "/root/testdata/sf0.1"
+    out = D.prep_corpus(sf)
+    ids = set(out["doc_id"].astype(int))
+    assert all(i % 50 != 0 for i in ids)
+    assert (out["n_tokens"] >= 10).all()
+    clusters = D.neardup_clusters(sf, 0.5)
+    for d, c in zip(clusters["doc_id"], clusters["cluster_id"]):
+        if int(d) != int(c):
+            assert int(d) not in ids, f"cluster loser {d} survived"
+    cont = D.decontaminate_against(sf).to_pandas()
+    bad = set(cont[cont["contaminated"]]["doc_id"].astype(int))
+    assert ids & bad == set()
+    losers = set(D.exact_dedup_losers(sf)["doc_id"].astype(int))
+    assert ids & losers == set()
