@@ -309,20 +309,27 @@ def oracle_sql() -> dict[str, str]:
         "simhash_neardup_pairs": O.simhash_neardup_sql(3),
         "dedup_adjacent_tokens": O.dedup_adjacent_tokens_sql(),
         "grouped_variance": """
-            -- same integer-cents expression shape as the Ray side: every
-            -- double op runs on exactly representable ints, so values are
-            -- bit-identical before rounding
+            -- same expression shape as the Ray side: the numerator
+            -- n*s2 - s1*s1 is exact HUGEINT (s1*s1 would wrap BIGINT at
+            -- scale, ADVICE r2), cast to DOUBLE once (correctly rounded,
+            -- like Python float(bigint)), then one division by the exact
+            -- double n*(n-1) -> bit-identical before rounding
             WITH p AS (
               SELECT l_returnflag,
                      CAST(count(*) AS BIGINT) AS n,
                      sum(CAST(round(l_quantity * 100) AS BIGINT)) AS s1,
                      sum(CAST(round(l_quantity * 100) AS BIGINT)
                          * CAST(round(l_quantity * 100) AS BIGINT)) AS s2
-              FROM lineitem GROUP BY 1)
+              FROM lineitem GROUP BY 1),
+            v AS (
+              SELECT l_returnflag, n,
+                     CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+                       / (CAST(n AS DOUBLE) * (n - 1)) AS var_cents2
+              FROM p)
             SELECT l_returnflag, n,
-                   round(((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (n - 1)) / 10000.0, 4) AS var_qty,
-                   round(sqrt((s2 - s1 * s1 / CAST(n AS DOUBLE)) / (n - 1)) / 100.0, 4) AS std_qty
-            FROM p
+                   round(var_cents2 / 10000.0, 4) AS var_qty,
+                   round(sqrt(var_cents2) / 100.0, 4) AS std_qty
+            FROM v
         """,
         "grouped_quantiles": """
             SELECT l_returnflag,

@@ -68,3 +68,25 @@ def test_arrow_extract_matches_python_re(pages_small):
     got = extract_texts_arrow(arr).to_pylist()
     exp = [extract_text(h) for h in arr.to_pylist()]
     assert got == exp
+
+
+def test_arrow_extract_invalid_utf8_fallback():
+    """A batch containing invalid UTF-8 must not abort (ADVICE r2): the
+    vectorized path degrades to the per-row errors='replace' oracle path
+    for that batch and stays byte-identical to extract_text."""
+    import pyarrow as pa
+
+    from txiac_qc_ray.stages.extract import extract_text, extract_texts_arrow
+
+    bad = [
+        b"<p>caf\xe9 latin-1 byte</p>",          # lone continuation-less byte
+        b"<p>ok</p>",                             # valid row in same batch
+        b"\xff\xfe<p>bom-ish garbage</p>",
+        None,
+        b"<p>truncated \xe2\x82</p>",             # cut multi-byte sequence
+    ]
+    arr = pa.array(bad, type=pa.binary())
+    got = extract_texts_arrow(arr).to_pylist()
+    exp = [extract_text(h) for h in bad]
+    assert got == exp
+    assert "caf� latin-1 byte" in got[0]

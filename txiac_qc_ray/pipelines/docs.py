@@ -982,12 +982,20 @@ def ann_topk_ivf_indexed(sf_dir: str, n_queries: int = 4, k: int = 5,
     import json as _json
 
     if index_dir is None:
+        import glob as _glob
         import hashlib
 
+        # content fingerprint (sizes + mtimes) in the cache tag (ADVICE
+        # r2): a regenerated corpus at the same path invalidates the
+        # cached index instead of silently reusing a stale one
+        src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
+        files = sorted(_glob.glob(src)) or ([src] if os.path.exists(src) else [])
+        fp = "|".join(f"{p}:{os.path.getsize(p)}:{os.stat(p).st_mtime_ns}"
+                      for p in files)
         tag = hashlib.sha1(
-            f"{os.path.abspath(sf_dir)}|{n_queries}|{n_lists}".encode()
-        ).hexdigest()[:12]  # stable across processes (hash() is randomized)
-        index_dir = f"/tmp/txiac_ivf_index_{tag}"
+            f"{os.path.abspath(sf_dir)}|{n_queries}|{n_lists}|{fp}".encode()
+        ).hexdigest()[:16]  # stable across processes (hash() is randomized)
+        index_dir = f"/tmp/txiac_ivf_index_{os.getuid()}_{tag}"
     meta_path = os.path.join(index_dir, "_ivf_meta.json")
     if not os.path.exists(meta_path):
         build_ivf_index(sf_dir, index_dir, n_queries, n_lists)

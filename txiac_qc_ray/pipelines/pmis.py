@@ -251,10 +251,19 @@ def pmis_outlier_counters(
     fused counters.py shape — no join of out-vs-all frames, no second
     scan per dimension).
 
-    Dimensions (reference twin in parens): county (H:456), lane pair
-    indicator "a-b" (H:520-521), direction (H:557), vehicle id (H:591),
-    speed bins (H:623-630), speed-diff bins (H:657-660), time_diff
-    floored days (H:713-721), comment code (H:750).
+    Dimensions are DELIBERATE TYPED ANALOGS of the reference blocks, not
+    byte-twins (ADVICE r2; reference block cited in parens): county
+    (H:456); lane PAIR indicator "a-b" (H:520-521); direction (H:557),
+    vehicle id (H:591) and comment (H:750) keyed on the a-side single
+    value where the reference keys those three on the paired "a-b"
+    concat; speed (H:623-630) and speed-diff (H:657-660) binned with
+    this engine's left-closed digitize bins with ±inf end bins where the
+    reference uses right-closed pd.cut over 0-90 that silently DROPS
+    out-of-range rows; time_diff grouped on floored whole days where the
+    reference groups the exact timedelta and renders .dt.days
+    (H:713-721). The declarative analog keeps every row accounted for
+    and each key a single typed column; the value-check twin is the SQL
+    oracle (oracles.pmis_counters_sql), which mirrors THESE semantics.
 
     -> (dim, key, count_all, len_all, count_out, len_out, pct_out)."""
     sa, sb = suffixes

@@ -70,7 +70,15 @@ def extract_texts_arrow(html: pa.Array | pa.ChunkedArray) -> pa.Array:
     if isinstance(html, pa.ChunkedArray):
         html = html.combine_chunks()
     is_null = np.asarray(html.is_null())
-    s = pc.cast(pc.fill_null(html, b""), pa.string())  # valid-utf8 corpus
+    try:
+        s = pc.cast(pc.fill_null(html, b""), pa.string())  # valid-utf8 fast path
+    except pa.ArrowInvalid:
+        # invalid UTF-8 somewhere in the batch (ADVICE r2): degrade ONLY
+        # this batch to the per-row oracle path (decode errors='replace'),
+        # which keeps output identical to extract_text instead of killing
+        # the whole pipeline on one malformed production page
+        return pa.array([extract_text(v) for v in html.to_pylist()],
+                        type=pa.string())
     # backref-free expansion of `<(tag)...</\1>`: one RE2 pass over the
     # whole column (leftmost-first across the alternation == the Python
     # combined pattern's scan order)
