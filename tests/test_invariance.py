@@ -90,3 +90,22 @@ def test_docs_ops_invariant_to_sharding(ray_session, resharded_sf):
         a = fn(src).to_pandas().sort_values("doc_id", ignore_index=True)
         b = fn(resharded_sf).to_pandas().sort_values("doc_id", ignore_index=True)
         pd.testing.assert_frame_equal(a, b, obj=name)
+
+
+def test_docs_ops_invariant_to_shard_count(ray_session):
+    """The bounded-shard shuffles must give identical answers at ANY
+    shard count (VERDICT r2 item 4: the count is now sized from Parquet
+    metadata, so outputs may never depend on it)."""
+    import pandas as pd
+
+    from txiac_qc_ray.pipelines import docs as D
+
+    src = "/root/testdata/sf0.001"
+    for fn in (D.exact_dedup_rows, D.minhash_lsh_candidates):
+        a, b = fn(src, n_shards=3), fn(src, n_shards=17)
+        pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                      b.reset_index(drop=True),
+                                      obj=fn.__name__)
+    # metadata sizing: floor of 64 at fixture scale; grows with bytes
+    assert D._shard_count(src, "documents") == 64
+    assert D._shard_count(src, "documents", target_bytes=1024) > 64

@@ -26,6 +26,39 @@ from ..functions.urls import fnv1a64
 from .relational import round_half_away, _read
 
 
+# ---- shard-count sizing (bounded-cardinality shuffle keys) ---------------
+
+_TARGET_SHARD_BYTES = 1 << 30  # ~1 GiB of shuffled payload per shard group
+
+
+def _shard_count(sf_dir: str, table: str = "documents",
+                 target_bytes: int = _TARGET_SHARD_BYTES) -> int:
+    """Shard count for the bounded-key shuffles, sized from the input's
+    Parquet metadata (VERDICT r2 item 4 — the fixed _N_SHARDS=64 meant
+    ~1.5 TB per map_groups group at 100 TB): ceil(uncompressed bytes /
+    target), floored at 64 so small inputs keep full parallelism. Memory
+    bound per group is therefore ~target_bytes of the payload that rides
+    the shuffle; ops whose exploded payload is amplified (one row per
+    LSH table) shrink `target_bytes` by that factor. Metadata-only: no
+    data is read."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    root = os.path.join(sf_dir, f"{table}.parquet")
+    if os.path.isdir(root):
+        files = sorted(_glob.glob(os.path.join(root, "**", "*.parquet"),
+                                  recursive=True))
+    else:
+        files = sorted(_glob.glob(root))
+    total = 0
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        total += sum(md.row_group(i).total_byte_size
+                     for i in range(md.num_row_groups))
+    return int(max(64, -(-total // max(1, target_bytes))))
+
+
 # ---- shingling / hashing helpers -----------------------------------------
 
 def _mix64(x: np.ndarray) -> np.ndarray:
@@ -79,15 +112,18 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id", ignore_index=True)
 
 
-def exact_dedup_rows(sf_dir: str) -> pd.DataFrame:
+def exact_dedup_rows(sf_dir: str, n_shards: int | None = None) -> pd.DataFrame:
     """Keep-the-winning-row exact dedup (what a training-data pipeline
     actually consumes; VERDICT r1 item 8): the full row payload rides the
     shuffle keyed on a bounded shard of the 64-bit content hash; within a
     shard, rows are exact-compared BY TEXT (so a hash collision can never
     merge two distinct documents) and the min-doc_id row of each distinct
-    text survives. Output layout-invariant: sorted by doc_id."""
+    text survives. Output layout-invariant: sorted by doc_id (and
+    invariant in `n_shards`, pytest-pinned). The shard count is sized
+    from the table's Parquet metadata so each group holds ~1 GiB of row
+    payload regardless of corpus size."""
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
-    _N_SHARDS = 64
+    _N_SHARDS = n_shards or _shard_count(sf_dir, "documents")
 
     def add_shard(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -109,7 +145,7 @@ def exact_dedup_losers(sf_dir: str) -> pd.DataFrame:
     text exists). Output is O(duplicate rate), not O(corpus) — the side
     you can afford to broadcast as a drop set."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
-    _N_SHARDS = 64
+    _N_SHARDS = _shard_count(sf_dir, "documents")
 
     def add_shard(t: pa.Table) -> pa.Table:
         return t.append_column(
@@ -150,17 +186,22 @@ def minhash_signatures(texts: pa.Array, n: int = 3) -> np.ndarray:
     return sig
 
 
-def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFrame:
+def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.5,
+                           n_shards: int | None = None) -> pd.DataFrame:
     """Near-dup pairs via shingle->minhash->band->bucket-groupby->verify
     (the scale path: the only shuffle is groupby(band, band_hash), keyed
     exactly as the ray_guide LSH pattern prescribes)."""
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
-    _N_SHARDS = 64  # two-level grouping: shuffle on a bounded shard key,
-    # then a vectorized within-shard groupby — a per-(band,hash) map_groups
-    # would schedule one task per TINY bucket (millions at scale); sharding
-    # keeps the shuffle key cardinality fixed while preserving exactness
-    # (every (band, band_hash) bucket lands wholly in one shard).
+    # two-level grouping: shuffle on a bounded shard key, then a
+    # vectorized within-shard groupby — a per-(band,hash) map_groups
+    # would schedule one task per TINY bucket (millions at scale);
+    # sharding keeps the shuffle key cardinality data-sized while
+    # preserving exactness (every (band, band_hash) bucket lands wholly
+    # in one shard). Band rows (~32 B x 16/doc) are much smaller than
+    # the text the metadata-based count is derived from, so the bound is
+    # conservative.
+    _N_SHARDS = n_shards or _shard_count(sf_dir, "documents")
 
     def explode_bands(t: pa.Table) -> pa.Table:
         sig = minhash_signatures(t["text"])
@@ -335,7 +376,7 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
     the MinHash path. -> (id_a, id_b, hamming)."""
     n_bands = max_hamming + 1
     band_bits = 64 // n_bands
-    _N_SHARDS = 64
+    _N_SHARDS = _shard_count(sf_dir, "documents")
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def explode(t: pa.Table) -> pa.Table:
@@ -619,10 +660,13 @@ def embedding_neardup_pairs_lsh(sf_dir: str, threshold: float = 0.4,
     shifts = (np.uint32(1) << np.arange(n_planes, dtype=np.uint32))
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    _N_SHARDS = 64  # bounded shuffle-key cardinality: every (table,
-    # bucket) lands wholly in one shard; within-shard buckets are swept
-    # vectorized (one map_groups task per TINY bucket would be the Ray
-    # 2.49 scheduling trap noted for the MinHash path)
+    # bounded shuffle-key cardinality: every (table, bucket) lands wholly
+    # in one shard; within-shard buckets are swept vectorized (one
+    # map_groups task per TINY bucket would be the Ray 2.49 scheduling
+    # trap noted for the MinHash path). Each vector is replicated once
+    # per LSH table, so the per-shard byte target shrinks by n_tables.
+    _N_SHARDS = _shard_count(sf_dir, "embeddings",
+                             _TARGET_SHARD_BYTES // n_tables)
 
     def explode(t: pa.Table) -> pa.Table:
         pl = ray.get(planes_ref)
