@@ -127,3 +127,22 @@ def test_prep_corpus_invariants_sf01(ray_session):
     assert ids & bad == set()
     losers = set(D.exact_dedup_losers(sf)["doc_id"].astype(int))
     assert ids & losers == set()
+
+
+def test_ngram_df_cap_kills_hot_shingle(ray_session, tmp_path):
+    """200 docs sharing one boilerplate trigram (VERDICT r2 item 5):
+    uncapped, that single shingle expands C(200,2)=19900 pairs at
+    jaccard 1/3; the default df_cap drops it so the sweep does no
+    quadratic work and emits nothing."""
+    from txiac_qc_ray.pipelines import docs as D
+
+    # unique suffix must be alphabetic: tokenize() extracts [a-z]+ only
+    texts = ["alpha beta gamma uniq" + "".join(chr(97 + int(c)) for c in str(i))
+             for i in range(200)]
+    d = _write_docs(tmp_path, texts)
+    # default cap (64 < 200): the shared trigram carries no signal
+    assert len(D.ngram_jaccard_pairs(d, threshold=0.25)) == 0
+    # cap lifted: every pair shares exactly the boilerplate trigram
+    lifted = D.ngram_jaccard_pairs(d, threshold=0.25, df_cap=1000)
+    assert len(lifted) == 200 * 199 // 2
+    assert (lifted["jaccard"] == 0.3333).all()

@@ -59,14 +59,24 @@ def minhash_pairs_sql(threshold: float = 0.5) -> str:
     """
 
 
-def ngram_jaccard_sql(threshold: float = 0.25) -> str:
+def ngram_jaccard_sql(threshold: float = 0.25, df_cap: int = 64) -> str:
+    """Mirrors the Ray side's document-frequency cap: shingles present
+    in more than df_cap docs of a source group are dropped from both
+    intersection and union before Jaccard."""
     return f"""
     WITH {_SHINGLES},
+    ex AS (SELECT doc_id, source, unnest(s) AS g FROM sh),
+    df AS (SELECT source, g FROM ex GROUP BY source, g
+           HAVING count(*) <= {df_cap}),
+    kept AS (SELECT e.doc_id, e.source, e.g
+             FROM ex e JOIN df USING (source, g)),
+    sets AS (SELECT doc_id, source, list(g) AS s
+             FROM kept GROUP BY doc_id, source),
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              len(list_intersect(a.s, b.s)) AS inter,
              len(a.s) AS na, len(b.s) AS nb
-      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      FROM sets a JOIN sets b ON a.source = b.source AND a.doc_id < b.doc_id
       WHERE len(a.s) > 0 AND len(b.s) > 0
     )
     SELECT id_a, id_b, {_JACCARD} AS jaccard

@@ -511,7 +511,8 @@ def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
 
 # ---- n-gram Jaccard dedup (all-pairs within same source, small-side) -----
 
-def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.25) -> pd.DataFrame:
+def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.25,
+                        df_cap: int = 64) -> pd.DataFrame:
     """Pairwise n-gram Jaccard over documents grouped by `source`
     (partitioning assumption: candidate comparisons only within a
     partition key — here `source`; a full cross-product would be
@@ -522,7 +523,15 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.25) -> pd.DataFrame:
     shingle; each run of docs sharing a shingle contributes its doc
     pairs; per-pair intersection counts come from one np.unique, and
     only pairs with >= 1 shared shingle are ever touched, so cost scales
-    with actual overlap, not with group size squared."""
+    with actual overlap, not with group size squared.
+
+    `df_cap` is the document-frequency cap (VERDICT r2 item 5): a
+    shingle shared by n docs expands n(n-1)/2 pair candidates, so ONE
+    boilerplate trigram common to a whole source made the sweep
+    quadratic in group size. Shingles present in more than `df_cap`
+    docs of a group carry no dedup signal and are dropped from both the
+    intersection AND the union (the SQL twin applies the identical
+    cap), bounding per-shingle work at df_cap^2/2."""
     ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
 
     def per_source(g: pd.DataFrame) -> pd.DataFrame:
@@ -537,6 +546,10 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.25) -> pd.DataFrame:
         keep = np.ones(len(d), dtype=bool)
         keep[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
         d, hh = d[keep], hh[keep]
+        # document-frequency cap: drop shingles in > df_cap docs
+        _, inv, dfc = np.unique(hh, return_inverse=True, return_counts=True)
+        in_cap = dfc[inv] <= df_cap
+        d, hh = d[in_cap], hh[in_cap]
         set_size = np.bincount(d, minlength=n_docs)
         # sweep shingles: docs sharing a shingle form pair candidates
         o2 = np.argsort(hh, kind="stable")  # stable keeps doc asc per run
@@ -563,6 +576,10 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.25) -> pd.DataFrame:
                              "jaccard": round_half_away(jac[m], 4)})
 
     df = ds.groupby("source").map_groups(per_source, batch_format="pandas").to_pandas()
+    if "id_a" not in df.columns:  # every group empty -> schemaless frame
+        return pd.DataFrame({"id_a": pd.Series([], dtype="int64"),
+                             "id_b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
     return df.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
