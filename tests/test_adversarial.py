@@ -146,3 +146,38 @@ def test_ngram_df_cap_kills_hot_shingle(ray_session, tmp_path):
     lifted = D.ngram_jaccard_pairs(d, threshold=0.25, df_cap=1000)
     assert len(lifted) == 200 * 199 // 2
     assert (lifted["jaccard"] == 0.3333).all()
+
+
+def _write_events(tmp_path, n, users, span_hours):
+    """Deterministic events table: n rows over `users` user_ids spread
+    across span_hours (types cycle click/view/error)."""
+    rng = np.random.default_rng(4242)
+    ts0 = np.datetime64("2024-03-01T00:00:00", "us")
+    ts = ts0 + (rng.integers(0, span_hours * 3600, n) * 1_000_000).astype("timedelta64[us]")
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, users, n), pa.int64()),
+        "event_type": pa.array([("click", "view", "error")[i % 3] for i in range(n)],
+                               pa.string()),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "value": pa.array(np.round(rng.uniform(0, 50, n), 2)),
+    })
+    d = os.path.join(str(tmp_path), "ev")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    return d
+
+
+def test_windows_bucket_invariance_hot_key(ray_session, tmp_path):
+    """ONE user owning a 3-week event stream (the hottest possible key):
+    the bucketed as-of/session/lag paths must return exactly what the
+    single-bucket (= old whole-key-on-one-worker) path returns, at 6h
+    buckets (many seeds/stitches) and at a bucket spanning everything."""
+    from txiac_qc_ray.pipelines import windows as W
+
+    d = _write_events(tmp_path, 3000, users=2, span_hours=21 * 24)
+    for fn in (W.asof_join_clicks_errors, W.session_windows, W.lag_diff):
+        small = fn(d, bucket_hours=6)
+        one = fn(d, bucket_hours=10_000_000)
+        pd.testing.assert_frame_equal(small, one, obj=fn.__name__)
+        assert len(small) > 0

@@ -3,28 +3,96 @@ windows, per-group top-k, rolling aggregates (SURVEY.md §2.8 + the
 'custom operators' list — as-of join / windowed aggregate).
 
 Ray Data has no event-time windowing, so these follow the ray_guide
-pattern: treat events as a partitioned log — `groupby(user_id)` co-locates
-a key's history, `map_groups` applies the ordered-window logic with
-pandas over the sorted group. PARTITIONING ASSUMPTION (documented per the
-custom-operator rule): all rows of one key fit one worker's memory; for
-keys too hot for that, split by time range and stitch boundaries —
-IMPLEMENTED for time windows in `rolling_time_sum_cents` ((key, bucket)
-shuffle key + one-bucket context duplication; exact because a time
-window's reach is bounded, unlike a count window's over sparse keys).
+pattern: treat events as a partitioned log whose SHUFFLE KEY is
+(user_id, time_bucket), never a bare user_id — one key's full history
+never has to fit one worker (VERDICT r2 item 7; the strategy
+`rolling_time_sum_cents` pioneered, now used by every per-key op here):
+
+- bounded-reach windows (trailing time window) duplicate each row into
+  the next bucket as context;
+- unbounded-reach lookbacks (as-of join, lag) get ONE seed row per
+  bucket from a per-user forward scan over the per-bucket last-event
+  SUMMARY (O(non-empty buckets) rows per user, never events — a sparse
+  user's previous event can be arbitrarily many buckets back);
+- sessions are stitched: interior sessions of a bucket are final, the
+  <=2 boundary sessions per bucket go through a per-user chain walk.
+
+The only per-user state is O(non-empty buckets); `topk_per_group` and
+`rolling_sum_cents` (count-based window: unbounded reach over sparse
+keys, documented single-key assumption) keep their original shapes.
 
 All outputs carry deterministic orderings and oracle SQL twins
-(DuckDB ASOF JOIN / window functions) in `__ray_entry__.py`.
+(DuckDB ASOF JOIN / window functions) in `__ray_entry__.py`; every
+bucketed op is pinned bucket-size-invariant in pytest (1h vs one giant
+bucket), which exercises the stitch/seed paths against the
+single-group path.
 """
 
 from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from .relational import _read, round_half_away
 
+_US_PER_HOUR = 3_600_000_000
 
-def asof_join_clicks_errors(sf_dir: str) -> pd.DataFrame:
+
+def _with_bucket(bucket_us: int, is_ctx: bool = False):
+    """map_batches stage: append int64 `bucket` (ts // bucket_us) and an
+    `is_ctx` flag, with a FIXED column order so unions stay schema-stable."""
+
+    def stage(t: pa.Table) -> pa.Table:
+        ts = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        t = t.append_column("bucket", pa.array(ts // bucket_us))
+        t = t.append_column("is_ctx", pa.array(np.full(t.num_rows, is_ctx)))
+        return t.select(sorted(t.column_names))
+
+    return stage
+
+
+def _as_arrow_sorted_cols(t: pa.Table) -> pa.Table:
+    return t.select(sorted(t.column_names))
+
+
+def _last_event_summary(ev, keep_mask_col: str | None = None):
+    """Per-(user_id, bucket) LAST event (max (ts, event_id)) as a tiny
+    Dataset: per-batch partial argmax candidates (one per key per batch)
+    -> groupby(user, bucket) picks the true last among candidates. The
+    shuffle carries O(batches x keys-per-batch) rows, never the events.
+    With `keep_mask_col`, rows where that bool column is False are
+    excluded from the argmax but (user, bucket) keys they touch still
+    emit a row with event_id = -1 (so every non-empty bucket appears in
+    the summary even when nothing matched)."""
+
+    def partials(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"])
+        b = np.asarray(t["bucket"])
+        ts = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        eid = np.asarray(t["event_id"])
+        if keep_mask_col is not None:
+            m = np.asarray(t[keep_mask_col])
+            # masked rows rank below everything real
+            ts = np.where(m, ts, np.int64(-1))
+            eid = np.where(m, eid, np.int64(-1))
+        order = np.lexsort((eid, ts, b, u))
+        u2, b2 = u[order], b[order]
+        last = np.ones(len(u2), dtype=bool)
+        last[:-1] = (u2[1:] != u2[:-1]) | (b2[1:] != b2[:-1])
+        idx = order[last]
+        return pa.table({"user_id": u[idx], "bucket": b[idx],
+                         "ts_us": ts[idx], "event_id": eid[idx]})
+
+    def true_last(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts_us", "event_id"]).tail(1)
+
+    return (ev.map_batches(partials, batch_format="pyarrow")
+            .groupby(["user_id", "bucket"])
+            .map_groups(true_last, batch_format="pandas"))
+
+
+def asof_join_clicks_errors(sf_dir: str, bucket_hours: int = 24) -> pd.DataFrame:
     """For every 'click' event: the latest strictly-earlier 'error' event
     of the same user (as-of backward join). Rows with no prior error are
     dropped (inner as-of). -> (click_id, error_id, gap_sec).
@@ -32,12 +100,62 @@ def asof_join_clicks_errors(sf_dir: str) -> pd.DataFrame:
     Tie-break is EXPLICIT on both sides (ADVICE r1): errors sharing one
     (user_id, ts) are deduped to the max event_id BEFORE the as-of join,
     and the SQL oracle applies the same dedup, so neither engine's
-    unspecified equal-ts choice can leak into the result."""
-    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    unspecified equal-ts choice can leak into the result.
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
-        clicks = g[g["event_type"] == "click"].sort_values(["ts", "event_id"])
-        errors = (g[g["event_type"] == "error"].sort_values(["ts", "event_id"])
+    HOT-KEY-SAFE (VERDICT r2 item 7): shuffle key is (user_id, bucket).
+    An as-of lookback is unbounded — the latest earlier error of a
+    sparse user may sit many buckets back — so each non-empty bucket is
+    seeded with exactly one context row: the user's latest error in any
+    EARLIER bucket, computed by a running forward scan over the
+    per-bucket last-error summary (O(non-empty buckets) per user).
+    Seeds are strictly earlier than every local row, so the local
+    merge_asof is exact."""
+    bucket_us = bucket_hours * _US_PER_HOUR
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+    ev = ds.map_batches(_with_bucket(bucket_us), batch_format="pyarrow")
+
+    def mark_err(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "is_err", pc.equal(t["event_type"], pa.scalar("error")))
+
+    summary = _last_event_summary(
+        ev.map_batches(mark_err, batch_format="pyarrow"), keep_mask_col="is_err")
+
+    def seeds(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket", ignore_index=True)
+        b = g["bucket"].to_numpy()
+        ts = g["ts_us"].to_numpy()
+        eid = g["event_id"].to_numpy()
+        out_b, out_ts, out_id = [], [], []
+        run_ts, run_id = -1, -1
+        for i in range(len(g)):
+            if run_id >= 0:  # latest error seen in an earlier bucket
+                out_b.append(b[i]); out_ts.append(run_ts); out_id.append(run_id)
+            if eid[i] >= 0 and ts[i] >= 0:  # this bucket has an error
+                run_ts, run_id = ts[i], eid[i]
+        return pd.DataFrame({
+            "bucket": np.array(out_b, dtype=np.int64),
+            "event_id": np.array(out_id, dtype=np.int64),
+            "event_type": np.full(len(out_b), "error", dtype=object),
+            "is_ctx": np.ones(len(out_b), dtype=bool),
+            "ts": np.array(out_ts, dtype=np.int64).view("datetime64[us]"),
+            "user_id": np.full(len(out_b),
+                               g["user_id"].iloc[0] if len(g) else 0,
+                               dtype=np.int64),
+        })
+
+    seed_rows = (summary.groupby("user_id")
+                 .map_groups(seeds, batch_format="pandas")
+                 .map_batches(_as_arrow_sorted_cols, batch_format="pyarrow"))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        own = ~g["is_ctx"].to_numpy()
+        clicks = g[own & (g["event_type"] == "click").to_numpy()].sort_values(
+            ["ts", "event_id"])
+        errors = (g[(g["event_type"] == "error").to_numpy()]
+                  .sort_values(["ts", "event_id"])
                   .drop_duplicates(subset=["ts"], keep="last"))
         if clicks.empty or errors.empty:
             return pd.DataFrame({"click_id": pd.Series([], dtype="int64"),
@@ -49,38 +167,121 @@ def asof_join_clicks_errors(sf_dir: str) -> pd.DataFrame:
             on="ts", direction="backward", allow_exact_matches=False,
             suffixes=("", "_err"),
         )
-        # merge_asof keeps the click ts; recover the matched error ts for gap
         err_ts = errors.set_index("event_id")["ts"]
         m = m[m["error_id"].notna()].copy()
         m["error_id"] = m["error_id"].astype("int64")
         m["gap_sec"] = (m["ts"] - m["error_id"].map(err_ts)).dt.total_seconds()
         return m[["click_id", "error_id", "gap_sec"]]
 
-    df = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    df = (ev.union(seed_rows)
+          .groupby(["user_id", "bucket"])
+          .map_groups(per_group, batch_format="pandas")
+          .to_pandas())
+    if "click_id" not in df.columns:
+        return pd.DataFrame({"click_id": pd.Series([], dtype="int64"),
+                             "error_id": pd.Series([], dtype="int64"),
+                             "gap_sec": pd.Series([], dtype="double")})
     df["gap_sec"] = round_half_away(df["gap_sec"].to_numpy(), 6) if len(df) else df["gap_sec"]
     return df.sort_values("click_id", ignore_index=True)
 
 
-def session_windows(sf_dir: str, gap_minutes: int = 30) -> pd.DataFrame:
+def session_windows(sf_dir: str, gap_minutes: int = 30,
+                    bucket_hours: int = 24) -> pd.DataFrame:
     """Gap-based sessionization per user: a new session starts when the
     time since the previous event exceeds `gap_minutes`. ->
-    (user_id, session_start, n_events, sum_val)."""
-    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    (user_id, session_start, n_events, sum_val).
+
+    HOT-KEY-SAFE (VERDICT r2 item 7): pass 1 sessionizes each
+    (user_id, bucket) group locally; its INTERIOR sessions are already
+    final, and only the <=2 boundary sessions per bucket (head/tail,
+    one row when the bucket is a single session) proceed to pass 2, a
+    per-user chain walk over O(non-empty buckets) partials that merges
+    sessions across bucket boundaries on the real timestamp gap (no
+    gap<=bucket-span assumption needed — the walk visits non-empty
+    buckets in order and compares actual first/last event times).
+    Both passes are ONE groupby: pass-1 output routes interior rows
+    under stitch key = bucket (pass-through) and boundary partials
+    under stitch key = -1 (the walk), so no materialize/double-scan."""
+    bucket_us = bucket_hours * _US_PER_HOUR
     gap = pd.Timedelta(minutes=gap_minutes)
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    ev = ds.map_batches(_with_bucket(bucket_us), batch_format="pyarrow")
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    def local_sessions(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values("ts", ignore_index=True)
-        new_sess = g["ts"].diff() > gap
-        sess_id = new_sess.cumsum()
-        out = g.groupby(sess_id).agg(
-            user_id=("user_id", "first"),
-            session_start=("ts", "min"),
-            n_events=("ts", "size"),
-            sum_val=("value", "sum"),
-        ).reset_index(drop=True)
-        return out
+        sess_id = (g["ts"].diff() > gap).cumsum()
+        agg = g.groupby(sess_id).agg(
+            start_ts=("ts", "min"), end_ts=("ts", "max"),
+            n_events=("ts", "size"), sum_val=("value", "sum"))
+        n_sess = len(agg)
+        boundary = np.zeros(n_sess, dtype=bool)
+        boundary[0] = True
+        boundary[-1] = True
+        skey = np.where(boundary, np.int64(-1), g["bucket"].iloc[0])
+        return pd.DataFrame({
+            "user_id": np.full(n_sess, g["user_id"].iloc[0], dtype=np.int64),
+            "bucket": np.full(n_sess, g["bucket"].iloc[0], dtype=np.int64),
+            "skey": skey,
+            "start_ts": agg["start_ts"].to_numpy(),
+            "end_ts": agg["end_ts"].to_numpy(),
+            "n_events": agg["n_events"].to_numpy().astype(np.int64),
+            "sum_val": agg["sum_val"].to_numpy(),
+        })
 
-    df = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    def stitch(g: pd.DataFrame) -> pd.DataFrame:
+        if g["skey"].iloc[0] >= 0:  # interior sessions: already final
+            return pd.DataFrame({
+                "user_id": g["user_id"],
+                "session_start": g["start_ts"],
+                "n_events": g["n_events"].astype(np.int64),
+                "sum_val": g["sum_val"],
+            })
+        g = g.sort_values(["bucket", "start_ts"], ignore_index=True)
+        out_u, out_s, out_n, out_v = [], [], [], []
+        chain = None  # [start, end, n, sum]
+        uid = int(g["user_id"].iloc[0])
+
+        def emit(c):
+            out_u.append(uid); out_s.append(c[0]); out_n.append(c[2]); out_v.append(c[3])
+
+        i = 0
+        while i < len(g):
+            b = g["bucket"].iloc[i]
+            rows = [g.iloc[i]]
+            if i + 1 < len(g) and g["bucket"].iloc[i + 1] == b:
+                rows.append(g.iloc[i + 1])
+                i += 2
+            else:
+                i += 1
+            head = rows[0]
+            if chain is not None and head["start_ts"] - chain[1] <= gap:
+                chain = [chain[0], head["end_ts"],
+                         chain[2] + int(head["n_events"]),
+                         chain[3] + float(head["sum_val"])]
+            else:
+                if chain is not None:
+                    emit(chain)
+                chain = [head["start_ts"], head["end_ts"],
+                         int(head["n_events"]), float(head["sum_val"])]
+            if len(rows) == 2:  # head chain ends inside this bucket
+                emit(chain)
+                tail = rows[1]
+                chain = [tail["start_ts"], tail["end_ts"],
+                         int(tail["n_events"]), float(tail["sum_val"])]
+        if chain is not None:
+            emit(chain)
+        return pd.DataFrame({
+            "user_id": np.array(out_u, dtype=np.int64),
+            "session_start": pd.Series(out_s, dtype="datetime64[us]"),
+            "n_events": np.array(out_n, dtype=np.int64),
+            "sum_val": np.array(out_v, dtype=np.float64),
+        })
+
+    df = (ev.groupby(["user_id", "bucket"])
+          .map_groups(local_sessions, batch_format="pandas")
+          .groupby(["user_id", "skey"])
+          .map_groups(stitch, batch_format="pandas")
+          .to_pandas())
     df["sum_val"] = round_half_away(df["sum_val"].to_numpy(), 4)
     df["n_events"] = df["n_events"].astype("int64")
     return df.sort_values(["user_id", "session_start"], ignore_index=True)
@@ -108,23 +309,75 @@ def topk_per_group(sf_dir: str, k: int = 3) -> pd.DataFrame:
     return out.reset_index(drop=True)[["event_type", "event_id", "value"]]
 
 
-def lag_diff(sf_dir: str) -> pd.DataFrame:
+def lag_diff(sf_dir: str, bucket_hours: int = 24) -> pd.DataFrame:
     """Per-user lag-1 difference of `value` ordered by (ts, event_id) —
     the lead/lag window-derive family (a user's first event has a null
     diff, mirroring SQL LAG — surfaced as float64 NaN, exactly how a
     SQL NULL over an integer lands in pandas). Integer cents keep the
-    subtraction itself exact. -> (event_id, user_id, diff_cents)."""
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    subtraction itself exact. -> (event_id, user_id, diff_cents).
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    HOT-KEY-SAFE (VERDICT r2 item 7): shuffle key is (user_id, bucket).
+    A lag-1 needs exactly one seed per bucket — the user's LAST event in
+    the nearest earlier non-empty bucket (a sparse user's previous event
+    can be arbitrarily many buckets back, so the seed comes from a
+    per-user scan over the per-bucket last-event summary, O(non-empty
+    buckets) rows, never events). Seeds ride the same shuffle via
+    union; the first own row of each bucket diffs against its seed."""
+    bucket_us = bucket_hours * _US_PER_HOUR
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    ev = ds.map_batches(_with_bucket(bucket_us), batch_format="pyarrow")
+
+    def seeds(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket", ignore_index=True)
+        take = len(g) - 1
+        return pd.DataFrame({
+            "bucket": g["bucket"].to_numpy()[1:],  # target: NEXT non-empty bucket
+            "event_id": g["event_id"].to_numpy()[:take],
+            "is_ctx": np.ones(take, dtype=bool),
+            "ts": g["ts_us"].to_numpy()[:take].astype(np.int64).view("datetime64[us]"),
+            "user_id": g["user_id"].to_numpy()[:take],
+            "value": g["value"].to_numpy()[:take],
+        })
+
+    def add_value_partials(t: pa.Table) -> pa.Table:
+        # same partial-argmax as _last_event_summary, carrying `value`
+        u = np.asarray(t["user_id"])
+        b = np.asarray(t["bucket"])
+        ts = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        eid = np.asarray(t["event_id"])
+        order = np.lexsort((eid, ts, b, u))
+        u2, b2 = u[order], b[order]
+        last = np.ones(len(u2), dtype=bool)
+        last[:-1] = (u2[1:] != u2[:-1]) | (b2[1:] != b2[:-1])
+        idx = order[last]
+        return pa.table({"user_id": u[idx], "bucket": b[idx],
+                         "ts_us": ts[idx], "event_id": eid[idx],
+                         "value": np.asarray(t["value"])[idx]})
+
+    def true_last(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts_us", "event_id"]).tail(1)
+
+    summary = (ev.map_batches(add_value_partials, batch_format="pyarrow")
+               .groupby(["user_id", "bucket"])
+               .map_groups(true_last, batch_format="pandas"))
+    seed_rows = (summary.groupby("user_id")
+                 .map_groups(seeds, batch_format="pandas")
+                 .map_batches(_as_arrow_sorted_cols, batch_format="pyarrow"))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], ignore_index=True)
         cents = round_half_away(g["value"].to_numpy() * 100.0, 0).astype(np.int64)
         diff = np.full(len(g), np.nan)
         diff[1:] = (cents[1:] - cents[:-1]).astype(np.float64)
-        return pd.DataFrame({"event_id": g["event_id"], "user_id": g["user_id"],
-                             "diff_cents": diff})
+        own = ~g["is_ctx"].to_numpy()
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy()[own],
+                             "user_id": g["user_id"].to_numpy()[own],
+                             "diff_cents": diff[own]})
 
-    df = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    df = (ev.union(seed_rows)
+          .groupby(["user_id", "bucket"])
+          .map_groups(per_group, batch_format="pandas")
+          .to_pandas())
     return df.sort_values("event_id", ignore_index=True)
 
 
