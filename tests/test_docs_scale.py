@@ -192,3 +192,28 @@ def test_rolling_time_sum_bucket_invariance(ray_session):
     c = W.rolling_time_sum_cents(SF, window_hours=6, bucket_hours=48)
     pd.testing.assert_frame_equal(a, b)
     pd.testing.assert_frame_equal(a, c)
+
+
+def test_minhash_verify_paths_identical(ray_session):
+    """The broadcast fast path and the beyond-bound join path of the
+    worker-side Jaccard verify must return identical pairs (the bound
+    is a perf switch, never a semantics switch)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray
+
+    from txiac_qc_ray.pipelines import docs as D
+
+    sf = "/root/testdata/sf0.001"
+    docs = D._read(sf, "documents", ["doc_id"]).to_pandas()
+    ids = docs["doc_id"].to_numpy()[:40].astype(np.int64)
+    pairs_pd = pd.DataFrame({"id_a": ids[:-1], "id_b": ids[1:]})
+    pairs = ray.data.from_arrow(pa.Table.from_pandas(pairs_pd, preserve_index=False))
+    cand = np.unique(pairs_pd.to_numpy().ravel())
+    fast = D._verify_pairs_jaccard(sf, pairs, cand)  # broadcast path
+    slow = D._verify_pairs_jaccard(sf, pairs, cand, broadcast_max=0)  # join path
+    key = ["id_a", "id_b"]
+    pd.testing.assert_frame_equal(fast.sort_values(key, ignore_index=True),
+                                  slow.sort_values(key, ignore_index=True))
+    assert len(fast) == len(pairs_pd)

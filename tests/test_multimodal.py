@@ -158,3 +158,42 @@ def test_media_pipeline_end_to_end(ray_session):
     a = np.stack(df.sort_values("media_id", ignore_index=True)["audio_band_energy"].to_numpy())
     b = np.stack(df2.sort_values("media_id", ignore_index=True)["audio_band_energy"].to_numpy())
     np.testing.assert_array_equal(a, b)  # NaN == NaN under array_equal
+
+
+def test_compressed_codec_contract():
+    """VERDICT r2 item 8: the compressed-format hooks are an explicit
+    contract — with a real codec lib present the payload decodes (PIL
+    branch, golden-checked when importable); absent, allow_fake=False
+    raises NotImplementedError naming the dependency and
+    allow_fake=True yields the deterministic fake stats, per format."""
+    import numpy as np
+    import pytest
+
+    from txiac_qc_ray.stages.multimodal import (AudioFeatureStage,
+                                                ImageDecodeStage, _fake_stats)
+
+    png_magic = b"\x89PNG\r\n\x1a\n" + b"fakepngpayloadbytes"
+    mp3_magic = b"ID3\x03\x00" + b"fakemp3payloadbytes"
+
+    img_strict = ImageDecodeStage(allow_fake=False)
+    aud_strict = AudioFeatureStage(allow_fake=False)
+    if img_strict._pil is None:
+        with pytest.raises(NotImplementedError, match="PIL"):
+            img_strict._decode(png_magic)
+        with pytest.raises(NotImplementedError, match="librosa|ffmpeg"):
+            aud_strict._features(mp3_magic)
+    else:  # pragma: no cover - PIL present in some environments
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (4, 3), (10, 20, 30)).save(buf, format="PNG")
+        got = img_strict._decode(buf.getvalue())
+        assert got.shape == (3, 4, 3) and (got == [10, 20, 30]).all()
+
+    # fake path: deterministic (same payload -> same stats), flagged NaN-free
+    img_fake = ImageDecodeStage(allow_fake=True)
+    assert img_fake._decode(png_magic) is None  # routes to _fake_stats
+    s1, s2 = _fake_stats([png_magic], 3), _fake_stats([png_magic], 3)
+    assert np.array_equal(s1, s2) and not np.isnan(s1).any()
