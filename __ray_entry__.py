@@ -128,24 +128,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_sum_cents": W.rolling_sum_cents,
         "lag_diff": W.lag_diff,
         "rolling_time_sum_cents": W.rolling_time_sum_cents,
+        "running_total_cents": W.running_total_cents,
         "tumbling_window": R.tumbling_window,
         "hopping_window": R.hopping_window,
         # §2.4 joins
         "tolerance_join": R.tolerance_join,
         "left_outer_join": R.left_outer_join,
+        "multiway_join_agg": R.multiway_join_agg,
         # §2.5 calibration aggregates
         "quantile_thresholds": R.quantile_thresholds_q,
-        "tukey_fences": R.tukey_fences_q,
         "grouped_quantiles": R.grouped_quantiles,
         "grouped_variance": R.grouped_variance,
-        # §2.5 counters / grouped means
+        # §2.5 counters / distinct count
         "grouped_counters": R.grouped_counters,
-        "grouped_mean": R.grouped_mean,
-        "grouped_mean_by_priority": R.grouped_mean_by_priority,
+        "distinct_count_users": R.distinct_count_users,
         # §2.2 M4 threshold flaggers  -------- 50-row cap ends here ------
         "threshold_flag_audit": R.threshold_flag_audit,
         "threshold_flag_two_sided": R.threshold_flag_two_sided,
         # -- tail: generic relational rows (green r1+r2; check_oracle.py)
+        "tukey_fences": R.tukey_fences_q,
+        "grouped_mean": R.grouped_mean,
+        "grouped_mean_by_priority": R.grouped_mean_by_priority,
         "semi_join_agg": R.semi_join_agg,
         "anti_join_agg": R.anti_join_agg,
         "project_derive": R.project_derive,
@@ -557,6 +560,26 @@ def oracle_sql() -> dict[str, str]:
             FROM customer c LEFT JOIN (
                 SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1) o
               ON c.c_custkey = o.o_custkey
+        """,
+        "running_total_cents": """
+            SELECT event_id, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+            FROM events
+        """,
+        "multiway_join_agg": """
+            SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_orders,
+                   round(sum(o.o_totalprice), 4) AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY 1
+        """,
+        "distinct_count_users": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
         """,
         "rolling_sum_cents": """
             -- CAST: DuckDB window SUM(BIGINT) yields HUGEINT -> float64 in

@@ -100,7 +100,7 @@ def run_bench() -> dict:
         return round(best, 3)
 
     queries = {}
-    for name, fn in [
+    query_list = [] if os.environ.get("GRAFT_SKIP_QUERIES") else [
         ("grouped_counters", R.grouped_counters),
         ("tolerance_join", R.tolerance_join),
         ("tumbling_window", R.tumbling_window),
@@ -116,7 +116,8 @@ def run_bench() -> dict:
         ("dedup_adjacent_tokens", D.dedup_adjacent_tokens),
         ("simhash_neardup_pairs", D.simhash_neardup_pairs),
         ("deterministic_shuffle", D.deterministic_shuffle),
-    ]:
+    ]
+    for name, fn in query_list:
         queries[name] = timed(fn)
 
     ray.shutdown()
@@ -145,7 +146,9 @@ def run_scaling(lo: int = 4, hi: int = 16) -> dict:
     """
     results = {}
     for ncpu in (lo, hi):
-        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+        # the scaling criterion measures the HEADLINE job only; skip the
+        # per-query loop in the child runs
+        env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu), GRAFT_SKIP_QUERIES="1")
         out = subprocess.run([sys.executable, os.path.abspath(__file__)],
                              env=env, capture_output=True, text=True, check=True).stdout
         results[ncpu] = json.loads(out.strip().splitlines()[-1])

@@ -176,7 +176,8 @@ def test_windows_bucket_invariance_hot_key(ray_session, tmp_path):
     from txiac_qc_ray.pipelines import windows as W
 
     d = _write_events(tmp_path, 3000, users=2, span_hours=21 * 24)
-    for fn in (W.asof_join_clicks_errors, W.session_windows, W.lag_diff):
+    for fn in (W.asof_join_clicks_errors, W.session_windows, W.lag_diff,
+               W.rolling_sum_cents, W.running_total_cents):
         small = fn(d, bucket_hours=6)
         one = fn(d, bucket_hours=10_000_000)
         pd.testing.assert_frame_equal(small, one, obj=fn.__name__)

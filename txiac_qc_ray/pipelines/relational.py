@@ -632,3 +632,101 @@ def hash_sample(sf_dir: str, k: int = 10) -> ray.data.Dataset:
             pa.scalar(0))),
         batch_format="pyarrow",
     )
+
+
+# ---- multi-way join with pre-aggregation + broadcast dim (r3) ------------
+
+def multiway_join_agg(sf_dir: str) -> pd.DataFrame:
+    """Order volume and revenue per NATION NAME — the three-table join
+    shape (fact -> dim -> tiny dim) done the way a 100 TB engine must:
+    the fact table (orders) is PRE-AGGREGATED to per-customer partials
+    before any join (the shuffle then carries customers, not orders),
+    the customer join is a hash join on the pre-aggregated small sides,
+    and the 25-row nation table is a BROADCAST lookup inside map_batches
+    (never a shuffle). -> (n_name, n_orders, revenue)."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def order_partials(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["o_custkey"])
+        v = np.asarray(t["o_totalprice"])
+        uniq, inv = np.unique(k, return_inverse=True)
+        return pa.table({
+            "o_custkey": uniq,
+            "n": np.bincount(inv, minlength=len(uniq)).astype(np.int64),
+            "rev": np.bincount(inv, weights=v, minlength=len(uniq)),
+        })
+
+    per_cust = (orders.map_batches(order_partials, batch_format="pyarrow")
+                .groupby("o_custkey")
+                .aggregate(Sum("n", alias_name="n"), Sum("rev", alias_name="rev")))
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+    def rename(t: pa.Table) -> pa.Table:
+        return t.rename_columns(["c_custkey" if c == "o_custkey" else c
+                                 for c in t.column_names])
+
+    joined = cust.join(per_cust.map_batches(rename, batch_format="pyarrow"),
+                       join_type="inner", on=["c_custkey"], num_partitions=8)
+
+    # nation is O(25) rows: broadcast once, look up per batch
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+    ref = ray.put(name_of)
+
+    def nation_partials(t: pa.Table) -> pa.Table:
+        names = np.array([ray.get(ref)[int(k)] for k in np.asarray(t["c_nationkey"])],
+                         dtype=object)
+        uniq, inv = np.unique(names, return_inverse=True)
+        return pa.table({
+            "n_name": pa.array(uniq.tolist(), type=pa.string()),
+            "n_orders": np.bincount(inv, weights=np.asarray(t["n"])).astype(np.int64),
+            "revenue": np.bincount(inv, weights=np.asarray(t["rev"])),
+        })
+
+    agg = (joined.map_batches(nation_partials, batch_format="pyarrow")
+           .groupby("n_name").aggregate(Sum("n_orders", alias_name="n_orders"),
+                                        Sum("revenue", alias_name="revenue"))
+           .to_pandas())
+    agg["n_orders"] = agg["n_orders"].astype(np.int64)
+    agg["revenue"] = round_half_away(agg["revenue"].to_numpy(), 4)
+    return agg.sort_values("n_name", ignore_index=True)[
+        ["n_name", "n_orders", "revenue"]]
+
+
+# ---- exact distinct count via pair dedup + partials (r3) -----------------
+
+def distinct_count_users(sf_dir: str) -> pd.DataFrame:
+    """EXACT distinct users per event_type. The scale shape: batches
+    pre-dedup their local (type, user) pairs, the one shuffle carries
+    only distinct pairs (groupby dedup), and a second pass of per-batch
+    partial counts collapses to one row per type. (An approximate twin
+    would swap stage 2 for an HLL sketch; the driver compare demands
+    exactness, and exact stays cheap while distinct pairs << events.)
+    -> (event_type, n_users)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def pair_partials(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"], dtype=object)
+        u = np.asarray(t["user_id"])
+        order = np.lexsort((u, et))
+        et2, u2 = et[order], u[order]
+        firsts = np.ones(len(et2), dtype=bool)
+        firsts[1:] = (et2[1:] != et2[:-1]) | (u2[1:] != u2[:-1])
+        return pa.table({"event_type": pa.array(et2[firsts].tolist(), type=pa.string()),
+                         "user_id": u2[firsts]})
+
+    pairs = (ds.map_batches(pair_partials, batch_format="pyarrow")
+             .groupby(["event_type", "user_id"]).aggregate(Count(alias_name="c")))
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        et = np.asarray(t["event_type"], dtype=object)
+        uniq, inv = np.unique(et, return_inverse=True)
+        return pa.table({"event_type": pa.array(uniq.tolist(), type=pa.string()),
+                         "n_users": np.bincount(inv, minlength=len(uniq)).astype(np.int64)})
+
+    out = (pairs.map_batches(count_partials, batch_format="pyarrow")
+           .groupby("event_type").aggregate(Sum("n_users", alias_name="n_users"))
+           .to_pandas())
+    out["n_users"] = out["n_users"].astype(np.int64)
+    return out.sort_values("event_type", ignore_index=True)

@@ -381,23 +381,163 @@ def lag_diff(sf_dir: str, bucket_hours: int = 24) -> pd.DataFrame:
     return df.sort_values("event_id", ignore_index=True)
 
 
-def rolling_sum_cents(sf_dir: str, window: int = 3) -> pd.DataFrame:
+def rolling_sum_cents(sf_dir: str, window: int = 3,
+                      bucket_hours: int = 24) -> pd.DataFrame:
     """Per-user rolling sum of `value` (in integer cents) over the last
     `window` events ordered by (ts, event_id) — the moving-window
     aggregate. Cents keep the rolling arithmetic exactly integral, so the
     result is bit-identical to the SQL window-function oracle regardless
-    of either engine's internal sliding-sum algorithm."""
-    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    of either engine's internal sliding-sum algorithm.
 
-    def per_user(g: pd.DataFrame) -> pd.DataFrame:
+    HOT-KEY-SAFE (VERDICT r2 item 7 — this was the last op with a
+    whole-key-on-one-worker assumption): a COUNT window's reach is
+    unbounded in TIME over a sparse key, but it only ever needs the
+    previous window-1 EVENTS, wherever they live. Each (user, bucket)
+    group is therefore seeded with up to window-1 rows: the user's last
+    window-1 events across all earlier buckets, maintained by a per-user
+    running scan over the per-bucket tail summaries (each bucket
+    contributes its own last window-1 events — sufficient, since older
+    rows can never be inside a later row's window)."""
+    bucket_us = bucket_hours * _US_PER_HOUR
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    ev = ds.map_batches(_with_bucket(bucket_us), batch_format="pyarrow")
+
+    def tail_partials(t: pa.Table) -> pa.Table:
+        # per-batch candidates: the last window-1 rows of each (user,
+        # bucket) present in this batch
+        u = np.asarray(t["user_id"])
+        b = np.asarray(t["bucket"])
+        ts = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        eid = np.asarray(t["event_id"])
+        order = np.lexsort((eid, ts, b, u))
+        u2, b2 = u[order], b[order]
+        change = np.nonzero((u2[1:] != u2[:-1]) | (b2[1:] != b2[:-1]))[0] + 1
+        bounds = np.concatenate([[0], change, [len(u2)]])
+        sizes = np.diff(bounds)
+        end_pos = np.repeat(bounds[1:] - 1, sizes)
+        keep = (end_pos - np.arange(len(u2))) < (window - 1)
+        idx = order[keep]
+        return pa.table({"user_id": u[idx], "bucket": b[idx],
+                         "ts_us": ts[idx], "event_id": eid[idx],
+                         "value": np.asarray(t["value"])[idx]})
+
+    def true_tail(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(["ts_us", "event_id"]).tail(window - 1)
+
+    summary = (ev.map_batches(tail_partials, batch_format="pyarrow")
+               .groupby(["user_id", "bucket"])
+               .map_groups(true_tail, batch_format="pandas"))
+
+    def seeds(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["bucket", "ts_us", "event_id"], ignore_index=True)
+        buckets = g["bucket"].to_numpy()
+        out = {k: [] for k in ("bucket", "event_id", "ts", "user_id", "value")}
+        run: list[tuple] = []  # last window-1 (ts, eid, val) seen so far
+        for b in np.unique(buckets):
+            rows = g[buckets == b]
+            for ts_us, eid, val in run:  # seed target bucket b
+                out["bucket"].append(b)
+                out["event_id"].append(eid)
+                out["ts"].append(ts_us)
+                out["user_id"].append(int(g["user_id"].iloc[0]))
+                out["value"].append(val)
+            run = (run + list(zip(rows["ts_us"], rows["event_id"],
+                                  rows["value"])))[-(window - 1):]
+        return pd.DataFrame({
+            "bucket": np.array(out["bucket"], dtype=np.int64),
+            "event_id": np.array(out["event_id"], dtype=np.int64),
+            "is_ctx": np.ones(len(out["bucket"]), dtype=bool),
+            "ts": np.array(out["ts"], dtype=np.int64).view("datetime64[us]"),
+            "user_id": np.array(out["user_id"], dtype=np.int64),
+            "value": np.array(out["value"], dtype=np.float64),
+        })
+
+    seed_rows = (summary.groupby("user_id")
+                 .map_groups(seeds, batch_format="pandas")
+                 .map_batches(_as_arrow_sorted_cols, batch_format="pyarrow"))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], ignore_index=True)
         cents = round_half_away(g["value"].to_numpy() * 100.0, 0).astype(np.int64)
-        g["roll_sum_cents"] = (
-            pd.Series(cents).rolling(window, min_periods=1).sum().astype(np.int64)
-        )
-        return g[["event_id", "user_id", "roll_sum_cents"]]
+        roll = pd.Series(cents).rolling(window, min_periods=1).sum().astype(np.int64)
+        own = ~g["is_ctx"].to_numpy()
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy()[own],
+                             "user_id": g["user_id"].to_numpy()[own],
+                             "roll_sum_cents": roll.to_numpy()[own]})
 
-    df = ds.groupby("user_id").map_groups(per_user, batch_format="pandas").to_pandas()
+    df = (ev.union(seed_rows)
+          .groupby(["user_id", "bucket"])
+          .map_groups(per_group, batch_format="pandas")
+          .to_pandas())
+    return df.sort_values("event_id", ignore_index=True)
+
+
+def running_total_cents(sf_dir: str, bucket_hours: int = 24) -> pd.DataFrame:
+    """Per-user RUNNING TOTAL of `value` in integer cents, ordered by
+    (ts, event_id) — the distributed prefix-scan primitive (SQL: SUM ...
+    ROWS UNBOUNDED PRECEDING). -> (event_id, user_id, cum_cents).
+
+    Classic two-phase scan on the (user, bucket) shuffle key: each
+    bucket's local cents total is a tiny summary row; a per-user
+    exclusive prefix over those summaries yields each bucket's carry-in,
+    which rides the main shuffle as one seed row per bucket (ts pinned
+    to the bucket start with event_id -1, so it sorts before every real
+    row); the bucket group then adds carry + local cumsum. No key ever
+    needs its full history on one worker."""
+    bucket_us = bucket_hours * _US_PER_HOUR
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    ev = ds.map_batches(_with_bucket(bucket_us), batch_format="pyarrow")
+
+    def total_partials(t: pa.Table) -> pa.Table:
+        u = np.asarray(t["user_id"])
+        b = np.asarray(t["bucket"])
+        cents = round_half_away(np.asarray(t["value"]) * 100.0, 0).astype(np.int64)
+        order = np.lexsort((b, u))
+        u2, b2 = u[order], b[order]
+        firsts = np.ones(len(u2), dtype=bool)
+        firsts[1:] = (u2[1:] != u2[:-1]) | (b2[1:] != b2[:-1])
+        inv = np.cumsum(firsts) - 1  # group id per sorted row
+        sums = np.bincount(inv, weights=cents[order]).astype(np.int64)
+        return pa.table({"user_id": u2[firsts], "bucket": b2[firsts],
+                         "cents": sums})
+
+    summary = (ev.map_batches(total_partials, batch_format="pyarrow")
+               .groupby(["user_id", "bucket"])
+               .map_groups(lambda g: pd.DataFrame({
+                   "user_id": [g["user_id"].iloc[0]],
+                   "bucket": [g["bucket"].iloc[0]],
+                   "cents": [int(g["cents"].sum())]}), batch_format="pandas"))
+
+    def carries(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("bucket", ignore_index=True)
+        carry = np.concatenate([[0], np.cumsum(g["cents"].to_numpy())[:-1]])
+        nz = carry != 0
+        return pd.DataFrame({
+            "bucket": g["bucket"].to_numpy()[nz],
+            "event_id": np.full(int(nz.sum()), -1, dtype=np.int64),
+            "is_ctx": np.ones(int(nz.sum()), dtype=bool),
+            "ts": (g["bucket"].to_numpy()[nz] * bucket_us).view("datetime64[us]"),
+            "user_id": g["user_id"].to_numpy()[nz],
+            "value": carry[nz] / 100.0,  # carried as exact cents/100
+        })
+
+    seed_rows = (summary.groupby("user_id")
+                 .map_groups(carries, batch_format="pandas")
+                 .map_batches(_as_arrow_sorted_cols, batch_format="pyarrow"))
+
+    def per_group(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["ts", "event_id"], ignore_index=True)
+        cents = round_half_away(g["value"].to_numpy() * 100.0, 0).astype(np.int64)
+        cum = np.cumsum(cents)
+        own = ~g["is_ctx"].to_numpy()
+        return pd.DataFrame({"event_id": g["event_id"].to_numpy()[own],
+                             "user_id": g["user_id"].to_numpy()[own],
+                             "cum_cents": cum[own]})
+
+    df = (ev.union(seed_rows)
+          .groupby(["user_id", "bucket"])
+          .map_groups(per_group, batch_format="pandas")
+          .to_pandas())
     return df.sort_values("event_id", ignore_index=True)
 
 
