@@ -182,3 +182,44 @@ def test_windows_bucket_invariance_hot_key(ray_session, tmp_path):
         one = fn(d, bucket_hours=10_000_000)
         pd.testing.assert_frame_equal(small, one, obj=fn.__name__)
         assert len(small) > 0
+
+
+def test_windows_null_event_type_and_pre_epoch_ts(ray_session, tmp_path):
+    """Null event_type must aggregate as SQL's NULL group (not crash the
+    object-key np.unique), and pre-1970 timestamps (negative epoch-us)
+    must not be confused with any summary sentinel in the bucketed
+    as-of/lag paths."""
+    from txiac_qc_ray.pipelines import relational as R
+    from txiac_qc_ray.pipelines import windows as W
+
+    n = 400
+    rng = np.random.default_rng(7)
+    ts0 = np.datetime64("1969-12-25T00:00:00", "us")  # spans the epoch
+    ts = ts0 + (rng.integers(0, 14 * 86400, n) * 1_000_000).astype("timedelta64[us]")
+    etypes = [None if i % 7 == 0 else ("click", "view", "error")[i % 3]
+              for i in range(n)]
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 3, n), pa.int64()),
+        "event_type": pa.array(etypes, pa.string()),
+        "ts": pa.array(ts.astype("datetime64[us]")),
+        "value": pa.array(np.round(rng.uniform(0, 50, n), 2)),
+    })
+    d = os.path.join(str(tmp_path), "ev")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+
+    # tumbling/hopping: null-keyed rows form their own group, like SQL
+    tw = R.tumbling_window(d)
+    assert tw["event_type"].isna().sum() > 0
+    assert int(tw["cnt"].sum()) == n
+    hw = R.hopping_window(d)
+    assert hw["event_type"].isna().sum() > 0
+    assert int(hw["cnt"].sum()) == 2 * n  # every event lands in 2 windows
+
+    # bucketed paths vs single-bucket path across the 1970 boundary
+    for fn in (W.asof_join_clicks_errors, W.lag_diff, W.running_total_cents):
+        small = fn(d, bucket_hours=6)
+        one = fn(d, bucket_hours=10_000_000)
+        pd.testing.assert_frame_equal(small, one, obj=fn.__name__)
+        assert len(small) > 0

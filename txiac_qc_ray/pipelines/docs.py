@@ -31,6 +31,21 @@ from .relational import round_half_away, _read
 _TARGET_SHARD_BYTES = 1 << 30  # ~1 GiB of shuffled payload per shard group
 
 
+def _table_files(sf_dir: str, table: str) -> list[str]:
+    """Parquet files of a table, whether `<table>.parquet` is one file
+    or a directory of shards (both layouts are first-class here)."""
+    import glob as _glob
+
+    root = os.path.join(os.path.abspath(sf_dir), f"{table}.parquet")
+    if os.path.isdir(root):
+        return sorted(_glob.glob(os.path.join(root, "**", "*.parquet"),
+                                 recursive=True))
+    return sorted(_glob.glob(root))
+
+
+_FOOTER_BYTES_CACHE: dict[tuple, int] = {}
+
+
 def _shard_count(sf_dir: str, table: str = "documents",
                  target_bytes: int = _TARGET_SHARD_BYTES) -> int:
     """Shard count for the bounded-key shuffles, sized from the input's
@@ -40,22 +55,21 @@ def _shard_count(sf_dir: str, table: str = "documents",
     bound per group is therefore ~target_bytes of the payload that rides
     the shuffle; ops whose exploded payload is amplified (one row per
     LSH table) shrink `target_bytes` by that factor. Metadata-only: no
-    data is read."""
-    import glob as _glob
-
+    data is read, and the footer scan is cached per (file list, sizes,
+    mtimes) so chained operators don't re-read footers — the stat()
+    pass that builds the cache key is cheap, the footer reads are not."""
     import pyarrow.parquet as _pq
 
-    root = os.path.join(sf_dir, f"{table}.parquet")
-    if os.path.isdir(root):
-        files = sorted(_glob.glob(os.path.join(root, "**", "*.parquet"),
-                                  recursive=True))
-    else:
-        files = sorted(_glob.glob(root))
-    total = 0
-    for f in files:
-        md = _pq.ParquetFile(f).metadata
-        total += sum(md.row_group(i).total_byte_size
-                     for i in range(md.num_row_groups))
+    files = _table_files(sf_dir, table)
+    key = tuple((p, os.path.getsize(p), os.stat(p).st_mtime_ns) for p in files)
+    total = _FOOTER_BYTES_CACHE.get(key)
+    if total is None:
+        total = 0
+        for f in files:
+            md = _pq.ParquetFile(f).metadata
+            total += sum(md.row_group(i).total_byte_size
+                         for i in range(md.num_row_groups))
+        _FOOTER_BYTES_CACHE[key] = total
     return int(max(64, -(-total // max(1, target_bytes))))
 
 
@@ -1223,14 +1237,12 @@ def ann_topk_ivf_indexed(sf_dir: str, n_queries: int = 4, k: int = 5,
     import json as _json
 
     if index_dir is None:
-        import glob as _glob
         import hashlib
 
         # content fingerprint (sizes + mtimes) in the cache tag (ADVICE
         # r2): a regenerated corpus at the same path invalidates the
         # cached index instead of silently reusing a stale one
-        src = os.path.join(os.path.abspath(sf_dir), "embeddings.parquet")
-        files = sorted(_glob.glob(src)) or ([src] if os.path.exists(src) else [])
+        files = _table_files(sf_dir, "embeddings")
         fp = "|".join(f"{p}:{os.path.getsize(p)}:{os.stat(p).st_mtime_ns}"
                       for p in files)
         tag = hashlib.sha1(

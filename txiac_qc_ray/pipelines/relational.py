@@ -388,6 +388,11 @@ def grouped_mean_by_priority(sf_dir: str) -> pd.DataFrame:
 
 # ---- streaming analog: tumbling window aggregate (SURVEY.md §2.8) --------
 
+_NULL_KEY = "\x00null\x00"  # string-key stand-in for a NULL group key;
+# restored to None after the final groupby so null-keyed rows aggregate
+# like SQL's NULL group instead of crashing the object-key np.unique
+
+
 def tumbling_window(sf_dir: str) -> pd.DataFrame:
     """1-hour tumbling windows over the events stream; partial per batch
     then tiny groupby — the Ray Data shape for windowed aggregates."""
@@ -396,7 +401,8 @@ def tumbling_window(sf_dir: str) -> pd.DataFrame:
     def partials(t: pa.Table) -> pa.Table:
         win = pc.floor_temporal(t["ts"], unit="hour")
         key = pc.binary_join_element_wise(
-            t["event_type"], pc.cast(pc.cast(win, pa.int64()), pa.string()), "|")
+            pc.fill_null(t["event_type"], _NULL_KEY),
+            pc.cast(pc.cast(win, pa.int64()), pa.string()), "|")
         val = np.asarray(t["value"])
         uniq, inv = np.unique(np.asarray(key, dtype=object), return_inverse=True)
         return pa.table({
@@ -410,7 +416,7 @@ def tumbling_window(sf_dir: str) -> pd.DataFrame:
                                      Sum("sum_val", alias_name="sum_val")).to_pandas())
     parts = agg["k"].str.split("|", expand=True)
     out = pd.DataFrame({
-        "event_type": parts[0],
+        "event_type": parts[0].where(parts[0] != _NULL_KEY, None),
         "win": pd.to_datetime(parts[1].astype(np.int64), unit="us"),
         "cnt": agg["cnt"],
         "sum_val": round_half_away(agg["sum_val"], 4),
@@ -574,7 +580,7 @@ def hopping_window(sf_dir: str) -> pd.DataFrame:
             # Arrow join kernel (same idiom as tumbling_window) — the
             # np.char.add pair this replaced was ~5x slower per batch
             key = np.asarray(pc.binary_join_element_wise(
-                t["event_type"],
+                pc.fill_null(t["event_type"], _NULL_KEY),
                 pc.cast(pa.array(start), pa.string()), "|"), dtype=object)
             uniq, inv = np.unique(key[ok], return_inverse=True)
             rows_k.append(uniq)
@@ -589,7 +595,7 @@ def hopping_window(sf_dir: str) -> pd.DataFrame:
                                      Sum("sum_val", alias_name="sum_val")).to_pandas())
     parts = agg["k"].str.rsplit("|", n=1, expand=True)
     out = pd.DataFrame({
-        "event_type": parts[0],
+        "event_type": parts[0].where(parts[0] != _NULL_KEY, None),
         "win": pd.to_datetime(parts[1].astype(np.int64), unit="us"),
         "cnt": agg["cnt"],
         "sum_val": round_half_away(agg["sum_val"].to_numpy(), 4),
@@ -675,8 +681,10 @@ def multiway_join_agg(sf_dir: str) -> pd.DataFrame:
     ref = ray.put(name_of)
 
     def nation_partials(t: pa.Table) -> pa.Table:
-        names = np.array([ray.get(ref)[int(k)] for k in np.asarray(t["c_nationkey"])],
-                         dtype=object)
+        lut = ray.get(ref)  # once per batch, not per row
+        keys = np.asarray(t["c_nationkey"])
+        uk, kinv = np.unique(keys, return_inverse=True)
+        names = np.array([lut[int(k)] for k in uk], dtype=object)[kinv]
         uniq, inv = np.unique(names, return_inverse=True)
         return pa.table({
             "n_name": pa.array(uniq.tolist(), type=pa.string()),

@@ -56,40 +56,49 @@ def _as_arrow_sorted_cols(t: pa.Table) -> pa.Table:
     return t.select(sorted(t.column_names))
 
 
-def _last_event_summary(ev, keep_mask_col: str | None = None):
-    """Per-(user_id, bucket) LAST event (max (ts, event_id)) as a tiny
-    Dataset: per-batch partial argmax candidates (one per key per batch)
-    -> groupby(user, bucket) picks the true last among candidates. The
-    shuffle carries O(batches x keys-per-batch) rows, never the events.
-    With `keep_mask_col`, rows where that bool column is False are
-    excluded from the argmax but (user, bucket) keys they touch still
-    emit a row with event_id = -1 (so every non-empty bucket appears in
-    the summary even when nothing matched)."""
+def _last_event_summary(ev, keep_mask_col: str | None = None,
+                        carry_cols: tuple[str, ...] = ()):
+    """Per-(user_id, bucket) last-event CANDIDATES as a tiny Dataset of
+    (user_id, bucket, ts_us, event_id, valid, *carry_cols): one per-batch
+    partial argmax row per key per batch; the consumer's per-user group
+    applies `_reduce_last_per_bucket` to finish the reduction, so no
+    dedicated groupby is spent on it. O(batches x keys-per-batch) rows
+    ride the shuffle, never the events. With `keep_mask_col`, rows where
+    that bool column is False are excluded from the argmax via the
+    explicit `valid` flag — never a ts=-1 sentinel, since negative
+    (pre-1970) epoch-us timestamps are legal — but keys they touch still
+    emit a valid=False row, so every non-empty bucket appears."""
 
     def partials(t: pa.Table) -> pa.Table:
         u = np.asarray(t["user_id"])
         b = np.asarray(t["bucket"])
         ts = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
         eid = np.asarray(t["event_id"])
-        if keep_mask_col is not None:
-            m = np.asarray(t[keep_mask_col])
-            # masked rows rank below everything real
-            ts = np.where(m, ts, np.int64(-1))
-            eid = np.where(m, eid, np.int64(-1))
-        order = np.lexsort((eid, ts, b, u))
+        valid = (np.ones(len(u), dtype=bool) if keep_mask_col is None
+                 else np.asarray(t[keep_mask_col]).astype(bool))
+        # invalid rows sort below every valid row within a key
+        order = np.lexsort((eid, ts, valid, b, u))
         u2, b2 = u[order], b[order]
         last = np.ones(len(u2), dtype=bool)
         last[:-1] = (u2[1:] != u2[:-1]) | (b2[1:] != b2[:-1])
         idx = order[last]
-        return pa.table({"user_id": u[idx], "bucket": b[idx],
-                         "ts_us": ts[idx], "event_id": eid[idx]})
+        cols = {"user_id": u[idx], "bucket": b[idx],
+                "ts_us": ts[idx], "event_id": eid[idx], "valid": valid[idx]}
+        for c in carry_cols:
+            cols[c] = np.asarray(t[c])[idx]
+        return pa.table(cols)
 
-    def true_last(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["ts_us", "event_id"]).tail(1)
+    return ev.map_batches(partials, batch_format="pyarrow")
 
-    return (ev.map_batches(partials, batch_format="pyarrow")
-            .groupby(["user_id", "bucket"])
-            .map_groups(true_last, batch_format="pandas"))
+
+def _reduce_last_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """Reduce _last_event_summary CANDIDATES (several per bucket — one
+    per batch that touched it) to the true last row per bucket. Runs
+    INSIDE the per-user seeds group, so the summary needs no groupby of
+    its own — one shuffle instead of two (the fixed cost of a Ray
+    groupby dominates these ops at small scale)."""
+    g = g.sort_values(["valid", "ts_us", "event_id"])
+    return g.drop_duplicates(subset=["bucket"], keep="last")
 
 
 def asof_join_clicks_errors(sf_dir: str, bucket_hours: int = 24) -> pd.DataFrame:
@@ -124,17 +133,18 @@ def asof_join_clicks_errors(sf_dir: str, bucket_hours: int = 24) -> pd.DataFrame
         ev.map_batches(mark_err, batch_format="pyarrow"), keep_mask_col="is_err")
 
     def seeds(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket", ignore_index=True)
+        g = _reduce_last_per_bucket(g).sort_values("bucket", ignore_index=True)
         b = g["bucket"].to_numpy()
         ts = g["ts_us"].to_numpy()
         eid = g["event_id"].to_numpy()
+        has_err = g["valid"].to_numpy().astype(bool)
         out_b, out_ts, out_id = [], [], []
-        run_ts, run_id = -1, -1
+        run: tuple[int, int] | None = None  # latest (ts, eid) error so far
         for i in range(len(g)):
-            if run_id >= 0:  # latest error seen in an earlier bucket
-                out_b.append(b[i]); out_ts.append(run_ts); out_id.append(run_id)
-            if eid[i] >= 0 and ts[i] >= 0:  # this bucket has an error
-                run_ts, run_id = ts[i], eid[i]
+            if run is not None:  # latest error seen in an earlier bucket
+                out_b.append(b[i]); out_ts.append(run[0]); out_id.append(run[1])
+            if has_err[i]:  # this bucket has an error
+                run = (ts[i], eid[i])
         return pd.DataFrame({
             "bucket": np.array(out_b, dtype=np.int64),
             "event_id": np.array(out_id, dtype=np.int64),
@@ -328,7 +338,7 @@ def lag_diff(sf_dir: str, bucket_hours: int = 24) -> pd.DataFrame:
     ev = ds.map_batches(_with_bucket(bucket_us), batch_format="pyarrow")
 
     def seeds(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket", ignore_index=True)
+        g = _reduce_last_per_bucket(g).sort_values("bucket", ignore_index=True)
         take = len(g) - 1
         return pd.DataFrame({
             "bucket": g["bucket"].to_numpy()[1:],  # target: NEXT non-empty bucket
@@ -339,27 +349,7 @@ def lag_diff(sf_dir: str, bucket_hours: int = 24) -> pd.DataFrame:
             "value": g["value"].to_numpy()[:take],
         })
 
-    def add_value_partials(t: pa.Table) -> pa.Table:
-        # same partial-argmax as _last_event_summary, carrying `value`
-        u = np.asarray(t["user_id"])
-        b = np.asarray(t["bucket"])
-        ts = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
-        eid = np.asarray(t["event_id"])
-        order = np.lexsort((eid, ts, b, u))
-        u2, b2 = u[order], b[order]
-        last = np.ones(len(u2), dtype=bool)
-        last[:-1] = (u2[1:] != u2[:-1]) | (b2[1:] != b2[:-1])
-        idx = order[last]
-        return pa.table({"user_id": u[idx], "bucket": b[idx],
-                         "ts_us": ts[idx], "event_id": eid[idx],
-                         "value": np.asarray(t["value"])[idx]})
-
-    def true_last(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["ts_us", "event_id"]).tail(1)
-
-    summary = (ev.map_batches(add_value_partials, batch_format="pyarrow")
-               .groupby(["user_id", "bucket"])
-               .map_groups(true_last, batch_format="pandas"))
+    summary = _last_event_summary(ev, carry_cols=("value",))
     seed_rows = (summary.groupby("user_id")
                  .map_groups(seeds, batch_format="pandas")
                  .map_batches(_as_arrow_sorted_cols, batch_format="pyarrow"))
@@ -421,28 +411,37 @@ def rolling_sum_cents(sf_dir: str, window: int = 3,
                          "ts_us": ts[idx], "event_id": eid[idx],
                          "value": np.asarray(t["value"])[idx]})
 
-    def true_tail(g: pd.DataFrame) -> pd.DataFrame:
-        return g.sort_values(["ts_us", "event_id"]).tail(window - 1)
-
-    summary = (ev.map_batches(tail_partials, batch_format="pyarrow")
-               .groupby(["user_id", "bucket"])
-               .map_groups(true_tail, batch_format="pandas"))
+    summary = ev.map_batches(tail_partials, batch_format="pyarrow")
 
     def seeds(g: pd.DataFrame) -> pd.DataFrame:
+        # finish the tail reduction INSIDE the per-user group (the
+        # per-batch candidates are a superset of each bucket's true last
+        # window-1 rows — the partial top-k argument), saving the
+        # dedicated groupby(user, bucket) shuffle
+        g = (g.sort_values(["ts_us", "event_id"])
+             .groupby("bucket").tail(window - 1))
         g = g.sort_values(["bucket", "ts_us", "event_id"], ignore_index=True)
         buckets = g["bucket"].to_numpy()
+        ts_a = g["ts_us"].to_numpy()
+        eid_a = g["event_id"].to_numpy()
+        val_a = g["value"].to_numpy()
+        uid = int(g["user_id"].iloc[0])
+        # one pass over the bucket-sorted frame (slice bounds, no
+        # per-bucket boolean rescans — O(B), not O(B^2))
+        bounds = np.concatenate(
+            [[0], np.nonzero(np.diff(buckets))[0] + 1, [len(buckets)]])
         out = {k: [] for k in ("bucket", "event_id", "ts", "user_id", "value")}
         run: list[tuple] = []  # last window-1 (ts, eid, val) seen so far
-        for b in np.unique(buckets):
-            rows = g[buckets == b]
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            b = buckets[s]
             for ts_us, eid, val in run:  # seed target bucket b
                 out["bucket"].append(b)
                 out["event_id"].append(eid)
                 out["ts"].append(ts_us)
-                out["user_id"].append(int(g["user_id"].iloc[0]))
+                out["user_id"].append(uid)
                 out["value"].append(val)
-            run = (run + list(zip(rows["ts_us"], rows["event_id"],
-                                  rows["value"])))[-(window - 1):]
+            run = (run + list(zip(ts_a[s:e], eid_a[s:e],
+                                  val_a[s:e])))[-(window - 1):]
         return pd.DataFrame({
             "bucket": np.array(out["bucket"], dtype=np.int64),
             "event_id": np.array(out["event_id"], dtype=np.int64),
@@ -501,15 +500,15 @@ def running_total_cents(sf_dir: str, bucket_hours: int = 24) -> pd.DataFrame:
         return pa.table({"user_id": u2[firsts], "bucket": b2[firsts],
                          "cents": sums})
 
-    summary = (ev.map_batches(total_partials, batch_format="pyarrow")
-               .groupby(["user_id", "bucket"])
-               .map_groups(lambda g: pd.DataFrame({
-                   "user_id": [g["user_id"].iloc[0]],
-                   "bucket": [g["bucket"].iloc[0]],
-                   "cents": [int(g["cents"].sum())]}), batch_format="pandas"))
+    summary = ev.map_batches(total_partials, batch_format="pyarrow")
 
     def carries(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("bucket", ignore_index=True)
+        # per-batch partial sums are additive: finish the per-bucket sum
+        # inside the per-user group (no dedicated groupby shuffle)
+        uid = g["user_id"].iloc[0]
+        g = (g.groupby("bucket", as_index=False)["cents"].sum()
+             .sort_values("bucket", ignore_index=True))
+        g["user_id"] = uid
         carry = np.concatenate([[0], np.cumsum(g["cents"].to_numpy())[:-1]])
         nz = carry != 0
         return pd.DataFrame({
