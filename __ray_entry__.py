@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": D.decontaminate_against,
         "vocab_topk": D.vocab_topk,
         "deterministic_shuffle": D.deterministic_shuffle,
+        "cap_per_host": D.cap_per_host,
         # dedup family
         "exact_dedup": D.exact_dedup,
         "exact_dedup_rows": D.exact_dedup_rows,
@@ -124,7 +125,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stream-shaped custom operators (as-of join / windows)
         "asof_join": W.asof_join_clicks_errors,
         "session_windows": W.session_windows,
-        "topk_per_group": W.topk_per_group,
         "rolling_sum_cents": W.rolling_sum_cents,
         "lag_diff": W.lag_diff,
         "rolling_time_sum_cents": W.rolling_time_sum_cents,
@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "threshold_flag_audit": R.threshold_flag_audit,
         "threshold_flag_two_sided": R.threshold_flag_two_sided,
         # -- tail: generic relational rows (green r1+r2; check_oracle.py)
+        "topk_per_group": W.topk_per_group,
         "tukey_fences": R.tukey_fences_q,
         "grouped_mean": R.grouped_mean,
         "grouped_mean_by_priority": R.grouped_mean_by_priority,
@@ -359,6 +360,7 @@ def oracle_sql() -> dict[str, str]:
         "decontaminate": O.decontaminate_sql(50, 5),
         "vocab_topk": O.vocab_topk_sql(20),
         "deterministic_shuffle": O.deterministic_shuffle_sql(),
+        "cap_per_host": O.cap_per_host_sql(5),
         "prep_corpus": O.prep_corpus_sql(),
         # ANN: IVF is exact by construction (bound-pruned probe); LSH
         # parameters give recall 1.0 on the test corpora (pytest-pinned),

@@ -240,6 +240,18 @@ def deterministic_shuffle_sql() -> str:
     """
 
 
+def cap_per_host_sql(k: int = 5) -> str:
+    """Per-host cap twin: the same splitmix64 hash order in SQL."""
+    mix = mix64_scalar("CAST(doc_id AS HUGEINT)")
+    return f"""
+    SELECT doc_id, source, lang, n_chars FROM (
+      SELECT doc_id, source, lang, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY {mix}, doc_id) AS rk
+      FROM documents) WHERE rk <= {k}
+    """
+
+
 def hex16(v: str) -> str:
     """16-digit lowercase hex of a HUGEINT in [0, 2^64)."""
     return (f"printf('%08x%08x', CAST(({v}) >> 32 AS BIGINT), "

@@ -1154,6 +1154,41 @@ def deterministic_shuffle(sf_dir: str) -> ray.data.Dataset:
             .groupby("bucket").map_groups(rank_group, batch_format="pandas"))
 
 
+def cap_per_host(sf_dir: str, k: int = 5) -> pd.DataFrame:
+    """Deterministic per-host document cap — the standard web-pipeline
+    balancing step ('keep at most k docs per domain' so no host
+    dominates the corpus) done REPLAYABLY: per source, keep the k docs
+    with the smallest mix64(doc_id) — a keyed hash order reproducible
+    across engines/restarts, unlike a seeded random sample. Per-batch
+    partial min-k per source -> groupby(source) finishes the reduce:
+    the shuffle carries <= k rows per (source, batch), never the
+    corpus. -> (doc_id, source, lang, n_chars) sorted by doc_id."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        key = _mix64(np.asarray(t["doc_id"]).astype(np.uint64))
+        src = np.asarray(t["source"], dtype=object)
+        order = np.lexsort((key, src))
+        s2 = src[order]
+        change = np.ones(len(s2), dtype=bool)
+        change[1:] = s2[1:] != s2[:-1]
+        gid = np.cumsum(change) - 1
+        starts = np.nonzero(change)[0]
+        rank = np.arange(len(s2)) - starts[gid]
+        keep_idx = order[rank < k]
+        return t.take(pa.array(keep_idx)).append_column(
+            "sort_key", pa.array(key[keep_idx]))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["sort_key", "doc_id"]).head(k)
+        return g.drop(columns=["sort_key"])
+
+    df = (ds.map_batches(partial, batch_format="pyarrow")
+          .groupby("source").map_groups(finish, batch_format="pandas")
+          .to_pandas())
+    return df.sort_values("doc_id", ignore_index=True)
+
+
 # ---- partitioned IVF index: the 100 TB similarity-search layout ----------
 
 def build_ivf_index(sf_dir: str, index_dir: str, n_queries: int = 4,
