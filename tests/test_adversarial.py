@@ -223,3 +223,39 @@ def test_windows_null_event_type_and_pre_epoch_ts(ray_session, tmp_path):
         one = fn(d, bucket_hours=10_000_000)
         pd.testing.assert_frame_equal(small, one, obj=fn.__name__)
         assert len(small) > 0
+
+
+def test_null_keys_distinct_count_and_cap(ray_session, tmp_path):
+    """Null group keys in the two r3 agg/cap ops: distinct_count_users
+    counts a null event_type as its own group (like SQL) and
+    cap_per_host caps the null-source host partition, instead of
+    crashing the object-key lexsort."""
+    from txiac_qc_ray.pipelines import docs as D
+    from txiac_qc_ray.pipelines import relational as R
+
+    n = 120
+    rng = np.random.default_rng(11)
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 10, n), pa.int64()),
+        "event_type": pa.array([None if i % 5 == 0 else ("click", "view")[i % 2]
+                                for i in range(n)], pa.string()),
+        "ts": pa.array(np.full(n, np.datetime64("2024-01-01", "us"))),
+        "value": pa.array(np.ones(n)),
+    })
+    d = os.path.join(str(tmp_path), "ev")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    dc = R.distinct_count_users(d)
+    assert dc["event_type"].isna().sum() == 1
+    mirror = (t.to_pandas().groupby("event_type", dropna=False)["user_id"]
+              .nunique().sort_index())
+    assert sorted(dc["n_users"]) == sorted(mirror.tolist())
+
+    texts = [f"doc body {i}" for i in range(40)]
+    dd = _write_docs(tmp_path, texts,
+                     sources=[None if i % 4 == 0 else f"s{i % 3}"
+                              for i in range(40)])
+    capped = D.cap_per_host(dd, k=3)
+    assert capped["source"].isna().sum() == 3  # null host capped at k
+    assert (capped.groupby("source", dropna=False).size() <= 3).all()

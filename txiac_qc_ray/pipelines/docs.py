@@ -43,7 +43,10 @@ def _table_files(sf_dir: str, table: str) -> list[str]:
     return sorted(_glob.glob(root))
 
 
-_FOOTER_BYTES_CACHE: dict[tuple, int] = {}
+# keyed by (sf_dir, table) holding (stat fingerprint, total): a
+# regenerated table REPLACES its entry, so the cache stays O(tables)
+# instead of accumulating one tuple key per historical mtime
+_FOOTER_BYTES_CACHE: dict[tuple, tuple] = {}
 
 
 def _shard_count(sf_dir: str, table: str = "documents",
@@ -61,15 +64,17 @@ def _shard_count(sf_dir: str, table: str = "documents",
     import pyarrow.parquet as _pq
 
     files = _table_files(sf_dir, table)
-    key = tuple((p, os.path.getsize(p), os.stat(p).st_mtime_ns) for p in files)
-    total = _FOOTER_BYTES_CACHE.get(key)
-    if total is None:
+    fp = tuple((p, os.path.getsize(p), os.stat(p).st_mtime_ns) for p in files)
+    cached = _FOOTER_BYTES_CACHE.get((sf_dir, table))
+    if cached is not None and cached[0] == fp:
+        total = cached[1]
+    else:
         total = 0
         for f in files:
             md = _pq.ParquetFile(f).metadata
             total += sum(md.row_group(i).total_byte_size
                          for i in range(md.num_row_groups))
-        _FOOTER_BYTES_CACHE[key] = total
+        _FOOTER_BYTES_CACHE[(sf_dir, table)] = (fp, total)
     return int(max(64, -(-total // max(1, target_bytes))))
 
 
@@ -1164,10 +1169,13 @@ def cap_per_host(sf_dir: str, k: int = 5) -> pd.DataFrame:
     the shuffle carries <= k rows per (source, batch), never the
     corpus. -> (doc_id, source, lang, n_chars) sorted by doc_id."""
     ds = _read(sf_dir, "documents", ["doc_id", "source", "lang", "n_chars"])
+    _NULL_HOST = "\x00null\x00"  # shuffle-key stand-in: a null source is
+    # its own host group (SQL PARTITION BY semantics); output rows keep
+    # their real null `source`, only the key column carries the sentinel
 
     def partial(t: pa.Table) -> pa.Table:
         key = _mix64(np.asarray(t["doc_id"]).astype(np.uint64))
-        src = np.asarray(t["source"], dtype=object)
+        src = np.asarray(pc.fill_null(t["source"], _NULL_HOST), dtype=object)
         order = np.lexsort((key, src))
         s2 = src[order]
         change = np.ones(len(s2), dtype=bool)
@@ -1176,15 +1184,17 @@ def cap_per_host(sf_dir: str, k: int = 5) -> pd.DataFrame:
         starts = np.nonzero(change)[0]
         rank = np.arange(len(s2)) - starts[gid]
         keep_idx = order[rank < k]
-        return t.take(pa.array(keep_idx)).append_column(
-            "sort_key", pa.array(key[keep_idx]))
+        return (t.take(pa.array(keep_idx))
+                .append_column("sort_key", pa.array(key[keep_idx]))
+                .append_column("host_key", pa.array(src[keep_idx].tolist(),
+                                                    type=pa.string())))
 
     def finish(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["sort_key", "doc_id"]).head(k)
-        return g.drop(columns=["sort_key"])
+        return g.drop(columns=["sort_key", "host_key"])
 
     df = (ds.map_batches(partial, batch_format="pyarrow")
-          .groupby("source").map_groups(finish, batch_format="pandas")
+          .groupby("host_key").map_groups(finish, batch_format="pandas")
           .to_pandas())
     return df.sort_values("doc_id", ignore_index=True)
 

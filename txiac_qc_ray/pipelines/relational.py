@@ -414,7 +414,9 @@ def tumbling_window(sf_dir: str) -> pd.DataFrame:
     agg = (ds.map_batches(partials, batch_format="pyarrow")
              .groupby("k").aggregate(Sum("cnt", alias_name="cnt"),
                                      Sum("sum_val", alias_name="sum_val")).to_pandas())
-    parts = agg["k"].str.split("|", expand=True)
+    # rsplit(n=1): the window suffix never contains '|', an event_type
+    # value legally might
+    parts = agg["k"].str.rsplit("|", n=1, expand=True)
     out = pd.DataFrame({
         "event_type": parts[0].where(parts[0] != _NULL_KEY, None),
         "win": pd.to_datetime(parts[1].astype(np.int64), unit="us"),
@@ -715,7 +717,10 @@ def distinct_count_users(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["event_type", "user_id"])
 
     def pair_partials(t: pa.Table) -> pa.Table:
-        et = np.asarray(t["event_type"], dtype=object)
+        # null keys ride as the sentinel (an object-array lexsort cannot
+        # order None) and are restored after the final groupby, so a
+        # null event_type counts as its own group like SQL's NULL
+        et = np.asarray(pc.fill_null(t["event_type"], _NULL_KEY), dtype=object)
         u = np.asarray(t["user_id"])
         order = np.lexsort((u, et))
         et2, u2 = et[order], u[order]
@@ -737,4 +742,5 @@ def distinct_count_users(sf_dir: str) -> pd.DataFrame:
            .groupby("event_type").aggregate(Sum("n_users", alias_name="n_users"))
            .to_pandas())
     out["n_users"] = out["n_users"].astype(np.int64)
+    out["event_type"] = out["event_type"].where(out["event_type"] != _NULL_KEY, None)
     return out.sort_values("event_type", ignore_index=True)
