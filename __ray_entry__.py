@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_docs": D.langid_docs,
         "decontaminate": D.decontaminate_against,
         "vocab_topk": D.vocab_topk,
+        "tfidf_top_terms": D.tfidf_top_terms,
         "deterministic_shuffle": D.deterministic_shuffle,
         "cap_per_host": D.cap_per_host,
         # dedup family
@@ -130,7 +131,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_time_sum_cents": W.rolling_time_sum_cents,
         "running_total_cents": W.running_total_cents,
         "tumbling_window": R.tumbling_window,
-        "hopping_window": R.hopping_window,
         # §2.4 joins
         "tolerance_join": R.tolerance_join,
         "left_outer_join": R.left_outer_join,
@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "threshold_flag_audit": R.threshold_flag_audit,
         "threshold_flag_two_sided": R.threshold_flag_two_sided,
         # -- tail: generic relational rows (green r1+r2; check_oracle.py)
+        "hopping_window": R.hopping_window,
         "topk_per_group": W.topk_per_group,
         "tukey_fences": R.tukey_fences_q,
         "grouped_mean": R.grouped_mean,
@@ -359,6 +360,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_docs": O.langid_sql(),
         "decontaminate": O.decontaminate_sql(50, 5),
         "vocab_topk": O.vocab_topk_sql(20),
+        "tfidf_top_terms": O.tfidf_top_terms_sql(3),
         "deterministic_shuffle": O.deterministic_shuffle_sql(),
         "cap_per_host": O.cap_per_host_sql(5),
         "prep_corpus": O.prep_corpus_sql(),

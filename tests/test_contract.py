@@ -59,3 +59,30 @@ def test_oracle_sql_parses():
         except Exception as exc:  # noqa: BLE001
             failures.append((name, str(exc).splitlines()[0]))
     assert failures == [], failures
+
+
+def test_correctness_cap_covers_priority_queries():
+    """The driver records correctness rows for the FIRST 50 queries()
+    entries only; the flagship, PMIS flows, text-analysis/prep family
+    and every round-3 operator must sit inside that cap (a future
+    reorder silently dropping one of these from the record should fail
+    here, not in the next VERDICT)."""
+    import __ray_entry__ as E
+
+    keys = list(E.queries())
+    first50 = set(keys[:50])
+    priority = {
+        "qc_label_documents", "pmis_audit_flow", "pmis_yby_flow",
+        "pmis_county_summary", "pmis_counters", "pmis_diff_histogram",
+        "pmis_yby_district", "csv_ingest_sections", "prep_corpus",
+        "token_counts", "quality_stats", "fingerprint_docs", "langid_docs",
+        "decontaminate", "vocab_topk", "tfidf_top_terms", "deterministic_shuffle",
+        "cap_per_host", "running_total_cents", "multiway_join_agg",
+        "distinct_count_users", "minhash_lsh_dedup", "exact_dedup_rows",
+        "asof_join", "session_windows", "rolling_sum_cents", "lag_diff",
+        "rolling_time_sum_cents",
+    }
+    missing = priority - first50
+    assert not missing, f"priority queries past the 50-row cap: {missing}"
+    # every query has an oracle twin (value-checked, not rows-only)
+    assert set(E.oracle_sql()) == set(keys)

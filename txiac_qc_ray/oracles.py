@@ -240,6 +240,28 @@ def deterministic_shuffle_sql() -> str:
     """
 
 
+def tfidf_top_terms_sql(top_k: int = 3) -> str:
+    """Keyword-extraction twin: tf/df score (one correctly-rounded
+    double division on both engines — ln() would not be bit-stable
+    across libms), term-asc tie-break."""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM tok GROUP BY 1, 2),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1)
+    SELECT doc_id, tok AS term, score FROM (
+      SELECT tf.doc_id, tf.tok,
+             CAST(tf.tf AS DOUBLE) / df.df AS score,
+             row_number() OVER (PARTITION BY tf.doc_id
+                                ORDER BY CAST(tf.tf AS DOUBLE) / df.df DESC,
+                                         tf.tok) AS rk
+      FROM tf JOIN df USING (tok))
+    WHERE rk <= {top_k}
+    """
+
+
 def cap_per_host_sql(k: int = 5) -> str:
     """Per-host cap twin: the same splitmix64 hash order in SQL."""
     mix = mix64_scalar("CAST(doc_id AS HUGEINT)")

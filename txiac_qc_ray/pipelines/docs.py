@@ -1159,6 +1159,75 @@ def deterministic_shuffle(sf_dir: str) -> ray.data.Dataset:
             .groupby("bucket").map_groups(rank_group, batch_format="pandas"))
 
 
+def tfidf_top_terms(sf_dir: str, top_k: int = 3) -> pd.DataFrame:
+    """Top-k characteristic terms per document scored by tf/df — the
+    classic keyword-extraction op, with tf/df as the idf surrogate
+    (monotone in tf * 1/df; avoiding ln() keeps both engines' float
+    math one correctly-rounded division, so the SQL twin is
+    bit-identical — libm log implementations are not). Ties break on
+    term asc. -> (doc_id, term, score) top_k rows per doc.
+
+    Shape: (1) one pass emits distinct (doc_id, tok, tf) rows
+    (vectorized dictionary-encode, materialized once in the object
+    store — two consumers); (2) a per-batch partial + groupby(tok)
+    builds the global document-frequency table (the shuffle carries
+    vocabulary-sized partials); (3) a token-keyed hash join attaches df
+    to each (doc, tok) row; (4) groupby(doc_id) takes the local top-k.
+    The token-level explode is the heavy path — vocabulary and
+    (doc, distinct-token) rows both ~10x smaller than the corpus
+    text itself."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tf_rows(t: pa.Table) -> pa.Table:
+        tv = ts.tokenize(t["text"])
+        if tv.ids is None or len(tv.flat) == 0:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "tok": pa.array([], pa.string()),
+                             "tf": pa.array([], pa.int64())})
+        doc_of = np.repeat(np.asarray(t["doc_id"]), np.diff(tv.offsets))
+        order = np.lexsort((tv.ids, doc_of))
+        d2, i2 = doc_of[order], tv.ids[order]
+        firsts = np.ones(len(d2), dtype=bool)
+        firsts[1:] = (d2[1:] != d2[:-1]) | (i2[1:] != i2[:-1])
+        grp = np.cumsum(firsts) - 1
+        tf = np.bincount(grp).astype(np.int64)
+        return pa.table({"doc_id": d2[firsts],
+                         "tok": tv.dictionary.take(pa.array(i2[firsts])),
+                         "tf": tf})
+
+    tf_ds = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+
+    def df_partials(t: pa.Table) -> pa.Table:
+        # rows are distinct (doc, tok) already: per-batch doc counts
+        tok = t["tok"].combine_chunks() if isinstance(t["tok"], pa.ChunkedArray) else t["tok"]
+        enc = tok.dictionary_encode()
+        ids = np.asarray(enc.indices, dtype=np.int64)
+        return pa.table({"tok": enc.dictionary,
+                         "c": np.bincount(ids, minlength=len(enc.dictionary)).astype(np.int64)})
+
+    df_tab = (tf_ds.map_batches(df_partials, batch_format="pyarrow")
+              .groupby("tok").aggregate(RaySum("c", alias_name="df")))
+
+    joined = tf_ds.join(df_tab, join_type="inner", on=["tok"], num_partitions=8)
+
+    def top_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        score = g["tf"].to_numpy().astype(np.float64) / g["df"].to_numpy()
+        g = g.assign(score=score).sort_values(
+            ["score", "tok"], ascending=[False, True]).head(top_k)
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "term": g["tok"].to_numpy(),
+                             "score": g["score"].to_numpy()})
+
+    out = (joined.groupby("doc_id")
+           .map_groups(top_per_doc, batch_format="pandas").to_pandas())
+    if "doc_id" not in out.columns:
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "term": pd.Series([], dtype="object"),
+                             "score": pd.Series([], dtype="float64")})
+    return out.sort_values(["doc_id", "score", "term"],
+                           ascending=[True, False, True], ignore_index=True)
+
+
 def cap_per_host(sf_dir: str, k: int = 5) -> pd.DataFrame:
     """Deterministic per-host document cap — the standard web-pipeline
     balancing step ('keep at most k docs per domain' so no host
