@@ -95,6 +95,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmis_diff_histogram": _pmis_diff_histogram,
         "pmis_yby_district": _pmis_yby_district,
         "csv_ingest_sections": _csv_ingest_sections,
+        "jsonl_ingest_docs": _jsonl_ingest_docs,
         # composite corpus prep + text analysis
         "prep_corpus": D.prep_corpus,
         "token_counts": D.token_counts_docs,
@@ -133,7 +134,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tumbling_window": R.tumbling_window,
         # §2.4 joins
         "tolerance_join": R.tolerance_join,
-        "left_outer_join": R.left_outer_join,
         "multiway_join_agg": R.multiway_join_agg,
         # §2.5 calibration aggregates
         "quantile_thresholds": R.quantile_thresholds_q,
@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "threshold_flag_two_sided": R.threshold_flag_two_sided,
         # -- tail: generic relational rows (green r1+r2; check_oracle.py)
         "hopping_window": R.hopping_window,
+        "left_outer_join": R.left_outer_join,
         "topk_per_group": W.topk_per_group,
         "tukey_fences": R.tukey_fences_q,
         "grouped_mean": R.grouped_mean,
@@ -259,6 +260,22 @@ def _pmis_counters(sf_dir: str):
     return pmis_outlier_counters(merged, thresholds, qctype="Audit")
 
 
+def _jsonl_ingest_docs(_sf_dir: str):
+    """JSONL source parity (S1 family, third format after Parquet+CSV):
+    ray.data.read_json over the frozen 500-row fixture; the DuckDB twin
+    reads the SAME file via read_json_auto, so parse fidelity (unicode
+    text, int64 ids) is value-checked end to end."""
+    import ray.data
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "data", "docs_sample.jsonl")
+    ds = ray.data.read_json(path)
+    df = ds.select_columns(["doc_id", "text", "lang", "source", "n_chars"]).to_pandas()
+    df["doc_id"] = df["doc_id"].astype("int64")
+    df["n_chars"] = df["n_chars"].astype("int64")
+    return df.sort_values("doc_id", ignore_index=True)
+
+
 def _csv_ingest_sections(sf_dir: str):
     from txiac_qc_ray.sources.sections import read_sections_csv
 
@@ -304,6 +321,13 @@ def oracle_sql() -> dict[str, str]:
         "pmis_diff_histogram": _pmis_diff_hist_sql(pa_path, pb_path),
         "pmis_yby_district": O.pmis_yby_district_sql(pa_path, pb_path),
         "csv_ingest_sections": O.csv_ingest_sql(os.path.join(_PMIS_DIR, "cycle_a.csv")),
+        "jsonl_ingest_docs": f"""
+            SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,
+                   CAST(n_chars AS BIGINT) AS n_chars
+            FROM read_json_auto('{os.path.join(
+                os.path.dirname(os.path.abspath(__file__)),
+                "tests", "data", "docs_sample.jsonl")}')
+        """,
         # hash/model-based ops: independent SQL re-implementations of the
         # frozen algorithms (txiac_qc_ray/oracles.py builds the text)
         "minhash_lsh_dedup": O.minhash_pairs_sql(0.5),
