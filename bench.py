@@ -84,6 +84,7 @@ def run_bench() -> dict:
     # representative operator pipelines over the sf tables
     from txiac_qc_ray.pipelines import docs as D
     from txiac_qc_ray.pipelines import relational as R
+    from txiac_qc_ray.pipelines import windows as W
 
     # Per-query isolation (VERDICT r2 item 6: r2's driver numbers for
     # tumbling_window/exact_dedup were 2-3x BASELINE.md's because the
@@ -120,6 +121,8 @@ def run_bench() -> dict:
         ("dedup_adjacent_tokens", D.dedup_adjacent_tokens),
         ("simhash_neardup_pairs", D.simhash_neardup_pairs),
         ("deterministic_shuffle", D.deterministic_shuffle),
+        ("running_total_cents", W.running_total_cents),
+        ("tfidf_top_terms", D.tfidf_top_terms),
     ]
     for name, fn in query_list:
         queries[name] = timed(fn)

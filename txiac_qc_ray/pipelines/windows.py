@@ -101,7 +101,7 @@ def _reduce_last_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
     return g.drop_duplicates(subset=["bucket"], keep="last")
 
 
-def asof_join_clicks_errors(sf_dir: str, bucket_hours: int = 24) -> pd.DataFrame:
+def asof_join_clicks_errors(sf_dir: str, bucket_hours: int = 168) -> pd.DataFrame:
     """For every 'click' event: the latest strictly-earlier 'error' event
     of the same user (as-of backward join). Rows with no prior error are
     dropped (inner as-of). -> (click_id, error_id, gap_sec).
@@ -196,7 +196,7 @@ def asof_join_clicks_errors(sf_dir: str, bucket_hours: int = 24) -> pd.DataFrame
 
 
 def session_windows(sf_dir: str, gap_minutes: int = 30,
-                    bucket_hours: int = 24) -> pd.DataFrame:
+                    bucket_hours: int = 168) -> pd.DataFrame:
     """Gap-based sessionization per user: a new session starts when the
     time since the previous event exceeds `gap_minutes`. ->
     (user_id, session_start, n_events, sum_val).
@@ -319,7 +319,7 @@ def topk_per_group(sf_dir: str, k: int = 3) -> pd.DataFrame:
     return out.reset_index(drop=True)[["event_type", "event_id", "value"]]
 
 
-def lag_diff(sf_dir: str, bucket_hours: int = 24) -> pd.DataFrame:
+def lag_diff(sf_dir: str, bucket_hours: int = 168) -> pd.DataFrame:
     """Per-user lag-1 difference of `value` ordered by (ts, event_id) —
     the lead/lag window-derive family (a user's first event has a null
     diff, mirroring SQL LAG — surfaced as float64 NaN, exactly how a
@@ -372,7 +372,7 @@ def lag_diff(sf_dir: str, bucket_hours: int = 24) -> pd.DataFrame:
 
 
 def rolling_sum_cents(sf_dir: str, window: int = 3,
-                      bucket_hours: int = 24) -> pd.DataFrame:
+                      bucket_hours: int = 168) -> pd.DataFrame:
     """Per-user rolling sum of `value` (in integer cents) over the last
     `window` events ordered by (ts, event_id) — the moving-window
     aggregate. Cents keep the rolling arithmetic exactly integral, so the
@@ -471,7 +471,7 @@ def rolling_sum_cents(sf_dir: str, window: int = 3,
     return df.sort_values("event_id", ignore_index=True)
 
 
-def running_total_cents(sf_dir: str, bucket_hours: int = 24) -> pd.DataFrame:
+def running_total_cents(sf_dir: str, bucket_hours: int = 168) -> pd.DataFrame:
     """Per-user RUNNING TOTAL of `value` in integer cents, ordered by
     (ts, event_id) — the distributed prefix-scan primitive (SQL: SUM ...
     ROWS UNBOUNDED PRECEDING). -> (event_id, user_id, cum_cents).
