@@ -110,6 +110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup family
         "exact_dedup": D.exact_dedup,
         "exact_dedup_rows": D.exact_dedup_rows,
+        "dedup_index_first_seen": D.dedup_index_first_seen,
         "minhash_lsh_dedup": D.minhash_lsh_candidates,
         "neardup_clusters": D.neardup_clusters,
         "neardup_clusters_distributed": D.neardup_clusters_distributed,
@@ -137,7 +138,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multiway_join_agg": R.multiway_join_agg,
         # §2.5 calibration aggregates
         "quantile_thresholds": R.quantile_thresholds_q,
-        "grouped_quantiles": R.grouped_quantiles,
         "grouped_variance": R.grouped_variance,
         # §2.5 counters / distinct count
         "grouped_counters": R.grouped_counters,
@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "threshold_flag_two_sided": R.threshold_flag_two_sided,
         # -- tail: generic relational rows (green r1+r2; check_oracle.py)
         "hopping_window": R.hopping_window,
+        "grouped_quantiles": R.grouped_quantiles,
         "left_outer_join": R.left_outer_join,
         "topk_per_group": W.topk_per_group,
         "tukey_fences": R.tukey_fences_q,
@@ -397,6 +398,7 @@ def oracle_sql() -> dict[str, str]:
         # bucketed LSH near-dup path: exact-verified pairs, full recall at
         # the frozen parameters (pytest-pinned vs the exact path)
         "embedding_neardup_lsh": embedding_neardup,
+        "dedup_index_first_seen": O.dedup_index_first_seen_sql(),
         "exact_dedup_rows": """
             SELECT doc_id, text, lang, source, n_chars FROM documents
             WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)

@@ -259,3 +259,18 @@ def test_null_keys_distinct_count_and_cap(ray_session, tmp_path):
     capped = D.cap_per_host(dd, k=3)
     assert capped["source"].isna().sum() == 3  # null host capped at k
     assert (capped.groupby("source", dropna=False).size() <= 3).all()
+
+
+def test_dedup_index_first_seen_hot_hash(ray_session, tmp_path):
+    """All-identical corpus: every update lands on ONE index shard (the
+    hottest possible hash) and exactly doc 0 is first_seen; a unique
+    corpus is first_seen everywhere. Deterministic under any batch
+    order (commutative-min index)."""
+    from txiac_qc_ray.pipelines import docs as D
+
+    d = _write_docs(tmp_path, ["same text for everyone"] * 30)
+    out = D.dedup_index_first_seen(d)
+    assert out["first_seen"].tolist() == [True] + [False] * 29
+    d2 = _write_docs(tmp_path, [f"uniq {'x' * (i + 1)}" for i in range(12)])
+    out2 = D.dedup_index_first_seen(d2)
+    assert out2["first_seen"].all() and len(out2) == 12

@@ -240,6 +240,18 @@ def deterministic_shuffle_sql() -> str:
     """
 
 
+def dedup_index_first_seen_sql() -> str:
+    """First-seen twin: partition by the SAME FNV-1a 64 content hash the
+    actor index keys on (not by text), so even a hash collision cannot
+    split the two engines."""
+    return f"""
+    SELECT doc_id,
+           doc_id = min(doc_id) OVER (PARTITION BY {fnv_expr('text')})
+               AS first_seen
+    FROM documents
+    """
+
+
 def tfidf_top_terms_sql(top_k: int = 3) -> str:
     """Keyword-extraction twin: tf/df score (one correctly-rounded
     double division on both engines — ln() would not be bit-stable

@@ -159,6 +159,75 @@ def exact_dedup_rows(sf_dir: str, n_shards: int | None = None) -> pd.DataFrame:
     return df.sort_values("doc_id", ignore_index=True)
 
 
+@ray.remote
+class _MinIndexShard:
+    """One shard of the shared mutable dedup index: hash -> min doc_id.
+    Updates are commutative MINs, so any batch arrival order produces
+    the same final index."""
+
+    def __init__(self) -> None:
+        self._min: dict[int, int] = {}
+
+    def update(self, hashes: np.ndarray, ids: np.ndarray) -> None:
+        m = self._min
+        for h, i in zip(hashes.tolist(), ids.tolist()):
+            c = m.get(h)
+            if c is None or i < c:
+                m[h] = i
+
+    def lookup(self, hashes: np.ndarray) -> np.ndarray:
+        m = self._min
+        return np.fromiter((m[h] for h in hashes.tolist()),
+                           dtype=np.int64, count=len(hashes))
+
+
+def dedup_index_first_seen(sf_dir: str, n_index_shards: int = 8) -> pd.DataFrame:
+    """Streaming first-seen dedup via a SHARED MUTABLE INDEX — the one
+    semantics the Dataset API genuinely can't express (cross-batch
+    state), so it drops to raw Ray actors: `n_index_shards` index actors
+    each own a slice of the 64-bit content-hash space and hold
+    hash -> min doc_id. Two streamed passes make the answer
+    deterministic under ANY batch execution order: pass 1 pushes
+    commutative MIN updates per batch (order-independent by
+    construction, one actor call per (batch, shard)); pass 2 labels
+    each doc first_seen = (doc_id == index min). At cluster scale the
+    shards spread across nodes, each holding |distinct hashes| /
+    n_shards entries — no shuffle of the corpus at all, unlike the
+    groupby-based exact_dedup twins. The SQL oracle partitions by the
+    SAME FNV-1a hash, so even a 64-bit collision cannot split the
+    engines. -> (doc_id, first_seen)."""
+    actors = [_MinIndexShard.remote() for _ in range(n_index_shards)]
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def shard_of(h: np.ndarray) -> np.ndarray:
+        return (h.astype(np.uint64) % np.uint64(n_index_shards)).astype(np.int64)
+
+    def push(t: pa.Table) -> pa.Table:
+        h = fnv1a64(t["text"]).astype(np.int64)
+        ids = np.asarray(t["doc_id"])
+        s = shard_of(h)
+        refs = [actors[k].update.remote(h[s == k], ids[s == k])
+                for k in np.unique(s)]
+        ray.get(refs)  # this batch's writes land before the task returns
+        return pa.table({"rows": pa.array([t.num_rows], pa.int64())})
+
+    ds.map_batches(push, batch_format="pyarrow").count()  # barrier: index complete
+
+    def label(t: pa.Table) -> pa.Table:
+        h = fnv1a64(t["text"]).astype(np.int64)
+        ids = np.asarray(t["doc_id"])
+        s = shard_of(h)
+        first = np.empty(len(ids), dtype=np.int64)
+        uniq = np.unique(s)
+        for k, r in zip(uniq, ray.get([actors[k].lookup.remote(h[s == k])
+                                       for k in uniq])):
+            first[s == k] = r
+        return pa.table({"doc_id": ids, "first_seen": ids == first})
+
+    df = ds.map_batches(label, batch_format="pyarrow").to_pandas()
+    return df.sort_values("doc_id", ignore_index=True)
+
+
 def exact_dedup_losers(sf_dir: str) -> pd.DataFrame:
     """doc_ids that LOSE exact dedup (a smaller-doc_id row with identical
     text exists). Output is O(duplicate rate), not O(corpus) — the side
