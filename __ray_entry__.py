@@ -174,6 +174,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 _PMIS_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                          "tests", "data", "pmis")
+_DOCS_JSONL = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "tests", "data", "docs_sample.jsonl")
 
 
 def _pmis_counters_sql(pa_path: str, pb_path: str) -> str:
@@ -268,9 +270,7 @@ def _jsonl_ingest_docs(_sf_dir: str):
     text, int64 ids) is value-checked end to end."""
     import ray.data
 
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                        "tests", "data", "docs_sample.jsonl")
-    ds = ray.data.read_json(path)
+    ds = ray.data.read_json(_DOCS_JSONL)
     df = ds.select_columns(["doc_id", "text", "lang", "source", "n_chars"]).to_pandas()
     df["doc_id"] = df["doc_id"].astype("int64")
     df["n_chars"] = df["n_chars"].astype("int64")
@@ -325,9 +325,7 @@ def oracle_sql() -> dict[str, str]:
         "jsonl_ingest_docs": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,
                    CAST(n_chars AS BIGINT) AS n_chars
-            FROM read_json_auto('{os.path.join(
-                os.path.dirname(os.path.abspath(__file__)),
-                "tests", "data", "docs_sample.jsonl")}')
+            FROM read_json_auto('{_DOCS_JSONL}')
         """,
         # hash/model-based ops: independent SQL re-implementations of the
         # frozen algorithms (txiac_qc_ray/oracles.py builds the text)

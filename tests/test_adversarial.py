@@ -81,6 +81,15 @@ def test_null_and_empty_texts(ray_session, tmp_path):
     assert tc["n_tokens"].tolist()[1:] == [0, 0, 3, 4]
     li = D.langid_docs(d)
     assert len(li) == 5  # null text -> None/und, no crash
+    tt = D.tfidf_top_terms(d)
+    assert set(tt["doc_id"]) <= {3, 4}  # token-less docs emit no terms
+    fs = D.dedup_index_first_seen(d)
+    # null fills to "" before hashing (both engines), so docs 0 and 1
+    # share a hash and doc 1 loses; whitespace "   " is its own text
+    assert fs["first_seen"].tolist() == [True, False, True, True, True]
+    # an all-empty corpus returns the typed empty frame, no join crash
+    d_empty = _write_docs(tmp_path, [None, "", "   "])
+    assert len(D.tfidf_top_terms(d_empty)) == 0
 
 
 def test_skewed_source_ngram_jaccard(ray_session, tmp_path):

@@ -1265,6 +1265,12 @@ def tfidf_top_terms(sf_dir: str, top_k: int = 3) -> pd.DataFrame:
                          "tf": tf})
 
     tf_ds = ds.map_batches(tf_rows, batch_format="pyarrow").materialize()
+    _EMPTY = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                           "term": pd.Series([], dtype="object"),
+                           "score": pd.Series([], dtype="float64")})
+    n_rows = tf_ds.count()
+    if n_rows == 0:  # all texts null/empty: an all-empty-blocks dataset
+        return _EMPTY  # presents no 'tok' column to join on
 
     def df_partials(t: pa.Table) -> pa.Table:
         # rows are distinct (doc, tok) already: per-batch doc counts
@@ -1277,22 +1283,41 @@ def tfidf_top_terms(sf_dir: str, top_k: int = 3) -> pd.DataFrame:
     df_tab = (tf_ds.map_batches(df_partials, batch_format="pyarrow")
               .groupby("tok").aggregate(RaySum("c", alias_name="df")))
 
-    joined = tf_ds.join(df_tab, join_type="inner", on=["tok"], num_partitions=8)
+    # join partitions sized with the DATA on both ends (the token
+    # explode is the heavy path — a fixed count would be the _N_SHARDS
+    # mistake all over again; and Ray 2.49's hash join crashes on a
+    # partition that receives zero rows, so tiny inputs must not be
+    # spread over many partitions)
+    n_shards = _shard_count(sf_dir, "documents")
+    num_parts = max(1, min(max(8, n_shards // 8), n_rows // 8192))
+    joined = tf_ds.join(df_tab, join_type="inner", on=["tok"],
+                        num_partitions=num_parts)
 
-    def top_per_doc(g: pd.DataFrame) -> pd.DataFrame:
+    def add_shard(t: pa.Table) -> pa.Table:
+        sh = (_mix64(np.asarray(t["doc_id"]).astype(np.uint64))
+              % np.uint64(n_shards)).astype(np.int64)
+        return t.append_column("dshard", pa.array(sh))
+
+    def top_shard(g: pd.DataFrame) -> pd.DataFrame:
+        doc = g["doc_id"].to_numpy()
         score = g["tf"].to_numpy().astype(np.float64) / g["df"].to_numpy()
-        g = g.assign(score=score).sort_values(
-            ["score", "tok"], ascending=[False, True]).head(top_k)
-        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
-                             "term": g["tok"].to_numpy(),
-                             "score": g["score"].to_numpy()})
+        tok = g["tok"].to_numpy()
+        order = np.lexsort((tok, -score, doc))  # per doc: score desc, term asc
+        d2 = doc[order]
+        firsts = np.ones(len(d2), dtype=bool)
+        firsts[1:] = d2[1:] != d2[:-1]
+        gid = np.cumsum(firsts) - 1
+        starts = np.nonzero(firsts)[0]
+        rank = np.arange(len(d2)) - starts[gid]
+        idx = order[rank < top_k]
+        return pd.DataFrame({"doc_id": doc[idx], "term": tok[idx],
+                             "score": score[idx]})
 
-    out = (joined.groupby("doc_id")
-           .map_groups(top_per_doc, batch_format="pandas").to_pandas())
+    out = (joined.map_batches(add_shard, batch_format="pyarrow")
+           .groupby("dshard")
+           .map_groups(top_shard, batch_format="pandas").to_pandas())
     if "doc_id" not in out.columns:
-        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
-                             "term": pd.Series([], dtype="object"),
-                             "score": pd.Series([], dtype="float64")})
+        return _EMPTY
     return out.sort_values(["doc_id", "score", "term"],
                            ascending=[True, False, True], ignore_index=True)
 
