@@ -597,8 +597,10 @@ def oracle_sql() -> dict[str, str]:
             FROM events
         """,
         "multiway_join_agg": """
+            -- integer-cents sum mirrors the Ray side's exact partials
             SELECT n.n_name, CAST(count(*) AS BIGINT) AS n_orders,
-                   round(sum(o.o_totalprice), 4) AS revenue
+                   round(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                         / 100.0, 4) AS revenue
             FROM orders o
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey

@@ -123,6 +123,10 @@ def run_bench() -> dict:
         ("deterministic_shuffle", D.deterministic_shuffle),
         ("running_total_cents", W.running_total_cents),
         ("tfidf_top_terms", D.tfidf_top_terms),
+        ("cap_per_host", D.cap_per_host),
+        ("multiway_join_agg", R.multiway_join_agg),
+        ("distinct_count_users", R.distinct_count_users),
+        ("dedup_index_first_seen", D.dedup_index_first_seen),
     ]
     for name, fn in query_list:
         queries[name] = timed(fn)

@@ -51,7 +51,21 @@ def single_process_qc_label(t: pa.Table) -> pa.Table:
     t = t.append_column("lang_pred", pa.array(preds, type=pa.string()))
     t = t.append_column("lang_score", pa.array(scores, type=pa.float64()))
     t = t.append_column("ppl", pa.array(UnigramLM().score(texts), type=pa.float64()))
-    t = apply_rules(t)
+    # two-pass E2 flow, single-process: calibrate the calibratable rules
+    # on THIS corpus with the shared derivation (same np.nanpercentile
+    # call the Ray pass makes — one formula, no drift)
+    import numpy as np
+
+    from txiac_qc_ray.config import DEFAULT_RULES
+    from txiac_qc_ray.pipelines.calibrate import derive_rule_thresholds
+
+    def quantiles(f: str, qs) -> tuple[float, ...]:
+        vals = np.asarray(t.column(f), dtype=np.float64)
+        return tuple(float(x) for x in
+                     np.nanpercentile(vals, [100 * q for q in qs]))
+
+    rules = derive_rule_thresholds(DEFAULT_RULES, quantiles)
+    t = apply_rules(t, rules)
     scrubbed, changed = scrub_texts(t.column("text"))
     keep = pc.fill_null(t.column("keep"), False)
     scrubbed = pc.if_else(keep, scrubbed, pa.scalar(None, type=pa.string()))

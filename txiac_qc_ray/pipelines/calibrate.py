@@ -186,6 +186,15 @@ def calibrate_rules(
         def quantiles(f: str, qs: tuple[float, ...]) -> tuple[float, ...]:
             return tuple(digests[f].quantile(q) for q in qs)
 
+    return derive_rule_thresholds(rules, quantiles)
+
+
+def derive_rule_thresholds(rules: tuple[RuleSpec, ...],
+                           quantiles) -> tuple[RuleSpec, ...]:
+    """Pure threshold derivation shared by the Ray calibration pass and
+    the single-process golden twin (ONE copy of the percentile/Tukey
+    formulas, so the two can't drift). `quantiles(feature, qs)` returns
+    the requested quantiles of that feature column."""
     out = []
     for r in rules:
         if r.calibration == "percentile":

@@ -90,10 +90,23 @@ def qc_pipeline_from_parquet(paths: str | list[str], cfg: PipelineConfig | None 
     return build_qc_pipeline(read_pages(paths), cfg)
 
 
-def qc_label_documents(sf_dir: str, cfg: PipelineConfig | None = None) -> ray.data.Dataset:
+def qc_label_documents(sf_dir: str, cfg: PipelineConfig | None = None,
+                       calibrate: bool = True) -> ray.data.Dataset:
     """The QC stack over the driver's `documents` table (no html, so the
-    extract stage is skipped): features -> langid -> ppl -> rules -> scrub.
-    Stands in for `pages` in smoke/correctness runs (FIXTURES.md F4)."""
+    extract stage is skipped): features -> langid -> ppl -> CALIBRATE ->
+    rules -> scrub. Stands in for `pages` in smoke/correctness runs
+    (FIXTURES.md F4).
+
+    This is the reference's full E2 two-pass flow (Home.py:326-372):
+    the calibratable rules (percentile/tukey per RuleSpec.calibration)
+    recompute their thresholds FROM THIS CORPUS in pass 1 — the fixed
+    defaults are tuned for web pages, and a corpus with a different
+    feature distribution would otherwise flag everything (observed:
+    keep rate 0.0 on the synthetic documents table under fixed
+    thresholds). The scored dataset is materialized once (object-store,
+    spillable) because calibration and flagging both consume it; the
+    single-process golden applies the identical np.nanpercentile
+    calibration, so the two-pass flow itself is value-checked."""
     cfg = cfg or PipelineConfig()
     ds = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text", "lang", "source"])
@@ -116,7 +129,13 @@ def qc_label_documents(sf_dir: str, cfg: PipelineConfig | None = None) -> ray.da
     ds = ds.map_batches(features_batch, **kw)
     ds = ds.map_batches(LangIdStage, concurrency=cfg.langid_concurrency, num_cpus=1, **kw)
     ds = ds.map_batches(PerplexityStage, concurrency=cfg.ppl_concurrency, num_cpus=1, **kw)
-    ds = ds.map_batches(make_rules_stage(cfg.rules), **kw)
+    rules = cfg.rules
+    if calibrate:
+        from .calibrate import calibrate_rules
+
+        ds = ds.materialize()  # pass 1 (calibration) + pass 2 (flag) both read it
+        rules = calibrate_rules(ds, rules)
+    ds = ds.map_batches(make_rules_stage(rules), **kw)
     ds = ds.map_batches(ScrubStage, concurrency=cfg.scrub_concurrency, num_cpus=1, **kw)
     # list columns don't survive every downstream consumer (pandas hashing);
     # project rule_flags away for the tabular consumers, keep bool columns

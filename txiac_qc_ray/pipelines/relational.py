@@ -656,12 +656,15 @@ def multiway_join_agg(sf_dir: str) -> pd.DataFrame:
 
     def order_partials(t: pa.Table) -> pa.Table:
         k = np.asarray(t["o_custkey"])
-        v = np.asarray(t["o_totalprice"])
+        # integer cents: partial sums become order-independent exact
+        # int64s (2dp prices), so no summation-order rounding flake can
+        # split the Ray partial-agg chain from DuckDB's sum
+        v = np.round(np.asarray(t["o_totalprice"], dtype=np.float64) * 100)
         uniq, inv = np.unique(k, return_inverse=True)
         return pa.table({
             "o_custkey": uniq,
             "n": np.bincount(inv, minlength=len(uniq)).astype(np.int64),
-            "rev": np.bincount(inv, weights=v, minlength=len(uniq)),
+            "rev": np.bincount(inv, weights=v, minlength=len(uniq)).astype(np.int64),
         })
 
     per_cust = (orders.map_batches(order_partials, batch_format="pyarrow")
@@ -691,15 +694,16 @@ def multiway_join_agg(sf_dir: str) -> pd.DataFrame:
         return pa.table({
             "n_name": pa.array(uniq.tolist(), type=pa.string()),
             "n_orders": np.bincount(inv, weights=np.asarray(t["n"])).astype(np.int64),
-            "revenue": np.bincount(inv, weights=np.asarray(t["rev"])),
+            "rev_cents": np.bincount(inv, weights=np.asarray(t["rev"])).astype(np.int64),
         })
 
     agg = (joined.map_batches(nation_partials, batch_format="pyarrow")
            .groupby("n_name").aggregate(Sum("n_orders", alias_name="n_orders"),
-                                        Sum("revenue", alias_name="revenue"))
+                                        Sum("rev_cents", alias_name="rev_cents"))
            .to_pandas())
     agg["n_orders"] = agg["n_orders"].astype(np.int64)
-    agg["revenue"] = round_half_away(agg["revenue"].to_numpy(), 4)
+    agg["revenue"] = round_half_away(
+        agg["rev_cents"].to_numpy().astype(np.float64) / 100.0, 4)
     return agg.sort_values("n_name", ignore_index=True)[
         ["n_name", "n_orders", "revenue"]]
 
