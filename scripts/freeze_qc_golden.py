@@ -57,14 +57,13 @@ def single_process_qc_label(t: pa.Table) -> pa.Table:
     import numpy as np
 
     from txiac_qc_ray.config import DEFAULT_RULES
-    from txiac_qc_ray.pipelines.calibrate import derive_rule_thresholds
+    from txiac_qc_ray.pipelines.calibrate import (derive_rule_thresholds,
+                                                  exact_quantiles_fn)
 
-    def quantiles(f: str, qs) -> tuple[float, ...]:
-        vals = np.asarray(t.column(f), dtype=np.float64)
-        return tuple(float(x) for x in
-                     np.nanpercentile(vals, [100 * q for q in qs]))
-
-    rules = derive_rule_thresholds(DEFAULT_RULES, quantiles)
+    feats = sorted({r.feature for r in DEFAULT_RULES
+                    if r.calibration in ("percentile", "tukey")})
+    vals = {f: np.asarray(t.column(f), dtype=np.float64) for f in feats}
+    rules = derive_rule_thresholds(DEFAULT_RULES, exact_quantiles_fn(vals))
     t = apply_rules(t, rules)
     scrubbed, changed = scrub_texts(t.column("text"))
     keep = pc.fill_null(t.column("keep"), False)

@@ -86,5 +86,10 @@ class PipelineConfig:
     # "tasks": scorers as plain fns with per-process model caches (elastic,
     # no pool spin-up); "actors": explicit autoscaling actor pools.
     stage_mode: str = "tasks"
+    # "exact" collects the calibratable feature columns for exact
+    # percentiles (right at fixture scale, O(rows) driver memory);
+    # "sketch" uses per-block t-digest partials — the beyond-driver-RAM
+    # path for corpus-scale calibration
+    calibration_mode: str = "exact"
     counter_dims: tuple[str, ...] = ("lang_pred", "drop_reason", "host")
     extra: dict = field(default_factory=dict)

@@ -177,9 +177,7 @@ def calibrate_rules(
         return tuple(rules)
     if exact:
         vals = _columns_values(ds, feats)
-
-        def quantiles(f: str, qs: tuple[float, ...]) -> tuple[float, ...]:
-            return tuple(float(x) for x in np.nanpercentile(vals[f], [100 * q for q in qs]))
+        quantiles = exact_quantiles_fn(vals)
     else:
         digests = sketch_digests(ds, feats)
 
@@ -187,6 +185,19 @@ def calibrate_rules(
             return tuple(digests[f].quantile(q) for q in qs)
 
     return derive_rule_thresholds(rules, quantiles)
+
+
+def exact_quantiles_fn(values_by_col: dict[str, np.ndarray]):
+    """The ONE exact-quantile evaluation (np.nanpercentile, linear
+    interpolation) shared by the Ray calibration pass and the
+    single-process golden twin — a second copy of this closure is how
+    the two sides would drift."""
+
+    def quantiles(f: str, qs: tuple[float, ...]) -> tuple[float, ...]:
+        return tuple(float(x) for x in
+                     np.nanpercentile(values_by_col[f], [100 * q for q in qs]))
+
+    return quantiles
 
 
 def derive_rule_thresholds(rules: tuple[RuleSpec, ...],

@@ -30,6 +30,7 @@ import pyarrow.compute as pc
 import ray.data
 
 from ..sources.sections import MEASURES
+from .relational import round_half_away
 
 TOL = 0.05
 EQUI_KEYS = ("hwy_id", "county")
@@ -147,12 +148,12 @@ def county_summary(
                 v = np.asarray(t[f"{m}{s}"], dtype=np.float64)
                 ok = ~np.isnan(v)
                 if ms:  # integer-exact units (see docstring)
-                    v = np.round(v * ms)
+                    v = round_half_away(v * ms, 0)
                 cols[f"sum_{m}{s}"] = np.bincount(inv, weights=np.where(ok, v, 0.0), minlength=len(uniq))
                 cols[f"cnt_{m}{s}"] = np.bincount(inv, weights=ok, minlength=len(uniq)).astype(np.int64)
             sec = np.asarray(t[f"section_length{s}"], dtype=np.float64)
             if ls:
-                sec = np.round(sec * ls)
+                sec = round_half_away(sec * ls, 0)
             lvl = np.asarray(t[f"traffic_level{s}"], dtype=object)
             for level in TRAFFIC_LEVELS:
                 cols[f"len_{level.lower()}{s}"] = np.bincount(
@@ -202,7 +203,7 @@ def district_summary(
                 v = np.asarray(t[f"{m}{s}"], dtype=np.float64)
                 ok = ~np.isnan(v)
                 if measure_scale:
-                    v = np.round(v * measure_scale)
+                    v = round_half_away(v * measure_scale, 0)
                 rows_m[m].append(np.stack([
                     np.bincount(inv, weights=np.where(ok, v, 0.0), minlength=len(uniq)),
                     np.bincount(inv, weights=ok, minlength=len(uniq)),
@@ -282,7 +283,7 @@ def pmis_outlier_counters(
         # integer milli-miles: section lengths are exact 3-decimals, so
         # scaled-integer sums are order-independent and bit-identical to
         # the SQL oracle's (the county_summary decimal-units trick)
-        sec = np.round(np.asarray(t[f"section_length{sa}"], dtype=np.float64) * 1000)
+        sec = round_half_away(np.asarray(t[f"section_length{sa}"], dtype=np.float64) * 1000, 0)
 
         lane_a = np.asarray(t[f"lane_number{sa}"]).astype(str)
         lane_b = np.asarray(t[f"lane_number{sb}"]).astype(str)

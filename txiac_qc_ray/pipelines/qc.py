@@ -134,7 +134,8 @@ def qc_label_documents(sf_dir: str, cfg: PipelineConfig | None = None,
         from .calibrate import calibrate_rules
 
         ds = ds.materialize()  # pass 1 (calibration) + pass 2 (flag) both read it
-        rules = calibrate_rules(ds, rules)
+        rules = calibrate_rules(ds, rules,
+                                exact=cfg.calibration_mode == "exact")
     ds = ds.map_batches(make_rules_stage(rules), **kw)
     ds = ds.map_batches(ScrubStage, concurrency=cfg.scrub_concurrency, num_cpus=1, **kw)
     # list columns don't survive every downstream consumer (pandas hashing);

@@ -531,7 +531,7 @@ def grouped_variance(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
 
     def partials(t: pa.Table) -> pa.Table:
-        cents = np.round(np.asarray(t["l_quantity"], dtype=np.float64) * 100)
+        cents = round_half_away(np.asarray(t["l_quantity"], dtype=np.float64) * 100, 0)
         keys = np.asarray(t["l_returnflag"], dtype=object)
         uniq, inv = np.unique(keys, return_inverse=True)
         return pa.table({
@@ -659,7 +659,7 @@ def multiway_join_agg(sf_dir: str) -> pd.DataFrame:
         # integer cents: partial sums become order-independent exact
         # int64s (2dp prices), so no summation-order rounding flake can
         # split the Ray partial-agg chain from DuckDB's sum
-        v = np.round(np.asarray(t["o_totalprice"], dtype=np.float64) * 100)
+        v = round_half_away(np.asarray(t["o_totalprice"], dtype=np.float64) * 100, 0)
         uniq, inv = np.unique(k, return_inverse=True)
         return pa.table({
             "o_custkey": uniq,
