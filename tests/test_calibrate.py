@@ -155,3 +155,22 @@ def test_grouped_sketch_digests_accuracy(ray_session):
         for q in (0.025, 0.5, 0.975):
             assert abs(digs[k].quantile(q) - np.quantile(sel, q)) < 0.02 * spread, (k, q)
     assert total == len(vals)
+
+
+def test_qc_label_documents_sketch_calibration(ray_session):
+    """calibration_mode='sketch' routes pass 1 through the t-digest path
+    (the beyond-driver-RAM option): the flagship completes and its
+    keep/drop split stays close to the exact path's (sketch quantiles
+    are ~1/compression accurate, so a handful of boundary docs may
+    flip)."""
+    from txiac_qc_ray.config import PipelineConfig
+    from txiac_qc_ray.pipelines.qc import qc_label_documents
+
+    sf = "/root/testdata/sf0.001"
+    exact = qc_label_documents(sf).to_pandas()
+    sk = qc_label_documents(
+        sf, PipelineConfig(calibration_mode="sketch")).to_pandas()
+    assert len(sk) == len(exact)
+    agree = (exact.sort_values("doc_id")["keep"].to_numpy()
+             == sk.sort_values("doc_id")["keep"].to_numpy()).mean()
+    assert agree >= 0.98
