@@ -283,3 +283,17 @@ def test_dedup_index_first_seen_hot_hash(ray_session, tmp_path):
     d2 = _write_docs(tmp_path, [f"uniq {'x' * (i + 1)}" for i in range(12)])
     out2 = D.dedup_index_first_seen(d2)
     assert out2["first_seen"].all() and len(out2) == 12
+
+
+def test_dedup_index_shard_count_invariance(ray_session, tmp_path):
+    """The actor-index dedup answer may not depend on how the hash space
+    is sharded (1 actor vs 8) — commutative-min makes it order- and
+    layout-free."""
+    from txiac_qc_ray.pipelines import docs as D
+
+    texts = [f"body {'x' * (i % 7)}" for i in range(40)]  # 7 distinct texts
+    d = _write_docs(tmp_path, texts)
+    a = D.dedup_index_first_seen(d, n_index_shards=1)
+    b = D.dedup_index_first_seen(d, n_index_shards=8)
+    pd.testing.assert_frame_equal(a, b)
+    assert int(a["first_seen"].sum()) == 7
