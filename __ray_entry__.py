@@ -103,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_docs": D.fingerprint_docs,
         "langid_docs": D.langid_docs,
         "decontaminate": D.decontaminate_against,
+        "decontaminate_bloom": D.decontaminate_bloom,
         "vocab_topk": D.vocab_topk,
         "tfidf_top_terms": D.tfidf_top_terms,
         "deterministic_shuffle": D.deterministic_shuffle,
@@ -132,7 +133,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_diff": W.lag_diff,
         "rolling_time_sum_cents": W.rolling_time_sum_cents,
         "running_total_cents": W.running_total_cents,
-        "tumbling_window": R.tumbling_window,
         # §2.4 joins
         "tolerance_join": R.tolerance_join,
         "multiway_join_agg": R.multiway_join_agg,
@@ -146,6 +146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "threshold_flag_audit": R.threshold_flag_audit,
         "threshold_flag_two_sided": R.threshold_flag_two_sided,
         # -- tail: generic relational rows (green r1+r2; check_oracle.py)
+        "tumbling_window": R.tumbling_window,
         "hopping_window": R.hopping_window,
         "grouped_quantiles": R.grouped_quantiles,
         "left_outer_join": R.left_outer_join,
@@ -382,6 +383,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_docs": O.fingerprint_sql(),
         "langid_docs": O.langid_sql(),
         "decontaminate": O.decontaminate_sql(50, 5),
+        # bloom variant has no false negatives and exact-verifies every
+        # candidate, so it shares the exact op's oracle verbatim
+        "decontaminate_bloom": O.decontaminate_sql(50, 5),
         "vocab_topk": O.vocab_topk_sql(20),
         "tfidf_top_terms": O.tfidf_top_terms_sql(3),
         "deterministic_shuffle": O.deterministic_shuffle_sql(),

@@ -217,3 +217,18 @@ def test_minhash_verify_paths_identical(ray_session):
     pd.testing.assert_frame_equal(fast.sort_values(key, ignore_index=True),
                                   slow.sort_values(key, ignore_index=True))
     assert len(fast) == len(pairs_pd)
+
+
+def test_decontaminate_bloom_equals_exact(ray_session):
+    """The bloom variant must return byte-identical results to the exact
+    broadcast path (no false negatives in a Bloom filter; every
+    candidate exact-verified)."""
+    import pandas as pd
+
+    from txiac_qc_ray.pipelines import docs as D
+
+    sf = "/root/testdata/sf0.001"
+    a = D.decontaminate_against(sf).to_pandas().sort_values("doc_id", ignore_index=True)
+    b = D.decontaminate_bloom(sf).to_pandas().sort_values("doc_id", ignore_index=True)
+    pd.testing.assert_frame_equal(a, b)
+    assert a["contaminated"].any()

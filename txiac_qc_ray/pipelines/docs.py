@@ -1145,6 +1145,123 @@ def decontaminate_against(sf_dir: str, eval_mod: int = 50,
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
+_BLOOM_SALTS = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F))
+
+
+def decontaminate_bloom(sf_dir: str, eval_mod: int = 50, min_overlap: int = 5,
+                        bloom_bits_log2: int = 22,
+                        n_shards: int | None = None) -> ray.data.Dataset:
+    """Bloom-prefiltered decontamination — IDENTICAL output contract and
+    values to `decontaminate_against` (they share the SQL oracle), but
+    built for the regime where the eval corpus outgrows a per-worker
+    hash-set broadcast:
+
+      - the broadcast is an m-bit Bloom bitmap (2^22 bits = 512 KiB,
+        constant regardless of eval size) whose bits are set STREAMING
+        on the driver — the eval hash lists are never stored;
+      - each training batch probes the bitmap vectorized; only the
+        bloom-candidate (doc, shingle) hits — true overlaps plus the
+        small false-positive rate — ride a bounded shard shuffle
+        against the eval hashes sharded by the same key, where an
+        exact np.isin removes every false positive;
+      - verified per-doc counts (O(docs with a real overlap), the
+        drop-set bound) broadcast back into one labeling pass.
+
+    No false negatives exist in a Bloom filter, so verified == exact.
+    -> Dataset of (doc_id, n_overlap, contaminated) for non-eval docs."""
+    m = 1 << bloom_bits_log2
+    shards = n_shards or 64
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def eval_hashes(t: pa.Table) -> pa.Table:
+        keep = np.asarray(t["doc_id"]) % eval_mod == 0
+        h, _ = token_ngram_hashes(t.filter(pa.array(keep))["text"], 3)
+        return pa.table({"h": np.unique(h).astype(np.int64)})
+
+    ev_ds = ds.map_batches(eval_hashes, batch_format="pyarrow").materialize()
+
+    # streaming bitmap build: set bits per batch, discard the hashes
+    bitmap = np.zeros(m // 8, dtype=np.uint8)
+    for b in ev_ds.iter_batches(batch_size=65536, batch_format="pyarrow"):
+        h = np.asarray(b["h"]).astype(np.uint64)
+        for salt in _BLOOM_SALTS:
+            pos = (_mix64(h ^ salt) & np.uint64(m - 1)).astype(np.int64)
+            np.bitwise_or.at(bitmap, pos >> 3,
+                             (np.uint8(1) << (pos & 7).astype(np.uint8)))
+    bm_ref = ray.put(bitmap)
+
+    def probe(bm: np.ndarray, h: np.ndarray) -> np.ndarray:
+        ok = np.ones(len(h), dtype=bool)
+        hu = h.astype(np.uint64)
+        for salt in _BLOOM_SALTS:
+            pos = (_mix64(hu ^ salt) & np.uint64(m - 1)).astype(np.int64)
+            ok &= ((bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1).astype(bool)
+        return ok
+
+    # candidate (doc, shingle) hits from the training side
+    def candidates(t: pa.Table) -> pa.Table:
+        bm = ray.get(bm_ref)
+        keep = np.asarray(t["doc_id"]) % eval_mod != 0
+        t = t.filter(pa.array(keep))
+        h, off = token_ngram_hashes(t["text"], 3)
+        h = h.astype(np.int64)
+        n_docs = len(off) - 1
+        doc_of = np.repeat(np.asarray(t["doc_id"]), np.diff(off))
+        # distinct (doc, shingle)
+        order = np.lexsort((h, doc_of))
+        d, hh = doc_of[order], h[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
+        d, hh = d[first], hh[first]
+        hit = probe(bm, hh)
+        d, hh = d[hit], hh[hit]
+        return pa.table({"doc_id": d.astype(np.int64), "h": hh,
+                         "shard": (hh.astype(np.uint64) % np.uint64(shards)).astype(np.int64),
+                         "kind": np.ones(len(d), dtype=np.int64)})
+
+    cand = ds.map_batches(candidates, batch_format="pyarrow")
+    ev_rows = ev_ds.map_batches(
+        lambda t: pa.table({
+            "doc_id": np.full(t.num_rows, -1, dtype=np.int64),
+            "h": np.asarray(t["h"]),
+            "shard": (np.asarray(t["h"]).astype(np.uint64)
+                      % np.uint64(shards)).astype(np.int64),
+            "kind": np.zeros(t.num_rows, dtype=np.int64)}),
+        batch_format="pyarrow")
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g.loc[g["kind"] == 0, "h"].to_numpy()
+        cd = g[g["kind"] == 1]
+        real = cd[np.isin(cd["h"].to_numpy(), ev)]
+        if real.empty:
+            return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                                 "cnt": pd.Series([], dtype="int64")})
+        counts = real.groupby("doc_id").size()
+        return pd.DataFrame({"doc_id": counts.index.to_numpy(),
+                             "cnt": counts.to_numpy().astype(np.int64)})
+
+    partials = (cand.union(ev_rows).groupby("shard")
+                .map_groups(verify, batch_format="pandas").to_pandas())
+    if "doc_id" in partials.columns and len(partials):
+        agg = partials.groupby("doc_id")["cnt"].sum()
+        overlap_map = dict(zip(agg.index.astype(int), agg.to_numpy()))
+    else:
+        overlap_map = {}
+    ov_ref = ray.put(overlap_map)
+
+    def label(t: pa.Table) -> pa.Table:
+        ov = ray.get(ov_ref)
+        keep = np.asarray(t["doc_id"]) % eval_mod != 0
+        t = t.filter(pa.array(keep))
+        ids = np.asarray(t["doc_id"])
+        n_overlap = np.fromiter((ov.get(int(i), 0) for i in ids),
+                                dtype=np.int64, count=len(ids))
+        return pa.table({"doc_id": ids, "n_overlap": n_overlap,
+                         "contaminated": n_overlap >= min_overlap})
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
 def vocab_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
     """Global vocabulary top-k: most frequent tokens across the corpus
     (ties broken by token asc). Per-batch dictionary-encoded partial
