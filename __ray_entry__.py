@@ -75,82 +75,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from txiac_qc_ray.pipelines.qc import qc_label_documents
 
     # ORDER MATTERS: the driver records correctness rows for the FIRST 50
-    # entries only (VERDICT r2 item 1), so the flagship pipeline, the PMIS
-    # reference-parity flows, the text-analysis/prep family and the whole
-    # dedup/ANN/window surface come first; trivially-generic relational
-    # rows (twice green in r1+r2, still covered by scripts/check_oracle.py)
-    # sit past the cap.
+    # entries only. Round-4 rotation (VERDICT r3 item 7): ALL 24 r3-tail
+    # queries move inside the cap so every query regains a driver-recorded
+    # row, and every operator MODIFIED this round (the 8 streaming-Dataset
+    # boundary ops, topk_per_group, ngram_jaccard_pairs, decontaminate_bloom,
+    # dedup_index_first_seen, distinct_count_users, plus r3-modified
+    # tumbling/hopping, ADVICE r3) sits inside the cap too. The rotated-out
+    # tail is exactly the set that is BOTH unmodified since r3 AND
+    # driver-green in CORRECTNESS_r03; scripts/check_oracle.py still sweeps
+    # all 74 locally every round.
     return {
         # flagship QC pipeline (value-checked vs frozen golden parquet)
         "qc_label_documents": qc_label_documents,
-        # reference-parity PMIS flows over the FROZEN two-cycle sections
-        # fixture (tests/data/pmis; not in sf_dir — the DuckDB oracle
-        # reads the same parquet/CSV via read_parquet/read_csv, so these
-        # are fully value-checked; pandas-mirror parity additionally
-        # lives in tests/test_pmis_parity.py)
+        # reference-parity PMIS anchors (frozen two-cycle fixture; the
+        # other four PMIS flows are r3-green + unmodified -> tail)
         "pmis_audit_flow": _pmis_audit_flow,
-        "pmis_yby_flow": _pmis_yby_flow,
-        "pmis_county_summary": _pmis_county_summary,
         "pmis_counters": _pmis_counters,
-        "pmis_diff_histogram": _pmis_diff_histogram,
-        "pmis_yby_district": _pmis_yby_district,
         "csv_ingest_sections": _csv_ingest_sections,
         "jsonl_ingest_docs": _jsonl_ingest_docs,
-        # composite corpus prep + text analysis
+        # composite corpus prep + decontamination + keyword extraction
         "prep_corpus": D.prep_corpus,
-        "token_counts": D.token_counts_docs,
-        "quality_stats": D.quality_stats_docs,
-        "fingerprint_docs": D.fingerprint_docs,
-        "langid_docs": D.langid_docs,
         "decontaminate": D.decontaminate_against,
-        "decontaminate_bloom": D.decontaminate_bloom,
-        "vocab_topk": D.vocab_topk,
-        "tfidf_top_terms": D.tfidf_top_terms,
+        "decontaminate_bloom": D.decontaminate_bloom,       # r4-modified
+        "tfidf_top_terms": D.tfidf_top_terms,               # r4-modified
         "deterministic_shuffle": D.deterministic_shuffle,
         "cap_per_host": D.cap_per_host,
-        # dedup family
+        # dedup family (r4-modified members + their exact anchors)
         "exact_dedup": D.exact_dedup,
-        "exact_dedup_rows": D.exact_dedup_rows,
-        "dedup_index_first_seen": D.dedup_index_first_seen,
+        "exact_dedup_rows": D.exact_dedup_rows,             # r4-modified
+        "dedup_index_first_seen": D.dedup_index_first_seen,  # r4-modified
         "minhash_lsh_dedup": D.minhash_lsh_candidates,
-        "neardup_clusters": D.neardup_clusters,
-        "neardup_clusters_distributed": D.neardup_clusters_distributed,
-        "simhash_docs": D.simhash_docs,
-        "simhash_neardup_pairs": D.simhash_neardup_pairs,
-        "dedup_adjacent_tokens": D.dedup_adjacent_tokens,
-        "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
-        "embedding_neardup_pairs": D.embedding_neardup_pairs,
+        "ngram_jaccard_pairs": D.ngram_jaccard_pairs,       # r4-modified
         "embedding_neardup_lsh": D.embedding_neardup_pairs_lsh,
-        # similarity search
-        "ann_topk_bruteforce": D.ann_topk_bruteforce,
-        "ann_topk_lsh": D.ann_topk_lsh,
-        "ann_topk_ivf": D.ann_topk_ivf,
         "ann_topk_ivf_indexed": D.ann_topk_ivf_indexed,
-        # stream-shaped custom operators (as-of join / windows)
+        # stream-shaped custom operators (all r4-modified: streaming
+        # Dataset boundary / distributed top-k finish)
         "asof_join": W.asof_join_clicks_errors,
         "session_windows": W.session_windows,
         "rolling_sum_cents": W.rolling_sum_cents,
         "lag_diff": W.lag_diff,
         "rolling_time_sum_cents": W.rolling_time_sum_cents,
         "running_total_cents": W.running_total_cents,
-        # §2.4 joins
-        "tolerance_join": R.tolerance_join,
+        "topk_per_group": W.topk_per_group,
+        "tumbling_window": R.tumbling_window,               # r3-modified
+        "hopping_window": R.hopping_window,                 # r3-modified
+        "distinct_count_users": R.distinct_count_users,     # r4-modified
         "multiway_join_agg": R.multiway_join_agg,
-        # §2.5 calibration aggregates
-        "quantile_thresholds": R.quantile_thresholds_q,
-        "grouped_variance": R.grouped_variance,
-        # §2.5 counters / distinct count
-        "grouped_counters": R.grouped_counters,
-        "distinct_count_users": R.distinct_count_users,
-        # §2.2 M4 threshold flaggers  -------- 50-row cap ends here ------
-        "threshold_flag_audit": R.threshold_flag_audit,
-        "threshold_flag_two_sided": R.threshold_flag_two_sided,
-        # -- tail: generic relational rows (green r1+r2; check_oracle.py)
-        "tumbling_window": R.tumbling_window,
-        "hopping_window": R.hopping_window,
+        # r3 tail rotated into the cap (VERDICT r3 item 7)
         "grouped_quantiles": R.grouped_quantiles,
         "left_outer_join": R.left_outer_join,
-        "topk_per_group": W.topk_per_group,
         "tukey_fences": R.tukey_fences_q,
         "grouped_mean": R.grouped_mean,
         "grouped_mean_by_priority": R.grouped_mean_by_priority,
@@ -170,6 +143,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ecdf_quantity": R.ecdf_quantity,
         "hash_sample": R.hash_sample,
         "stratified_sample": R.stratified_sample,
+        # ---------------- 50-row cap ends here -------------------------
+        # tail: unmodified since r3 AND driver-green in CORRECTNESS_r03
+        # (still swept locally by scripts/check_oracle.py every round)
+        "pmis_yby_flow": _pmis_yby_flow,
+        "pmis_county_summary": _pmis_county_summary,
+        "pmis_diff_histogram": _pmis_diff_histogram,
+        "pmis_yby_district": _pmis_yby_district,
+        "token_counts": D.token_counts_docs,
+        "quality_stats": D.quality_stats_docs,
+        "fingerprint_docs": D.fingerprint_docs,
+        "langid_docs": D.langid_docs,
+        "vocab_topk": D.vocab_topk,
+        "neardup_clusters": D.neardup_clusters,
+        "neardup_clusters_distributed": D.neardup_clusters_distributed,
+        "simhash_docs": D.simhash_docs,
+        "simhash_neardup_pairs": D.simhash_neardup_pairs,
+        "dedup_adjacent_tokens": D.dedup_adjacent_tokens,
+        "embedding_neardup_pairs": D.embedding_neardup_pairs,
+        "ann_topk_bruteforce": D.ann_topk_bruteforce,
+        "ann_topk_lsh": D.ann_topk_lsh,
+        "ann_topk_ivf": D.ann_topk_ivf,
+        "tolerance_join": R.tolerance_join,
+        "quantile_thresholds": R.quantile_thresholds_q,
+        "grouped_variance": R.grouped_variance,
+        "grouped_counters": R.grouped_counters,
+        "threshold_flag_audit": R.threshold_flag_audit,
+        "threshold_flag_two_sided": R.threshold_flag_two_sided,
     }
 
 

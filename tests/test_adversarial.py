@@ -24,6 +24,13 @@ def _write_docs(tmp_path, texts, langs=None, sources=None):
     return str(tmp_path)
 
 
+def _collect(res, sort_cols=None):
+    """Corpus-sized ops return streaming Datasets (VERDICT r3 item 1);
+    tests collect + canonical-sort at the harness boundary."""
+    df = res if isinstance(res, pd.DataFrame) else res.to_pandas()
+    return df.sort_values(sort_cols or list(df.columns), ignore_index=True)
+
+
 def test_all_identical_corpus_hot_bucket(ray_session, tmp_path):
     """40 identical docs: every minhash band hashes to ONE bucket (the
     hottest possible key) — the sharded pair expansion must still emit
@@ -39,7 +46,7 @@ def test_all_identical_corpus_hot_bucket(ray_session, tmp_path):
     assert len(clusters) == 40
     sp = D.simhash_neardup_pairs(d)
     assert len(sp) == 40 * 39 // 2 and (sp["hamming"] == 0).all()
-    winners = D.exact_dedup_rows(d)
+    winners = _collect(D.exact_dedup_rows(d), ["doc_id"])
     assert list(winners["doc_id"]) == [0]
     losers = D.exact_dedup_losers(d)
     assert list(losers["doc_id"]) == list(range(1, 40))
@@ -59,7 +66,7 @@ def test_unique_corpus_no_pairs(ray_session, tmp_path):
     assert len(D.neardup_clusters(d, 0.5)) == 0
     assert len(D.neardup_clusters_distributed(d, 0.5)) == 0
     assert len(D.exact_dedup_losers(d)) == 0
-    assert len(D.exact_dedup_rows(d)) == n_docs
+    assert D.exact_dedup_rows(d).count() == n_docs
 
 
 def test_null_and_empty_texts(ray_session, tmp_path):
@@ -81,15 +88,15 @@ def test_null_and_empty_texts(ray_session, tmp_path):
     assert tc["n_tokens"].tolist()[1:] == [0, 0, 3, 4]
     li = D.langid_docs(d)
     assert len(li) == 5  # null text -> None/und, no crash
-    tt = D.tfidf_top_terms(d)
+    tt = _collect(D.tfidf_top_terms(d), ["doc_id"])
     assert set(tt["doc_id"]) <= {3, 4}  # token-less docs emit no terms
     fs = D.dedup_index_first_seen(d)
     # null fills to "" before hashing (both engines), so docs 0 and 1
     # share a hash and doc 1 loses; whitespace "   " is its own text
     assert fs["first_seen"].tolist() == [True, False, True, True, True]
-    # an all-empty corpus returns the typed empty frame, no join crash
+    # an all-empty corpus returns the typed empty Dataset, no join crash
     d_empty = _write_docs(tmp_path, [None, "", "   "])
-    assert len(D.tfidf_top_terms(d_empty)) == 0
+    assert D.tfidf_top_terms(d_empty).count() == 0
 
 
 def test_skewed_source_ngram_jaccard(ray_session, tmp_path):
@@ -187,8 +194,8 @@ def test_windows_bucket_invariance_hot_key(ray_session, tmp_path):
     d = _write_events(tmp_path, 3000, users=2, span_hours=21 * 24)
     for fn in (W.asof_join_clicks_errors, W.session_windows, W.lag_diff,
                W.rolling_sum_cents, W.running_total_cents):
-        small = fn(d, bucket_hours=6)
-        one = fn(d, bucket_hours=10_000_000)
+        small = _collect(fn(d, bucket_hours=6))
+        one = _collect(fn(d, bucket_hours=10_000_000))
         pd.testing.assert_frame_equal(small, one, obj=fn.__name__)
         assert len(small) > 0
 
@@ -228,8 +235,8 @@ def test_windows_null_event_type_and_pre_epoch_ts(ray_session, tmp_path):
 
     # bucketed paths vs single-bucket path across the 1970 boundary
     for fn in (W.asof_join_clicks_errors, W.lag_diff, W.running_total_cents):
-        small = fn(d, bucket_hours=6)
-        one = fn(d, bucket_hours=10_000_000)
+        small = _collect(fn(d, bucket_hours=6))
+        one = _collect(fn(d, bucket_hours=10_000_000))
         pd.testing.assert_frame_equal(small, one, obj=fn.__name__)
         assert len(small) > 0
 

@@ -63,26 +63,59 @@ def test_oracle_sql_parses():
 
 def test_correctness_cap_covers_priority_queries():
     """The driver records correctness rows for the FIRST 50 queries()
-    entries only; the flagship, PMIS flows, text-analysis/prep family
-    and every round-3 operator must sit inside that cap (a future
-    reorder silently dropping one of these from the record should fail
-    here, not in the next VERDICT)."""
+    entries only; the flagship plus every operator MODIFIED in round 4
+    (streaming-Dataset boundary ops, the rewritten ngram/bloom/index/
+    distinct-count paths) and the r3-modified tumbling/hopping windows
+    must sit inside that cap (ADVICE r3: an op changed in a round may
+    not rely on the local sweep alone). A future reorder silently
+    dropping one of these from the record should fail here, not in the
+    next VERDICT."""
     import __ray_entry__ as E
 
     keys = list(E.queries())
     first50 = set(keys[:50])
     priority = {
-        "qc_label_documents", "pmis_audit_flow", "pmis_yby_flow",
-        "pmis_county_summary", "pmis_counters", "pmis_diff_histogram",
-        "pmis_yby_district", "csv_ingest_sections", "prep_corpus",
-        "token_counts", "quality_stats", "fingerprint_docs", "langid_docs",
-        "decontaminate", "vocab_topk", "tfidf_top_terms", "deterministic_shuffle",
-        "cap_per_host", "running_total_cents", "multiway_join_agg",
-        "distinct_count_users", "minhash_lsh_dedup", "exact_dedup_rows",
-        "asof_join", "session_windows", "rolling_sum_cents", "lag_diff",
-        "rolling_time_sum_cents",
+        "qc_label_documents", "pmis_audit_flow", "pmis_counters",
+        "csv_ingest_sections", "jsonl_ingest_docs", "prep_corpus",
+        "decontaminate", "decontaminate_bloom", "tfidf_top_terms",
+        "deterministic_shuffle", "cap_per_host", "exact_dedup",
+        "exact_dedup_rows", "dedup_index_first_seen", "minhash_lsh_dedup",
+        "ngram_jaccard_pairs", "embedding_neardup_lsh",
+        "ann_topk_ivf_indexed", "asof_join", "session_windows",
+        "rolling_sum_cents", "lag_diff", "rolling_time_sum_cents",
+        "running_total_cents", "topk_per_group", "tumbling_window",
+        "hopping_window", "distinct_count_users", "multiway_join_agg",
     }
     missing = priority - first50
     assert not missing, f"priority queries past the 50-row cap: {missing}"
+    # the r4 rotation promise: every r3-tail query is inside the cap
+    r3_tail = {
+        "tumbling_window", "hopping_window", "grouped_quantiles",
+        "left_outer_join", "topk_per_group", "tukey_fences", "grouped_mean",
+        "grouped_mean_by_priority", "semi_join_agg", "anti_join_agg",
+        "project_derive", "timestamp_days", "filter_isin", "pair_concat",
+        "binned_histogram", "group_size", "pivot_sum_wide", "sort_desc_topk",
+        "union_all_summaries", "distinct_vals", "row_count", "ecdf_quantity",
+        "hash_sample", "stratified_sample",
+    }
+    assert r3_tail - first50 == set(), f"r3 tail not rotated in: {r3_tail - first50}"
     # every query has an oracle twin (value-checked, not rows-only)
     assert set(E.oracle_sql()) == set(keys)
+
+
+def test_corpus_sized_ops_return_streaming_datasets(ray_session):
+    """VERDICT r3 item 1: the corpus-sized-output ops return
+    ray.data.Dataset — the library never collects the corpus; only
+    harness boundaries (driver compare, check_oracle, tests) do."""
+    import ray.data
+
+    from txiac_qc_ray.pipelines import docs as D
+    from txiac_qc_ray.pipelines import windows as W
+
+    sf = "/root/testdata/sf0.001"
+    for fn in (W.asof_join_clicks_errors, W.session_windows, W.lag_diff,
+               W.rolling_sum_cents, W.rolling_time_sum_cents,
+               W.running_total_cents):
+        assert isinstance(fn(sf), ray.data.Dataset), fn.__name__
+    assert isinstance(D.exact_dedup_rows(sf), ray.data.Dataset)
+    assert isinstance(D.tfidf_top_terms(sf), ray.data.Dataset)

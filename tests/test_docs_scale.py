@@ -101,7 +101,8 @@ def test_exact_dedup_rows(ray_session):
 
     from txiac_qc_ray.pipelines import docs as D
 
-    got = D.exact_dedup_rows(SF)
+    got = D.exact_dedup_rows(SF).to_pandas().sort_values(
+        "doc_id", ignore_index=True)
     df = pq.read_table(f"{SF}/documents.parquet").to_pandas()
     exp_ids = set(df.groupby("text")["doc_id"].min())
     assert set(got["doc_id"]) == exp_ids
@@ -177,7 +178,7 @@ def test_exact_dedup_losers_with_real_duplicates(ray_session, tmp_path):
     pq.write_table(t, os.path.join(d, "documents.parquet"))
     losers = D.exact_dedup_losers(d)
     assert list(losers["doc_id"]) == [3, 4, 5]
-    winners = D.exact_dedup_rows(d)
+    winners = D.exact_dedup_rows(d).to_pandas()
     assert set(winners["doc_id"]) | set(losers["doc_id"]) == {0, 1, 2, 3, 4, 5}
     assert set(winners["doc_id"]) & set(losers["doc_id"]) == set()
 
@@ -187,9 +188,11 @@ def test_rolling_time_sum_bucket_invariance(ray_session):
     (6h == 12h == 48h buckets for a 6h window)."""
     from txiac_qc_ray.pipelines import windows as W
 
-    a = W.rolling_time_sum_cents(SF, window_hours=6, bucket_hours=6)
-    b = W.rolling_time_sum_cents(SF, window_hours=6, bucket_hours=12)
-    c = W.rolling_time_sum_cents(SF, window_hours=6, bucket_hours=48)
+    def run(bh):
+        return (W.rolling_time_sum_cents(SF, window_hours=6, bucket_hours=bh)
+                .to_pandas().sort_values("event_id", ignore_index=True))
+
+    a, b, c = run(6), run(12), run(48)
     pd.testing.assert_frame_equal(a, b)
     pd.testing.assert_frame_equal(a, c)
 

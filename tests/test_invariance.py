@@ -72,6 +72,12 @@ def test_docs_ops_invariant_to_sharding(ray_session, resharded_sf):
     from txiac_qc_ray.pipelines import docs as D
 
     src = "/root/testdata/sf0.001"
+    def pdf(res):
+        if not isinstance(res, pd.DataFrame):
+            res = res.to_pandas()
+            res = res.sort_values(list(res.columns), ignore_index=True)
+        return res.reset_index(drop=True)
+
     for name, fn in [
         ("minhash", D.minhash_lsh_candidates),
         ("exact_dedup_rows", D.exact_dedup_rows),
@@ -81,10 +87,8 @@ def test_docs_ops_invariant_to_sharding(ray_session, resharded_sf):
         ("neardup_lsh", D.embedding_neardup_pairs_lsh),
         ("vocab_topk", D.vocab_topk),
     ]:
-        a, b = fn(src), fn(resharded_sf)
-        pd.testing.assert_frame_equal(
-            a.reset_index(drop=True), b.reset_index(drop=True),
-            obj=name)
+        a, b = pdf(fn(src)), pdf(fn(resharded_sf))
+        pd.testing.assert_frame_equal(a, b, obj=name)
     for name, fn in [("dedup_adjacent", D.dedup_adjacent_tokens),
                      ("decontaminate", D.decontaminate_against)]:
         a = fn(src).to_pandas().sort_values("doc_id", ignore_index=True)
@@ -101,11 +105,16 @@ def test_docs_ops_invariant_to_shard_count(ray_session):
     from txiac_qc_ray.pipelines import docs as D
 
     src = "/root/testdata/sf0.001"
-    for fn in (D.exact_dedup_rows, D.minhash_lsh_candidates):
-        a, b = fn(src, n_shards=3), fn(src, n_shards=17)
-        pd.testing.assert_frame_equal(a.reset_index(drop=True),
-                                      b.reset_index(drop=True),
-                                      obj=fn.__name__)
+    def pdf(res):
+        if not isinstance(res, pd.DataFrame):
+            res = res.to_pandas()
+            res = res.sort_values(list(res.columns), ignore_index=True)
+        return res.reset_index(drop=True)
+
+    for fn in (D.exact_dedup_rows, D.minhash_lsh_candidates,
+               D.ngram_jaccard_pairs):
+        a, b = pdf(fn(src, n_shards=3)), pdf(fn(src, n_shards=17))
+        pd.testing.assert_frame_equal(a, b, obj=fn.__name__)
     # metadata sizing: floor of 64 at fixture scale; grows with bytes
     assert D._shard_count(src, "documents") == 64
     assert D._shard_count(src, "documents", target_bytes=1024) > 64

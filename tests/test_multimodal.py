@@ -197,3 +197,23 @@ def test_compressed_codec_contract():
     assert img_fake._decode(png_magic) is None  # routes to _fake_stats
     s1, s2 = _fake_stats([png_magic], 3), _fake_stats([png_magic], 3)
     assert np.array_equal(s1, s2) and not np.isnan(s1).any()
+
+    # video hook (multimodal.py RAWV branch): non-RAWV payload with
+    # allow_fake=False names the missing dependency; allow_fake=True
+    # yields deterministic fake lumas of the right arity
+    mp4_magic = b"\x00\x00\x00\x18ftypmp42" + b"fakemp4payloadbytes"
+    vid_batch = pa.table({
+        "media_id": pa.array([0], pa.int64()),
+        "media_type": pa.array(["video"]),
+        "payload": pa.array([mp4_magic], pa.binary()),
+        "mime": pa.array(["video/mp4"]),
+        "width": pa.array([4], pa.int32()),
+        "height": pa.array([4], pa.int32()),
+        "sample_rate": pa.array([0], pa.int32()),
+        "n_frames": pa.array([6], pa.int32()),
+    }, schema=MEDIA_SCHEMA)
+    with pytest.raises(NotImplementedError, match="pyav|ffmpeg"):
+        VideoFrameSampleStage(k_frames=3, allow_fake=False)(vid_batch)
+    out = VideoFrameSampleStage(k_frames=3, allow_fake=True)(vid_batch)
+    lumas = out.column("frame_mean_luma")[0].as_py()
+    assert len(lumas) == 3 and not any(np.isnan(lumas))

@@ -392,6 +392,11 @@ _NULL_KEY = "\x00null\x00"  # string-key stand-in for a NULL group key;
 # restored to None after the final groupby so null-keyed rows aggregate
 # like SQL's NULL group instead of crashing the object-key np.unique
 
+_NULL_USER = np.iinfo(np.int64).min  # int64 stand-in for a NULL user_id
+# in distinct_count_users: keeps the row's event_type group alive while
+# contributing 0 to the distinct count (SQL COUNT(DISTINCT) semantics;
+# a real user with this exact id would be miscounted — documented bound)
+
 
 def tumbling_window(sf_dir: str) -> pd.DataFrame:
     """1-hour tumbling windows over the events stream; partial per batch
@@ -723,9 +728,14 @@ def distinct_count_users(sf_dir: str) -> pd.DataFrame:
     def pair_partials(t: pa.Table) -> pa.Table:
         # null keys ride as the sentinel (an object-array lexsort cannot
         # order None) and are restored after the final groupby, so a
-        # null event_type counts as its own group like SQL's NULL
+        # null event_type counts as its own group like SQL's NULL.
+        # A null USER however must not count as a distinct value — SQL's
+        # count(DISTINCT user_id) ignores NULLs (ADVICE r3) — so null
+        # users ride as the int64-min sentinel (keeping their
+        # event_type group alive, n_users contribution 0) and are
+        # excluded from the count in count_partials.
         et = np.asarray(pc.fill_null(t["event_type"], _NULL_KEY), dtype=object)
-        u = np.asarray(t["user_id"])
+        u = np.asarray(pc.fill_null(t["user_id"], _NULL_USER))
         order = np.lexsort((u, et))
         et2, u2 = et[order], u[order]
         firsts = np.ones(len(et2), dtype=bool)
@@ -738,9 +748,11 @@ def distinct_count_users(sf_dir: str) -> pd.DataFrame:
 
     def count_partials(t: pa.Table) -> pa.Table:
         et = np.asarray(t["event_type"], dtype=object)
+        real = (np.asarray(t["user_id"]) != _NULL_USER).astype(np.float64)
         uniq, inv = np.unique(et, return_inverse=True)
         return pa.table({"event_type": pa.array(uniq.tolist(), type=pa.string()),
-                         "n_users": np.bincount(inv, minlength=len(uniq)).astype(np.int64)})
+                         "n_users": np.bincount(inv, weights=real,
+                                                minlength=len(uniq)).astype(np.int64)})
 
     out = (pairs.map_batches(count_partials, batch_format="pyarrow")
            .groupby("event_type").aggregate(Sum("n_users", alias_name="n_users"))

@@ -17,14 +17,16 @@ never has to fit one worker (VERDICT r2 item 7; the strategy
 - sessions are stitched: interior sessions of a bucket are final, the
   <=2 boundary sessions per bucket go through a per-user chain walk.
 
-The only per-user state is O(non-empty buckets); `topk_per_group` and
-`rolling_sum_cents` (count-based window: unbounded reach over sparse
-keys, documented single-key assumption) keep their original shapes.
+The only per-user state is O(non-empty buckets). `topk_per_group`
+reduces its per-batch partials through one groupby(event_type), so the
+driver receives exactly k rows per group.
 
-All outputs carry deterministic orderings and oracle SQL twins
-(DuckDB ASOF JOIN / window functions) in `__ray_entry__.py`; every
-bucketed op is pinned bucket-size-invariant in pytest (1h vs one giant
-bucket), which exercises the stitch/seed paths against the
+Every O(corpus)-output op returns a STREAMING Dataset (VERDICT r3
+item 1 — no `.to_pandas()` at the library boundary; each docstring
+names the canonical sort key consumers apply). All ops have oracle SQL
+twins (DuckDB ASOF JOIN / window functions) in `__ray_entry__.py`;
+every bucketed op is pinned bucket-size-invariant in pytest (1h vs one
+giant bucket), which exercises the stitch/seed paths against the
 single-group path.
 """
 
@@ -33,6 +35,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+
+import ray.data
 
 from .relational import _read, round_half_away
 
@@ -101,10 +105,12 @@ def _reduce_last_per_bucket(g: pd.DataFrame) -> pd.DataFrame:
     return g.drop_duplicates(subset=["bucket"], keep="last")
 
 
-def asof_join_clicks_errors(sf_dir: str, bucket_hours: int = 168) -> pd.DataFrame:
+def asof_join_clicks_errors(sf_dir: str, bucket_hours: int = 168) -> ray.data.Dataset:
     """For every 'click' event: the latest strictly-earlier 'error' event
     of the same user (as-of backward join). Rows with no prior error are
-    dropped (inner as-of). -> (click_id, error_id, gap_sec).
+    dropped (inner as-of). -> streaming Dataset of (click_id, error_id,
+    gap_sec), O(corpus)-sized — never collected on the driver (VERDICT r3
+    item 1); consumers sort by click_id if they need the canonical order.
 
     Tie-break is EXPLICIT on both sides (ADVICE r1): errors sharing one
     (user_id, ts) are deduped to the max event_id BEFORE the as-of join,
@@ -180,26 +186,22 @@ def asof_join_clicks_errors(sf_dir: str, bucket_hours: int = 168) -> pd.DataFram
         err_ts = errors.set_index("event_id")["ts"]
         m = m[m["error_id"].notna()].copy()
         m["error_id"] = m["error_id"].astype("int64")
-        m["gap_sec"] = (m["ts"] - m["error_id"].map(err_ts)).dt.total_seconds()
+        gap = (m["ts"] - m["error_id"].map(err_ts)).dt.total_seconds()
+        m["gap_sec"] = round_half_away(gap.to_numpy(), 6)
         return m[["click_id", "error_id", "gap_sec"]]
 
-    df = (ev.union(seed_rows)
-          .groupby(["user_id", "bucket"])
-          .map_groups(per_group, batch_format="pandas")
-          .to_pandas())
-    if "click_id" not in df.columns:
-        return pd.DataFrame({"click_id": pd.Series([], dtype="int64"),
-                             "error_id": pd.Series([], dtype="int64"),
-                             "gap_sec": pd.Series([], dtype="double")})
-    df["gap_sec"] = round_half_away(df["gap_sec"].to_numpy(), 6) if len(df) else df["gap_sec"]
-    return df.sort_values("click_id", ignore_index=True)
+    return (ev.union(seed_rows)
+            .groupby(["user_id", "bucket"])
+            .map_groups(per_group, batch_format="pandas"))
 
 
 def session_windows(sf_dir: str, gap_minutes: int = 30,
-                    bucket_hours: int = 168) -> pd.DataFrame:
+                    bucket_hours: int = 168) -> ray.data.Dataset:
     """Gap-based sessionization per user: a new session starts when the
-    time since the previous event exceeds `gap_minutes`. ->
-    (user_id, session_start, n_events, sum_val).
+    time since the previous event exceeds `gap_minutes`. -> streaming
+    Dataset of (user_id, session_start, n_events, sum_val) — O(corpus)
+    output, never collected here (VERDICT r3 item 1); canonical order is
+    (user_id, session_start).
 
     HOT-KEY-SAFE (VERDICT r2 item 7): pass 1 sessionizes each
     (user_id, bucket) group locally; its INTERIOR sessions are already
@@ -244,7 +246,7 @@ def session_windows(sf_dir: str, gap_minutes: int = 30,
                 "user_id": g["user_id"],
                 "session_start": g["start_ts"],
                 "n_events": g["n_events"].astype(np.int64),
-                "sum_val": g["sum_val"],
+                "sum_val": round_half_away(g["sum_val"].to_numpy(), 4),
             })
         g = g.sort_values(["bucket", "start_ts"], ignore_index=True)
         out_u, out_s, out_n, out_v = [], [], [], []
@@ -284,23 +286,23 @@ def session_windows(sf_dir: str, gap_minutes: int = 30,
             "user_id": np.array(out_u, dtype=np.int64),
             "session_start": pd.Series(out_s, dtype="datetime64[us]"),
             "n_events": np.array(out_n, dtype=np.int64),
-            "sum_val": np.array(out_v, dtype=np.float64),
+            "sum_val": round_half_away(np.array(out_v, dtype=np.float64), 4),
         })
 
-    df = (ev.groupby(["user_id", "bucket"])
-          .map_groups(local_sessions, batch_format="pandas")
-          .groupby(["user_id", "skey"])
-          .map_groups(stitch, batch_format="pandas")
-          .to_pandas())
-    df["sum_val"] = round_half_away(df["sum_val"].to_numpy(), 4)
-    df["n_events"] = df["n_events"].astype("int64")
-    return df.sort_values(["user_id", "session_start"], ignore_index=True)
+    return (ev.groupby(["user_id", "bucket"])
+            .map_groups(local_sessions, batch_format="pandas")
+            .groupby(["user_id", "skey"])
+            .map_groups(stitch, batch_format="pandas"))
 
 
 def topk_per_group(sf_dir: str, k: int = 3) -> pd.DataFrame:
     """Top-k events by value per event_type (deterministic tie-break on
-    event_id). Per-batch partial top-k -> tiny driver merge: no global
-    sort, no full shuffle."""
+    event_id). Per-batch partial top-k -> ONE groupby(event_type) reduce
+    of the k*groups*batches partials (VERDICT r3 item 3: the partials
+    used to merge on the driver and grew linearly with batch count; now
+    the shuffle carries only partial-top-k rows and the driver receives
+    exactly k*groups rows — groups are bounded, so the result is tiny
+    by construction). No global sort, no corpus shuffle."""
     import pyarrow as pa
 
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
@@ -312,19 +314,27 @@ def topk_per_group(sf_dir: str, k: int = 3) -> pd.DataFrame:
                  .groupby("event_type", sort=False).head(k))
         return pa.Table.from_pandas(top, preserve_index=False)
 
-    parts = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
-    out = (parts.sort_values(["event_type", "value", "event_id"],
-                             ascending=[True, False, True])
-                .groupby("event_type", sort=True).head(k))
-    return out.reset_index(drop=True)[["event_type", "event_id", "value"]]
+    def final_topk(g: pd.DataFrame) -> pd.DataFrame:
+        return (g.sort_values(["value", "event_id"], ascending=[False, True])
+                 .head(k)[["event_type", "event_id", "value"]])
+
+    out = (ds.map_batches(partial_topk, batch_format="pyarrow")
+           .groupby("event_type")
+           .map_groups(final_topk, batch_format="pandas")
+           .to_pandas())  # k rows per group: driver receives k*groups rows
+    return (out.sort_values(["event_type", "value", "event_id"],
+                            ascending=[True, False, True], ignore_index=True)
+            [["event_type", "event_id", "value"]])
 
 
-def lag_diff(sf_dir: str, bucket_hours: int = 168) -> pd.DataFrame:
+def lag_diff(sf_dir: str, bucket_hours: int = 168) -> ray.data.Dataset:
     """Per-user lag-1 difference of `value` ordered by (ts, event_id) —
     the lead/lag window-derive family (a user's first event has a null
     diff, mirroring SQL LAG — surfaced as float64 NaN, exactly how a
     SQL NULL over an integer lands in pandas). Integer cents keep the
-    subtraction itself exact. -> (event_id, user_id, diff_cents).
+    subtraction itself exact. -> streaming Dataset of (event_id,
+    user_id, diff_cents) — O(corpus), never collected here (VERDICT r3
+    item 1); canonical order is event_id.
 
     HOT-KEY-SAFE (VERDICT r2 item 7): shuffle key is (user_id, bucket).
     A lag-1 needs exactly one seed per bucket — the user's LAST event in
@@ -364,15 +374,13 @@ def lag_diff(sf_dir: str, bucket_hours: int = 168) -> pd.DataFrame:
                              "user_id": g["user_id"].to_numpy()[own],
                              "diff_cents": diff[own]})
 
-    df = (ev.union(seed_rows)
-          .groupby(["user_id", "bucket"])
-          .map_groups(per_group, batch_format="pandas")
-          .to_pandas())
-    return df.sort_values("event_id", ignore_index=True)
+    return (ev.union(seed_rows)
+            .groupby(["user_id", "bucket"])
+            .map_groups(per_group, batch_format="pandas"))
 
 
 def rolling_sum_cents(sf_dir: str, window: int = 3,
-                      bucket_hours: int = 168) -> pd.DataFrame:
+                      bucket_hours: int = 168) -> ray.data.Dataset:
     """Per-user rolling sum of `value` (in integer cents) over the last
     `window` events ordered by (ts, event_id) — the moving-window
     aggregate. Cents keep the rolling arithmetic exactly integral, so the
@@ -464,17 +472,19 @@ def rolling_sum_cents(sf_dir: str, window: int = 3,
                              "user_id": g["user_id"].to_numpy()[own],
                              "roll_sum_cents": roll.to_numpy()[own]})
 
-    df = (ev.union(seed_rows)
-          .groupby(["user_id", "bucket"])
-          .map_groups(per_group, batch_format="pandas")
-          .to_pandas())
-    return df.sort_values("event_id", ignore_index=True)
+    # streaming Dataset of O(corpus) rows — never collected here
+    # (VERDICT r3 item 1); canonical order is event_id
+    return (ev.union(seed_rows)
+            .groupby(["user_id", "bucket"])
+            .map_groups(per_group, batch_format="pandas"))
 
 
-def running_total_cents(sf_dir: str, bucket_hours: int = 168) -> pd.DataFrame:
+def running_total_cents(sf_dir: str, bucket_hours: int = 168) -> ray.data.Dataset:
     """Per-user RUNNING TOTAL of `value` in integer cents, ordered by
     (ts, event_id) — the distributed prefix-scan primitive (SQL: SUM ...
-    ROWS UNBOUNDED PRECEDING). -> (event_id, user_id, cum_cents).
+    ROWS UNBOUNDED PRECEDING). -> streaming Dataset of (event_id,
+    user_id, cum_cents) — O(corpus), never collected here (VERDICT r3
+    item 1); canonical order is event_id.
 
     Classic two-phase scan on the (user, bucket) shuffle key: each
     bucket's local cents total is a tiny summary row; a per-user
@@ -482,10 +492,20 @@ def running_total_cents(sf_dir: str, bucket_hours: int = 168) -> pd.DataFrame:
     which rides the main shuffle as one seed row per bucket (ts pinned
     to the bucket start with event_id -1, so it sorts before every real
     row); the bucket group then adds carry + local cumsum. No key ever
-    needs its full history on one worker."""
+    needs its full history on one worker. The carry rides a dedicated
+    int64 `carry_cents` column (ADVICE r3: routed through the float
+    `value` column it silently lost exactness past ~2^51 cents; as an
+    int64 the prefix scan stays exact to the type's full range)."""
     bucket_us = bucket_hours * _US_PER_HOUR
     ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
-    ev = ds.map_batches(_with_bucket(bucket_us), batch_format="pyarrow")
+
+    def zero_carry(t: pa.Table) -> pa.Table:
+        t = t.append_column(
+            "carry_cents", pa.array(np.zeros(t.num_rows, dtype=np.int64)))
+        return t.select(sorted(t.column_names))
+
+    ev = (ds.map_batches(_with_bucket(bucket_us), batch_format="pyarrow")
+          .map_batches(zero_carry, batch_format="pyarrow"))
 
     def total_partials(t: pa.Table) -> pa.Table:
         u = np.asarray(t["user_id"])
@@ -513,11 +533,12 @@ def running_total_cents(sf_dir: str, bucket_hours: int = 168) -> pd.DataFrame:
         nz = carry != 0
         return pd.DataFrame({
             "bucket": g["bucket"].to_numpy()[nz],
+            "carry_cents": carry[nz].astype(np.int64),  # exact int64 carry
             "event_id": np.full(int(nz.sum()), -1, dtype=np.int64),
             "is_ctx": np.ones(int(nz.sum()), dtype=bool),
             "ts": (g["bucket"].to_numpy()[nz] * bucket_us).view("datetime64[us]"),
             "user_id": g["user_id"].to_numpy()[nz],
-            "value": carry[nz] / 100.0,  # carried as exact cents/100
+            "value": np.zeros(int(nz.sum()), dtype=np.float64),
         })
 
     seed_rows = (summary.groupby("user_id")
@@ -526,22 +547,21 @@ def running_total_cents(sf_dir: str, bucket_hours: int = 168) -> pd.DataFrame:
 
     def per_group(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["ts", "event_id"], ignore_index=True)
-        cents = round_half_away(g["value"].to_numpy() * 100.0, 0).astype(np.int64)
+        cents = (round_half_away(g["value"].to_numpy() * 100.0, 0).astype(np.int64)
+                 + g["carry_cents"].to_numpy().astype(np.int64))
         cum = np.cumsum(cents)
         own = ~g["is_ctx"].to_numpy()
         return pd.DataFrame({"event_id": g["event_id"].to_numpy()[own],
                              "user_id": g["user_id"].to_numpy()[own],
                              "cum_cents": cum[own]})
 
-    df = (ev.union(seed_rows)
-          .groupby(["user_id", "bucket"])
-          .map_groups(per_group, batch_format="pandas")
-          .to_pandas())
-    return df.sort_values("event_id", ignore_index=True)
+    return (ev.union(seed_rows)
+            .groupby(["user_id", "bucket"])
+            .map_groups(per_group, batch_format="pandas"))
 
 
 def rolling_time_sum_cents(sf_dir: str, window_hours: int = 6,
-                           bucket_hours: int = 24) -> pd.DataFrame:
+                           bucket_hours: int = 24) -> ray.data.Dataset:
     """HOT-KEY-SAFE TIME-based rolling sum — the 'split by time range and
     stitch boundaries' strategy the module docstring promises,
     implemented: the shuffle key is (user_id, time_bucket), so one user's
@@ -553,8 +573,9 @@ def rolling_time_sum_cents(sf_dir: str, window_hours: int = 6,
     cannot be bucketed this way: its reach over sparse keys is unbounded
     — which is why streaming systems window by time.)
 
-    -> (event_id, user_id, roll_sum_cents), identical to the DuckDB
-    RANGE-frame window oracle."""
+    -> streaming Dataset of (event_id, user_id, roll_sum_cents) — rows
+    identical to the DuckDB RANGE-frame window oracle; O(corpus), never
+    collected here (VERDICT r3 item 1); canonical order is event_id."""
     import pyarrow as pa
 
     assert window_hours <= bucket_hours
@@ -587,8 +608,6 @@ def rolling_time_sum_cents(sf_dir: str, window_hours: int = 6,
                              "user_id": g["user_id"].to_numpy()[own],
                              "roll_sum_cents": roll[own].astype(np.int64)})
 
-    df = (ds.map_batches(explode, batch_format="pyarrow")
-          .groupby(["user_id", "bucket"])
-          .map_groups(per_group, batch_format="pandas")
-          .to_pandas())
-    return df.sort_values("event_id", ignore_index=True)
+    return (ds.map_batches(explode, batch_format="pyarrow")
+            .groupby(["user_id", "bucket"])
+            .map_groups(per_group, batch_format="pandas"))
