@@ -111,6 +111,50 @@ def test_simhash_similar_docs_close(ray_session):
     assert near < far
 
 
+def test_hll_distinct_matches_exact_small_range(ray_session):
+    """HLL scale twin of distinct_count_users: in the linear-counting
+    regime (cardinality << m) the estimate is near-exact; pinned
+    against the exact op per group."""
+    from txiac_qc_ray.pipelines import relational as R
+
+    exact = R.distinct_count_users(SF)
+    approx = R.distinct_count_users_hll(SF)
+    merged = exact.merge(approx, on="event_type")
+    assert len(merged) == len(exact) > 0
+    err = ((merged["n_users_approx"] - merged["n_users"]).abs()
+           / merged["n_users"].clip(lower=1))
+    assert (err < 0.03).all(), merged
+
+
+def test_hll_distinct_high_cardinality(ray_session, tmp_path):
+    """150k distinct users through p=12 registers: the estimator regime
+    (not linear counting); standard error is ~1.04/sqrt(4096)=1.6%, so
+    5% is a safe deterministic bound for this frozen hash."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from txiac_qc_ray.pipelines import relational as R
+
+    n = 300_000
+    rng = np.random.default_rng(99)
+    users = rng.integers(0, 150_000, n)  # ~129k distinct expected
+    t = pa.table({
+        "event_id": pa.array(range(n), pa.int64()),
+        "user_id": pa.array(users, pa.int64()),
+        "event_type": pa.array(["click"] * n, pa.string()),
+        "ts": pa.array(np.full(n, np.datetime64("2024-01-01", "us"))),
+        "value": pa.array(np.ones(n)),
+    })
+    d = os.path.join(str(tmp_path), "ev")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(t, os.path.join(d, "events.parquet"))
+    truth = len(np.unique(users))
+    est = int(R.distinct_count_users_hll(d)["n_users_approx"].iloc[0])
+    assert abs(est - truth) / truth < 0.05, (est, truth)
+
+
 def test_ivf_ann_recall_vs_bruteforce(entry_mod):
     qs = entry_mod.queries()
     bf = qs["ann_topk_bruteforce"](SF)

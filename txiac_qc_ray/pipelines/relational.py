@@ -760,3 +760,70 @@ def distinct_count_users(sf_dir: str) -> pd.DataFrame:
     out["n_users"] = out["n_users"].astype(np.int64)
     out["event_type"] = out["event_type"].where(out["event_type"] != _NULL_KEY, None)
     return out.sort_values("event_type", ignore_index=True)
+
+
+def distinct_count_users_hll(sf_dir: str, p_bits: int = 12) -> pd.DataFrame:
+    """APPROXIMATE distinct users per event_type — the scale twin of
+    `distinct_count_users` for the regime where even the distinct-pair
+    shuffle is too wide (billions of users x many groups). Classic
+    HyperLogLog (Flajolet et al. 2007, public algorithm): per batch,
+    each (group, register) keeps the max leading-zero rank of the
+    hashed user ids; partials merge by elementwise MAX (a tiny
+    groupby(event_type, register) — 2^p_bits rows per group, CONSTANT
+    in the corpus); the estimator runs on the driver over m registers
+    per group. Deterministic (mix64 hash, no RNG). NULL users are
+    ignored, like the exact op. Not SQL-value-checkable (approximate),
+    so it ships pytest-pinned against the exact op (<2% error at
+    p_bits=12) instead of a queries() row — the exact op keeps the
+    driver-checked row. -> (event_type, n_users_approx)."""
+    from .docs import _mix64  # frozen shared 64-bit mixer
+
+    m = 1 << p_bits
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def register_partials(t: pa.Table) -> pa.Table:
+        et = np.asarray(pc.fill_null(t["event_type"], _NULL_KEY), dtype=object)
+        valid = np.asarray(pc.is_valid(t["user_id"]))
+        u = np.asarray(pc.fill_null(t["user_id"], 0)).astype(np.uint64)
+        h = _mix64(u)
+        reg = (h >> np.uint64(64 - p_bits)).astype(np.int64)
+        rest = h << np.uint64(p_bits)  # low p_bits zero-filled
+        # rank = leading zeros of the suffix + 1, via the float64
+        # exponent (frexp): rest = frac * 2^e -> floor(log2) = e - 1.
+        # rest != 0 implies rest >= 2^p_bits, so e is always >= p_bits+1;
+        # the worst rounding case is off-by-one on a ~2^-52 sliver of
+        # hashes — noise far below the sketch's own error.
+        e = np.frexp(rest.astype(np.float64))[1].astype(np.int64)
+        rank = np.where(rest == 0, 64 - p_bits + 1, 64 - e + 1).astype(np.int64)
+        rank[~valid] = 0  # null users contribute nothing (SQL DISTINCT)
+        # per-batch register max, keyed (event_type, register) as ints
+        uniq_et, et_inv = np.unique(et, return_inverse=True)
+        key = et_inv.astype(np.int64) * m + reg
+        uniq_key, inv = np.unique(key, return_inverse=True)
+        best = np.zeros(len(uniq_key), dtype=np.int64)
+        np.maximum.at(best, inv, rank)
+        keep = best > 0
+        return pa.table({
+            "event_type": pa.array(uniq_et[uniq_key[keep] // m].tolist(),
+                                   type=pa.string()),
+            "register": uniq_key[keep] % m,
+            "rank": best[keep]})
+
+    regs = (ds.map_batches(register_partials, batch_format="pyarrow")
+            .groupby(["event_type", "register"])
+            .aggregate(Max("rank", alias_name="rank"))
+            .to_pandas())  # <= groups * 2^p_bits rows: constant in corpus
+
+    alpha = 0.7213 / (1 + 1.079 / m)
+    out_et, out_n = [], []
+    for et, g in regs.groupby("event_type", sort=True):
+        M = np.zeros(m, dtype=np.float64)
+        M[g["register"].to_numpy()] = g["rank"].to_numpy()
+        est = alpha * m * m / np.sum(2.0 ** -M)
+        zeros = int((M == 0).sum())
+        if est <= 2.5 * m and zeros:  # small-range correction
+            est = m * np.log(m / zeros)
+        out_et.append(None if et == _NULL_KEY else et)
+        out_n.append(int(round(est)))
+    return pd.DataFrame({"event_type": out_et,
+                         "n_users_approx": np.array(out_n, dtype=np.int64)})
