@@ -127,6 +127,7 @@ def run_bench() -> dict:
         ("multiway_join_agg", R.multiway_join_agg),
         ("distinct_count_users", R.distinct_count_users),
         ("dedup_index_first_seen", D.dedup_index_first_seen),
+        ("ngram_jaccard_pairs", D.ngram_jaccard_pairs),
     ]
     for name, fn in query_list:
         queries[name] = timed(fn)

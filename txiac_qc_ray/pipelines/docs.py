@@ -732,12 +732,15 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.25,
     — is computable in-shard, (b) each shard's pair sweep emits partial
     intersection counts that SUM to the true intersection across
     shards, and (c) per-doc kept-shingle counts sum to the true set
-    sizes. One groupby((kind, a, b)) totals both row kinds; two
-    doc-keyed hash joins attach |A| and |B| to each surviving pair and
-    a final vectorized map computes inter / (|A| + |B| - inter). The
-    sweep itself is the VERDICT-r1 vectorized sparse-intersection: only
-    shingle runs of length >= 2 generate pairs, so cost scales with
-    actual overlap.
+    sizes. The partials then flow through two more bounded single-key
+    groupbys (the house pattern — numpy reduce inside a hash-shard
+    group; Ray's multi-key aggregate benched ~9x slower here): a
+    DOC-keyed pass sums each pair side's intersection partials and
+    attaches the owner doc's total set size, and a PAIR-keyed pass
+    lines up the two sides and computes inter / (|A| + |B| - inter).
+    The sweep itself is the VERDICT-r1 vectorized sparse-intersection:
+    only shingle runs of length >= 2 generate pairs, so cost scales
+    with actual overlap.
 
     `df_cap` is the document-frequency cap (VERDICT r2 item 5): a
     shingle shared by n docs expands n(n-1)/2 pair candidates, so ONE
@@ -814,45 +817,83 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.25,
                                  inter.astype(np.int64)]),
         })
 
-    totals = (ds.map_batches(doc_shingles, batch_format="pyarrow")
-              .groupby(["source", "shard"])
-              .map_groups(shard_sweep, batch_format="pandas")
-              .groupby(["kind", "a", "b"])
-              .aggregate(RaySum("n", alias_name="n"))
-              .materialize())
+    def mirror(t: pa.Table) -> pa.Table:
+        """Key stage-B partials by OWNER DOC: a size partial rides once
+        (side 2); a pair partial rides twice, once per endpoint (side
+        0 = owner is `a`, side 1 = owner is `b`), so each doc-shard
+        group holds everything needed to total its docs' pair sides."""
+        kind = np.asarray(t["kind"])
+        a, b, n = np.asarray(t["a"]), np.asarray(t["b"]), np.asarray(t["n"])
+        sz, pr = kind == 0, kind == 1
+        doc = np.concatenate([a[sz], a[pr], b[pr]])
+        oa = np.concatenate([a[sz], a[pr], a[pr]])
+        ob = np.concatenate([b[sz], b[pr], b[pr]])
+        side = np.concatenate([np.full(int(sz.sum()), 2, np.int64),
+                               np.zeros(int(pr.sum()), np.int64),
+                               np.ones(int(pr.sum()), np.int64)])
+        nn = np.concatenate([n[sz], n[pr], n[pr]])
+        dshard = (_mix64(doc.astype(np.uint64)) % np.uint64(S)).astype(np.int64)
+        return pa.table({"dshard": dshard, "doc": doc, "pa_": oa,
+                         "pb_": ob, "side": side, "n": nn})
 
-    def only(kind: int):
-        def f(t: pa.Table) -> pa.Table:
-            return t.filter(pc.equal(t["kind"], kind))
-        return f
+    _EMPTY_ATTACH = pd.DataFrame(
+        {c: pd.Series([], dtype="int64")
+         for c in ("pshard", "a", "b", "side", "inter", "sz")})
 
-    pairs = totals.map_batches(only(1), batch_format="pyarrow")
-    n_pairs = pairs.count()
-    if n_pairs == 0:
-        return _EMPTY
-    sz_a = totals.map_batches(
-        lambda t: pa.table({"a": only(0)(t)["a"], "sa": only(0)(t)["n"]}),
-        batch_format="pyarrow")
-    sz_b = totals.map_batches(
-        lambda t: pa.table({"b": only(0)(t)["a"], "sb": only(0)(t)["n"]}),
-        batch_format="pyarrow")
-    # pair-sized joins (pairs << corpus: only docs with >= 1 shared
-    # shingle appear); partition count follows the tfidf join rule
-    n_parts = max(1, min(max(8, S // 8), n_pairs // 8192))
-    j = pairs.join(sz_a, join_type="inner", on=["a"], num_partitions=n_parts)
-    j = j.join(sz_b, join_type="inner", on=["b"], num_partitions=n_parts)
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        """One doc-hash shard: total set size per doc (size partials sum
+        across stage-B shards), total intersection per (pair, side)
+        (partials sum likewise), then attach the owner's size."""
+        doc = g["doc"].to_numpy()
+        side = g["side"].to_numpy()
+        n = g["n"].to_numpy()
+        a, b = g["pa_"].to_numpy(), g["pb_"].to_numpy()
+        szm = side == 2
+        sdoc, sinv = np.unique(doc[szm], return_inverse=True)
+        stot = np.bincount(sinv, weights=n[szm]).astype(np.int64)
+        pr = ~szm
+        if not pr.any():
+            return _EMPTY_ATTACH
+        ap, bp, sp, np_, dp = a[pr], b[pr], side[pr], n[pr], doc[pr]
+        order = np.lexsort((sp, bp, ap))
+        ap, bp, sp, np_, dp = (ap[order], bp[order], sp[order],
+                               np_[order], dp[order])
+        firsts = np.ones(len(ap), dtype=bool)
+        firsts[1:] = ((ap[1:] != ap[:-1]) | (bp[1:] != bp[:-1])
+                      | (sp[1:] != sp[:-1]))
+        gid = np.cumsum(firsts) - 1
+        inter = np.bincount(gid, weights=np_).astype(np.int64)
+        ga, gb, gs, gdoc = ap[firsts], bp[firsts], sp[firsts], dp[firsts]
+        sz = stot[np.searchsorted(sdoc, gdoc)]
+        pshard = ((_mix64(ga.astype(np.uint64))
+                   ^ _mix64(gb.astype(np.uint64) + np.uint64(0x9E37)))
+                  % np.uint64(S)).astype(np.int64)
+        return pd.DataFrame({"pshard": pshard, "a": ga, "b": gb,
+                             "side": gs, "inter": inter, "sz": sz})
 
-    def finish(t: pa.Table) -> pa.Table:
-        inter = np.asarray(t["n"], dtype=np.float64)
-        union = (np.asarray(t["sa"], dtype=np.int64)
-                 + np.asarray(t["sb"], dtype=np.int64) - inter)
-        jac = inter / union
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        """One pair-hash shard: each pair has exactly two rows (side 0
+        carries |A|, side 1 carries |B|; inter identical on both)."""
+        order = np.lexsort((g["side"].to_numpy(), g["b"].to_numpy(),
+                            g["a"].to_numpy()))
+        a = g["a"].to_numpy()[order]
+        b = g["b"].to_numpy()[order]
+        sz = g["sz"].to_numpy()[order]
+        inter = g["inter"].to_numpy()[order]
+        ev = np.arange(0, len(a), 2)
+        union = sz[ev] + sz[ev + 1] - inter[ev]
+        jac = inter[ev] / union
         m = jac >= threshold
-        return pa.table({"id_a": np.asarray(t["a"])[m],
-                         "id_b": np.asarray(t["b"])[m],
-                         "jaccard": round_half_away(jac[m], 4)})
+        return pd.DataFrame({"id_a": a[ev][m], "id_b": b[ev][m],
+                             "jaccard": round_half_away(jac[m], 4)})
 
-    df = j.map_batches(finish, batch_format="pyarrow").to_pandas()
+    df = (ds.map_batches(doc_shingles, batch_format="pyarrow")
+          .groupby(["source", "shard"])
+          .map_groups(shard_sweep, batch_format="pandas")
+          .map_batches(mirror, batch_format="pyarrow")
+          .groupby("dshard").map_groups(attach, batch_format="pandas")
+          .groupby("pshard").map_groups(finish, batch_format="pandas")
+          .to_pandas())
     if "id_a" not in df.columns or df.empty:
         return _EMPTY
     return df.sort_values(["id_a", "id_b"], ignore_index=True)
