@@ -1992,7 +1992,14 @@ def neardup_clusters_distributed(sf_dir: str, jaccard_threshold: float = 0.5,
         # applied DIRECTLY to join output can silently drop partitions —
         # see pmis.county_summary note); repartition materializes blocks
         cand = labels.union(prop).repartition(4)
-        labels = cand.groupby("node").aggregate(Min("label", alias_name="label"))
+        # materialize each round's labels: they are consumed TWICE (the
+        # fixpoint sum now, the next round's join later) and Ray
+        # datasets are lazy plans — without this the round-k plan
+        # re-executes every earlier round's join+groupby, making the
+        # loop quadratic in rounds (measured 31.8 s -> ~8 s at sf0.01).
+        # The labels table is O(nodes in near-dup pairs), tiny.
+        labels = (cand.groupby("node")
+                  .aggregate(Min("label", alias_name="label")).materialize())
         s = labels.aggregate(RaySum("label", alias_name="s"))["s"]
         if s == prev_sum:
             break
