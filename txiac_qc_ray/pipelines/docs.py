@@ -919,11 +919,15 @@ def emb_ndarray(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
 def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     """(q_ids, row-normalized query matrix): ONLY the n_queries query rows
     (vec_id < n_queries, matching the SQL oracle's split) are collected to
-    the driver — the corpus never is."""
+    the driver — the corpus never is. The predicate is pushed into the
+    parquet read (r4): row-group statistics prune everything past the
+    query id range before bytes leave storage."""
+    import pyarrow.dataset as pads
+
     t = pa.concat_tables(
-        _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-        .map_batches(lambda t: t.filter(pc.less(t["vec_id"], pa.scalar(n_queries))),
-                     batch_format="pyarrow")
+        ray.data.read_parquet(f"{os.path.join(sf_dir, 'embeddings.parquet')}",
+                              columns=["vec_id", "embedding"],
+                              filter=pads.field("vec_id") < n_queries)
         .iter_batches(batch_size=8192, batch_format="pyarrow")
     )
     ids = np.asarray(t["vec_id"])

@@ -74,12 +74,17 @@ def timestamp_days(sf_dir: str) -> ray.data.Dataset:
 # ---- M2: categorical isin filter (pav_filter, Home.py:143-158) -----------
 
 def filter_isin(sf_dir: str) -> ray.data.Dataset:
-    langs = pa.array(["en", "fr"], type=pa.string())
-    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
-    return ds.map_batches(
-        lambda t: t.filter(pc.is_in(t["lang"], value_set=langs)),
-        batch_format="pyarrow",
-    )
+    """M2 isin filter PUSHED INTO THE READ (r4): the predicate is a
+    pyarrow.dataset expression handed to read_parquet, so row-group
+    statistics prune non-matching groups before bytes leave storage and
+    surviving rows are filtered inside the scan task — only matching
+    rows ever enter the object store ('prune at the read')."""
+    import pyarrow.dataset as pads
+
+    return ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "lang", "n_chars"],
+        filter=pads.field("lang").isin(["en", "fr"]))
 
 
 # ---- M3: semi-join via broadcast key set (Home.py:124) -------------------
