@@ -1,0 +1,69 @@
+"""Empty-partition contract: every query survives fully-empty tables.
+
+At 100 TB scale a partition (or a whole filtered table) can legitimately
+be empty — a date range with no data, a language filter matching nothing,
+a resumed run whose remaining shards are all done. Ray collects the
+result of a groupby/aggregate/map_batches chain over a zero-row Dataset
+as a ZERO-COLUMN frame (no batch function ran to establish the schema),
+which used to KeyError 37 of the 74 queries (round-4 sweep). The engine
+contract is now: empty in -> typed empty out (`typed_empty` /
+`ensure_columns` in pipelines/relational.py), never a raise.
+
+This test writes schema-preserving empty twins of every testdata table
+and runs EVERY `queries()` entry over them.
+"""
+
+import os
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+TABLES = ("region nation customer supplier part orders lineitem "
+          "events documents embeddings").split()
+
+SF_SRC = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("empty_tables")
+    for t in TABLES:
+        schema = pq.read_schema(os.path.join(SF_SRC, f"{t}.parquet"))
+        pq.write_table(schema.empty_table(), os.path.join(d, f"{t}.parquet"))
+    return str(d)
+
+
+def _row_count(out) -> int:
+    if isinstance(out, pd.DataFrame):
+        return len(out)
+    if isinstance(out, pa.Table):
+        return out.num_rows
+    return out.count()  # ray.data.Dataset
+
+
+# One (0/NULL) row from an empty input is the SQL contract for global
+# aggregates; the PMIS family and the csv/jsonl ingest queries generate
+# their own deterministic fixture inputs (seeded synthetic sections /
+# frozen fixture files) and never read the sf_dir parquet tables, so a
+# non-empty result is correct for them too.
+MAY_BE_NONEMPTY = frozenset({
+    "semi_join_agg", "anti_join_agg", "row_count",
+    "quantile_thresholds", "tukey_fences",
+})
+
+
+def test_every_query_survives_empty_tables(ray_session, empty_dir):
+    import __ray_entry__ as E
+
+    failures = {}
+    for name, fn in E.queries().items():
+        exempt = name in MAY_BE_NONEMPTY or name.startswith(
+            ("pmis_", "csv_ingest", "jsonl_ingest"))
+        try:
+            assert _row_count(fn(empty_dir)) == 0 or exempt, (
+                f"{name}: non-empty result from empty input")
+        except Exception as e:  # noqa: BLE001 - collecting all failures
+            failures[name] = f"{type(e).__name__}: {e}"
+    assert not failures, f"queries raised on empty input: {failures}"

@@ -56,6 +56,8 @@ def percentile_thresholds(
     """Exact [lo, hi] percentiles with np.nanpercentile linear
     interpolation (Home.py:340 semantics)."""
     v = _column_values(ds, col)
+    if v.size == 0:  # np.nanpercentile collapses to a SCALAR nan on empty
+        return float("nan"), float("nan")
     lo, hi = np.nanpercentile(v, list(percentiles))
     return float(lo), float(hi)
 
@@ -70,6 +72,8 @@ def tukey_fences(ds: ray.data.Dataset, col: str) -> tuple[float, float]:
     """Box-plot fences exactly as the reference computes them
     (Home.py:346-348: fences from q1/q3 with IQR = q3 - q1)."""
     v = _column_values(ds, col)
+    if v.size == 0:  # np.nanpercentile collapses to a SCALAR nan on empty
+        return float("nan"), float("nan")
     q1, q3 = np.nanpercentile(v, [25.0, 75.0])
     iqr = q3 - q1
     return float(q1 - 1.5 * iqr), float(q3 + 1.5 * iqr)
@@ -194,8 +198,11 @@ def exact_quantiles_fn(values_by_col: dict[str, np.ndarray]):
     the two sides would drift."""
 
     def quantiles(f: str, qs: tuple[float, ...]) -> tuple[float, ...]:
+        v = values_by_col[f]
+        if v.size == 0:  # nanpercentile collapses to a SCALAR nan on empty
+            return tuple(float("nan") for _ in qs)
         return tuple(float(x) for x in
-                     np.nanpercentile(values_by_col[f], [100 * q for q in qs]))
+                     np.nanpercentile(v, [100 * q for q in qs]))
 
     return quantiles
 

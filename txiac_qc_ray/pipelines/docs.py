@@ -23,7 +23,7 @@ from ray.data.aggregate import Sum as RaySum
 
 from ..functions import textstats as ts
 from ..functions.urls import fnv1a64
-from .relational import round_half_away, _read
+from .relational import ensure_columns, round_half_away, typed_empty, _read
 
 
 # ---- shard-count sizing (bounded-cardinality shuffle keys) ---------------
@@ -130,7 +130,8 @@ def exact_dedup(sf_dir: str) -> pd.DataFrame:
     agg = (ds.map_batches(add_hash, batch_format="pyarrow")
              .groupby("text_hash")
              .aggregate(Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")))
-    df = agg.to_pandas()[["doc_id", "n_dups"]]
+    df = ensure_columns(agg.to_pandas(),
+                        {"doc_id": "int64", "n_dups": "int64"})[["doc_id", "n_dups"]]
     return df.sort_values("doc_id", ignore_index=True)
 
 
@@ -263,7 +264,8 @@ def dedup_index_first_seen(sf_dir: str, n_index_shards: int = 8) -> pd.DataFrame
             first[s == k] = r
         return pa.table({"doc_id": ids, "first_seen": ids == first})
 
-    df = ds.map_batches(label, batch_format="pyarrow").to_pandas()
+    df = ensure_columns(ds.map_batches(label, batch_format="pyarrow").to_pandas(),
+                        {"doc_id": "int64", "first_seen": "bool"})
     return df.sort_values("doc_id", ignore_index=True)
 
 
@@ -634,8 +636,9 @@ def simhash_docs(sf_dir: str) -> pd.DataFrame:
         sh = simhash_64(t["text"])
         return pa.table({"doc_id": t["doc_id"], "simhash": _hex16(sh)})
 
-    return ds.map_batches(stage, batch_format="pyarrow").to_pandas().sort_values(
-        "doc_id", ignore_index=True)
+    df = ensure_columns(ds.map_batches(stage, batch_format="pyarrow").to_pandas(),
+                        {"doc_id": "int64", "simhash": "object"})
+    return df.sort_values("doc_id", ignore_index=True)
 
 
 def simhash_neardup_pairs(sf_dir: str, max_hamming: int = 3) -> pd.DataFrame:
@@ -924,12 +927,15 @@ def _query_matrix(sf_dir: str, n_queries: int) -> tuple[np.ndarray, np.ndarray]:
     query id range before bytes leave storage."""
     import pyarrow.dataset as pads
 
-    t = pa.concat_tables(
+    tabs = list(
         ray.data.read_parquet(f"{os.path.join(sf_dir, 'embeddings.parquet')}",
                               columns=["vec_id", "embedding"],
                               filter=pads.field("vec_id") < n_queries)
         .iter_batches(batch_size=8192, batch_format="pyarrow")
     )
+    if not tabs:  # empty table: no batches at all
+        return np.zeros(0, dtype=np.int64), np.zeros((0, 0), dtype=np.float64)
+    t = pa.concat_tables(tabs)
     ids = np.asarray(t["vec_id"])
     order = np.argsort(ids)
     mat = emb_ndarray(t["embedding"])[order]
@@ -957,6 +963,7 @@ def _partial_topk_table(qi: np.ndarray, vid: np.ndarray, sims: np.ndarray,
 
 
 def _merge_topk(parts: pd.DataFrame, k: int) -> pd.DataFrame:
+    parts = ensure_columns(parts, {"qid": "int64", "nid": "int64", "sim": "float64"})
     out = (parts.sort_values(["qid", "sim", "nid"], ascending=[True, False, True])
            .groupby("qid", sort=True).head(k).reset_index(drop=True))
     out["sim"] = round_half_away(out["sim"].to_numpy(), 4)
@@ -999,6 +1006,8 @@ def _corpus_broadcast(sf_dir: str) -> tuple[np.ndarray, np.ndarray]:
     is the beyond-RAM scale path."""
     tabs = list(_read(sf_dir, "embeddings", ["vec_id", "embedding"])
                 .iter_batches(batch_size=65536, batch_format="pyarrow"))
+    if not tabs:  # empty table: no batches at all
+        return np.zeros(0, dtype=np.int64), np.zeros((0, 0), dtype=np.float64)
     ids = np.concatenate([np.asarray(t["vec_id"]) for t in tabs])
     mat = np.concatenate([emb_ndarray(t["embedding"]) for t in tabs])
     order = np.argsort(ids)
@@ -1057,10 +1066,13 @@ def embedding_neardup_pairs_lsh(sf_dir: str, threshold: float = 0.4,
     PARTITIONING ASSUMPTION: one (table, bucket)'s vectors fit a worker
     (2^b buckets/table; raise n_planes to shrink buckets at scale)."""
     rng = np.random.default_rng(908172)  # frozen hyperplanes
-    dim = emb_ndarray(
-        next(iter(_read(sf_dir, "embeddings", ["embedding"])
-                  .iter_batches(batch_size=1, batch_format="pyarrow")))["embedding"]
-    ).shape[1]
+    try:
+        dim = emb_ndarray(
+            next(iter(_read(sf_dir, "embeddings", ["embedding"])
+                      .iter_batches(batch_size=1, batch_format="pyarrow")))["embedding"]
+        ).shape[1]
+    except StopIteration:  # empty table: no batch to probe the dim from
+        return typed_empty({"id_a": "int64", "id_b": "int64", "sim": "float64"})
     planes = rng.normal(size=(n_tables, n_planes, dim))
     planes_ref = ray.put(planes)
     shifts = (np.uint32(1) << np.arange(n_planes, dtype=np.uint32))
@@ -1450,10 +1462,12 @@ def vocab_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
 
     # distributed sort + limit: only k rows ever reach the driver (a web
     # vocabulary is itself large — never to_pandas() the whole table)
-    out = (ds.map_batches(partials, batch_format="pyarrow")
-           .groupby("tok").aggregate(RaySum("cnt", alias_name="cnt"))
-           .sort(["cnt", "tok"], descending=[True, False])
-           .limit(k).to_pandas())
+    out = ensure_columns(
+        ds.map_batches(partials, batch_format="pyarrow")
+          .groupby("tok").aggregate(RaySum("cnt", alias_name="cnt"))
+          .sort(["cnt", "tok"], descending=[True, False])
+          .limit(k).to_pandas(),
+        {"tok": "object", "cnt": "int64"})
     out["cnt"] = out["cnt"].astype(np.int64)
     return out[["tok", "cnt"]].reset_index(drop=True)
 
@@ -1485,9 +1499,11 @@ def deterministic_shuffle(sf_dir: str) -> ray.data.Dataset:
         uniq, cnt = np.unique((k >> shift).astype(np.int64), return_counts=True)
         return pa.table({"bucket": uniq, "cnt": cnt.astype(np.int64)})
 
-    counts = (ds.map_batches(count_partials, batch_format="pyarrow")
-              .groupby("bucket").aggregate(RaySum("cnt", alias_name="cnt"))
-              .to_pandas())
+    counts = ensure_columns(
+        ds.map_batches(count_partials, batch_format="pyarrow")
+          .groupby("bucket").aggregate(RaySum("cnt", alias_name="cnt"))
+          .to_pandas(),
+        {"bucket": "int64", "cnt": "int64"})
     per_bucket = np.zeros(n_buckets, dtype=np.int64)
     per_bucket[counts["bucket"].to_numpy()] = counts["cnt"].to_numpy()
     offsets = np.concatenate([[0], np.cumsum(per_bucket)[:-1]])
@@ -1639,9 +1655,12 @@ def cap_per_host(sf_dir: str, k: int = 5) -> pd.DataFrame:
         g = g.sort_values(["sort_key", "doc_id"]).head(k)
         return g.drop(columns=["sort_key", "host_key"])
 
-    df = (ds.map_batches(partial, batch_format="pyarrow")
+    df = ensure_columns(
+        ds.map_batches(partial, batch_format="pyarrow")
           .groupby("host_key").map_groups(finish, batch_format="pandas")
-          .to_pandas())
+          .to_pandas(),
+        {"doc_id": "int64", "source": "object", "lang": "object",
+         "n_chars": "int64"})
     return df.sort_values("doc_id", ignore_index=True)
 
 
@@ -1699,7 +1718,9 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_queries: int = 4,
                          "r_max": rmax,
                          "n": np.bincount(inv, minlength=len(uniq)).astype(np.int64)})
 
-    part = (ds.map_batches(bound_partials, batch_format="pyarrow").to_pandas()
+    part = (ensure_columns(
+                ds.map_batches(bound_partials, batch_format="pyarrow").to_pandas(),
+                {"list_id": "int64", "r_max": "float64", "n": "int64"})
             .groupby("list_id").agg(r_max=("r_max", "max"), n=("n", "sum")))
     r_max = np.zeros(n_lists)
     counts = np.zeros(n_lists, dtype=np.int64)
@@ -1709,6 +1730,9 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_queries: int = 4,
     meta = {"n_lists": n_lists, "n_queries": n_queries,
             "centroids": cent.tolist(), "r_max": r_max.tolist(),
             "counts": counts.tolist()}
+    # write_parquet creates the dir only if it wrote blocks; an empty
+    # corpus writes none, but the sidecar must still land
+    os.makedirs(index_dir, exist_ok=True)
     with open(os.path.join(index_dir, "_ivf_meta.json"), "w") as f:
         _json.dump(meta, f)
     return meta
@@ -1745,7 +1769,9 @@ def ann_topk_ivf_indexed(sf_dir: str, n_queries: int = 4, k: int = 5,
         build_ivf_index(sf_dir, index_dir, n_queries, n_lists)
     with open(meta_path) as f:
         meta = _json.load(f)
-    cent = np.asarray(meta["centroids"])
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    if cent.ndim != 2:  # empty corpus: centroids serialized as []
+        cent = cent.reshape(0, 0)
     r_max = np.asarray(meta["r_max"])
     counts = np.asarray(meta["counts"], dtype=np.int64)
 
@@ -1850,8 +1876,9 @@ def fingerprint_docs(sf_dir: str) -> pd.DataFrame:
         return pa.table({"doc_id": t["doc_id"],
                          "fingerprint": pc.binary_join(lst, "-")})
 
-    return ds.map_batches(stage, batch_format="pyarrow").to_pandas().sort_values(
-        "doc_id", ignore_index=True)
+    df = ensure_columns(ds.map_batches(stage, batch_format="pyarrow").to_pandas(),
+                        {"doc_id": "int64", "fingerprint": "object"})
+    return df.sort_values("doc_id", ignore_index=True)
 
 
 def langid_docs(sf_dir: str) -> pd.DataFrame:
@@ -1862,7 +1889,8 @@ def langid_docs(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     out = ds.map_batches(LangIdStage, batch_format="pyarrow",
                          concurrency=(1, 2), num_cpus=1)
-    df = out.select_columns(["doc_id", "lang_pred"]).to_pandas()
+    df = ensure_columns(out.select_columns(["doc_id", "lang_pred"]).to_pandas(),
+                        {"doc_id": "int64", "lang_pred": "object"})
     return df.sort_values("doc_id", ignore_index=True)
 
 
@@ -1894,7 +1922,9 @@ def prep_corpus(sf_dir: str, jaccard_threshold: float = 0.5,
     clusters = neardup_clusters(sf_dir, jaccard_threshold)
     cluster_losers = {int(d) for d, c in zip(clusters["doc_id"], clusters["cluster_id"])
                       if int(d) != int(c)}
-    cont = decontaminate_against(sf_dir, eval_mod, min_overlap).to_pandas()
+    cont = ensure_columns(
+        decontaminate_against(sf_dir, eval_mod, min_overlap).to_pandas(),
+        {"doc_id": "int64", "contaminated": "bool"})
     contaminated = set(cont[cont["contaminated"]]["doc_id"].astype(int))
     drop_ids = np.array(sorted(dup_losers | cluster_losers | contaminated),
                         dtype=np.int64)
@@ -1920,7 +1950,10 @@ def prep_corpus(sf_dir: str, jaccard_threshold: float = 0.5,
         t = t.append_column("n_tokens", pa.array(n_tok))
         return t.filter(pa.array(ok)).drop_columns(["text"])
 
-    df = ds.map_batches(stage, batch_format="pyarrow").to_pandas()
+    df = ensure_columns(
+        ds.map_batches(stage, batch_format="pyarrow").to_pandas(),
+        {"doc_id": "int64", "lang": "object", "source": "object",
+         "n_chars": "int64", "n_tokens": "int64"})
     return df.sort_values("doc_id", ignore_index=True)
 
 
@@ -2057,6 +2090,8 @@ def _ivf_train_centroids(sf_dir: str, n_queries: int, n_lists: int,
     tabs = list(_read(sf_dir, "embeddings", ["vec_id", "embedding"])
                 .map_batches(pick, batch_format="pyarrow")
                 .iter_batches(batch_size=65536, batch_format="pyarrow"))
+    if not tabs:  # empty table: no training sample, no usable centroids
+        return np.zeros((0, 0), dtype=np.float64)
     ids = np.concatenate([np.asarray(t["vec_id"]) for t in tabs])
     mat = np.concatenate([emb_ndarray(t["embedding"]) for t in tabs])
     mat = mat[np.argsort(ids)]  # deterministic row order for k-means
@@ -2130,7 +2165,10 @@ def ann_topk_ivf(sf_dir: str, n_queries: int = 4, k: int = 5,
         return stage
 
     # ---- pass 1: initial n_probe lists + residual-bound partials
-    parts = ds.map_batches(pass_stage(probe0), batch_format="pyarrow").to_pandas()
+    parts = ensure_columns(
+        ds.map_batches(pass_stage(probe0), batch_format="pyarrow").to_pandas(),
+        {"qid": "int64", "nid": "int64", "sim": "float64",
+         "r_list": "int64", "r_max": "float64"})
     stats = parts[parts["r_list"] >= 0]
     r_max = np.zeros(n_lists)
     for lst, g in stats.groupby("r_list"):

@@ -37,6 +37,23 @@ def _read(sf_dir: str, table: str, columns: list[str] | None = None) -> ray.data
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet", columns=columns)
 
 
+def typed_empty(spec: dict) -> pd.DataFrame:
+    """Typed zero-row frame. Empty-partition contract: empty in ->
+    typed empty out. Ray collects the result of a groupby/aggregate or
+    map_batches chain over a zero-row Dataset as a ZERO-COLUMN frame
+    (no batch function ever ran to establish the schema), which would
+    KeyError any downstream column selection."""
+    return pd.DataFrame({c: pd.Series([], dtype=t) for c, t in spec.items()})
+
+
+def ensure_columns(df: pd.DataFrame, spec: dict) -> pd.DataFrame:
+    """Restore the declared schema on a zero-column empty collect (see
+    typed_empty); non-empty frames pass through untouched."""
+    if len(df) == 0 and any(c not in df.columns for c in spec):
+        return typed_empty(spec)
+    return df
+
+
 # ---- S3/S4: projection + derived column (data_load, Home.py:95-105) ------
 
 def project_derive(sf_dir: str) -> ray.data.Dataset:
@@ -93,11 +110,11 @@ def semi_join_agg(sf_dir: str) -> pd.DataFrame:
     """Keep lineitems whose suppkey belongs to nation 3's suppliers
     (broadcast small-side key set; no shuffle), then aggregate."""
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    keys = supp.map_batches(
+    sdf = ensure_columns(supp.map_batches(
         lambda t: t.filter(pc.equal(t["s_nationkey"], pa.scalar(3, pa.int32()))).select(["s_suppkey"]),
         batch_format="pyarrow",
-    ).to_pandas()["s_suppkey"].to_numpy()
-    key_set = pa.array(np.sort(keys), type=pa.int64())  # broadcast (tiny)
+    ).to_pandas(), {"s_suppkey": "int64"})
+    key_set = pa.array(np.sort(sdf["s_suppkey"].to_numpy()), type=pa.int64())  # broadcast (tiny)
 
     ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity"])
     flt = ds.map_batches(
@@ -105,6 +122,9 @@ def semi_join_agg(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
     )
     agg = flt.aggregate(Count(alias_name="cnt"), Sum("l_quantity", alias_name="sum_qty"))
+    if not agg or "cnt" not in agg or agg.get("sum_qty") is None:
+        # empty (or fully-filtered) input: Sum over zero rows is None
+        return pd.DataFrame({"cnt": [0], "sum_qty": [np.nan]})  # SQL: (0, NULL)
     return pd.DataFrame({"cnt": [int(agg["cnt"])], "sum_qty": [float(agg["sum_qty"])]})
 
 
@@ -115,7 +135,9 @@ def tolerance_join(sf_dir: str) -> pd.DataFrame:
     abs(c_acctbal - s_acctbal) < 500 (strict <, mirroring the reference's
     strict <0.05 DFO band, Home.py:132). Small side broadcast into a
     map_batches hash-lookup — the at-scale pattern for dimension joins."""
-    supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"]).to_pandas()
+    supp = ensure_columns(
+        _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey", "s_acctbal"]).to_pandas(),
+        {"s_suppkey": "int64", "s_nationkey": "int64", "s_acctbal": "float64"})
     supp_by_nation = {k: g[["s_suppkey", "s_acctbal"]].to_numpy()
                       for k, g in supp.groupby("s_nationkey")}
 
@@ -148,7 +170,10 @@ def tolerance_join(sf_dir: str) -> pd.DataFrame:
         })
 
     ds = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
-    df = ds.map_batches(stage, batch_format="pyarrow").to_pandas()
+    df = ensure_columns(
+        ds.map_batches(stage, batch_format="pyarrow").to_pandas(),
+        {"c_custkey": "int64", "s_suppkey": "int64",
+         "c_acctbal": "float64", "s_acctbal": "float64"})
     return df.sort_values(["c_custkey", "s_suppkey"], ignore_index=True)
 
 
@@ -216,7 +241,10 @@ def grouped_counters(sf_dir: str) -> pd.DataFrame:
         Sum("count_out", alias_name="count_out"),
         Sum("sum_qty_out", alias_name="sum_qty_out"),
     )
-    df = agg.to_pandas()
+    df = ensure_columns(agg.to_pandas(),
+                        {"l_returnflag": "object", "count_all": "int64",
+                         "sum_qty": "float64", "count_out": "int64",
+                         "sum_qty_out": "float64"})
     df["pct_out"] = round_half_away(100.0 * df["count_out"] / df["count_all"], 4)
     df["sum_qty"] = round_half_away(df["sum_qty"], 4)
     df["sum_qty_out"] = round_half_away(df["sum_qty_out"], 4)
@@ -231,7 +259,8 @@ def grouped_mean(sf_dir: str) -> pd.DataFrame:
         Mean("c_acctbal", alias_name="avg_bal"),
         Count(alias_name="cnt"),
     )
-    df = agg.to_pandas()
+    df = ensure_columns(agg.to_pandas(),
+                        {"c_mktsegment": "object", "avg_bal": "float64", "cnt": "int64"})
     df["avg_bal"] = round_half_away(df["avg_bal"], 4)
     return df.sort_values("c_mktsegment", ignore_index=True)
 
@@ -240,7 +269,9 @@ def grouped_mean(sf_dir: str) -> pd.DataFrame:
 
 def group_size(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "orders", ["o_orderstatus"])
-    df = ds.groupby("o_orderstatus").aggregate(Count(alias_name="cnt")).to_pandas()
+    df = ensure_columns(
+        ds.groupby("o_orderstatus").aggregate(Count(alias_name="cnt")).to_pandas(),
+        {"o_orderstatus": "object", "cnt": "int64"})
     return df.sort_values("o_orderstatus", ignore_index=True)
 
 
@@ -266,7 +297,9 @@ def pivot_sum_wide(sf_dir: str) -> pd.DataFrame:
         Sum("bucket1", alias_name="bucket1"),
         Sum("bucket2", alias_name="bucket2"),
     )
-    df = agg.to_pandas()
+    df = ensure_columns(agg.to_pandas(),
+                        {"event_type": "object", "bucket0": "float64",
+                         "bucket1": "float64", "bucket2": "float64"})
     for c in ("bucket0", "bucket1", "bucket2"):
         df[c] = round_half_away(df[c], 4)
     return df.sort_values("event_type", ignore_index=True)
@@ -306,8 +339,10 @@ def binned_histogram(sf_dir: str) -> pd.DataFrame:
         return pa.table({"bin": pa.array(_BIN_LABELS.tolist(), type=pa.string()),
                          "cnt": cnt.astype(np.int64)})
 
-    df = (ds.map_batches(partials, batch_format="pyarrow")
-            .groupby("bin").aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+    df = ensure_columns(
+        ds.map_batches(partials, batch_format="pyarrow")
+          .groupby("bin").aggregate(Sum("cnt", alias_name="cnt")).to_pandas(),
+        {"bin": "object", "cnt": "int64"})
     df = df[df["cnt"] > 0]
     return df.sort_values("bin", ignore_index=True)
 
@@ -327,8 +362,10 @@ def pair_concat(sf_dir: str) -> pd.DataFrame:
         return pa.table({"pair": pa.array(uniq.tolist(), type=pa.string()),
                          "cnt": np.bincount(inv, minlength=len(uniq)).astype(np.int64)})
 
-    df = (ds.map_batches(partials, batch_format="pyarrow")
-            .groupby("pair").aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+    df = ensure_columns(
+        ds.map_batches(partials, batch_format="pyarrow")
+          .groupby("pair").aggregate(Sum("cnt", alias_name="cnt")).to_pandas(),
+        {"pair": "object", "cnt": "int64"})
     return df.sort_values("pair", ignore_index=True)
 
 
@@ -360,14 +397,16 @@ def union_all_summaries(sf_dir: str) -> pd.DataFrame:
 
     un = cust.map_batches(tag("customer"), batch_format="pyarrow").union(
         supp.map_batches(tag("supplier"), batch_format="pyarrow"))
-    return un.to_pandas().sort_values(["side", "nationkey"], ignore_index=True)
+    df = ensure_columns(un.to_pandas(),
+                        {"side": "object", "nationkey": "int64", "cnt": "int64"})
+    return df.sort_values(["side", "nationkey"], ignore_index=True)
 
 
 # ---- A9: distinct (Home.py:116) ------------------------------------------
 
 def distinct_vals(sf_dir: str) -> pd.DataFrame:
     vals = _read(sf_dir, "lineitem", ["l_returnflag"]).unique("l_returnflag")
-    return pd.DataFrame({"v": sorted(vals)})
+    return pd.DataFrame({"v": pd.Series(sorted(vals or []), dtype="object")})
 
 
 # ---- O4: row count (Home.py:435) -----------------------------------------
@@ -381,11 +420,12 @@ def row_count(sf_dir: str) -> pd.DataFrame:
 
 def grouped_mean_by_priority(sf_dir: str) -> pd.DataFrame:
     ds = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
-    df = ds.groupby("o_orderpriority").aggregate(
+    df = ensure_columns(ds.groupby("o_orderpriority").aggregate(
         Mean("o_totalprice", alias_name="avg_price"),
         Min("o_totalprice", alias_name="min_price"),
         Max("o_totalprice", alias_name="max_price"),
-    ).to_pandas()
+    ).to_pandas(), {"o_orderpriority": "object", "avg_price": "float64",
+                    "min_price": "float64", "max_price": "float64"})
     for c in ("avg_price", "min_price", "max_price"):
         df[c] = round_half_away(df[c], 4)
     return df.sort_values("o_orderpriority", ignore_index=True)
@@ -424,6 +464,9 @@ def tumbling_window(sf_dir: str) -> pd.DataFrame:
     agg = (ds.map_batches(partials, batch_format="pyarrow")
              .groupby("k").aggregate(Sum("cnt", alias_name="cnt"),
                                      Sum("sum_val", alias_name="sum_val")).to_pandas())
+    if len(agg) == 0:  # empty input (str.rsplit expand needs >=1 row)
+        return typed_empty({"event_type": "object", "win": "datetime64[ns]",
+                            "cnt": "int64", "sum_val": "float64"})
     # rsplit(n=1): the window suffix never contains '|', an event_type
     # value legally might
     parts = agg["k"].str.rsplit("|", n=1, expand=True)
@@ -449,10 +492,12 @@ def ecdf_quantity(sf_dir: str) -> pd.DataFrame:
         uniq, cnt = np.unique(v, return_counts=True)
         return pa.table({"v": uniq, "cnt": cnt.astype(np.int64)})
 
-    agg = (ds.map_batches(partials, batch_format="pyarrow")
-             .groupby("v").aggregate(Sum("cnt", alias_name="cnt")).to_pandas())
+    agg = ensure_columns(
+        ds.map_batches(partials, batch_format="pyarrow")
+          .groupby("v").aggregate(Sum("cnt", alias_name="cnt")).to_pandas(),
+        {"v": "float64", "cnt": "int64"})
     agg = agg.sort_values("v", ignore_index=True)
-    total = int(agg["cnt"].sum())
+    total = max(int(agg["cnt"].sum()), 1)  # empty input: avoid 0/0
     agg["ecdf"] = agg["cnt"].cumsum() / total
     return agg[["v", "cnt", "ecdf"]]
 
@@ -464,11 +509,11 @@ def anti_join_agg(sf_dir: str) -> pd.DataFrame:
     suppliers — the anti-join complement of semi_join_agg, same broadcast
     key-set shape (no shuffle; SURVEY.md §2.4)."""
     supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
-    keys = supp.map_batches(
+    sdf = ensure_columns(supp.map_batches(
         lambda t: t.filter(pc.equal(t["s_nationkey"], pa.scalar(3, pa.int32()))).select(["s_suppkey"]),
         batch_format="pyarrow",
-    ).to_pandas()["s_suppkey"].to_numpy()
-    key_set = pa.array(np.sort(keys), type=pa.int64())
+    ).to_pandas(), {"s_suppkey": "int64"})
+    key_set = pa.array(np.sort(sdf["s_suppkey"].to_numpy()), type=pa.int64())
 
     ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_quantity"])
     flt = ds.map_batches(
@@ -476,6 +521,9 @@ def anti_join_agg(sf_dir: str) -> pd.DataFrame:
         batch_format="pyarrow",
     )
     agg = flt.aggregate(Count(alias_name="cnt"), Sum("l_quantity", alias_name="sum_qty"))
+    if not agg or "cnt" not in agg or agg.get("sum_qty") is None:
+        # empty (or fully-filtered) input: Sum over zero rows is None
+        return pd.DataFrame({"cnt": [0], "sum_qty": [np.nan]})  # SQL: (0, NULL)
     return pd.DataFrame({"cnt": [int(agg["cnt"])], "sum_qty": [float(agg["sum_qty"])]})
 
 
@@ -495,7 +543,9 @@ def grouped_quantiles(sf_dir: str) -> pd.DataFrame:
         return pd.DataFrame({"l_returnflag": [g["l_returnflag"].iloc[0]],
                              "q25": [q25], "q50": [q50], "q75": [q75]})
 
-    df = ds.groupby("l_returnflag").map_groups(per_key, batch_format="pandas").to_pandas()
+    df = ensure_columns(
+        ds.groupby("l_returnflag").map_groups(per_key, batch_format="pandas").to_pandas(),
+        {"l_returnflag": "object", "q25": "float64", "q50": "float64", "q75": "float64"})
     for c in ("q25", "q50", "q75"):
         df[c] = round_half_away(df[c].to_numpy(), 4)
     return df.sort_values("l_returnflag", ignore_index=True)
@@ -510,8 +560,18 @@ def left_outer_join(sf_dir: str) -> pd.DataFrame:
     (pre-aggregating the orders side first keeps the shuffled payload at
     one row per custkey, not one per order)."""
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
-    orders = (_read(sf_dir, "orders", ["o_custkey"])
-              .groupby("o_custkey").aggregate(Count(alias_name="n_orders")))
+    spec = {"c_custkey": "int64", "c_mktsegment": "object", "n_orders": "int64"}
+    # Empty-side guards: Ray's hash-shuffle join crashes on a schema-less
+    # empty side (ArrowInvalid in HashShuffleAggregator.finalize), so
+    # resolve the degenerate shapes from parquet metadata counts first.
+    if cust.count() == 0:
+        return typed_empty(spec)
+    orders_raw = _read(sf_dir, "orders", ["o_custkey"])
+    if orders_raw.count() == 0:  # left-outer with empty right: all zeros
+        df = cust.to_pandas()
+        df["n_orders"] = np.int64(0)
+        return df.sort_values("c_custkey", ignore_index=True)[list(spec)]
+    orders = orders_raw.groupby("o_custkey").aggregate(Count(alias_name="n_orders"))
 
     def rename(t: pa.Table) -> pa.Table:
         return t.rename_columns(["c_custkey" if c == "o_custkey" else c
@@ -551,10 +611,12 @@ def grouped_variance(sf_dir: str) -> pd.DataFrame:
             "s2": np.bincount(inv, weights=cents * cents, minlength=len(uniq)).astype(np.int64),
         })
 
-    agg = (ds.map_batches(partials, batch_format="pyarrow")
-           .groupby("l_returnflag").aggregate(
-               Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
-               Sum("s2", alias_name="s2")).to_pandas())
+    agg = ensure_columns(
+        ds.map_batches(partials, batch_format="pyarrow")
+          .groupby("l_returnflag").aggregate(
+              Sum("n", alias_name="n"), Sum("s1", alias_name="s1"),
+              Sum("s2", alias_name="s2")).to_pandas(),
+        {"l_returnflag": "object", "n": "int64", "s1": "int64", "s2": "int64"})
     n = agg["n"].to_numpy().astype(np.int64)
     s1 = agg["s1"].to_numpy().astype(np.int64)
     s2 = agg["s2"].to_numpy().astype(np.int64)
@@ -605,6 +667,9 @@ def hopping_window(sf_dir: str) -> pd.DataFrame:
     agg = (ds.map_batches(partials, batch_format="pyarrow")
              .groupby("k").aggregate(Sum("cnt", alias_name="cnt"),
                                      Sum("sum_val", alias_name="sum_val")).to_pandas())
+    if len(agg) == 0:  # empty input (str.rsplit expand needs >=1 row)
+        return typed_empty({"event_type": "object", "win": "datetime64[ns]",
+                            "cnt": "int64", "sum_val": "float64"})
     parts = agg["k"].str.rsplit("|", n=1, expand=True)
     out = pd.DataFrame({
         "event_type": parts[0].where(parts[0] != _NULL_KEY, None),
@@ -662,7 +727,14 @@ def multiway_join_agg(sf_dir: str) -> pd.DataFrame:
     the customer join is a hash join on the pre-aggregated small sides,
     and the 25-row nation table is a BROADCAST lookup inside map_batches
     (never a shuffle). -> (n_name, n_orders, revenue)."""
+    out_spec = {"n_name": "object", "n_orders": "int64", "revenue": "float64"}
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    # Empty-side guard: the inner-join result is empty, and Ray's hash-
+    # shuffle join crashes on a schema-less empty side — resolve from
+    # parquet metadata counts first.
+    if orders.count() == 0 or cust.count() == 0:
+        return typed_empty(out_spec)
 
     def order_partials(t: pa.Table) -> pa.Table:
         k = np.asarray(t["o_custkey"])
@@ -681,8 +753,6 @@ def multiway_join_agg(sf_dir: str) -> pd.DataFrame:
                 .groupby("o_custkey")
                 .aggregate(Sum("n", alias_name="n"), Sum("rev", alias_name="rev")))
 
-    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
-
     def rename(t: pa.Table) -> pa.Table:
         return t.rename_columns(["c_custkey" if c == "o_custkey" else c
                                  for c in t.column_names])
@@ -691,7 +761,9 @@ def multiway_join_agg(sf_dir: str) -> pd.DataFrame:
                        join_type="inner", on=["c_custkey"], num_partitions=8)
 
     # nation is O(25) rows: broadcast once, look up per batch
-    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    nat = ensure_columns(
+        _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas(),
+        {"n_nationkey": "int64", "n_name": "object"})
     name_of = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
     ref = ray.put(name_of)
 
@@ -699,18 +771,30 @@ def multiway_join_agg(sf_dir: str) -> pd.DataFrame:
         lut = ray.get(ref)  # once per batch, not per row
         keys = np.asarray(t["c_nationkey"])
         uk, kinv = np.unique(keys, return_inverse=True)
-        names = np.array([lut[int(k)] for k in uk], dtype=object)[kinv]
+        # inner-join semantics: drop rows whose nationkey has no nation
+        # row — membership tested on the O(25) unique keys, not per row
+        uk_hit = np.array([int(k) in lut for k in uk], dtype=bool)
+        hit = uk_hit[kinv] if len(uk) else np.zeros(0, dtype=bool)
+        if not hit.any():
+            return pa.table({"n_name": pa.array([], pa.string()),
+                             "n_orders": pa.array([], pa.int64()),
+                             "rev_cents": pa.array([], pa.int64())})
+        uk_names = np.array([lut[int(k)] if h else "" for k, h in zip(uk, uk_hit)],
+                            dtype=object)
+        names = uk_names[kinv][hit]
         uniq, inv = np.unique(names, return_inverse=True)
         return pa.table({
             "n_name": pa.array(uniq.tolist(), type=pa.string()),
-            "n_orders": np.bincount(inv, weights=np.asarray(t["n"])).astype(np.int64),
-            "rev_cents": np.bincount(inv, weights=np.asarray(t["rev"])).astype(np.int64),
+            "n_orders": np.bincount(inv, weights=np.asarray(t["n"])[hit]).astype(np.int64),
+            "rev_cents": np.bincount(inv, weights=np.asarray(t["rev"])[hit]).astype(np.int64),
         })
 
-    agg = (joined.map_batches(nation_partials, batch_format="pyarrow")
-           .groupby("n_name").aggregate(Sum("n_orders", alias_name="n_orders"),
-                                        Sum("rev_cents", alias_name="rev_cents"))
-           .to_pandas())
+    agg = ensure_columns(
+        joined.map_batches(nation_partials, batch_format="pyarrow")
+              .groupby("n_name").aggregate(Sum("n_orders", alias_name="n_orders"),
+                                           Sum("rev_cents", alias_name="rev_cents"))
+              .to_pandas(),
+        {"n_name": "object", "n_orders": "int64", "rev_cents": "int64"})
     agg["n_orders"] = agg["n_orders"].astype(np.int64)
     agg["revenue"] = round_half_away(
         agg["rev_cents"].to_numpy().astype(np.float64) / 100.0, 4)
@@ -762,6 +846,9 @@ def distinct_count_users(sf_dir: str) -> pd.DataFrame:
     out = (pairs.map_batches(count_partials, batch_format="pyarrow")
            .groupby("event_type").aggregate(Sum("n_users", alias_name="n_users"))
            .to_pandas())
+    if "n_users" not in out.columns:  # empty input: no groups ran
+        return pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                             "n_users": pd.Series([], dtype="int64")})
     out["n_users"] = out["n_users"].astype(np.int64)
     out["event_type"] = out["event_type"].where(out["event_type"] != _NULL_KEY, None)
     return out.sort_values("event_type", ignore_index=True)
@@ -818,6 +905,9 @@ def distinct_count_users_hll(sf_dir: str, p_bits: int = 12) -> pd.DataFrame:
             .groupby(["event_type", "register"])
             .aggregate(Max("rank", alias_name="rank"))
             .to_pandas())  # <= groups * 2^p_bits rows: constant in corpus
+    if "event_type" not in regs.columns:  # empty input: no groups ran
+        return pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                             "n_users_approx": pd.Series([], dtype="int64")})
 
     alpha = 0.7213 / (1 + 1.079 / m)
     out_et, out_n = [], []

@@ -322,6 +322,10 @@ def topk_per_group(sf_dir: str, k: int = 3) -> pd.DataFrame:
            .groupby("event_type")
            .map_groups(final_topk, batch_format="pandas")
            .to_pandas())  # k rows per group: driver receives k*groups rows
+    if "event_type" not in out.columns:  # empty input: no groups ran
+        return pd.DataFrame({"event_type": pd.Series([], dtype="object"),
+                             "event_id": pd.Series([], dtype="int64"),
+                             "value": pd.Series([], dtype="float64")})
     return (out.sort_values(["event_type", "value", "event_id"],
                             ascending=[True, False, True], ignore_index=True)
             [["event_type", "event_id", "value"]])
