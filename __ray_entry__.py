@@ -104,6 +104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": D.exact_dedup,
         "exact_dedup_rows": D.exact_dedup_rows,             # r4-modified
         "dedup_index_first_seen": D.dedup_index_first_seen,  # r4-modified
+        "dedup_paragraphs": D.dedup_paragraphs,             # r4-NEW
         "minhash_lsh_dedup": D.minhash_lsh_candidates,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,       # r4-modified
         "embedding_neardup_lsh": D.embedding_neardup_pairs_lsh,
@@ -142,10 +143,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "row_count": R.row_count,
         "ecdf_quantity": R.ecdf_quantity,
         "hash_sample": R.hash_sample,
-        "stratified_sample": R.stratified_sample,
         # ---------------- 50-row cap ends here -------------------------
         # tail: unmodified since r3 AND driver-green in CORRECTNESS_r03
-        # (still swept locally by scripts/check_oracle.py every round)
+        # (still swept locally by scripts/check_oracle.py every round).
+        # stratified_sample yields its cap slot to the r4-new
+        # dedup_paragraphs: it is a pure replayable filter, r3-green,
+        # and its twin hash_sample stays inside the cap.
+        "stratified_sample": R.stratified_sample,
         "pmis_yby_flow": _pmis_yby_flow,
         "pmis_county_summary": _pmis_county_summary,
         "pmis_diff_histogram": _pmis_diff_histogram,
@@ -337,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": O.simhash_sql(),
         "simhash_neardup_pairs": O.simhash_neardup_sql(3),
         "dedup_adjacent_tokens": O.dedup_adjacent_tokens_sql(),
+        "dedup_paragraphs": O.dedup_paragraphs_sql(20),
         "grouped_variance": """
             -- same expression shape as the Ray side: the numerator
             -- n*s2 - s1*s1 is exact HUGEINT (s1*s1 would wrap BIGINT at

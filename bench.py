@@ -128,6 +128,7 @@ def run_bench() -> dict:
         ("distinct_count_users", R.distinct_count_users),
         ("dedup_index_first_seen", D.dedup_index_first_seen),
         ("ngram_jaccard_pairs", D.ngram_jaccard_pairs),
+        ("dedup_paragraphs", D.dedup_paragraphs),
     ]
     for name, fn in query_list:
         queries[name] = timed(fn)

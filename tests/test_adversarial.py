@@ -304,3 +304,42 @@ def test_dedup_index_shard_count_invariance(ray_session, tmp_path):
     b = D.dedup_index_first_seen(d, n_index_shards=8)
     pd.testing.assert_frame_equal(a, b)
     assert int(a["first_seen"].sum()) == 7
+
+
+def test_dedup_paragraphs_semantics(ray_session, tmp_path):
+    """Cross-corpus segment dedup: duplicated docs lose every segment to
+    the first copy; a doc sharing one 4-token segment loses just that
+    segment; shard count never changes the answer."""
+    from txiac_qc_ray.pipelines import docs as D
+
+    seg = "alpha beta gamma delta"          # one full 4-token segment
+    texts = [
+        f"{seg} epsilon zeta eta theta",    # doc 0: segs [seg, tail0]
+        f"{seg} epsilon zeta eta theta",    # doc 1: exact dup -> empty
+        f"{seg} iota kappa lam mu",         # doc 2: loses seg, keeps tail
+        "nu xi omicron pi",                 # doc 3: unique, untouched
+        "",                                 # doc 4: empty -> 0 segs
+    ]
+    d = _write_docs(tmp_path, texts)
+    got = _collect(D.dedup_paragraphs(d, seg_tokens=4), ["doc_id"])
+    assert list(got["doc_id"]) == [0, 1, 2, 3, 4]
+    assert list(got["text_dedup"]) == [
+        texts[0], "", "iota kappa lam mu", texts[3], ""]
+    assert list(got["n_kept_segs"]) == [2, 0, 1, 1, 0]
+    assert list(got["n_total_segs"]) == [2, 2, 2, 1, 0]
+    # shard-count invariance (value contract of every bounded shuffle)
+    alt = _collect(D.dedup_paragraphs(d, seg_tokens=4, n_shards=1), ["doc_id"])
+    pd.testing.assert_frame_equal(got, alt)
+
+
+def test_dedup_paragraphs_all_identical(ray_session, tmp_path):
+    """Hot-segment corpus: 30 identical docs -> doc 0 survives whole,
+    every other doc reassembles to empty text."""
+    from txiac_qc_ray.pipelines import docs as D
+
+    d = _write_docs(tmp_path, ["one two three four five six seven eight"] * 30)
+    got = _collect(D.dedup_paragraphs(d, seg_tokens=4), ["doc_id"])
+    assert got.loc[0, "text_dedup"] == "one two three four five six seven eight"
+    assert (got.loc[1:, "text_dedup"] == "").all()
+    assert list(got["n_total_segs"]) == [2] * 30
+    assert list(got["n_kept_segs"]) == [2] + [0] * 29

@@ -96,9 +96,13 @@ def test_correctness_cap_covers_priority_queries():
         "project_derive", "timestamp_days", "filter_isin", "pair_concat",
         "binned_histogram", "group_size", "pivot_sum_wide", "sort_desc_topk",
         "union_all_summaries", "distinct_vals", "row_count", "ecdf_quantity",
-        "hash_sample", "stratified_sample",
+        "hash_sample",
+        # stratified_sample yielded its cap slot to the r4-new
+        # dedup_paragraphs (pure replayable filter; hash_sample twin
+        # stays inside the cap)
     }
     assert r3_tail - first50 == set(), f"r3 tail not rotated in: {r3_tail - first50}"
+    assert "dedup_paragraphs" in first50, "r4-new op must be driver-recorded"
     # every query has an oracle twin (value-checked, not rows-only)
     assert set(E.oracle_sql()) == set(keys)
 

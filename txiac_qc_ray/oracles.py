@@ -355,6 +355,38 @@ def dedup_adjacent_tokens_sql() -> str:
     """
 
 
+def dedup_paragraphs_sql(seg_tokens: int = 20) -> str:
+    """Cross-corpus segment dedup twin: tokenize (\\S+ = the engine's
+    utf8_split_whitespace after empty-token filtering), group tokens
+    into `seg_tokens`-sized segments, keep the row_number()=1 occurrence
+    of each distinct segment text ordered by (doc_id, seg_idx), and
+    reassemble each document with an ordered string_agg."""
+    return rf"""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok,
+             generate_subscripts(regexp_extract_all(text, '\S+'), 1) AS pos
+      FROM documents),
+    segs AS (
+      SELECT doc_id, CAST(floor((pos - 1) / {seg_tokens}) AS BIGINT) AS seg_idx,
+             string_agg(tok, ' ' ORDER BY pos) AS seg
+      FROM toks GROUP BY doc_id, 2),
+    kept AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs),
+    agg AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text_dedup,
+             CAST(count(*) AS BIGINT) AS n_kept_segs
+      FROM kept WHERE rn = 1 GROUP BY doc_id),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_total_segs
+            FROM segs GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(a.text_dedup, '') AS text_dedup,
+           coalesce(a.n_kept_segs, 0::BIGINT) AS n_kept_segs,
+           coalesce(t.n_total_segs, 0::BIGINT) AS n_total_segs
+    FROM documents d LEFT JOIN agg a USING (doc_id) LEFT JOIN tot t USING (doc_id)
+    """
+
+
 def simhash_sql() -> str:
     return f"""
     WITH tok AS (

@@ -1256,6 +1256,131 @@ def dedup_adjacent_tokens(sf_dir: str) -> ray.data.Dataset:
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
+def dedup_paragraphs(sf_dir: str, seg_tokens: int = 20,
+                     n_shards: int | None = None) -> ray.data.Dataset:
+    """CROSS-CORPUS segment dedup (the C4 'remove duplicated spans'
+    op, reshaped for token-stream documents): cut every document into
+    consecutive `seg_tokens`-token segments, keep only the FIRST
+    occurrence of each distinct segment corpus-wide (min (doc_id,
+    seg_idx)), and reassemble each document from its surviving segments.
+    Duplicate documents keep one full copy and lose every later one
+    segment-by-segment; boilerplate repeated across documents is
+    stripped everywhere but its first appearance.
+
+    Two bounded shuffles, both shard counts sized from parquet metadata:
+      1. segments shuffle on shard(segment-text hash); within a shard the
+         winner per distinct segment is picked by an exact TEXT compare
+         (collision-proof, house style of exact_dedup_rows);
+      2. survivors + one sentinel row per document shuffle on
+         shard(doc_id) and reassemble vectorized (sort + boundary scan +
+         arrow binary_join — no Python loop over rows).
+    The sentinel rows guarantee every document appears in the output
+    (empty `text_dedup` when all its segments lost), and carry
+    n_total_segs so no third pass is needed.
+
+    -> streaming Dataset of (doc_id, text_dedup, n_kept_segs,
+    n_total_segs); never collects the corpus."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    _N = n_shards or _shard_count(sf_dir, "documents")
+
+    def _segments(t: pa.Table):
+        """Vectorized (seg_doc, seg_idx, seg_string) for one batch."""
+        txt = t["text"].combine_chunks() if isinstance(t["text"], pa.ChunkedArray) else t["text"]
+        splits = pc.utf8_split_whitespace(pc.fill_null(txt, ""))
+        splits = splits.combine_chunks() if isinstance(splits, pa.ChunkedArray) else splits
+        flat = pc.list_flatten(splits)
+        n_docs = len(splits)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64),
+                           np.diff(np.asarray(splits.offsets)))
+        nonempty = np.asarray(pc.not_equal(flat, ""))
+        flat = flat.filter(pa.array(nonempty))
+        doc_of = doc_of[nonempty]
+        counts = np.bincount(doc_of, minlength=n_docs)
+        starts = np.zeros(n_docs, dtype=np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        pos_in_doc = np.arange(len(doc_of), dtype=np.int64) - starts[doc_of]
+        seg_of_tok = pos_in_doc // seg_tokens
+        # tokens are doc-major and in order, so (doc, seg) runs are
+        # contiguous: boundary scan builds the per-segment list offsets
+        change = np.ones(len(doc_of), dtype=bool)
+        if len(doc_of) > 1:
+            change[1:] = (doc_of[1:] != doc_of[:-1]) | (seg_of_tok[1:] != seg_of_tok[:-1])
+        bounds = np.nonzero(change)[0]
+        off = np.concatenate([bounds, [len(doc_of)]]).astype(np.int32)
+        seg_str = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(off, type=pa.int32()), flat), " ")
+        ids = np.asarray(t["doc_id"])
+        seg_doc = ids[doc_of[bounds]] if len(bounds) else np.zeros(0, np.int64)
+        seg_idx = seg_of_tok[bounds] if len(bounds) else np.zeros(0, np.int64)
+        return seg_doc, seg_idx, seg_str, counts
+
+    def explode(t: pa.Table) -> pa.Table:
+        seg_doc, seg_idx, seg_str, _ = _segments(t)
+        shard = (fnv1a64(seg_str) % np.uint64(_N)).astype(np.int64)
+        return pa.table({"shard": shard, "seg": seg_str,
+                         "doc_id": seg_doc, "seg_idx": seg_idx})
+
+    def winners(g: pd.DataFrame) -> pd.DataFrame:
+        seg = g["seg"].to_numpy(dtype=object)
+        d = g["doc_id"].to_numpy()
+        si = g["seg_idx"].to_numpy()
+        order = np.lexsort((si, d, seg))
+        seg, d, si = seg[order], d[order], si[order]
+        first = np.ones(len(seg), dtype=bool)
+        if len(seg) > 1:
+            first[1:] = seg[1:] != seg[:-1]
+        return pd.DataFrame({"doc_id": d[first], "seg_idx": si[first],
+                             "seg": seg[first],
+                             "n_total": np.zeros(int(first.sum()), np.int64)})
+
+    survivors = (ds.map_batches(explode, batch_format="pyarrow")
+                 .groupby("shard").map_groups(winners, batch_format="pandas"))
+
+    def sentinels(t: pa.Table) -> pa.Table:
+        _, _, _, counts = _segments(t)
+        n_total = -(-counts // seg_tokens)  # ceil: token count -> seg count
+        return pa.table({"doc_id": t["doc_id"],
+                         "seg_idx": np.full(t.num_rows, -1, np.int64),
+                         "seg": pa.array([""] * t.num_rows, pa.string()),
+                         "n_total": n_total})
+
+    both = survivors.union(ds.map_batches(sentinels, batch_format="pyarrow"))
+
+    def add_dshard(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "dshard", pa.array(np.asarray(t["doc_id"]) % np.int64(_N)))
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        d = g["doc_id"].to_numpy()
+        si = g["seg_idx"].to_numpy()
+        seg = g["seg"].to_numpy(dtype=object)
+        nt = g["n_total"].to_numpy()
+        order = np.lexsort((si, d))  # per doc: sentinel (-1) first
+        d, si, seg, nt = d[order], si[order], seg[order], nt[order]
+        change = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            change[1:] = d[1:] != d[:-1]
+        doc_start = np.nonzero(change)[0]
+        uniq = d[doc_start]
+        totals = nt[doc_start]  # sentinel row sorts first within its doc
+        keep = si >= 0
+        idx = np.searchsorted(uniq, d[keep])
+        n_kept = np.bincount(idx, minlength=len(uniq)).astype(np.int64)
+        off = np.zeros(len(uniq) + 1, dtype=np.int32)
+        np.cumsum(n_kept, out=off[1:])
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(off, type=pa.int32()),
+                                     pa.array(seg[keep].tolist(), pa.string())),
+            " ")
+        return pd.DataFrame({"doc_id": uniq,
+                             "text_dedup": joined.to_pandas().astype(object),
+                             "n_kept_segs": n_kept,
+                             "n_total_segs": totals})
+
+    return (both.map_batches(add_dshard, batch_format="pyarrow")
+            .groupby("dshard").map_groups(reassemble, batch_format="pandas"))
+
+
 def decontaminate_against(sf_dir: str, eval_mod: int = 50,
                           min_overlap: int = 5) -> ray.data.Dataset:
     """Benchmark decontamination — a first-class training-data op: flag
