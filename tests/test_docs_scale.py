@@ -235,3 +235,41 @@ def test_decontaminate_bloom_equals_exact(ray_session):
     b = D.decontaminate_bloom(sf).to_pandas().sort_values("doc_id", ignore_index=True)
     pd.testing.assert_frame_equal(a, b)
     assert a["contaminated"].any()
+
+
+def test_append_ivf_index_incremental_equals_full(ray_session, tmp_path):
+    """IVF maintenance: build the index on HALF the corpus, append the
+    other half as a new partition — queries over the grown index must
+    equal brute force over the full corpus (append keeps the
+    triangle-inequality bounds valid: r_max folds by max, counts by
+    sum), and the sidecar counts must sum to the full corpus."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from txiac_qc_ray.pipelines import docs as D
+
+    full = pq.read_table(f"{SF}/embeddings.parquet")
+    vid = np.asarray(full["vec_id"])
+    n_queries = 4
+    # partition A: queries + even corpus ids (training centroids see
+    # only half the data); partition B: odd corpus ids
+    in_a = (vid < n_queries) | (vid % 2 == 0)
+    for name, mask in (("a", in_a), ("b", ~in_a)):
+        d = tmp_path / name
+        d.mkdir()
+        pq.write_table(full.filter(pa.array(mask)),
+                       str(d / "embeddings.parquet"))
+
+    idx = str(tmp_path / "ivf_grown")
+    D.build_ivf_index(str(tmp_path / "a"), idx, n_queries=n_queries)
+    meta0 = json.load(open(os.path.join(idx, "_ivf_meta.json")))
+    meta1 = D.append_ivf_index(str(tmp_path / "b"), idx)
+    assert meta1["centroids"] == meta0["centroids"]  # frozen
+    n_corpus = int((vid >= n_queries).sum())
+    assert sum(meta1["counts"]) == n_corpus
+    assert all(new >= old for new, old in zip(meta1["r_max"], meta0["r_max"]))
+
+    got = D.ann_topk_ivf_indexed(SF, n_queries=n_queries, index_dir=idx)
+    assert _key(got) == _key(D.ann_topk_bruteforce(SF, n_queries=n_queries))

@@ -1863,6 +1863,86 @@ def build_ivf_index(sf_dir: str, index_dir: str, n_queries: int = 4,
     return meta
 
 
+def append_ivf_index(new_dir: str, index_dir: str) -> dict:
+    """Incremental IVF maintenance (the 100 TB operational need: corpus
+    partitions arrive continuously; rebuilding the whole index per
+    partition is O(corpus) instead of O(delta)): assign a NEW partition
+    of vectors to the EXISTING frozen centroids, append them into the
+    hive `list_id=K/` layout (Ray write_parquet adds uniquely-named
+    files; existing list files are untouched), and fold the partition's
+    per-list residual bounds and counts into the sidecar (max/sum —
+    both monotone, so queries stay provably exact). Centroids stay
+    frozen — standard IVF maintenance; rebalancing a drifted corpus is
+    a rebuild, not an append.
+
+    `new_dir` holds the new partition's `embeddings.parquet` (same
+    schema); vectors with vec_id < the index's n_queries are excluded,
+    mirroring the build. -> the updated sidecar dict."""
+    import json as _json
+
+    meta_path = os.path.join(index_dir, "_ivf_meta.json")
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    if cent.ndim != 2 or cent.size == 0:
+        raise ValueError("cannot append to an index with no centroids "
+                         "(built from an empty corpus) — rebuild instead")
+    n_queries = int(meta["n_queries"])
+    n_lists = int(meta["n_lists"])
+    cent_ref = ray.put(cent)
+    ds = _read(new_dir, "embeddings", ["vec_id", "embedding"])
+
+    def assign_stage(t: pa.Table) -> pa.Table:
+        ce = ray.get(cent_ref)
+        vid = np.asarray(t["vec_id"])
+        t = t.filter(pa.array(vid >= n_queries))
+        if t.num_rows == 0:
+            return t.append_column("list_id", pa.array([], pa.int64()))
+        mn = emb_ndarray(t["embedding"])
+        mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+        d2 = np.maximum(_sq_dists(mn, ce), 0.0)
+        return t.append_column("list_id", pa.array(d2.argmin(1).astype(np.int64)))
+
+    ds.map_batches(assign_stage, batch_format="pyarrow").write_parquet(
+        index_dir, partition_cols=["list_id"])
+
+    def bound_partials(t: pa.Table) -> pa.Table:
+        ce = ray.get(cent_ref)
+        vid = np.asarray(t["vec_id"])
+        t = t.filter(pa.array(vid >= n_queries))
+        if t.num_rows == 0:
+            return pa.table({"list_id": pa.array([], pa.int64()),
+                             "r_max": pa.array([], pa.float64()),
+                             "n": pa.array([], pa.int64())})
+        mn = emb_ndarray(t["embedding"])
+        mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+        d2 = np.maximum(_sq_dists(mn, ce), 0.0)
+        assign = d2.argmin(1)
+        resid = np.sqrt(d2[np.arange(len(mn)), assign])
+        uniq, inv = np.unique(assign, return_inverse=True)
+        rmax = np.zeros(len(uniq))
+        np.maximum.at(rmax, inv, resid)
+        return pa.table({"list_id": uniq.astype(np.int64),
+                         "r_max": rmax,
+                         "n": np.bincount(inv, minlength=len(uniq)).astype(np.int64)})
+
+    part = (ensure_columns(
+                ds.map_batches(bound_partials, batch_format="pyarrow").to_pandas(),
+                {"list_id": "int64", "r_max": "float64", "n": "int64"})
+            .groupby("list_id").agg(r_max=("r_max", "max"), n=("n", "sum")))
+    r_max = np.asarray(meta["r_max"], dtype=np.float64)
+    counts = np.asarray(meta["counts"], dtype=np.int64)
+    for lid, row in part.iterrows():
+        r_max[int(lid)] = max(r_max[int(lid)], float(row["r_max"]))
+        counts[int(lid)] += int(row["n"])
+    meta["r_max"] = r_max.tolist()
+    meta["counts"] = counts.tolist()
+    assert len(r_max) == n_lists
+    with open(meta_path, "w") as f:
+        _json.dump(meta, f)
+    return meta
+
+
 def ann_topk_ivf_indexed(sf_dir: str, n_queries: int = 4, k: int = 5,
                          n_lists: int = 16, n_probe: int = 4,
                          index_dir: str | None = None) -> pd.DataFrame:
