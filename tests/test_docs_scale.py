@@ -273,3 +273,24 @@ def test_append_ivf_index_incremental_equals_full(ray_session, tmp_path):
 
     got = D.ann_topk_ivf_indexed(SF, n_queries=n_queries, index_dir=idx)
     assert _key(got) == _key(D.ann_topk_bruteforce(SF, n_queries=n_queries))
+
+
+def test_cc_pointer_jump_deep_chain(ray_session):
+    """Pointer doubling on a 24-node chain (the worst-case deep
+    component min-label propagation faces): same labels, O(log d)
+    rounds instead of O(d)."""
+    from txiac_qc_ray.pipelines.docs import _cc_min_label
+
+    n = 16
+    src = np.concatenate([np.arange(n - 1), np.arange(1, n)]).astype(np.int64)
+    dst = np.concatenate([np.arange(1, n), np.arange(n - 1)]).astype(np.int64)
+    edges = pd.DataFrame({"src": src, "dst": dst})
+
+    plain, r_plain = _cc_min_label(edges, max_iters=64)
+    jumped, r_jump = _cc_min_label(edges, max_iters=64, pointer_jump=True)
+    assert (plain["label"] == 0).all() and (jumped["label"] == 0).all()
+    pd.testing.assert_frame_equal(
+        plain.sort_values("node", ignore_index=True),
+        jumped.sort_values("node", ignore_index=True))
+    assert r_plain >= n - 2          # one hop per round
+    assert r_jump <= 7               # frontier doubles per round

@@ -2213,19 +2213,41 @@ def neardup_clusters_distributed(sf_dir: str, jaccard_threshold: float = 0.5,
         "src": np.concatenate([pairs["id_a"].to_numpy(), pairs["id_b"].to_numpy()]).astype(np.int64),
         "dst": np.concatenate([pairs["id_b"].to_numpy(), pairs["id_a"].to_numpy()]).astype(np.int64),
     })
+    labels, _ = _cc_min_label(edges_pd, max_iters=max_iters)
+    out = labels.rename(columns={"node": "doc_id", "label": "cluster_id"})
+    return out.sort_values("doc_id", ignore_index=True)
+
+
+def _cc_min_label(edges_pd: pd.DataFrame, max_iters: int = 64,
+                  pointer_jump: bool = False) -> tuple[pd.DataFrame, int]:
+    """Distributed min-label connected components over an undirected
+    edge list (both directions present). Returns (labels frame with
+    int64 (node, label=component min), rounds executed).
+
+    pointer_jump=True adds a SHORTCUT step per round — label <-
+    label(label), one extra self-join of the O(nodes) label table — so
+    the known-min frontier DOUBLES its reach each round instead of
+    advancing one hop: O(log diameter) rounds instead of O(diameter)
+    (classic pointer doubling / Shiloach-Vishkin shortcutting). Off by
+    default: near-dup components are shallow (clusters of mutually
+    similar docs), so the extra join per round costs more than the
+    saved rounds; turn it on for deep chain-shaped graphs."""
     nodes = np.unique(edges_pd["src"].to_numpy())
     # from_arrow keeps every block Arrow-typed end to end (a pandas-block
     # labels union'd with arrow-block join output breaks the shuffle's
     # block builder in Ray 2.49)
     edges = ray.data.from_arrow(pa.Table.from_pandas(edges_pd, preserve_index=False))
     labels = ray.data.from_arrow(pa.table({"node": nodes, "label": nodes}))
+
     def rename(frm: str, to: str):
         def _r(t: pa.Table) -> pa.Table:
             return t.rename_columns([to if c == frm else c for c in t.column_names])
         return _r
 
     prev_sum = None
+    rounds = 0
     for _ in range(max_iters):
+        rounds += 1
         prop = edges.join(labels.map_batches(rename("node", "src"), batch_format="pyarrow"),
                           join_type="inner", on=["src"], num_partitions=4)
         prop = (prop.select_columns(["dst", "label"])
@@ -2242,14 +2264,26 @@ def neardup_clusters_distributed(sf_dir: str, jaccard_threshold: float = 0.5,
         # The labels table is O(nodes in near-dup pairs), tiny.
         labels = (cand.groupby("node")
                   .aggregate(Min("label", alias_name="label")).materialize())
+        if pointer_jump:
+            # label <- label(label): every label value is itself a node
+            # (component minima are nodes), so the inner self-join on
+            # label == node is total and monotone (label(label) <= label)
+            jump = labels.map_batches(rename("label", "jlabel"),
+                                      batch_format="pyarrow")
+            jump = jump.map_batches(rename("node", "label"), batch_format="pyarrow")
+            labels = (labels.join(jump, join_type="inner", on=["label"],
+                                  num_partitions=4)
+                      .select_columns(["node", "jlabel"])
+                      .map_batches(rename("jlabel", "label"), batch_format="pyarrow")
+                      .repartition(4).materialize())
         s = labels.aggregate(RaySum("label", alias_name="s"))["s"]
         if s == prev_sum:
             break
         prev_sum = s
-    out = labels.to_pandas().rename(columns={"node": "doc_id", "label": "cluster_id"})
-    out["doc_id"] = out["doc_id"].astype(np.int64)
-    out["cluster_id"] = out["cluster_id"].astype(np.int64)
-    return out.sort_values("doc_id", ignore_index=True)
+    out = labels.to_pandas()
+    out["node"] = out["node"].astype(np.int64)
+    out["label"] = out["label"].astype(np.int64)
+    return out, rounds
 
 
 # ---- IVF ANN (inverted-file index over deterministic k-means) ------------
