@@ -27,6 +27,11 @@ def main(argv: list[str] | None = None) -> int:
     runp.add_argument("--calibrate", action="store_true",
                       help="two-pass: recompute percentile/tukey rule thresholds "
                            "from this corpus before flagging (Home.py:337-365 E2 flow)")
+    runp.add_argument("--dedup", action="store_true",
+                      help="two-pass: cross-document exact dedup — pass 0 finds "
+                           "pages whose extracted text loses exact dedup (min-url "
+                           "copy wins), pass 1 drops them with "
+                           "drop_reason=exact_duplicate via a broadcast hash set")
     runp.add_argument("--num-cpus", type=int, default=None,
                       help="only used when Ray is not already initialised")
     args = p.parse_args(argv)
@@ -45,6 +50,15 @@ def main(argv: list[str] | None = None) -> int:
     from .state.lineage import run_resumable
 
     cfg = PipelineConfig(batch_size=args.batch_size)
+    if args.dedup:
+        from .config import DEDUP_RULE
+        from .pipelines.qc import exact_dup_loser_urlhashes
+
+        # pass 0: O(dup rate) loser url-hashes, broadcast once; the
+        # dedup decision then rides the ordinary rules stage (appended
+        # AFTER the defaults so the frozen drop_reason order holds)
+        cfg.dup_urlhashes_ref = ray.put(exact_dup_loser_urlhashes(args.input, cfg))
+        cfg.rules = cfg.rules + (DEDUP_RULE,)
     if args.calibrate:
         from .pipelines.calibrate import calibrate_rules
         from .stages.extract import extract_batch

@@ -77,17 +77,88 @@ def build_qc_pipeline(ds: ray.data.Dataset, cfg: PipelineConfig | None = None) -
         ds = ds.map_batches(features_batch, **kw)
         ds = ds.map_batches(LangIdStage, concurrency=cfg.langid_concurrency, num_cpus=1, **kw)
         ds = ds.map_batches(PerplexityStage, concurrency=cfg.ppl_concurrency, num_cpus=1, **kw)
+        if cfg.dup_urlhashes_ref is not None:
+            from ..stages.scoring import mark_dup_losers
+
+            ds = ds.map_batches(
+                lambda t, _ref=cfg.dup_urlhashes_ref: mark_dup_losers(t, _ref), **kw)
         ds = ds.map_batches(make_rules_stage(cfg.rules), **kw)
         ds = ds.map_batches(ScrubStage, concurrency=cfg.scrub_concurrency, num_cpus=1, **kw)
     else:
         from ..stages.scoring import make_qc_batch
 
-        ds = ds.map_batches(make_qc_batch(cfg.rules), **kw)
+        ds = ds.map_batches(make_qc_batch(cfg.rules, cfg.dup_urlhashes_ref), **kw)
     return ds
 
 
 def qc_pipeline_from_parquet(paths: str | list[str], cfg: PipelineConfig | None = None) -> ray.data.Dataset:
     return build_qc_pipeline(read_pages(paths), cfg)
+
+
+def _pages_shard_count(paths: str | list[str],
+                       target_bytes: int = 1 << 30) -> int:
+    """Bounded-shard count for shuffles over a pages corpus, sized from
+    Parquet footers (same contract as docs._shard_count, but over an
+    arbitrary file/dir/list input instead of an sf_dir table)."""
+    import glob as _glob
+    import os
+
+    import pyarrow.parquet as _pq
+
+    if isinstance(paths, str):
+        files = (sorted(_glob.glob(os.path.join(paths, "**", "*.parquet"),
+                                   recursive=True))
+                 if os.path.isdir(paths) else [paths])
+    else:
+        files = list(paths)
+    total = 0
+    for f in files:
+        md = _pq.ParquetFile(f).metadata
+        total += sum(md.row_group(i).total_byte_size
+                     for i in range(md.num_row_groups))
+    return int(max(64, -(-total // max(1, target_bytes))))
+
+
+def exact_dup_loser_urlhashes(paths: str | list[str],
+                              cfg: PipelineConfig | None = None):
+    """Pass 0 of the `--dedup` launch flow: cross-document EXACT dedup
+    over the extracted text. One streamed extract pass; (url, text)
+    rides a bounded-shard shuffle keyed on the text's content hash;
+    within a shard the lexicographically-smallest url of each distinct
+    text wins (exact TEXT compare — a hash collision can never merge two
+    documents) and every other page's URL is a loser. Returns the sorted
+    uint64 fnv1a64 url-hashes of the losers — O(dup rate), the
+    broadcastable drop side, never the winner list.
+
+    Documented bound: two DIFFERENT urls colliding in 64-bit hash space
+    would drop a non-duplicate page (p ~ n^2 / 2^64, the same accepted
+    bound as the dedup index)."""
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.urls import fnv1a64
+
+    cfg = cfg or PipelineConfig()
+    kw = dict(batch_format="pyarrow", batch_size=cfg.batch_size)
+    n_shards = _pages_shard_count(paths)
+    ds = read_pages(paths).map_batches(extract_batch, **kw)
+
+    def add_shard(t: pa.Table) -> pa.Table:
+        h = fnv1a64(t.column("text"))
+        return pa.table({"shard": (h % np.uint64(n_shards)).astype(np.int64),
+                         "url": t["url"], "text": t["text"]})
+
+    def losers(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values("url", ignore_index=True)
+        lose = g.duplicated(subset=["text"], keep="first")
+        return g.loc[lose, ["url"]]
+
+    df = (ds.map_batches(add_shard, **kw)
+          .groupby("shard").map_groups(losers, batch_format="pandas")
+          .to_pandas())
+    if "url" not in df.columns:  # fully-unique corpus: no losers
+        return np.zeros(0, dtype=np.uint64)
+    return np.sort(fnv1a64(pa.array(df["url"].astype(str))))
 
 
 def qc_label_documents(sf_dir: str, cfg: PipelineConfig | None = None,

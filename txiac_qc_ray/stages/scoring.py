@@ -16,6 +16,7 @@ an actor's __init__, but elastic across all CPUs).
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 
 from ..config import DEFAULT_RULES, RuleSpec
@@ -39,7 +40,30 @@ def _models() -> tuple[LangIdModel, UnigramLM, ScrubStage]:
     return _CACHE["langid"], _CACHE["lm"], _CACHE["scrub"]  # type: ignore[return-value]
 
 
-def make_qc_batch(rules: tuple[RuleSpec, ...] = DEFAULT_RULES):
+def mark_dup_losers(batch: pa.Table, dup_urlhashes_ref) -> pa.Table:
+    """Append the `is_dup_loser` feature (1.0 when this page's url-hash
+    is in the broadcast exact-dup drop set, else 0.0) so the
+    cross-document dedup decision becomes an ordinary RuleSpec
+    (config.DEDUP_RULE) evaluated by apply_rules — flags, drop_reason
+    and rule_flags stay uniform with every other rule. The drop set is
+    a sorted uint64 array read zero-copy from the object store; the
+    membership test is one searchsorted per batch."""
+    import ray
+
+    from ..functions.urls import fnv1a64
+
+    hs = ray.get(dup_urlhashes_ref)
+    uh = fnv1a64(batch.column("url"))
+    pos = np.searchsorted(hs, uh)
+    inb = pos < len(hs)
+    hit = np.zeros(len(uh), dtype=bool)
+    hit[inb] = hs[pos[inb]] == uh[inb]
+    return batch.append_column("is_dup_loser",
+                               pa.array(hit.astype(np.float64)))
+
+
+def make_qc_batch(rules: tuple[RuleSpec, ...] = DEFAULT_RULES,
+                  dup_urlhashes_ref=None):
     """-> a single stateless map_batches fn running the whole QC stack."""
 
     def qc_batch(batch: pa.Table) -> pa.Table:
@@ -56,6 +80,8 @@ def make_qc_batch(rules: tuple[RuleSpec, ...] = DEFAULT_RULES):
         batch = batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
         batch = batch.append_column("lang_score", pa.array(scores, type=pa.float64()))
         batch = batch.append_column("ppl", pa.array(lm.score(texts, tv), type=pa.float64()))
+        if dup_urlhashes_ref is not None:
+            batch = mark_dup_losers(batch, dup_urlhashes_ref)
         batch = apply_rules(batch, rules)
         return scrub(batch)
 
