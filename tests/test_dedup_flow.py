@@ -31,15 +31,57 @@ def dup_pages_dir(tmp_path_factory):
 
 
 def test_loser_scan_finds_exact_copies(ray_session, dup_pages_dir):
-    from txiac_qc_ray.functions.urls import fnv1a64
-    from txiac_qc_ray.pipelines.qc import exact_dup_loser_urlhashes
+    import os
+
+    from txiac_qc_ray.pipelines.qc import (exact_dup_loser_rowkeys,
+                                           page_row_keys)
 
     d, base_urls, dup_urls = dup_pages_dir
-    losers = exact_dup_loser_urlhashes(d)
+    losers = exact_dup_loser_rowkeys(d)
     # "url?copy=1" sorts after "url": every copy loses, no original does
-    exp = np.sort(fnv1a64(pa.array(dup_urls)))
+    dup_tab = pq.read_table(os.path.join(d, "part-00001.parquet"))
+    exp = np.unique(page_row_keys(dup_tab["url"], dup_tab["warc_ts"]))
     assert losers.dtype == np.uint64
     np.testing.assert_array_equal(losers, exp)
+
+
+def test_same_url_duplicate_rows_survive(ray_session, tmp_path):
+    """Two rows IDENTICAL in url, warc_ts and html (re-ingested
+    snapshot): their row keys coincide, so dropping by key would
+    annihilate both copies. The loser scan must exclude them — both
+    rows keep is_dup_loser=0 and the document survives (under-drop,
+    never zero copies). Distinct-url copies in the same corpus still
+    drop."""
+    import ray
+
+    from txiac_qc_ray.pipelines.qc import (build_qc_pipeline,
+                                           exact_dup_loser_rowkeys,
+                                           read_pages)
+    from txiac_qc_ray.sources.pages import pages_batch
+
+    base = pages_batch(11, 0, 40)
+    clone = base.slice(0, 10)  # same url+ts+html: indistinguishable rows
+    distinct = base.slice(10, 10)
+    distinct = distinct.set_column(
+        distinct.schema.get_field_index("url"), "url",
+        pa.array([u + "?v=2" for u in distinct["url"].to_pylist()]))
+    d = tmp_path / "corpus"
+    d.mkdir()
+    pq.write_table(base, str(d / "part-00000.parquet"))
+    pq.write_table(clone, str(d / "part-00001.parquet"))
+    pq.write_table(distinct, str(d / "part-00002.parquet"))
+
+    cfg = PipelineConfig()
+    cfg.dup_rowkeys_ref = ray.put(exact_dup_loser_rowkeys(str(d), cfg))
+    cfg.rules = cfg.rules + (DEDUP_RULE,)
+    out = build_qc_pipeline(read_pages(str(d)), cfg).to_pandas()
+
+    cloned_urls = set(clone["url"].to_pylist())
+    cloned = out[out["url"].isin(cloned_urls)]
+    assert len(cloned) == 20  # both copies of each row present
+    assert not cloned["rule_exact_duplicate"].any()  # never annihilated
+    distinct_rows = out[out["url"].str.endswith("?v=2")]
+    assert distinct_rows["rule_exact_duplicate"].all()  # still deduped
 
 
 @pytest.mark.parametrize("mode", ["tasks", "actors"])
@@ -47,12 +89,12 @@ def test_dedup_rule_drops_copies(ray_session, dup_pages_dir, mode):
     import ray
 
     from txiac_qc_ray.pipelines.qc import (build_qc_pipeline,
-                                           exact_dup_loser_urlhashes,
+                                           exact_dup_loser_rowkeys,
                                            read_pages)
 
     d, base_urls, dup_urls = dup_pages_dir
     cfg = PipelineConfig(stage_mode=mode)
-    cfg.dup_urlhashes_ref = ray.put(exact_dup_loser_urlhashes(d, cfg))
+    cfg.dup_rowkeys_ref = ray.put(exact_dup_loser_rowkeys(d, cfg))
     cfg.rules = cfg.rules + (DEDUP_RULE,)
     out = build_qc_pipeline(read_pages(d), cfg).to_pandas().set_index("url")
 

@@ -52,12 +52,12 @@ def main(argv: list[str] | None = None) -> int:
     cfg = PipelineConfig(batch_size=args.batch_size)
     if args.dedup:
         from .config import DEDUP_RULE
-        from .pipelines.qc import exact_dup_loser_urlhashes
+        from .pipelines.qc import exact_dup_loser_rowkeys
 
         # pass 0: O(dup rate) loser url-hashes, broadcast once; the
         # dedup decision then rides the ordinary rules stage (appended
         # AFTER the defaults so the frozen drop_reason order holds)
-        cfg.dup_urlhashes_ref = ray.put(exact_dup_loser_urlhashes(args.input, cfg))
+        cfg.dup_rowkeys_ref = ray.put(exact_dup_loser_rowkeys(args.input, cfg))
         cfg.rules = cfg.rules + (DEDUP_RULE,)
     if args.calibrate:
         from .pipelines.calibrate import calibrate_rules

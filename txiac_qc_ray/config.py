@@ -51,7 +51,7 @@ DEFAULT_RULES: tuple[RuleSpec, ...] = (
 )
 
 # Cross-document exact-dup drop rule for the two-pass --dedup launch
-# flow (qc.exact_dup_loser_urlhashes marks losers in `is_dup_loser`).
+# flow (qc.exact_dup_loser_rowkeys marks losers in `is_dup_loser`).
 # Appended AFTER the default rules when --dedup is on, so the frozen
 # drop_reason order of the golden fixtures is untouched.
 DEDUP_RULE = RuleSpec("exact_duplicate", "is_dup_loser", "gt", hi=0.5)
@@ -99,9 +99,9 @@ class PipelineConfig:
     calibration_mode: str = "exact"
     counter_dims: tuple[str, ...] = ("lang_pred", "drop_reason", "host")
     # ray.put ObjectRef of the sorted uint64 url-hash drop set from the
-    # --dedup pass 0 (qc.exact_dup_loser_urlhashes); None = dedup off.
+    # --dedup pass 0 (qc.exact_dup_loser_rowkeys); None = dedup off.
     # Carrying the REF (not the array) keeps PipelineConfig cheap to
     # ship into every task; each batch reads it zero-copy from the
     # object store.
-    dup_urlhashes_ref: object = None
+    dup_rowkeys_ref: object = None
     extra: dict = field(default_factory=dict)

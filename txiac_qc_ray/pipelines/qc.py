@@ -77,17 +77,17 @@ def build_qc_pipeline(ds: ray.data.Dataset, cfg: PipelineConfig | None = None) -
         ds = ds.map_batches(features_batch, **kw)
         ds = ds.map_batches(LangIdStage, concurrency=cfg.langid_concurrency, num_cpus=1, **kw)
         ds = ds.map_batches(PerplexityStage, concurrency=cfg.ppl_concurrency, num_cpus=1, **kw)
-        if cfg.dup_urlhashes_ref is not None:
+        if cfg.dup_rowkeys_ref is not None:
             from ..stages.scoring import mark_dup_losers
 
             ds = ds.map_batches(
-                lambda t, _ref=cfg.dup_urlhashes_ref: mark_dup_losers(t, _ref), **kw)
+                lambda t, _ref=cfg.dup_rowkeys_ref: mark_dup_losers(t, _ref), **kw)
         ds = ds.map_batches(make_rules_stage(cfg.rules), **kw)
         ds = ds.map_batches(ScrubStage, concurrency=cfg.scrub_concurrency, num_cpus=1, **kw)
     else:
         from ..stages.scoring import make_qc_batch
 
-        ds = ds.map_batches(make_qc_batch(cfg.rules, cfg.dup_urlhashes_ref), **kw)
+        ds = ds.map_batches(make_qc_batch(cfg.rules, cfg.dup_rowkeys_ref), **kw)
     return ds
 
 
@@ -119,18 +119,38 @@ def _pages_shard_count(paths: str | list[str],
     return int(max(64, -(-total // max(1, target_bytes))))
 
 
-def exact_dup_loser_urlhashes(paths: str | list[str],
-                              cfg: PipelineConfig | None = None):
-    """Pass 0 of the `--dedup` launch flow: cross-document EXACT dedup
-    over the extracted text. One streamed extract pass; (url, text)
-    rides a bounded-shard shuffle keyed on the text's content hash;
-    within a shard the lexicographically-smallest url of each distinct
-    text wins (exact TEXT compare — a hash collision can never merge two
-    documents) and every other page's URL is a loser. Returns the sorted
-    uint64 fnv1a64 url-hashes of the losers — O(dup rate), the
-    broadcastable drop side, never the winner list.
+def page_row_keys(url_col, ts_col):
+    """uint64 row-identity key for the --dedup drop set: fnv1a64 of
+    url + NUL + warc_ts (microseconds). Distinguishes recrawls of the
+    same url at different timestamps; rows identical in BOTH url and
+    warc_ts are indistinguishable by key and are therefore never put in
+    the drop set (see exact_dup_loser_rowkeys) — under-drop, never
+    annihilation of every copy."""
+    import pyarrow.compute as pc
 
-    Documented bound: two DIFFERENT urls colliding in 64-bit hash space
+    url_s = pc.fill_null(url_col, "")
+    ts_s = pc.fill_null(pc.cast(pc.cast(ts_col, pa.int64()), pa.string()), "")
+    from ..functions.urls import fnv1a64
+
+    return fnv1a64(pc.binary_join_element_wise(url_s, ts_s, "\x00"))
+
+
+def exact_dup_loser_rowkeys(paths: str | list[str],
+                            cfg: PipelineConfig | None = None):
+    """Pass 0 of the `--dedup` launch flow: cross-document EXACT dedup
+    over the extracted text. One streamed extract pass; (row key, url,
+    text) rides a bounded-shard shuffle keyed on the text's content
+    hash; within a shard the (min url, min key) row of each distinct
+    text wins (exact TEXT compare — a hash collision can never merge
+    two documents) and every other row is a loser. Returns the sorted
+    uint64 row keys (page_row_keys: url + warc_ts) of the losers —
+    O(dup rate), the broadcastable drop side, never the winner list.
+
+    A loser whose key EQUALS its group winner's key (rows identical in
+    url AND warc_ts AND text — true indistinguishable copies) is
+    excluded from the drop set: dropping by that key would annihilate
+    the winner too. Documented bounds: such copies are all kept
+    (under-drop), and two DIFFERENT rows colliding in 64-bit key space
     would drop a non-duplicate page (p ~ n^2 / 2^64, the same accepted
     bound as the dedup index)."""
     import numpy as np
@@ -144,21 +164,36 @@ def exact_dup_loser_urlhashes(paths: str | list[str],
     ds = read_pages(paths).map_batches(extract_batch, **kw)
 
     def add_shard(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        # null-text rows never participate in dedup: they carry no
+        # content to compare and the null_text rule drops them anyway
+        t = t.filter(pc.is_valid(t.column("text")))
         h = fnv1a64(t.column("text"))
         return pa.table({"shard": (h % np.uint64(n_shards)).astype(np.int64),
+                         "key": page_row_keys(t.column("url"), t.column("warc_ts")),
                          "url": t["url"], "text": t["text"]})
 
     def losers(g: "pd.DataFrame") -> "pd.DataFrame":
-        g = g.sort_values("url", ignore_index=True)
-        lose = g.duplicated(subset=["text"], keep="first")
-        return g.loc[lose, ["url"]]
+        key = g["key"].to_numpy().astype(np.uint64)
+        url = g["url"].to_numpy(dtype=object)
+        text = g["text"].to_numpy(dtype=object)
+        order = np.lexsort((key, url, text))  # per text: (min url, min key) wins
+        key, text = key[order], text[order]
+        first = np.ones(len(text), dtype=bool)
+        if len(text) > 1:
+            first[1:] = text[1:] != text[:-1]
+        gid = np.cumsum(first) - 1
+        winner_key = key[np.nonzero(first)[0]][gid]
+        lose = (~first) & (key != winner_key)  # keep indistinguishable copies
+        return pd.DataFrame({"key": key[lose]})
 
     df = (ds.map_batches(add_shard, **kw)
           .groupby("shard").map_groups(losers, batch_format="pandas")
           .to_pandas())
-    if "url" not in df.columns:  # fully-unique corpus: no losers
+    if "key" not in df.columns:  # fully-unique corpus: no losers
         return np.zeros(0, dtype=np.uint64)
-    return np.sort(fnv1a64(pa.array(df["url"].astype(str))))
+    return np.unique(df["key"].to_numpy().astype(np.uint64))
 
 
 def qc_label_documents(sf_dir: str, cfg: PipelineConfig | None = None,

@@ -40,20 +40,20 @@ def _models() -> tuple[LangIdModel, UnigramLM, ScrubStage]:
     return _CACHE["langid"], _CACHE["lm"], _CACHE["scrub"]  # type: ignore[return-value]
 
 
-def mark_dup_losers(batch: pa.Table, dup_urlhashes_ref) -> pa.Table:
-    """Append the `is_dup_loser` feature (1.0 when this page's url-hash
-    is in the broadcast exact-dup drop set, else 0.0) so the
-    cross-document dedup decision becomes an ordinary RuleSpec
-    (config.DEDUP_RULE) evaluated by apply_rules — flags, drop_reason
-    and rule_flags stay uniform with every other rule. The drop set is
-    a sorted uint64 array read zero-copy from the object store; the
-    membership test is one searchsorted per batch."""
+def mark_dup_losers(batch: pa.Table, dup_rowkeys_ref) -> pa.Table:
+    """Append the `is_dup_loser` feature (1.0 when this page's row key —
+    url + warc_ts, see qc.page_row_keys — is in the broadcast exact-dup
+    drop set, else 0.0) so the cross-document dedup decision becomes an
+    ordinary RuleSpec (config.DEDUP_RULE) evaluated by apply_rules —
+    flags, drop_reason and rule_flags stay uniform with every other
+    rule. The drop set is a sorted uint64 array read zero-copy from the
+    object store; the membership test is one searchsorted per batch."""
     import ray
 
-    from ..functions.urls import fnv1a64
+    from ..pipelines.qc import page_row_keys
 
-    hs = ray.get(dup_urlhashes_ref)
-    uh = fnv1a64(batch.column("url"))
+    hs = ray.get(dup_rowkeys_ref)
+    uh = page_row_keys(batch.column("url"), batch.column("warc_ts"))
     pos = np.searchsorted(hs, uh)
     inb = pos < len(hs)
     hit = np.zeros(len(uh), dtype=bool)
@@ -63,7 +63,7 @@ def mark_dup_losers(batch: pa.Table, dup_urlhashes_ref) -> pa.Table:
 
 
 def make_qc_batch(rules: tuple[RuleSpec, ...] = DEFAULT_RULES,
-                  dup_urlhashes_ref=None):
+                  dup_rowkeys_ref=None):
     """-> a single stateless map_batches fn running the whole QC stack."""
 
     def qc_batch(batch: pa.Table) -> pa.Table:
@@ -80,8 +80,8 @@ def make_qc_batch(rules: tuple[RuleSpec, ...] = DEFAULT_RULES,
         batch = batch.append_column("lang_pred", pa.array(preds, type=pa.string()))
         batch = batch.append_column("lang_score", pa.array(scores, type=pa.float64()))
         batch = batch.append_column("ppl", pa.array(lm.score(texts, tv), type=pa.float64()))
-        if dup_urlhashes_ref is not None:
-            batch = mark_dup_losers(batch, dup_urlhashes_ref)
+        if dup_rowkeys_ref is not None:
+            batch = mark_dup_losers(batch, dup_rowkeys_ref)
         batch = apply_rules(batch, rules)
         return scrub(batch)
 
