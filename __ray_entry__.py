@@ -42,7 +42,7 @@ def _register_by_value() -> None:
         from txiac_qc_ray import config, oracle, oracles, vocab  # noqa: F401
         from txiac_qc_ray.functions import textstats, urls  # noqa: F401
         from txiac_qc_ray.pipelines import (  # noqa: F401
-            calibrate, counters, docs, pmis, qc, relational, windows)
+            calibrate, counters, docs, pmis, qc, relational, webtext, windows)
         from txiac_qc_ray.sources import pages, sections  # noqa: F401
         from txiac_qc_ray.stages import (  # noqa: F401
             extract, features, langid, multimodal, perplexity, rules,
@@ -95,11 +95,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_ingest_docs": _jsonl_ingest_docs,
         # composite corpus prep + decontamination + keyword extraction
         "prep_corpus": D.prep_corpus,
-        "decontaminate": D.decontaminate_against,
         "decontaminate_bloom": D.decontaminate_bloom,       # r4-modified
         "tfidf_top_terms": D.tfidf_top_terms,               # r4-modified
-        "deterministic_shuffle": D.deterministic_shuffle,
         "cap_per_host": D.cap_per_host,
+        # r4-NEW published web-text rule banks (pipelines/webtext.py)
+        # over the frozen deterministic pages corpus (PMIS-fixture style:
+        # the oracle SQL reads the same parquet bytes)
+        "scrub_docs": _scrub_docs,
+        "c4_line_filter": _c4_line_filter,
+        "gopher_quality_flags": _gopher_quality_flags,
         # dedup family (r4-modified members + their exact anchors)
         "exact_dedup": D.exact_dedup,
         "exact_dedup_rows": D.exact_dedup_rows,             # r4-modified
@@ -107,7 +111,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_paragraphs": D.dedup_paragraphs,             # r4-NEW
         "minhash_lsh_dedup": D.minhash_lsh_candidates,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,       # r4-modified
-        "embedding_neardup_lsh": D.embedding_neardup_pairs_lsh,
         "ann_topk_ivf_indexed": D.ann_topk_ivf_indexed,
         # stream-shaped custom operators (all r4-modified: streaming
         # Dataset boundary / distributed top-k finish)
@@ -148,8 +151,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (still swept locally by scripts/check_oracle.py every round).
         # stratified_sample yields its cap slot to the r4-new
         # dedup_paragraphs: it is a pure replayable filter, r3-green,
-        # and its twin hash_sample stays inside the cap.
+        # and its twin hash_sample stays inside the cap. decontaminate,
+        # deterministic_shuffle and embedding_neardup_lsh (all r3-driver-
+        # green, unmodified in r4) yield theirs to the r4-new webtext
+        # rule banks; decontaminate_bloom shares decontaminate's oracle
+        # and embedding_neardup_lsh is pytest-pinned equal to
+        # embedding_neardup_pairs, so both keep an in-cap proxy.
         "stratified_sample": R.stratified_sample,
+        "decontaminate": D.decontaminate_against,
+        "deterministic_shuffle": D.deterministic_shuffle,
+        "embedding_neardup_lsh": D.embedding_neardup_pairs_lsh,
         "pmis_yby_flow": _pmis_yby_flow,
         "pmis_county_summary": _pmis_county_summary,
         "pmis_diff_histogram": _pmis_diff_histogram,
@@ -188,6 +199,38 @@ def _pmis_counters_sql(pa_path: str, pb_path: str) -> str:
     from txiac_qc_ray.pipelines.pmis import SPEED_DIFF_EDGES, SPEED_EDGES
 
     return O.pmis_counters_sql(pa_path, pb_path, SPEED_EDGES, SPEED_DIFF_EDGES)
+
+
+# Web-text rule-bank fixture: the deterministic pages corpus (FIXTURES.md
+# F1 mix — prose/PII/toxicity/nulls/whitespace), generated-and-cached like
+# the bench corpus; both the query and its SQL twin read the same bytes,
+# so sf_dir is ignored (PMIS-fixture precedent). 2,000 rows = the golden
+# fixture scale.
+_WEBTEXT_N = 2000
+
+
+def _webtext_dir() -> str:
+    from txiac_qc_ray.sources.pages import default_pages_dir
+
+    return default_pages_dir(_WEBTEXT_N)
+
+
+def _scrub_docs(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import scrub_docs
+
+    return scrub_docs(_webtext_dir())
+
+
+def _c4_line_filter(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import c4_line_filter
+
+    return c4_line_filter(_webtext_dir())
+
+
+def _gopher_quality_flags(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import gopher_quality_flags
+
+    return gopher_quality_flags(_webtext_dir())
 
 
 def _pmis_merged(_sf_dir: str):
@@ -318,6 +361,7 @@ def oracle_sql() -> dict[str, str]:
         """
     pa_path = os.path.join(_PMIS_DIR, "cycle_a.parquet")
     pb_path = os.path.join(_PMIS_DIR, "cycle_b.parquet")
+    pages_glob = _webtext_dir() + "/part-*.parquet"
     return {
         # PMIS flows: independent SQL over the frozen fixture files
         "pmis_audit_flow": O.pmis_audit_flow_sql(pa_path, pb_path),
@@ -327,6 +371,10 @@ def oracle_sql() -> dict[str, str]:
         "pmis_diff_histogram": _pmis_diff_hist_sql(pa_path, pb_path),
         "pmis_yby_district": O.pmis_yby_district_sql(pa_path, pb_path),
         "csv_ingest_sections": O.csv_ingest_sql(os.path.join(_PMIS_DIR, "cycle_a.csv")),
+        # web-text rule banks over the frozen pages corpus (same bytes)
+        "scrub_docs": O.scrub_docs_sql(pages_glob),
+        "c4_line_filter": O.c4_line_filter_sql(pages_glob),
+        "gopher_quality_flags": O.gopher_quality_flags_sql(pages_glob),
         "jsonl_ingest_docs": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,
                    CAST(n_chars AS BIGINT) AS n_chars

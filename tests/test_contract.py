@@ -77,14 +77,20 @@ def test_correctness_cap_covers_priority_queries():
     priority = {
         "qc_label_documents", "pmis_audit_flow", "pmis_counters",
         "csv_ingest_sections", "jsonl_ingest_docs", "prep_corpus",
-        "decontaminate", "decontaminate_bloom", "tfidf_top_terms",
-        "deterministic_shuffle", "cap_per_host", "exact_dedup",
+        "decontaminate_bloom", "tfidf_top_terms",
+        "cap_per_host", "exact_dedup",
         "exact_dedup_rows", "dedup_index_first_seen", "minhash_lsh_dedup",
-        "ngram_jaccard_pairs", "embedding_neardup_lsh",
+        "ngram_jaccard_pairs",
         "ann_topk_ivf_indexed", "asof_join", "session_windows",
         "rolling_sum_cents", "lag_diff", "rolling_time_sum_cents",
         "running_total_cents", "topk_per_group", "tumbling_window",
         "hopping_window", "distinct_count_users", "multiway_join_agg",
+        # late-r4 new ops must be driver-recorded (decontaminate,
+        # deterministic_shuffle, embedding_neardup_lsh — all r3-driver-
+        # green and UNMODIFIED in r4 — yielded their slots; each keeps
+        # an in-cap proxy: bloom shares decontaminate's oracle, the LSH
+        # path is pytest-pinned equal to embedding_neardup_pairs)
+        "scrub_docs", "c4_line_filter", "gopher_quality_flags",
     }
     missing = priority - first50
     assert not missing, f"priority queries past the 50-row cap: {missing}"

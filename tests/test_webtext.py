@@ -1,0 +1,143 @@
+"""Web-text rule banks (pipelines/webtext.py): semantic pins on a
+handcrafted adversarial corpus + DuckDB-twin equality on BOTH the
+handcrafted corpus and the frozen 2000-page driver fixture."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from check_oracle import normalize  # noqa: E402
+
+from txiac_qc_ray import oracles as O  # noqa: E402
+from txiac_qc_ray.pipelines import webtext as W  # noqa: E402
+
+ROWS = [
+    # real mixed doc: 1 good first line (5 sentences), short line, bullet,
+    # javascript line, unterminated line
+    ("u0", "Good line with words here. Another proper sentence follows now!"
+           " More text ends here. Fourth sentence is fine. Fifth one"
+           " closes it.\nshort line\n- bullet item listed here.\n"
+           "JavaScript is required here.\nNo terminal punct line"),
+    ("u1", "This has lorem ipsum inside. One. Two. Three. Four. Five. Six"
+           " sentences here."),
+    ("u2", "Contains a curly { brace. One. Two. Three. Four. Five."),
+    ("u3", "That stupid idea was dumb. The rest of the page is fine"
+           " honestly. With the and of. Be to have that. More words pad"
+           " it out. Final line ends properly."),
+    ("u4", "mail contact.42@mail3.example.com and (512) 555-0123 plus"
+           " 123-45-6789 ip 10.0.0.1 end."),
+    ("u5", None),
+    ("u6", ""),
+    ("u7", "  \t \n   "),
+    ("u8", "- first bullet.\n- second bullet.\n- third bullet.\nplain.\n"
+           "And this trails off...\nAnd more dots here too…"),
+    # 80 words, trailing '.' attached to the last word so the mean word
+    # length is 241/80 = 3.0125 (>= the Gopher 3.0 floor)
+    ("u9", ("the be to of and that have with " * 10).strip() + "."),
+]
+
+
+@pytest.fixture(scope="module")
+def corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("webtext_corpus")
+    t = pa.table({"url": pa.array([r[0] for r in ROWS]),
+                  "text": pa.array([r[1] for r in ROWS], type=pa.string())})
+    pq.write_table(t, os.path.join(str(d), "part-00000.parquet"))
+    return str(d)
+
+
+def _twin_equal(fn, sql):
+    mine = normalize(fn.to_pandas())
+    orc = normalize(duckdb.connect().execute(sql).df())
+    pd.testing.assert_frame_equal(mine, orc)
+    return mine
+
+
+def test_scrub_docs_twin_and_semantics(ray_session, corpus_dir):
+    out = _twin_equal(W.scrub_docs(corpus_dir),
+                      O.scrub_docs_sql(corpus_dir + "/*.parquet"))
+    by = out.set_index("url")
+    assert by.loc["u4", "scrubbed"]
+    s = by.loc["u4", "scrubbed_text"]
+    assert "<EMAIL>" in s and "<PHONE>" in s and "<SSN>" in s and "<IP>" in s
+    assert "@" not in s and "555-0123" not in s
+    assert "<TOX>" in by.loc["u3", "scrubbed_text"]  # stupid/dumb scrubbed
+    # normalize() stringifies object columns, so SQL NULL == Arrow null
+    # both render as 'None' here; frame equality above pins the match
+    assert by.loc["u5", "scrubbed_text"] == "None"
+    assert not by.loc["u5", "scrubbed"]
+    assert not by.loc["u0", "scrubbed"]  # clean doc untouched
+    assert by.loc["u0", "scrubbed_text"] == ROWS[0][1]
+
+
+def test_c4_line_filter_twin_and_semantics(ray_session, corpus_dir):
+    out = _twin_equal(W.c4_line_filter(corpus_dir),
+                      O.c4_line_filter_sql(corpus_dir + "/*.parquet"))
+    by = out.set_index("url")
+    # u0: 5 lines; only the first (terminal punct, >=3 words, no js) and
+    # the bullet line survive; keep (5 sentences in clean_text, no bad word)
+    assert by.loc["u0", "n_lines"] == 5 and by.loc["u0", "n_kept"] == 2
+    assert by.loc["u0", "clean_text"].splitlines()[1] == "- bullet item listed here."
+    assert by.loc["u0", "keep"]
+    # doc-level drops: lorem ipsum / curly brace / bad word
+    assert not by.loc["u1", "keep"] and by.loc["u1", "n_kept"] == 1
+    assert not by.loc["u2", "keep"]
+    assert not by.loc["u3", "keep"]  # 'stupid' is a bad word
+    # u9: one giant line ending in '.', 81 words -> kept line, but only
+    # 1 sentence -> dropped at doc level
+    assert by.loc["u9", "n_kept"] == 1 and not by.loc["u9", "keep"]
+    # null / empty / whitespace
+    assert by.loc["u5", "n_lines"] == 0 and not by.loc["u5", "keep"]
+    assert by.loc["u6", "n_lines"] == 1 and by.loc["u6", "n_kept"] == 0
+    assert by.loc["u6", "clean_text"] == ""
+    assert by.loc["u7", "n_lines"] == 2 and by.loc["u7", "n_kept"] == 0
+
+
+def test_gopher_quality_flags_twin_and_semantics(ray_session, corpus_dir):
+    out = _twin_equal(W.gopher_quality_flags(corpus_dir),
+                      O.gopher_quality_flags_sql(corpus_dir + "/*.parquet"))
+    by = out.set_index("url")
+    # u8: 6 lines, 3 bullets (0.5 <= 0.9 ok), 2 ellipsis ends (1/3 > 0.3)
+    assert by.loc["u8", "frac_bullet_lines"] == 0.5
+    assert by.loc["u8", "frac_ellipsis_lines"] == pytest.approx(1 / 3)
+    assert not by.loc["u8", "gopher_keep"]
+    # u9: 80 words, all stopwords, mean len 3.0125 -> keep=True
+    assert by.loc["u9", "n_words"] == 80
+    assert by.loc["u9", "n_stop"] == 80
+    assert by.loc["u9", "mean_word_len"] == pytest.approx(241 / 80)
+    assert by.loc["u9", "gopher_keep"]
+    # u0: only 33 words -> under the 50-word floor
+    assert not by.loc["u0", "gopher_keep"]
+    # null text: int stats 0, fracs null, keep false
+    assert by.loc["u5", "n_words"] == 0
+    assert np.isnan(by.loc["u5", "mean_word_len"])
+    assert not by.loc["u5", "gopher_keep"]
+    # whitespace-only: 0 words -> fracs null except line fracs (2 lines)
+    assert by.loc["u7", "n_words"] == 0
+    assert by.loc["u7", "frac_bullet_lines"] == 0.0
+
+
+def test_webtext_ops_stream_and_match_on_fixture(ray_session):
+    """Driver-fixture equality: the exact compare the driver will run."""
+    import ray
+
+    from txiac_qc_ray.sources.pages import default_pages_dir
+
+    d = default_pages_dir(2000)
+    glob = d + "/part-*.parquet"
+    for fn, sql in [(W.scrub_docs, O.scrub_docs_sql(glob)),
+                    (W.c4_line_filter, O.c4_line_filter_sql(glob)),
+                    (W.gopher_quality_flags, O.gopher_quality_flags_sql(glob))]:
+        ds = fn(d)
+        assert isinstance(ds, ray.data.Dataset)  # streaming boundary
+        _twin_equal(ds, sql)

@@ -691,3 +691,108 @@ def langid_sql() -> str:
     FROM documents d
     LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Web-text quality-filter twins (pipelines/webtext.py). Each embeds the SAME
+# RE2 pattern constants the Ray operators use — same spec, independent engine
+# (DuckDB regexp_* vs pyarrow compute). `pages_glob` is the frozen
+# deterministic pages corpus (sources/pages.py), PMIS-fixture style.
+# ---------------------------------------------------------------------------
+
+def scrub_docs_sql(pages_glob: str) -> str:
+    from .stages.scrub import SCRUB_PATTERNS
+
+    expr = "text"
+    for _name, pat, repl in SCRUB_PATTERNS:
+        expr = f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+    return f"""
+    WITH s AS (
+      SELECT url, text, {expr} AS scrubbed_text
+      FROM read_parquet('{pages_glob}'))
+    SELECT url, scrubbed_text,
+           coalesce(text <> scrubbed_text, FALSE) AS scrubbed
+    FROM s
+    """
+
+
+def c4_line_filter_sql(pages_glob: str) -> str:
+    from .pipelines import webtext as w
+
+    return f"""
+    WITH f AS (
+      SELECT url, text,
+             coalesce(len(string_split(text, chr(10))), 0) AS n_lines,
+             list_filter(string_split(text, chr(10)), x ->
+                 regexp_matches(x, '{w.C4_TERMINAL_RE}')
+                 AND len(regexp_extract_all(x, '{w.WORD_RE}')) >= {w.C4_MIN_LINE_WORDS}
+                 AND NOT regexp_matches(x, '{w.C4_JAVASCRIPT_RE}')) AS kept
+      FROM read_parquet('{pages_glob}')),
+    c AS (
+      SELECT url, text, n_lines, coalesce(len(kept), 0) AS n_kept,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE coalesce(array_to_string(kept, chr(10)), '') END AS clean_text
+      FROM f)
+    SELECT url, clean_text,
+           CAST(n_lines AS BIGINT) AS n_lines,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           coalesce(text IS NOT NULL
+             AND NOT regexp_matches(text, '{w.C4_LOREM_RE}')
+             AND NOT contains(text, chr(123))
+             AND NOT regexp_matches(text, '{w.BADWORD_RE}')
+             AND len(regexp_extract_all(clean_text, '{w.SENTENCE_RE}'))
+                   >= {w.C4_MIN_SENTENCES}, FALSE) AS keep
+    FROM c
+    """
+
+
+def gopher_quality_flags_sql(pages_glob: str) -> str:
+    from .pipelines import webtext as w
+
+    return f"""
+    WITH base AS (
+      SELECT url, text,
+        coalesce(len(regexp_extract_all(text, '{w.WORD_RE}')), 0) AS n_words,
+        coalesce(len(regexp_extract_all(text, '{w.ALPHA_WORD_RE}')), 0) AS n_alpha,
+        coalesce(len(regexp_extract_all(text, '{w.SYMBOL_RE}')), 0) AS n_sym,
+        coalesce(len(regexp_extract_all(lower(text), '{w.GOPHER_STOPWORD_RE}')), 0) AS n_stop,
+        coalesce(length(regexp_replace(text, '{w.WHITESPACE_RE}', '', 'g')), 0) AS wchars,
+        string_split(text, chr(10)) AS ls
+      FROM read_parquet('{pages_glob}')),
+    lines AS (
+      SELECT *, coalesce(len(ls), 0) AS n_lines,
+        coalesce(len(list_filter(ls, x ->
+            regexp_matches(x, '{w.BULLET_LINE_RE}'))), 0) AS n_bullet,
+        coalesce(len(list_filter(ls, x ->
+            regexp_matches(x, '{w.ELLIPSIS_LINE_RE}'))), 0) AS n_ellipsis
+      FROM base),
+    d AS (
+      SELECT url, text, n_words, n_stop, n_lines,
+        CASE WHEN n_words = 0 THEN NULL
+             ELSE CAST(wchars AS DOUBLE) / n_words END AS mean_word_len,
+        CASE WHEN n_words = 0 THEN NULL
+             ELSE CAST(n_sym AS DOUBLE) / n_words END AS symbol_word_ratio,
+        CASE WHEN n_words = 0 THEN NULL
+             ELSE CAST(n_alpha AS DOUBLE) / n_words END AS frac_alpha_words,
+        CASE WHEN n_lines = 0 THEN NULL
+             ELSE CAST(n_bullet AS DOUBLE) / n_lines END AS frac_bullet_lines,
+        CASE WHEN n_lines = 0 THEN NULL
+             ELSE CAST(n_ellipsis AS DOUBLE) / n_lines END AS frac_ellipsis_lines
+      FROM lines)
+    SELECT url,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_stop AS BIGINT) AS n_stop,
+           mean_word_len, symbol_word_ratio, frac_alpha_words,
+           frac_bullet_lines, frac_ellipsis_lines,
+           coalesce(text IS NOT NULL
+             AND n_words BETWEEN {w.GOPHER_MIN_WORDS} AND {w.GOPHER_MAX_WORDS}
+             AND mean_word_len >= {w.GOPHER_MEAN_LEN_LO}
+             AND mean_word_len <= {w.GOPHER_MEAN_LEN_HI}
+             AND symbol_word_ratio <= {w.GOPHER_MAX_SYMBOL_RATIO}
+             AND frac_alpha_words >= {w.GOPHER_MIN_ALPHA_FRAC}
+             AND n_stop >= {w.GOPHER_MIN_STOPWORDS}
+             AND frac_bullet_lines <= {w.GOPHER_MAX_BULLET_FRAC}
+             AND frac_ellipsis_lines <= {w.GOPHER_MAX_ELLIPSIS_FRAC},
+             FALSE) AS gopher_keep
+    FROM d
+    """

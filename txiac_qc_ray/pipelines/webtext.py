@@ -1,0 +1,230 @@
+"""Published web-text quality-filter operators over the `pages` corpus
+(url, warc_ts, html, text, lang — BASELINE.json input_hint shape).
+
+Three standalone, value-checked operators that complement the flagship's
+fused rule stage (stages/rules.py) with the published C4 / Gopher rule
+families, each expressed as ONE stateless vectorized `map_batches` pass:
+
+- `scrub_docs`      — the PII/toxicity regex scrub as its own query
+                      (north_rule "regex scrub transforms"; the flagship
+                      exercises it only inside the golden compare);
+- `c4_line_filter`  — C4's line-level cleaning (Raffel et al. 2020 §2.2):
+                      keep lines ending in terminal punctuation with >=3
+                      words and no "javascript"; drop pages with
+                      "lorem ipsum", a curly brace, a bad word, or fewer
+                      than 5 sentences after cleaning;
+- `gopher_quality_flags` — Gopher's doc-level heuristics (Rae et al. 2021
+                      A1.1): word count 50..100k, mean word length 3..10,
+                      symbol-to-word ratio, >=80% words with an alphabetic
+                      char, >=2 canonical stop words, <=90% bullet lines,
+                      <=30% ellipsis lines.
+
+Parity strategy: every predicate is a single RE2 pattern or an integer
+count, evaluated by pyarrow's RE2 kernels here and by DuckDB's RE2
+`regexp_*` functions in the oracle twins (oracles.py) — same spec, two
+independent engines. All ratio columns are int/int double divisions so
+the float64 values are bitwise-identical on both sides.
+
+Scale notes: one streamed pass, no shuffle, no driver state; line-level
+work flattens each batch's lines into a single Arrow array (vectorized
+predicates) and reassembles per-doc via offset arithmetic — never a
+Python loop over rows or lines.
+
+Reference analog: the reference flags rows via per-measure threshold
+rules (Home.py:176-183); these are the web-text rule banks north_rule
+substitutes for those measures.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..stages.scrub import scrub_texts
+from ..vocab import TOXICITY_LEXICON
+
+# ---- shared RE2 patterns (the SQL twins embed the SAME strings) --------
+WORD_RE = r"\S+"
+C4_TERMINAL_RE = r'[.!?"]$'        # line ends in terminal punctuation
+C4_MIN_LINE_WORDS = 3
+C4_JAVASCRIPT_RE = r"(?i)javascript"
+C4_LOREM_RE = r"(?i)lorem ipsum"
+C4_MIN_SENTENCES = 5
+SENTENCE_RE = r"[.!?]"
+BADWORD_RE = r"(?i)\b(?:" + "|".join(TOXICITY_LEXICON) + r")\b"
+
+ALPHA_WORD_RE = r"[^\s]*[A-Za-z][^\s]*"   # a whitespace token with a letter
+SYMBOL_RE = r"[#$%&*@!^<>|~+=]"           # textstats._SYMBOL_CLASS
+WHITESPACE_RE = r"\s"
+# Gopher's canonical "must contain >=2 of" stop-word list (Rae et al. A1.1)
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+GOPHER_STOPWORD_RE = r"\b(?:" + "|".join(GOPHER_STOPWORDS) + r")\b"
+BULLET_LINE_RE = "^\\s*[-*•]"
+ELLIPSIS_LINE_RE = "(\\.\\.\\.|…)$"
+
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+GOPHER_MAX_BULLET_FRAC = 0.9
+GOPHER_MAX_ELLIPSIS_FRAC = 0.3
+
+
+def _read_pages_text(paths: str | list[str]) -> ray.data.Dataset:
+    return ray.data.read_parquet(paths, columns=["url", "text"])
+
+
+def _as_array(col: pa.ChunkedArray | pa.Array) -> pa.Array:
+    return col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+
+
+def scrub_docs(paths: str | list[str]) -> ray.data.Dataset:
+    """PII/toxicity scrub over EVERY page -> (url, scrubbed_text, scrubbed).
+
+    Null text stays null with scrubbed=false. Same frozen pattern bank
+    (and candidate prefilter) as the flagship's ScrubStage."""
+    def stage(t: pa.Table) -> pa.Table:
+        out, changed = scrub_texts(_as_array(t.column("text")))
+        return pa.table({
+            "url": t["url"],
+            "scrubbed_text": out,
+            "scrubbed": pa.array(changed),
+        })
+
+    return _read_pages_text(paths).map_batches(stage, batch_format="pyarrow")
+
+
+def _line_split(text: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """-> (flat lines of the VALID rows, per-row line counts (0 for null),
+    validity mask). Segment k of the flat array covers rows with
+    offsets[k]..offsets[k+1] where offsets = cumsum of the counts."""
+    lst = pc.split_pattern(text, "\n")
+    valid = np.asarray(pc.is_valid(text))
+    counts = np.asarray(pc.fill_null(pc.list_value_length(lst), 0),
+                        dtype=np.int64)
+    flat = _as_array(pc.list_flatten(lst))
+    return flat, counts, valid
+
+
+def _segment_counts(flags: np.ndarray, counts: np.ndarray) -> np.ndarray:
+    """Per-row sums of a flat boolean line array segmented by `counts`."""
+    cs = np.concatenate([[0], np.cumsum(flags, dtype=np.int64)])
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    return cs[offsets[1:]] - cs[offsets[:-1]]
+
+
+def c4_line_filter(paths: str | list[str]) -> ray.data.Dataset:
+    """C4 line-level cleaning -> (url, clean_text, n_lines, n_kept, keep).
+
+    clean_text = the kept lines re-joined with '\\n' ('' if none survive,
+    null for null text). keep = doc-level C4 retention: no "lorem ipsum",
+    no '{', no bad word (raw text), and >=5 sentences in clean_text."""
+    def stage(t: pa.Table) -> pa.Table:
+        text = _as_array(t.column("text"))
+        flat, counts, valid = _line_split(text)
+        keep_line = (
+            np.asarray(pc.match_substring_regex(flat, C4_TERMINAL_RE))
+            & np.asarray(pc.greater_equal(
+                pc.count_substring_regex(flat, WORD_RE), C4_MIN_LINE_WORDS))
+            & ~np.asarray(pc.match_substring_regex(flat, C4_JAVASCRIPT_RE))
+        )
+        n_kept = _segment_counts(keep_line, counts)
+        kept_flat = flat.filter(pa.array(keep_line))
+        new_off = np.concatenate([[0], np.cumsum(n_kept)]).astype(np.int32)
+        clean_list = pa.ListArray.from_arrays(
+            pa.array(new_off, type=pa.int32()), kept_flat)
+        joined = pc.binary_join(clean_list, "\n")
+        clean_text = pc.if_else(pa.array(valid), joined,
+                                pa.scalar(None, pa.string()))
+        n_sent = np.asarray(pc.fill_null(
+            pc.count_substring_regex(clean_text, SENTENCE_RE), 0))
+        bad = (
+            np.asarray(pc.fill_null(
+                pc.match_substring_regex(text, C4_LOREM_RE), True))
+            | np.asarray(pc.fill_null(
+                pc.match_substring(text, "{"), True))
+            | np.asarray(pc.fill_null(
+                pc.match_substring_regex(text, BADWORD_RE), True))
+        )
+        keep = valid & ~bad & (n_sent >= C4_MIN_SENTENCES)
+        return pa.table({
+            "url": t["url"],
+            "clean_text": clean_text,
+            "n_lines": pa.array(counts, type=pa.int64()),
+            "n_kept": pa.array(n_kept, type=pa.int64()),
+            "keep": pa.array(keep),
+        })
+
+    return _read_pages_text(paths).map_batches(stage, batch_format="pyarrow")
+
+
+def gopher_quality_flags(paths: str | list[str]) -> ray.data.Dataset:
+    """Gopher doc-level heuristics -> per-doc stats + `gopher_keep`.
+
+    Columns: url, n_words, n_stop (int64; 0 for null text), mean_word_len,
+    symbol_word_ratio, frac_alpha_words (null when n_words=0),
+    frac_bullet_lines, frac_ellipsis_lines (null for null text),
+    gopher_keep (bool, false for null text)."""
+    def stage(t: pa.Table) -> pa.Table:
+        text = _as_array(t.column("text"))
+        valid = np.asarray(pc.is_valid(text))
+
+        def count(pattern: str, arr: pa.Array = text) -> np.ndarray:
+            return np.asarray(pc.fill_null(
+                pc.count_substring_regex(arr, pattern), 0)).astype(np.int64)
+
+        n_words = count(WORD_RE)
+        n_alpha = count(ALPHA_WORD_RE)
+        n_sym = count(SYMBOL_RE)
+        n_stop = count(GOPHER_STOPWORD_RE, pc.utf8_lower(text))
+        wchars = np.asarray(pc.fill_null(pc.utf8_length(
+            pc.replace_substring_regex(text, pattern=WHITESPACE_RE,
+                                       replacement="")), 0)).astype(np.int64)
+
+        flat, n_lines, _ = _line_split(text)
+        bullet = np.asarray(pc.match_substring_regex(flat, BULLET_LINE_RE))
+        ellipsis = np.asarray(pc.match_substring_regex(flat, ELLIPSIS_LINE_RE))
+        n_bullet = _segment_counts(bullet, n_lines)
+        n_ellipsis = _segment_counts(ellipsis, n_lines)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            mean_len = np.where(n_words > 0, wchars / n_words, np.nan)
+            sym_ratio = np.where(n_words > 0, n_sym / n_words, np.nan)
+            alpha_frac = np.where(n_words > 0, n_alpha / n_words, np.nan)
+            bullet_frac = np.where(n_lines > 0, n_bullet / n_lines, np.nan)
+            ell_frac = np.where(n_lines > 0, n_ellipsis / n_lines, np.nan)
+
+        with np.errstate(invalid="ignore"):
+            keep = (
+                valid
+                & (n_words >= GOPHER_MIN_WORDS)
+                & (n_words <= GOPHER_MAX_WORDS)
+                & (mean_len >= GOPHER_MEAN_LEN_LO)
+                & (mean_len <= GOPHER_MEAN_LEN_HI)
+                & (sym_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+                & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+                & (n_stop >= GOPHER_MIN_STOPWORDS)
+                & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
+                & (ell_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
+            )
+
+        def frac_col(arr: np.ndarray, null_when: np.ndarray) -> pa.Array:
+            return pa.array(arr, type=pa.float64(), mask=null_when)
+
+        return pa.table({
+            "url": t["url"],
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "n_stop": pa.array(n_stop, type=pa.int64()),
+            "mean_word_len": frac_col(mean_len, n_words == 0),
+            "symbol_word_ratio": frac_col(sym_ratio, n_words == 0),
+            "frac_alpha_words": frac_col(alpha_frac, n_words == 0),
+            "frac_bullet_lines": frac_col(bullet_frac, n_lines == 0),
+            "frac_ellipsis_lines": frac_col(ell_frac, n_lines == 0),
+            "gopher_keep": pa.array(keep),
+        })
+
+    return _read_pages_text(paths).map_batches(stage, batch_format="pyarrow")
