@@ -92,7 +92,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmis_audit_flow": _pmis_audit_flow,
         "pmis_counters": _pmis_counters,
         "csv_ingest_sections": _csv_ingest_sections,
-        "jsonl_ingest_docs": _jsonl_ingest_docs,
         # composite corpus prep + decontamination + keyword extraction
         "prep_corpus": D.prep_corpus,
         "decontaminate_bloom": D.decontaminate_bloom,       # r4-modified
@@ -104,6 +103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scrub_docs": _scrub_docs,
         "c4_line_filter": _c4_line_filter,
         "gopher_quality_flags": _gopher_quality_flags,
+        "gopher_repetition_stats": _gopher_repetition_stats,
         # dedup family (r4-modified members + their exact anchors)
         "exact_dedup": D.exact_dedup,
         "exact_dedup_rows": D.exact_dedup_rows,             # r4-modified
@@ -161,6 +161,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": D.decontaminate_against,
         "deterministic_shuffle": D.deterministic_shuffle,
         "embedding_neardup_lsh": D.embedding_neardup_pairs_lsh,
+        # jsonl_ingest_docs (r3-driver-green, unmodified r4; the frozen
+        # fixture read path is pytest-pinned and its CSV ingest twin
+        # stays in-cap) yields its slot to gopher_repetition_stats
+        "jsonl_ingest_docs": _jsonl_ingest_docs,
         "pmis_yby_flow": _pmis_yby_flow,
         "pmis_county_summary": _pmis_county_summary,
         "pmis_diff_histogram": _pmis_diff_histogram,
@@ -231,6 +235,12 @@ def _gopher_quality_flags(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import gopher_quality_flags
 
     return gopher_quality_flags(_webtext_dir())
+
+
+def _gopher_repetition_stats(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import gopher_repetition_stats
+
+    return gopher_repetition_stats(_webtext_dir())
 
 
 def _pmis_merged(_sf_dir: str):
@@ -375,6 +385,7 @@ def oracle_sql() -> dict[str, str]:
         "scrub_docs": O.scrub_docs_sql(pages_glob),
         "c4_line_filter": O.c4_line_filter_sql(pages_glob),
         "gopher_quality_flags": O.gopher_quality_flags_sql(pages_glob),
+        "gopher_repetition_stats": O.gopher_repetition_sql(pages_glob),
         "jsonl_ingest_docs": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,
                    CAST(n_chars AS BIGINT) AS n_chars

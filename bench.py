@@ -138,6 +138,8 @@ def run_bench() -> dict:
         ("scrub_docs", lambda _sf: WT.scrub_docs(corpus)),
         ("c4_line_filter", lambda _sf: WT.c4_line_filter(corpus)),
         ("gopher_quality_flags", lambda _sf: WT.gopher_quality_flags(corpus)),
+        ("gopher_repetition_stats",
+         lambda _sf: WT.gopher_repetition_stats(corpus)),
     ]
     for name, fn in query_list:
         queries[name] = timed(fn)

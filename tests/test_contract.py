@@ -76,7 +76,7 @@ def test_correctness_cap_covers_priority_queries():
     first50 = set(keys[:50])
     priority = {
         "qc_label_documents", "pmis_audit_flow", "pmis_counters",
-        "csv_ingest_sections", "jsonl_ingest_docs", "prep_corpus",
+        "csv_ingest_sections", "prep_corpus",
         "decontaminate_bloom", "tfidf_top_terms",
         "cap_per_host", "exact_dedup",
         "exact_dedup_rows", "dedup_index_first_seen", "minhash_lsh_dedup",
@@ -90,7 +90,11 @@ def test_correctness_cap_covers_priority_queries():
         # green and UNMODIFIED in r4 — yielded their slots; each keeps
         # an in-cap proxy: bloom shares decontaminate's oracle, the LSH
         # path is pytest-pinned equal to embedding_neardup_pairs)
+        # (jsonl_ingest_docs later yielded its slot to the fourth new op
+        # by the same rule — pytest-pinned frozen-fixture read, CSV
+        # ingest twin in-cap)
         "scrub_docs", "c4_line_filter", "gopher_quality_flags",
+        "gopher_repetition_stats",
     }
     missing = priority - first50
     assert not missing, f"priority queries past the 50-row cap: {missing}"

@@ -62,7 +62,7 @@ def test_every_query_survives_empty_tables(ray_session, empty_dir):
         exempt = name in MAY_BE_NONEMPTY or name.startswith(
             ("pmis_", "csv_ingest", "jsonl_ingest",
              # webtext rule banks read the frozen pages fixture, not sf_dir
-             "scrub_docs", "c4_line_filter", "gopher_quality_flags"))
+             "scrub_docs", "c4_line_filter", "gopher_"))
         try:
             assert _row_count(fn(empty_dir)) == 0 or exempt, (
                 f"{name}: non-empty result from empty input")

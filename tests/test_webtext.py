@@ -141,3 +141,76 @@ def test_webtext_ops_stream_and_match_on_fixture(ray_session):
         ds = fn(d)
         assert isinstance(ds, ray.data.Dataset)  # streaming boundary
         _twin_equal(ds, sql)
+
+
+REP_ROWS = [
+    # 6 lines: 'dup.' x3 (dup run), two distinct, one empty tail after \n
+    ("r0", "dup.\ndup.\ndup.\nunique one.\nanother line."),
+    # heavy phrase repetition: top 2/3/4-gram and dup-5-gram all fire
+    ("r1", ("spark table spark table " * 20).strip() + "."),
+    # 60 DISTINCT 2-letter words: zero repetition and every top-gram
+    # char fraction is exactly (2n + n-1)/120 — small enough to keep
+    # (a short all-distinct doc would still fail: one 3-gram occurrence
+    # can exceed 18% of a 10-word doc's chars by size alone)
+    ("r2", " ".join(chr(97 + i // 26) + chr(97 + i % 26)
+                    for i in range(60)) + "."),
+    ("r3", None),
+    ("r4", ""),
+    ("r5", "  \t \n   "),
+    # single repeated token: overlapping grams clip the fractions at 1.0
+    ("r6", "z z z z z z z z z z"),
+]
+
+
+@pytest.fixture(scope="module")
+def rep_corpus_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("webtext_rep")
+    t = pa.table({"url": pa.array([r[0] for r in REP_ROWS]),
+                  "text": pa.array([r[1] for r in REP_ROWS], type=pa.string())})
+    pq.write_table(t, os.path.join(str(d), "part-00000.parquet"))
+    return str(d)
+
+
+def test_gopher_repetition_twin_and_semantics(ray_session, rep_corpus_dir):
+    out = _twin_equal(W.gopher_repetition_stats(rep_corpus_dir),
+                      O.gopher_repetition_sql(rep_corpus_dir + "/*.parquet"))
+    by = out.set_index("url")
+    # r0: 5 lines, 'dup.' x3 -> 2 duplicate occurrences beyond the
+    # distinct set; dup chars = 3*4 of 4+4+4+11+13 line chars
+    assert by.loc["r0", "frac_dup_lines"] == pytest.approx(2 / 5)
+    assert by.loc["r0", "frac_chars_dup_lines"] == pytest.approx(12 / 36)
+    assert not by.loc["r0", "repetition_keep"]
+    # r1: 'spark table' x40 tokens; top 2-gram dominates the text
+    assert by.loc["r1", "frac_chars_top_2gram"] > 0.5
+    assert by.loc["r1", "frac_chars_dup_5grams"] == 1.0
+    assert not by.loc["r1", "repetition_keep"]
+    # r2: 60 distinct 2-char words (120 token chars) -> every n-gram
+    # ties at count 1 and the tie-break fixes charlen at 2n + (n-1)
+    assert by.loc["r2", "frac_chars_top_2gram"] == pytest.approx(5 / 120)
+    assert by.loc["r2", "frac_chars_top_3gram"] == pytest.approx(8 / 120)
+    assert by.loc["r2", "frac_chars_top_4gram"] == pytest.approx(11 / 120)
+    assert by.loc["r2", "frac_chars_dup_5grams"] == 0.0
+    assert by.loc["r2", "repetition_keep"]
+    # r6: overlapping 'z z' grams -> clipped at 1.0, dropped
+    assert by.loc["r6", "frac_chars_top_2gram"] == 1.0
+    assert not by.loc["r6", "repetition_keep"]
+    # null / empty / whitespace: null stats, keep false
+    for u in ("r3", "r4", "r5"):
+        assert np.isnan(by.loc[u, "frac_chars_top_2gram"])
+        assert not by.loc[u, "repetition_keep"]
+    assert np.isnan(by.loc["r3", "frac_dup_lines"])
+    assert by.loc["r5", "frac_dup_lines"] == 0.0
+
+
+def test_gopher_repetition_fixture_twin(ray_session):
+    import ray
+
+    from txiac_qc_ray.sources.pages import default_pages_dir
+
+    d = default_pages_dir(2000)
+    ds = W.gopher_repetition_stats(d)
+    assert isinstance(ds, ray.data.Dataset)
+    out = _twin_equal(ds, O.gopher_repetition_sql(d + "/part-*.parquet"))
+    # the corpus's 5% high-repetition mix must actually fire the rule
+    dropped = (~out["repetition_keep"].astype(bool)).sum()
+    assert 100 <= dropped <= 600

@@ -796,3 +796,91 @@ def gopher_quality_flags_sql(pages_glob: str) -> str:
              FALSE) AS gopher_keep
     FROM d
     """
+
+
+def gopher_repetition_sql(pages_glob: str) -> str:
+    from .pipelines import webtext as w
+
+    grams = "\n".join(
+        f"    g{n} AS (SELECT url, tok || ' ' || "
+        + " || ' ' || ".join(f"t{k}" for k in range(1, n))
+        + f" AS gram FROM wnd WHERE t{n-1} IS NOT NULL),"
+        for n in (2, 3, 4, 5))
+    tops = "\n".join(
+        f"""    top{n} AS (
+      SELECT url, cnt * length(gram) AS chars FROM (
+        SELECT url, gram, cnt, row_number() OVER (
+            PARTITION BY url ORDER BY cnt DESC, length(gram) ASC) AS rk
+        FROM (SELECT url, gram, count(*) AS cnt FROM g{n} GROUP BY 1, 2))
+      WHERE rk = 1),"""
+        for n in (2, 3, 4))
+    t = {n: w.REP_MAX_TOP_GRAM_FRAC[n] for n in (2, 3, 4)}
+    return f"""
+    WITH base AS (
+      SELECT url, text,
+             regexp_extract_all(lower(text), '{w.TOKEN_RE}') AS toks,
+             string_split(text, chr(10)) AS ls
+      FROM read_parquet('{pages_glob}')),
+    tok AS (
+      SELECT url, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+      FROM base),
+    tc AS (SELECT url, sum(length(tok)) AS total_chars FROM tok GROUP BY url),
+    wnd AS (
+      SELECT url, tok,
+             lead(tok, 1) OVER win AS t1, lead(tok, 2) OVER win AS t2,
+             lead(tok, 3) OVER win AS t3, lead(tok, 4) OVER win AS t4
+      FROM tok WINDOW win AS (PARTITION BY url ORDER BY pos)),
+{grams}
+{tops}
+    dup5 AS (
+      SELECT url, sum(cnt * length(gram)) AS chars
+      FROM (SELECT url, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2)
+      WHERE cnt >= 2 GROUP BY url),
+    ln AS (SELECT url, unnest(ls) AS line FROM base),
+    lc AS (SELECT url, line, count(*) AS cnt, length(line) AS len
+           FROM ln GROUP BY url, line),
+    lstat AS (
+      SELECT url, sum(cnt) AS n_lines, count(*) AS n_distinct,
+             sum(cnt * len) AS line_chars,
+             sum(CASE WHEN cnt >= 2 THEN cnt * len ELSE 0 END) AS dup_chars
+      FROM lc GROUP BY url),
+    d AS (
+      SELECT b.url, b.text,
+        CASE WHEN l.n_lines IS NULL THEN NULL
+             ELSE CAST(l.n_lines - l.n_distinct AS DOUBLE) / l.n_lines
+             END AS frac_dup_lines,
+        CASE WHEN coalesce(l.line_chars, 0) = 0 THEN NULL
+             ELSE CAST(l.dup_chars AS DOUBLE) / l.line_chars
+             END AS frac_chars_dup_lines,
+        CASE WHEN coalesce(tc.total_chars, 0) = 0 THEN NULL
+             ELSE LEAST(CAST(coalesce(t2.chars, 0) AS DOUBLE)
+                          / tc.total_chars, 1.0) END AS frac_chars_top_2gram,
+        CASE WHEN coalesce(tc.total_chars, 0) = 0 THEN NULL
+             ELSE LEAST(CAST(coalesce(t3.chars, 0) AS DOUBLE)
+                          / tc.total_chars, 1.0) END AS frac_chars_top_3gram,
+        CASE WHEN coalesce(tc.total_chars, 0) = 0 THEN NULL
+             ELSE LEAST(CAST(coalesce(t4.chars, 0) AS DOUBLE)
+                          / tc.total_chars, 1.0) END AS frac_chars_top_4gram,
+        CASE WHEN coalesce(tc.total_chars, 0) = 0 THEN NULL
+             ELSE LEAST(CAST(coalesce(d5.chars, 0) AS DOUBLE)
+                          / tc.total_chars, 1.0) END AS frac_chars_dup_5grams
+      FROM base b
+      LEFT JOIN lstat l USING (url)
+      LEFT JOIN tc USING (url)
+      LEFT JOIN top2 t2 USING (url)
+      LEFT JOIN top3 t3 USING (url)
+      LEFT JOIN top4 t4 USING (url)
+      LEFT JOIN dup5 d5 USING (url))
+    SELECT url, frac_dup_lines, frac_chars_dup_lines,
+           frac_chars_top_2gram, frac_chars_top_3gram, frac_chars_top_4gram,
+           frac_chars_dup_5grams,
+           coalesce(text IS NOT NULL
+             AND frac_dup_lines <= {w.REP_MAX_DUP_LINE_FRAC}
+             AND frac_chars_dup_lines <= {w.REP_MAX_DUP_LINE_CHAR_FRAC}
+             AND frac_chars_top_2gram <= {t[2]}
+             AND frac_chars_top_3gram <= {t[3]}
+             AND frac_chars_top_4gram <= {t[4]}
+             AND frac_chars_dup_5grams <= {w.REP_MAX_DUP_5GRAM_FRAC},
+             FALSE) AS repetition_keep
+    FROM d
+    """

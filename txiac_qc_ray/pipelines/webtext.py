@@ -65,6 +65,16 @@ GOPHER_STOPWORD_RE = r"\b(?:" + "|".join(GOPHER_STOPWORDS) + r")\b"
 BULLET_LINE_RE = "^\\s*[-*•]"
 ELLIPSIS_LINE_RE = "(\\.\\.\\.|…)$"
 
+# Gopher repetition thresholds (Rae et al. 2021 table A1): a doc is
+# dropped when ANY fraction exceeds its bound. 6..10-gram duplicate
+# fractions follow the same shape as the 5-gram one (bounds 0.14..0.10)
+# and are omitted — the 5-gram column is the family's representative.
+REP_MAX_DUP_LINE_FRAC = 0.30
+REP_MAX_DUP_LINE_CHAR_FRAC = 0.20
+REP_MAX_TOP_GRAM_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
+REP_MAX_DUP_5GRAM_FRAC = 0.15
+TOKEN_RE = r"[a-z]+"  # tokenize()'s [a-z]+ runs over lowercased text
+
 GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
 GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI = 3.0, 10.0
 GOPHER_MAX_SYMBOL_RATIO = 0.1
@@ -225,6 +235,153 @@ def gopher_quality_flags(paths: str | list[str]) -> ray.data.Dataset:
             "frac_bullet_lines": frac_col(bullet_frac, n_lines == 0),
             "frac_ellipsis_lines": frac_col(ell_frac, n_lines == 0),
             "gopher_keep": pa.array(keep),
+        })
+
+    return _read_pages_text(paths).map_batches(stage, batch_format="pyarrow")
+
+
+def _gram_runs(ids: np.ndarray, doc_of: np.ndarray, lens: np.ndarray,
+               n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Exact per-(doc, n-gram) occurrence groups over the flat token stream.
+
+    Grouping key = the n dictionary-id columns themselves (lexsort), NOT a
+    hash — two distinct grams can never merge, so the counts equal the SQL
+    twin's string-keyed counts exactly. Returns (doc of each group, count
+    per group, char length of the gram incl. the n-1 joining spaces)."""
+    if len(ids) < n:
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    cols = [ids[k:len(ids) - (n - 1) + k] for k in range(n)]
+    same = doc_of[: len(cols[0])] == doc_of[n - 1:]
+    if not same.any():
+        z = np.zeros(0, dtype=np.int64)
+        return z, z, z
+    cols = [c[same] for c in cols]
+    doc = doc_of[: len(same)][same]
+    cum = np.concatenate([[0], np.cumsum(lens, dtype=np.int64)])
+    starts = np.nonzero(same)[0]
+    charlen = cum[starts + n] - cum[starts] + (n - 1)
+    order = np.lexsort(tuple(reversed(cols)) + (doc,))
+    doc_s = doc[order]
+    first = np.ones(len(order), dtype=bool)
+    if len(order) > 1:
+        prev, cur = order[:-1], order[1:]
+        same_run = doc_s[1:] == doc_s[:-1]
+        for c in cols:
+            same_run &= c[cur] == c[prev]
+        first[1:] = ~same_run
+    run_start = np.nonzero(first)[0]
+    counts = np.diff(np.concatenate([run_start, [len(order)]]))
+    return (doc_s[run_start], counts.astype(np.int64),
+            charlen[order][run_start].astype(np.int64))
+
+
+def gopher_repetition_stats(paths: str | list[str]) -> ray.data.Dataset:
+    """Gopher repetition filters (Rae et al. 2021 A1.1) -> per-doc stats.
+
+    Columns: url, frac_dup_lines (duplicate occurrences / lines),
+    frac_chars_dup_lines (chars in lines occurring >=2x / all line chars),
+    frac_chars_top_{2,3,4}gram (count x char-length of the most frequent
+    word n-gram / total token chars; ties broken toward the SHORTEST gram,
+    which fixes the value since count and length determine it),
+    frac_chars_dup_5grams (chars across all 5-grams occurring >=2x / total
+    token chars; the overlap-uncorrected variant), repetition_keep.
+
+    Tokens are tokenize()'s lowercase [a-z]+ runs; fractions clip at 1.0
+    (overlapping self-similar grams can exceed it). Null text -> null
+    stats + keep=false; a doc with no tokens (or no line chars) gets null
+    gram (line-char) fractions and keep=false."""
+    from ..functions import textstats as ts
+
+    def stage(t: pa.Table) -> pa.Table:
+        text = _as_array(t.column("text"))
+        valid = np.asarray(pc.is_valid(text))
+        n_docs = len(text)
+        tv = ts.tokenize(text)
+        n_words = np.diff(tv.offsets)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_words)
+        lens = (np.asarray(pc.utf8_length(tv.flat), dtype=np.int64)
+                if len(tv.flat) else np.zeros(0, dtype=np.int64))
+        total_chars = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(total_chars, doc_of, lens)
+        ids = tv.ids if tv.ids is not None else np.zeros(0, dtype=np.int64)
+
+        with np.errstate(divide="ignore", invalid="ignore"):
+            tops = {}
+            for n in (2, 3, 4):
+                doc_g, cnt, charlen = _gram_runs(ids, doc_of, lens, n)
+                best_cnt = np.zeros(n_docs, dtype=np.int64)
+                np.maximum.at(best_cnt, doc_g, cnt)
+                # among max-count grams keep the shortest (value-fixing
+                # tie-break, ORDER BY cnt DESC, length ASC in the twin)
+                best_len = np.full(n_docs, np.iinfo(np.int64).max)
+                at_max = cnt == best_cnt[doc_g]
+                np.minimum.at(best_len, doc_g[at_max], charlen[at_max])
+                chars = np.where(best_cnt > 0, best_cnt * best_len, 0)
+                tops[n] = np.minimum(
+                    np.where(total_chars > 0, chars / total_chars, np.nan),
+                    1.0)
+            doc_g, cnt, charlen = _gram_runs(ids, doc_of, lens, 5)
+            dup5 = np.zeros(n_docs, dtype=np.int64)
+            d = cnt >= 2
+            np.add.at(dup5, doc_g[d], (cnt[d] * charlen[d]))
+            frac_dup5 = np.minimum(
+                np.where(total_chars > 0, dup5 / total_chars, np.nan), 1.0)
+
+            # line family: exact duplicate lines by dictionary id
+            flat, n_lines, _ = _line_split(text)
+            line_lens = (np.asarray(pc.utf8_length(flat), dtype=np.int64)
+                         if len(flat) else np.zeros(0, dtype=np.int64))
+            ldoc = np.repeat(np.arange(n_docs, dtype=np.int64), n_lines)
+            line_chars = np.zeros(n_docs, dtype=np.int64)
+            np.add.at(line_chars, ldoc, line_lens)
+            if len(flat):
+                lid = np.asarray(
+                    pc.dictionary_encode(flat).indices, dtype=np.int64)
+                order = np.lexsort((lid, ldoc))
+                ls, ds = lid[order], ldoc[order]
+                first = np.ones(len(order), dtype=bool)
+                first[1:] = (ls[1:] != ls[:-1]) | (ds[1:] != ds[:-1])
+                run_start = np.nonzero(first)[0]
+                rcnt = np.diff(np.concatenate([run_start, [len(order)]]))
+                distinct = np.zeros(n_docs, dtype=np.int64)
+                np.add.at(distinct, ds[run_start], 1)
+                dup_line_chars = np.zeros(n_docs, dtype=np.int64)
+                dmask = rcnt >= 2
+                np.add.at(dup_line_chars, ds[run_start][dmask],
+                          rcnt[dmask] * line_lens[order][run_start][dmask])
+            else:
+                distinct = np.zeros(n_docs, dtype=np.int64)
+                dup_line_chars = np.zeros(n_docs, dtype=np.int64)
+            frac_dup_lines = np.where(
+                n_lines > 0, (n_lines - distinct) / n_lines, np.nan)
+            frac_dup_line_chars = np.where(
+                line_chars > 0, dup_line_chars / line_chars, np.nan)
+
+        with np.errstate(invalid="ignore"):
+            keep = (
+                valid
+                & (frac_dup_lines <= REP_MAX_DUP_LINE_FRAC)
+                & (frac_dup_line_chars <= REP_MAX_DUP_LINE_CHAR_FRAC)
+                & (tops[2] <= REP_MAX_TOP_GRAM_FRAC[2])
+                & (tops[3] <= REP_MAX_TOP_GRAM_FRAC[3])
+                & (tops[4] <= REP_MAX_TOP_GRAM_FRAC[4])
+                & (frac_dup5 <= REP_MAX_DUP_5GRAM_FRAC)
+            )
+
+        def col(arr: np.ndarray, null_when: np.ndarray) -> pa.Array:
+            return pa.array(arr, type=pa.float64(), mask=null_when)
+
+        no_tok, no_lc = total_chars == 0, line_chars == 0
+        return pa.table({
+            "url": t["url"],
+            "frac_dup_lines": col(frac_dup_lines, n_lines == 0),
+            "frac_chars_dup_lines": col(frac_dup_line_chars, no_lc),
+            "frac_chars_top_2gram": col(tops[2], no_tok),
+            "frac_chars_top_3gram": col(tops[3], no_tok),
+            "frac_chars_top_4gram": col(tops[4], no_tok),
+            "frac_chars_dup_5grams": col(frac_dup5, no_tok),
+            "repetition_keep": pa.array(keep),
         })
 
     return _read_pages_text(paths).map_batches(stage, batch_format="pyarrow")
