@@ -214,3 +214,54 @@ def test_gopher_repetition_fixture_twin(ray_session):
     # the corpus's 5% high-repetition mix must actually fire the rule
     dropped = (~out["repetition_keep"].astype(bool)).sum()
     assert 100 <= dropped <= 600
+
+
+def test_rule_banks_in_flagship(ray_session):
+    """PipelineConfig.rule_banks wires the banks into the flagship:
+    bank flags equal the standalone queries' keep columns (extraction is
+    byte-identical to the pages text, so the same rules fire), the bank
+    rules produce drop reasons, tasks==actors, and the default config
+    emits no bank columns."""
+    from txiac_qc_ray.config import PipelineConfig
+    from txiac_qc_ray.pipelines.qc import build_qc_pipeline, read_pages
+    from txiac_qc_ray.sources.pages import default_pages_dir
+
+    d = default_pages_dir(2000)
+    banks = ("c4", "gopher", "repetition")
+    out = (build_qc_pipeline(read_pages(d), PipelineConfig(rule_banks=banks))
+           .to_pandas().sort_values("url", ignore_index=True))
+    out_actors = (build_qc_pipeline(
+        read_pages(d), PipelineConfig(rule_banks=banks, stage_mode="actors"))
+        .to_pandas().sort_values("url", ignore_index=True))
+    pd.testing.assert_frame_equal(out, out_actors)
+
+    by = out.set_index("url")
+    for bank, fn in [("c4", W.c4_line_filter),
+                     ("gopher", W.gopher_quality_flags),
+                     ("repetition", W.gopher_repetition_stats)]:
+        keep_col = {"c4": "keep", "gopher": "gopher_keep",
+                    "repetition": "repetition_keep"}[bank]
+        standalone = fn(d).to_pandas().set_index("url")[keep_col].astype(bool)
+        flag = by[f"{bank}_keep"].astype(bool)
+        assert flag.equals(standalone.reindex(by.index)), bank
+        # the bank's rule fires exactly where its keep flag is 0
+        assert by[f"rule_{bank}_dropped"].astype(bool).equals(~flag), bank
+    # bank rules actually produce drop reasons on this corpus, and only
+    # for docs every DEFAULT rule passed (appended-after order)
+    bank_reasons = out["drop_reason"].isin(
+        ["c4_dropped", "gopher_dropped", "repetition_dropped"])
+    assert bank_reasons.any()
+    # keep = base keep AND all three bank keeps
+    base = (build_qc_pipeline(read_pages(d), PipelineConfig())
+            .to_pandas().sort_values("url", ignore_index=True))
+    assert "c4_keep" not in base.columns  # default untouched
+    expect = (base["keep"].to_numpy()
+              & by["c4_keep"].to_numpy().astype(bool)
+              & by["gopher_keep"].to_numpy().astype(bool)
+              & by["repetition_keep"].to_numpy().astype(bool))
+    assert (out["keep"].to_numpy() == expect).all()
+    # and the non-bank columns of the banks-on run match the default run
+    shared = [c for c in base.columns if not c.startswith("rule_")
+              and c not in ("keep", "drop_reason", "rule_flags",
+                            "scrubbed_text", "scrubbed")]
+    pd.testing.assert_frame_equal(out[shared], base[shared])

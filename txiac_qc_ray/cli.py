@@ -32,6 +32,10 @@ def main(argv: list[str] | None = None) -> int:
                            "pages whose extracted text loses exact dedup (min-url "
                            "copy wins), pass 1 drops them with "
                            "drop_reason=exact_duplicate via a broadcast hash set")
+    runp.add_argument("--rule-banks", default="",
+                      help="comma-separated opt-in web-text rule banks "
+                           "(c4,gopher,repetition) appended after the "
+                           "default rules (pipelines/webtext.py)")
     runp.add_argument("--num-cpus", type=int, default=None,
                       help="only used when Ray is not already initialised")
     args = p.parse_args(argv)
@@ -50,6 +54,15 @@ def main(argv: list[str] | None = None) -> int:
     from .state.lineage import run_resumable
 
     cfg = PipelineConfig(batch_size=args.batch_size)
+    if args.rule_banks:
+        from .config import RULE_BANK_RULES
+
+        banks = tuple(b.strip() for b in args.rule_banks.split(",") if b.strip())
+        unknown = [b for b in banks if b not in RULE_BANK_RULES]
+        if unknown:
+            p.error(f"unknown rule banks: {unknown} "
+                    f"(available: {sorted(RULE_BANK_RULES)})")
+        cfg.rule_banks = banks
     if args.dedup:
         from .config import DEDUP_RULE
         from .pipelines.qc import exact_dup_loser_rowkeys

@@ -56,6 +56,18 @@ DEFAULT_RULES: tuple[RuleSpec, ...] = (
 # drop_reason order of the golden fixtures is untouched.
 DEDUP_RULE = RuleSpec("exact_duplicate", "is_dup_loser", "gt", hi=0.5)
 
+# Published web-text rule banks (pipelines/webtext.py) as optional
+# flagship drop rules: PipelineConfig.rule_banks selects them; the
+# feature stage appends one float 0/1 `<bank>_keep` column per bank and
+# these rules fire on keep < 0.5. Appended AFTER the default rules so
+# the frozen golden drop_reason order is untouched when banks are off.
+RULE_BANK_RULES: dict[str, RuleSpec] = {
+    "c4": RuleSpec("c4_dropped", "c4_keep", "lt", lo=0.5),
+    "gopher": RuleSpec("gopher_dropped", "gopher_keep", "lt", lo=0.5),
+    "repetition": RuleSpec("repetition_dropped", "repetition_keep",
+                           "lt", lo=0.5),
+}
+
 # Feature columns the feature stage emits (all float64 unless noted).
 FEATURE_COLUMNS: tuple[str, ...] = (
     "n_words",
@@ -104,4 +116,11 @@ class PipelineConfig:
     # ship into every task; each batch reads it zero-copy from the
     # object store.
     dup_rowkeys_ref: object = None
+    # Opt-in published web-text rule banks (keys of RULE_BANK_RULES);
+    # () = off, the golden-pinned default.
+    rule_banks: tuple[str, ...] = ()
     extra: dict = field(default_factory=dict)
+
+    def effective_rules(self) -> tuple[RuleSpec, ...]:
+        """cfg.rules plus one appended RuleSpec per requested bank."""
+        return self.rules + tuple(RULE_BANK_RULES[b] for b in self.rule_banks)

@@ -82,12 +82,19 @@ def build_qc_pipeline(ds: ray.data.Dataset, cfg: PipelineConfig | None = None) -
 
             ds = ds.map_batches(
                 lambda t, _ref=cfg.dup_rowkeys_ref: mark_dup_losers(t, _ref), **kw)
-        ds = ds.map_batches(make_rules_stage(cfg.rules), **kw)
+        if cfg.rule_banks:
+            from .webtext import bank_features_batch
+
+            ds = ds.map_batches(
+                lambda t, _b=cfg.rule_banks: bank_features_batch(t, _b), **kw)
+        ds = ds.map_batches(make_rules_stage(cfg.effective_rules()), **kw)
         ds = ds.map_batches(ScrubStage, concurrency=cfg.scrub_concurrency, num_cpus=1, **kw)
     else:
         from ..stages.scoring import make_qc_batch
 
-        ds = ds.map_batches(make_qc_batch(cfg.rules, cfg.dup_rowkeys_ref), **kw)
+        ds = ds.map_batches(make_qc_batch(cfg.effective_rules(),
+                                          cfg.dup_rowkeys_ref,
+                                          rule_banks=cfg.rule_banks), **kw)
     return ds
 
 

@@ -127,6 +127,40 @@ def _segment_counts(flags: np.ndarray, counts: np.ndarray) -> np.ndarray:
     return cs[offsets[1:]] - cs[offsets[:-1]]
 
 
+def _c4_stats(text: pa.Array) -> dict:
+    """Core of the C4 line filter (shared by the query stage and the
+    flagship's opt-in rule bank): -> dict of clean_text (pa.Array),
+    n_lines/n_kept (int64 np), keep (bool np)."""
+    flat, counts, valid = _line_split(text)
+    keep_line = (
+        np.asarray(pc.match_substring_regex(flat, C4_TERMINAL_RE))
+        & np.asarray(pc.greater_equal(
+            pc.count_substring_regex(flat, WORD_RE), C4_MIN_LINE_WORDS))
+        & ~np.asarray(pc.match_substring_regex(flat, C4_JAVASCRIPT_RE))
+    )
+    n_kept = _segment_counts(keep_line, counts)
+    kept_flat = flat.filter(pa.array(keep_line))
+    new_off = np.concatenate([[0], np.cumsum(n_kept)]).astype(np.int32)
+    clean_list = pa.ListArray.from_arrays(
+        pa.array(new_off, type=pa.int32()), kept_flat)
+    joined = pc.binary_join(clean_list, "\n")
+    clean_text = pc.if_else(pa.array(valid), joined,
+                            pa.scalar(None, pa.string()))
+    n_sent = np.asarray(pc.fill_null(
+        pc.count_substring_regex(clean_text, SENTENCE_RE), 0))
+    bad = (
+        np.asarray(pc.fill_null(
+            pc.match_substring_regex(text, C4_LOREM_RE), True))
+        | np.asarray(pc.fill_null(
+            pc.match_substring(text, "{"), True))
+        | np.asarray(pc.fill_null(
+            pc.match_substring_regex(text, BADWORD_RE), True))
+    )
+    keep = valid & ~bad & (n_sent >= C4_MIN_SENTENCES)
+    return {"clean_text": clean_text, "n_lines": counts,
+            "n_kept": n_kept, "keep": keep}
+
+
 def c4_line_filter(paths: str | list[str]) -> ray.data.Dataset:
     """C4 line-level cleaning -> (url, clean_text, n_lines, n_kept, keep).
 
@@ -134,39 +168,13 @@ def c4_line_filter(paths: str | list[str]) -> ray.data.Dataset:
     null for null text). keep = doc-level C4 retention: no "lorem ipsum",
     no '{', no bad word (raw text), and >=5 sentences in clean_text."""
     def stage(t: pa.Table) -> pa.Table:
-        text = _as_array(t.column("text"))
-        flat, counts, valid = _line_split(text)
-        keep_line = (
-            np.asarray(pc.match_substring_regex(flat, C4_TERMINAL_RE))
-            & np.asarray(pc.greater_equal(
-                pc.count_substring_regex(flat, WORD_RE), C4_MIN_LINE_WORDS))
-            & ~np.asarray(pc.match_substring_regex(flat, C4_JAVASCRIPT_RE))
-        )
-        n_kept = _segment_counts(keep_line, counts)
-        kept_flat = flat.filter(pa.array(keep_line))
-        new_off = np.concatenate([[0], np.cumsum(n_kept)]).astype(np.int32)
-        clean_list = pa.ListArray.from_arrays(
-            pa.array(new_off, type=pa.int32()), kept_flat)
-        joined = pc.binary_join(clean_list, "\n")
-        clean_text = pc.if_else(pa.array(valid), joined,
-                                pa.scalar(None, pa.string()))
-        n_sent = np.asarray(pc.fill_null(
-            pc.count_substring_regex(clean_text, SENTENCE_RE), 0))
-        bad = (
-            np.asarray(pc.fill_null(
-                pc.match_substring_regex(text, C4_LOREM_RE), True))
-            | np.asarray(pc.fill_null(
-                pc.match_substring(text, "{"), True))
-            | np.asarray(pc.fill_null(
-                pc.match_substring_regex(text, BADWORD_RE), True))
-        )
-        keep = valid & ~bad & (n_sent >= C4_MIN_SENTENCES)
+        s = _c4_stats(_as_array(t.column("text")))
         return pa.table({
             "url": t["url"],
-            "clean_text": clean_text,
-            "n_lines": pa.array(counts, type=pa.int64()),
-            "n_kept": pa.array(n_kept, type=pa.int64()),
-            "keep": pa.array(keep),
+            "clean_text": s["clean_text"],
+            "n_lines": pa.array(s["n_lines"], type=pa.int64()),
+            "n_kept": pa.array(s["n_kept"], type=pa.int64()),
+            "keep": pa.array(s["keep"]),
         })
 
     return _read_pages_text(paths).map_batches(stage, batch_format="pyarrow")
@@ -180,64 +188,69 @@ def gopher_quality_flags(paths: str | list[str]) -> ray.data.Dataset:
     frac_bullet_lines, frac_ellipsis_lines (null for null text),
     gopher_keep (bool, false for null text)."""
     def stage(t: pa.Table) -> pa.Table:
-        text = _as_array(t.column("text"))
-        valid = np.asarray(pc.is_valid(text))
-
-        def count(pattern: str, arr: pa.Array = text) -> np.ndarray:
-            return np.asarray(pc.fill_null(
-                pc.count_substring_regex(arr, pattern), 0)).astype(np.int64)
-
-        n_words = count(WORD_RE)
-        n_alpha = count(ALPHA_WORD_RE)
-        n_sym = count(SYMBOL_RE)
-        n_stop = count(GOPHER_STOPWORD_RE, pc.utf8_lower(text))
-        wchars = np.asarray(pc.fill_null(pc.utf8_length(
-            pc.replace_substring_regex(text, pattern=WHITESPACE_RE,
-                                       replacement="")), 0)).astype(np.int64)
-
-        flat, n_lines, _ = _line_split(text)
-        bullet = np.asarray(pc.match_substring_regex(flat, BULLET_LINE_RE))
-        ellipsis = np.asarray(pc.match_substring_regex(flat, ELLIPSIS_LINE_RE))
-        n_bullet = _segment_counts(bullet, n_lines)
-        n_ellipsis = _segment_counts(ellipsis, n_lines)
-
-        with np.errstate(divide="ignore", invalid="ignore"):
-            mean_len = np.where(n_words > 0, wchars / n_words, np.nan)
-            sym_ratio = np.where(n_words > 0, n_sym / n_words, np.nan)
-            alpha_frac = np.where(n_words > 0, n_alpha / n_words, np.nan)
-            bullet_frac = np.where(n_lines > 0, n_bullet / n_lines, np.nan)
-            ell_frac = np.where(n_lines > 0, n_ellipsis / n_lines, np.nan)
-
-        with np.errstate(invalid="ignore"):
-            keep = (
-                valid
-                & (n_words >= GOPHER_MIN_WORDS)
-                & (n_words <= GOPHER_MAX_WORDS)
-                & (mean_len >= GOPHER_MEAN_LEN_LO)
-                & (mean_len <= GOPHER_MEAN_LEN_HI)
-                & (sym_ratio <= GOPHER_MAX_SYMBOL_RATIO)
-                & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
-                & (n_stop >= GOPHER_MIN_STOPWORDS)
-                & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
-                & (ell_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
-            )
-
-        def frac_col(arr: np.ndarray, null_when: np.ndarray) -> pa.Array:
-            return pa.array(arr, type=pa.float64(), mask=null_when)
-
-        return pa.table({
-            "url": t["url"],
-            "n_words": pa.array(n_words, type=pa.int64()),
-            "n_stop": pa.array(n_stop, type=pa.int64()),
-            "mean_word_len": frac_col(mean_len, n_words == 0),
-            "symbol_word_ratio": frac_col(sym_ratio, n_words == 0),
-            "frac_alpha_words": frac_col(alpha_frac, n_words == 0),
-            "frac_bullet_lines": frac_col(bullet_frac, n_lines == 0),
-            "frac_ellipsis_lines": frac_col(ell_frac, n_lines == 0),
-            "gopher_keep": pa.array(keep),
-        })
+        cols = _gopher_stats(_as_array(t.column("text")))
+        return pa.table({"url": t["url"], **cols})
 
     return _read_pages_text(paths).map_batches(stage, batch_format="pyarrow")
+
+
+def _gopher_stats(text: pa.Array) -> dict[str, pa.Array]:
+    """Core of the Gopher doc heuristics (shared by the query stage and
+    the flagship's opt-in rule bank)."""
+    valid = np.asarray(pc.is_valid(text))
+
+    def count(pattern: str, arr: pa.Array = text) -> np.ndarray:
+        return np.asarray(pc.fill_null(
+            pc.count_substring_regex(arr, pattern), 0)).astype(np.int64)
+
+    n_words = count(WORD_RE)
+    n_alpha = count(ALPHA_WORD_RE)
+    n_sym = count(SYMBOL_RE)
+    n_stop = count(GOPHER_STOPWORD_RE, pc.utf8_lower(text))
+    wchars = np.asarray(pc.fill_null(pc.utf8_length(
+        pc.replace_substring_regex(text, pattern=WHITESPACE_RE,
+                                   replacement="")), 0)).astype(np.int64)
+
+    flat, n_lines, _ = _line_split(text)
+    bullet = np.asarray(pc.match_substring_regex(flat, BULLET_LINE_RE))
+    ellipsis = np.asarray(pc.match_substring_regex(flat, ELLIPSIS_LINE_RE))
+    n_bullet = _segment_counts(bullet, n_lines)
+    n_ellipsis = _segment_counts(ellipsis, n_lines)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean_len = np.where(n_words > 0, wchars / n_words, np.nan)
+        sym_ratio = np.where(n_words > 0, n_sym / n_words, np.nan)
+        alpha_frac = np.where(n_words > 0, n_alpha / n_words, np.nan)
+        bullet_frac = np.where(n_lines > 0, n_bullet / n_lines, np.nan)
+        ell_frac = np.where(n_lines > 0, n_ellipsis / n_lines, np.nan)
+
+    with np.errstate(invalid="ignore"):
+        keep = (
+            valid
+            & (n_words >= GOPHER_MIN_WORDS)
+            & (n_words <= GOPHER_MAX_WORDS)
+            & (mean_len >= GOPHER_MEAN_LEN_LO)
+            & (mean_len <= GOPHER_MEAN_LEN_HI)
+            & (sym_ratio <= GOPHER_MAX_SYMBOL_RATIO)
+            & (alpha_frac >= GOPHER_MIN_ALPHA_FRAC)
+            & (n_stop >= GOPHER_MIN_STOPWORDS)
+            & (bullet_frac <= GOPHER_MAX_BULLET_FRAC)
+            & (ell_frac <= GOPHER_MAX_ELLIPSIS_FRAC)
+        )
+
+    def frac_col(arr: np.ndarray, null_when: np.ndarray) -> pa.Array:
+        return pa.array(arr, type=pa.float64(), mask=null_when)
+
+    return {
+        "n_words": pa.array(n_words, type=pa.int64()),
+        "n_stop": pa.array(n_stop, type=pa.int64()),
+        "mean_word_len": frac_col(mean_len, n_words == 0),
+        "symbol_word_ratio": frac_col(sym_ratio, n_words == 0),
+        "frac_alpha_words": frac_col(alpha_frac, n_words == 0),
+        "frac_bullet_lines": frac_col(bullet_frac, n_lines == 0),
+        "frac_ellipsis_lines": frac_col(ell_frac, n_lines == 0),
+        "gopher_keep": pa.array(keep),
+    }
 
 
 def _gram_runs(ids: np.ndarray, doc_of: np.ndarray, lens: np.ndarray,
@@ -291,97 +304,131 @@ def gopher_repetition_stats(paths: str | list[str]) -> ray.data.Dataset:
     (overlapping self-similar grams can exceed it). Null text -> null
     stats + keep=false; a doc with no tokens (or no line chars) gets null
     gram (line-char) fractions and keep=false."""
-    from ..functions import textstats as ts
-
     def stage(t: pa.Table) -> pa.Table:
-        text = _as_array(t.column("text"))
-        valid = np.asarray(pc.is_valid(text))
-        n_docs = len(text)
-        tv = ts.tokenize(text)
-        n_words = np.diff(tv.offsets)
-        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_words)
-        lens = (np.asarray(pc.utf8_length(tv.flat), dtype=np.int64)
-                if len(tv.flat) else np.zeros(0, dtype=np.int64))
-        total_chars = np.zeros(n_docs, dtype=np.int64)
-        np.add.at(total_chars, doc_of, lens)
-        ids = tv.ids if tv.ids is not None else np.zeros(0, dtype=np.int64)
-
-        with np.errstate(divide="ignore", invalid="ignore"):
-            tops = {}
-            for n in (2, 3, 4):
-                doc_g, cnt, charlen = _gram_runs(ids, doc_of, lens, n)
-                best_cnt = np.zeros(n_docs, dtype=np.int64)
-                np.maximum.at(best_cnt, doc_g, cnt)
-                # among max-count grams keep the shortest (value-fixing
-                # tie-break, ORDER BY cnt DESC, length ASC in the twin)
-                best_len = np.full(n_docs, np.iinfo(np.int64).max)
-                at_max = cnt == best_cnt[doc_g]
-                np.minimum.at(best_len, doc_g[at_max], charlen[at_max])
-                chars = np.where(best_cnt > 0, best_cnt * best_len, 0)
-                tops[n] = np.minimum(
-                    np.where(total_chars > 0, chars / total_chars, np.nan),
-                    1.0)
-            doc_g, cnt, charlen = _gram_runs(ids, doc_of, lens, 5)
-            dup5 = np.zeros(n_docs, dtype=np.int64)
-            d = cnt >= 2
-            np.add.at(dup5, doc_g[d], (cnt[d] * charlen[d]))
-            frac_dup5 = np.minimum(
-                np.where(total_chars > 0, dup5 / total_chars, np.nan), 1.0)
-
-            # line family: exact duplicate lines by dictionary id
-            flat, n_lines, _ = _line_split(text)
-            line_lens = (np.asarray(pc.utf8_length(flat), dtype=np.int64)
-                         if len(flat) else np.zeros(0, dtype=np.int64))
-            ldoc = np.repeat(np.arange(n_docs, dtype=np.int64), n_lines)
-            line_chars = np.zeros(n_docs, dtype=np.int64)
-            np.add.at(line_chars, ldoc, line_lens)
-            if len(flat):
-                lid = np.asarray(
-                    pc.dictionary_encode(flat).indices, dtype=np.int64)
-                order = np.lexsort((lid, ldoc))
-                ls, ds = lid[order], ldoc[order]
-                first = np.ones(len(order), dtype=bool)
-                first[1:] = (ls[1:] != ls[:-1]) | (ds[1:] != ds[:-1])
-                run_start = np.nonzero(first)[0]
-                rcnt = np.diff(np.concatenate([run_start, [len(order)]]))
-                distinct = np.zeros(n_docs, dtype=np.int64)
-                np.add.at(distinct, ds[run_start], 1)
-                dup_line_chars = np.zeros(n_docs, dtype=np.int64)
-                dmask = rcnt >= 2
-                np.add.at(dup_line_chars, ds[run_start][dmask],
-                          rcnt[dmask] * line_lens[order][run_start][dmask])
-            else:
-                distinct = np.zeros(n_docs, dtype=np.int64)
-                dup_line_chars = np.zeros(n_docs, dtype=np.int64)
-            frac_dup_lines = np.where(
-                n_lines > 0, (n_lines - distinct) / n_lines, np.nan)
-            frac_dup_line_chars = np.where(
-                line_chars > 0, dup_line_chars / line_chars, np.nan)
-
-        with np.errstate(invalid="ignore"):
-            keep = (
-                valid
-                & (frac_dup_lines <= REP_MAX_DUP_LINE_FRAC)
-                & (frac_dup_line_chars <= REP_MAX_DUP_LINE_CHAR_FRAC)
-                & (tops[2] <= REP_MAX_TOP_GRAM_FRAC[2])
-                & (tops[3] <= REP_MAX_TOP_GRAM_FRAC[3])
-                & (tops[4] <= REP_MAX_TOP_GRAM_FRAC[4])
-                & (frac_dup5 <= REP_MAX_DUP_5GRAM_FRAC)
-            )
-
-        def col(arr: np.ndarray, null_when: np.ndarray) -> pa.Array:
-            return pa.array(arr, type=pa.float64(), mask=null_when)
-
-        no_tok, no_lc = total_chars == 0, line_chars == 0
-        return pa.table({
-            "url": t["url"],
-            "frac_dup_lines": col(frac_dup_lines, n_lines == 0),
-            "frac_chars_dup_lines": col(frac_dup_line_chars, no_lc),
-            "frac_chars_top_2gram": col(tops[2], no_tok),
-            "frac_chars_top_3gram": col(tops[3], no_tok),
-            "frac_chars_top_4gram": col(tops[4], no_tok),
-            "frac_chars_dup_5grams": col(frac_dup5, no_tok),
-            "repetition_keep": pa.array(keep),
-        })
+        cols = _repetition_stats(_as_array(t.column("text")))
+        return pa.table({"url": t["url"], **cols})
 
     return _read_pages_text(paths).map_batches(stage, batch_format="pyarrow")
+
+
+def _repetition_stats(text: pa.Array) -> dict[str, pa.Array]:
+    """Core of the Gopher repetition stats (shared by the query
+    stage and the flagship's opt-in rule bank)."""
+    from ..functions import textstats as ts
+
+    valid = np.asarray(pc.is_valid(text))
+    n_docs = len(text)
+    tv = ts.tokenize(text)
+    n_words = np.diff(tv.offsets)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_words)
+    lens = (np.asarray(pc.utf8_length(tv.flat), dtype=np.int64)
+            if len(tv.flat) else np.zeros(0, dtype=np.int64))
+    total_chars = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(total_chars, doc_of, lens)
+    ids = tv.ids if tv.ids is not None else np.zeros(0, dtype=np.int64)
+
+    with np.errstate(divide="ignore", invalid="ignore"):
+        tops = {}
+        for n in (2, 3, 4):
+            doc_g, cnt, charlen = _gram_runs(ids, doc_of, lens, n)
+            best_cnt = np.zeros(n_docs, dtype=np.int64)
+            np.maximum.at(best_cnt, doc_g, cnt)
+            # among max-count grams keep the shortest (value-fixing
+            # tie-break, ORDER BY cnt DESC, length ASC in the twin)
+            best_len = np.full(n_docs, np.iinfo(np.int64).max)
+            at_max = cnt == best_cnt[doc_g]
+            np.minimum.at(best_len, doc_g[at_max], charlen[at_max])
+            chars = np.where(best_cnt > 0, best_cnt * best_len, 0)
+            tops[n] = np.minimum(
+                np.where(total_chars > 0, chars / total_chars, np.nan),
+                1.0)
+        doc_g, cnt, charlen = _gram_runs(ids, doc_of, lens, 5)
+        dup5 = np.zeros(n_docs, dtype=np.int64)
+        d = cnt >= 2
+        np.add.at(dup5, doc_g[d], (cnt[d] * charlen[d]))
+        frac_dup5 = np.minimum(
+            np.where(total_chars > 0, dup5 / total_chars, np.nan), 1.0)
+
+        # line family: exact duplicate lines by dictionary id
+        flat, n_lines, _ = _line_split(text)
+        line_lens = (np.asarray(pc.utf8_length(flat), dtype=np.int64)
+                     if len(flat) else np.zeros(0, dtype=np.int64))
+        ldoc = np.repeat(np.arange(n_docs, dtype=np.int64), n_lines)
+        line_chars = np.zeros(n_docs, dtype=np.int64)
+        np.add.at(line_chars, ldoc, line_lens)
+        if len(flat):
+            lid = np.asarray(
+                pc.dictionary_encode(flat).indices, dtype=np.int64)
+            order = np.lexsort((lid, ldoc))
+            ls, ds = lid[order], ldoc[order]
+            first = np.ones(len(order), dtype=bool)
+            first[1:] = (ls[1:] != ls[:-1]) | (ds[1:] != ds[:-1])
+            run_start = np.nonzero(first)[0]
+            rcnt = np.diff(np.concatenate([run_start, [len(order)]]))
+            distinct = np.zeros(n_docs, dtype=np.int64)
+            np.add.at(distinct, ds[run_start], 1)
+            dup_line_chars = np.zeros(n_docs, dtype=np.int64)
+            dmask = rcnt >= 2
+            np.add.at(dup_line_chars, ds[run_start][dmask],
+                      rcnt[dmask] * line_lens[order][run_start][dmask])
+        else:
+            distinct = np.zeros(n_docs, dtype=np.int64)
+            dup_line_chars = np.zeros(n_docs, dtype=np.int64)
+        frac_dup_lines = np.where(
+            n_lines > 0, (n_lines - distinct) / n_lines, np.nan)
+        frac_dup_line_chars = np.where(
+            line_chars > 0, dup_line_chars / line_chars, np.nan)
+
+    with np.errstate(invalid="ignore"):
+        keep = (
+            valid
+            & (frac_dup_lines <= REP_MAX_DUP_LINE_FRAC)
+            & (frac_dup_line_chars <= REP_MAX_DUP_LINE_CHAR_FRAC)
+            & (tops[2] <= REP_MAX_TOP_GRAM_FRAC[2])
+            & (tops[3] <= REP_MAX_TOP_GRAM_FRAC[3])
+            & (tops[4] <= REP_MAX_TOP_GRAM_FRAC[4])
+            & (frac_dup5 <= REP_MAX_DUP_5GRAM_FRAC)
+        )
+
+    def col(arr: np.ndarray, null_when: np.ndarray) -> pa.Array:
+        return pa.array(arr, type=pa.float64(), mask=null_when)
+
+    no_tok, no_lc = total_chars == 0, line_chars == 0
+    return {
+        "frac_dup_lines": col(frac_dup_lines, n_lines == 0),
+        "frac_chars_dup_lines": col(frac_dup_line_chars, no_lc),
+        "frac_chars_top_2gram": col(tops[2], no_tok),
+        "frac_chars_top_3gram": col(tops[3], no_tok),
+        "frac_chars_top_4gram": col(tops[4], no_tok),
+        "frac_chars_dup_5grams": col(frac_dup5, no_tok),
+        "repetition_keep": pa.array(keep),
+    }
+
+
+
+
+# ---- flagship opt-in rule banks -----------------------------------------
+# PipelineConfig.rule_banks=("c4", "gopher", "repetition") appends one
+# float 0/1 `<bank>_keep` feature per bank and one RuleSpec per bank
+# (config.RULE_BANK_RULES) AFTER the default rules, so the frozen golden
+# drop_reason order is untouched when banks are off (the default).
+_BANK_KEEP = {
+    "c4": lambda text: np.asarray(_c4_stats(text)["keep"]),
+    "gopher": lambda text: np.asarray(_gopher_stats(text)["gopher_keep"]),
+    "repetition": lambda text: np.asarray(
+        _repetition_stats(text)["repetition_keep"]),
+}
+
+
+def bank_features_batch(batch: pa.Table,
+                        banks: tuple[str, ...]) -> pa.Table:
+    """Append `<bank>_keep` float64 0/1 columns for each requested bank
+    (no nulls: a null-text doc gets 0.0, but its drop_reason stays
+    `null_text` — the first rule in the frozen order)."""
+    text = _as_array(batch.column("text"))
+    for bank in banks:
+        keep = _BANK_KEEP[bank](text)
+        batch = batch.append_column(
+            f"{bank}_keep",
+            pa.array(np.where(keep, 1.0, 0.0), type=pa.float64()))
+    return batch

@@ -63,8 +63,12 @@ def mark_dup_losers(batch: pa.Table, dup_rowkeys_ref) -> pa.Table:
 
 
 def make_qc_batch(rules: tuple[RuleSpec, ...] = DEFAULT_RULES,
-                  dup_rowkeys_ref=None):
-    """-> a single stateless map_batches fn running the whole QC stack."""
+                  dup_rowkeys_ref=None,
+                  rule_banks: tuple[str, ...] = ()):
+    """-> a single stateless map_batches fn running the whole QC stack.
+
+    `rule_banks` mirrors PipelineConfig.rule_banks: the caller passes the
+    bank-extended rule tuple (cfg.effective_rules()) alongside it."""
 
     def qc_batch(batch: pa.Table) -> pa.Table:
         langid, lm, scrub = _models()
@@ -82,6 +86,10 @@ def make_qc_batch(rules: tuple[RuleSpec, ...] = DEFAULT_RULES,
         batch = batch.append_column("ppl", pa.array(lm.score(texts, tv), type=pa.float64()))
         if dup_rowkeys_ref is not None:
             batch = mark_dup_losers(batch, dup_rowkeys_ref)
+        if rule_banks:
+            from ..pipelines.webtext import bank_features_batch
+
+            batch = bank_features_batch(batch, rule_banks)
         batch = apply_rules(batch, rules)
         return scrub(batch)
 
