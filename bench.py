@@ -130,17 +130,21 @@ def run_bench() -> dict:
         ("ngram_jaccard_pairs", D.ngram_jaccard_pairs),
         ("dedup_paragraphs", D.dedup_paragraphs),
     ]
-    # web-text rule banks benched over the FULL bench pages corpus
-    # (the driver fixture is only 2k docs — not a perf signal)
-    from txiac_qc_ray.pipelines import webtext as WT
+    if not os.environ.get("GRAFT_SKIP_QUERIES"):
+        # web-text rule banks benched over the FULL bench pages corpus
+        # (the driver fixture is only 2k docs — not a perf signal);
+        # inside the skip guard so --scaling subprocesses stay
+        # flagship-only
+        from txiac_qc_ray.pipelines import webtext as WT
 
-    query_list += [
-        ("scrub_docs", lambda _sf: WT.scrub_docs(corpus)),
-        ("c4_line_filter", lambda _sf: WT.c4_line_filter(corpus)),
-        ("gopher_quality_flags", lambda _sf: WT.gopher_quality_flags(corpus)),
-        ("gopher_repetition_stats",
-         lambda _sf: WT.gopher_repetition_stats(corpus)),
-    ]
+        query_list += [
+            ("scrub_docs", lambda _sf: WT.scrub_docs(corpus)),
+            ("c4_line_filter", lambda _sf: WT.c4_line_filter(corpus)),
+            ("gopher_quality_flags",
+             lambda _sf: WT.gopher_quality_flags(corpus)),
+            ("gopher_repetition_stats",
+             lambda _sf: WT.gopher_repetition_stats(corpus)),
+        ]
     for name, fn in query_list:
         queries[name] = timed(fn)
 

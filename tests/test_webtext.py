@@ -265,3 +265,35 @@ def test_rule_banks_in_flagship(ray_session):
               and c not in ("keep", "drop_reason", "rule_flags",
                             "scrubbed_text", "scrubbed")]
     pd.testing.assert_frame_equal(out[shared], base[shared])
+
+
+def test_webtext_ops_with_duplicate_urls(ray_session, tmp_path):
+    """The ops are per-ROW; a corpus may carry the same url twice
+    (recrawls at different warc_ts). The repetition oracle keys on a
+    per-row id, not url — this pins the divergence a url-keyed twin had
+    (two same-url rows with different texts pooled their tokens)."""
+    t = pa.table({
+        "url": pa.array(["same", "same", "other"]),
+        "text": pa.array([
+            ("spark table spark table " * 20).strip() + ".",
+            "Totally different words here now. And more of them follow"
+            " along. The be to of and. That have with the be. Final"
+            " sentence closes this out.",
+            "dup.\ndup.\ndup.\nunique one.\nanother line.",
+        ], type=pa.string()),
+    })
+    d = str(tmp_path / "dups")
+    os.makedirs(d)
+    pq.write_table(t, os.path.join(d, "part-00000.parquet"))
+    glob = d + "/*.parquet"
+    for fn, sql in [(W.scrub_docs, O.scrub_docs_sql(glob)),
+                    (W.c4_line_filter, O.c4_line_filter_sql(glob)),
+                    (W.gopher_quality_flags, O.gopher_quality_flags_sql(glob)),
+                    (W.gopher_repetition_stats, O.gopher_repetition_sql(glob))]:
+        _twin_equal(fn(d), sql)
+    rep = W.gopher_repetition_stats(d).to_pandas()
+    same = rep[rep["url"] == "same"].sort_values("frac_chars_top_2gram")
+    # the two same-url rows keep DISTINCT per-row stats: the clean row
+    # passes, the repeated-phrase row clips and fails
+    assert not same["repetition_keep"].iloc[-1]
+    assert same["repetition_keep"].iloc[0]

@@ -59,9 +59,9 @@ def main(argv: list[str] | None = None) -> int:
 
         banks = tuple(b.strip() for b in args.rule_banks.split(",") if b.strip())
         unknown = [b for b in banks if b not in RULE_BANK_RULES]
-        if unknown:
-            p.error(f"unknown rule banks: {unknown} "
-                    f"(available: {sorted(RULE_BANK_RULES)})")
+        if unknown or len(set(banks)) != len(banks):
+            p.error(f"rule banks must be unique names from "
+                    f"{sorted(RULE_BANK_RULES)}, got {banks}")
         cfg.rule_banks = banks
     if args.dedup:
         from .config import DEDUP_RULE

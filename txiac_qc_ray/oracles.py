@@ -802,48 +802,52 @@ def gopher_repetition_sql(pages_glob: str) -> str:
     from .pipelines import webtext as w
 
     grams = "\n".join(
-        f"    g{n} AS (SELECT url, tok || ' ' || "
+        f"    g{n} AS (SELECT rid, tok || ' ' || "
         + " || ' ' || ".join(f"t{k}" for k in range(1, n))
         + f" AS gram FROM wnd WHERE t{n-1} IS NOT NULL),"
         for n in (2, 3, 4, 5))
     tops = "\n".join(
         f"""    top{n} AS (
-      SELECT url, cnt * length(gram) AS chars FROM (
-        SELECT url, gram, cnt, row_number() OVER (
-            PARTITION BY url ORDER BY cnt DESC, length(gram) ASC) AS rk
-        FROM (SELECT url, gram, count(*) AS cnt FROM g{n} GROUP BY 1, 2))
+      SELECT rid, cnt * length(gram) AS chars FROM (
+        SELECT rid, gram, cnt, row_number() OVER (
+            PARTITION BY rid ORDER BY cnt DESC, length(gram) ASC) AS rk
+        FROM (SELECT rid, gram, count(*) AS cnt FROM g{n} GROUP BY 1, 2))
       WHERE rk = 1),"""
         for n in (2, 3, 4))
     t = {n: w.REP_MAX_TOP_GRAM_FRAC[n] for n in (2, 3, 4)}
+    # every aggregation keys on `rid` (filename:file_row_number — unique
+    # per ROW), not url: the op is per-row and a corpus can legitimately
+    # carry the same url twice (recrawls at different warc_ts)
     return f"""
     WITH base AS (
       SELECT url, text,
+             filename || ':' || file_row_number AS rid,
              regexp_extract_all(lower(text), '{w.TOKEN_RE}') AS toks,
              string_split(text, chr(10)) AS ls
-      FROM read_parquet('{pages_glob}')),
+      FROM read_parquet('{pages_glob}', filename=true, file_row_number=true)),
     tok AS (
-      SELECT url, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
+      SELECT rid, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
       FROM base),
-    tc AS (SELECT url, sum(length(tok)) AS total_chars FROM tok GROUP BY url),
+    tc AS (SELECT rid, sum(length(tok)) AS total_chars FROM tok GROUP BY rid),
     wnd AS (
-      SELECT url, tok,
+      SELECT rid, tok,
              lead(tok, 1) OVER win AS t1, lead(tok, 2) OVER win AS t2,
              lead(tok, 3) OVER win AS t3, lead(tok, 4) OVER win AS t4
-      FROM tok WINDOW win AS (PARTITION BY url ORDER BY pos)),
+      FROM tok WINDOW win AS (PARTITION BY rid ORDER BY pos)),
 {grams}
 {tops}
     dup5 AS (
-      SELECT url, sum(cnt * length(gram)) AS chars
-      FROM (SELECT url, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2)
-      WHERE cnt >= 2 GROUP BY url),
-    ln AS (SELECT url, unnest(ls) AS line FROM base),
-    lc AS (SELECT url, line, count(*) AS cnt, length(line) AS len
-           FROM ln GROUP BY url, line),
+      SELECT rid, sum(cnt * length(gram)) AS chars
+      FROM (SELECT rid, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2)
+      WHERE cnt >= 2 GROUP BY rid),
+    ln AS (SELECT rid, unnest(ls) AS line FROM base),
+    lc AS (SELECT rid, line, count(*) AS cnt, length(line) AS len
+           FROM ln GROUP BY rid, line),
     lstat AS (
-      SELECT url, sum(cnt) AS n_lines, count(*) AS n_distinct,
+      SELECT rid, sum(cnt) AS n_lines, count(*) AS n_distinct,
              sum(cnt * len) AS line_chars,
              sum(CASE WHEN cnt >= 2 THEN cnt * len ELSE 0 END) AS dup_chars
-      FROM lc GROUP BY url),
+      FROM lc GROUP BY rid),
     d AS (
       SELECT b.url, b.text,
         CASE WHEN l.n_lines IS NULL THEN NULL
@@ -865,12 +869,12 @@ def gopher_repetition_sql(pages_glob: str) -> str:
              ELSE LEAST(CAST(coalesce(d5.chars, 0) AS DOUBLE)
                           / tc.total_chars, 1.0) END AS frac_chars_dup_5grams
       FROM base b
-      LEFT JOIN lstat l USING (url)
-      LEFT JOIN tc USING (url)
-      LEFT JOIN top2 t2 USING (url)
-      LEFT JOIN top3 t3 USING (url)
-      LEFT JOIN top4 t4 USING (url)
-      LEFT JOIN dup5 d5 USING (url))
+      LEFT JOIN lstat l USING (rid)
+      LEFT JOIN tc USING (rid)
+      LEFT JOIN top2 t2 USING (rid)
+      LEFT JOIN top3 t3 USING (rid)
+      LEFT JOIN top4 t4 USING (rid)
+      LEFT JOIN dup5 d5 USING (rid))
     SELECT url, frac_dup_lines, frac_chars_dup_lines,
            frac_chars_top_2gram, frac_chars_top_3gram, frac_chars_top_4gram,
            frac_chars_dup_5grams,

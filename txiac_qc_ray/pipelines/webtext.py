@@ -43,8 +43,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
-from ..stages.scrub import scrub_texts
-from ..vocab import TOXICITY_LEXICON
+from ..functions.textstats import _SYMBOL_CLASS
+from ..stages.scrub import SCRUB_PATTERNS, scrub_texts
 
 # ---- shared RE2 patterns (the SQL twins embed the SAME strings) --------
 WORD_RE = r"\S+"
@@ -54,10 +54,12 @@ C4_JAVASCRIPT_RE = r"(?i)javascript"
 C4_LOREM_RE = r"(?i)lorem ipsum"
 C4_MIN_SENTENCES = 5
 SENTENCE_RE = r"[.!?]"
-BADWORD_RE = r"(?i)\b(?:" + "|".join(TOXICITY_LEXICON) + r")\b"
+# the C4 bad-word list IS the scrub bank's frozen toxicity pattern —
+# reference the same constant so they can never drift apart
+BADWORD_RE = next(p for n, p, _ in SCRUB_PATTERNS if n == "toxicity")
 
 ALPHA_WORD_RE = r"[^\s]*[A-Za-z][^\s]*"   # a whitespace token with a letter
-SYMBOL_RE = r"[#$%&*@!^<>|~+=]"           # textstats._SYMBOL_CLASS
+SYMBOL_RE = _SYMBOL_CLASS                 # same chars as the feature stage
 WHITESPACE_RE = r"\s"
 # Gopher's canonical "must contain >=2 of" stop-word list (Rae et al. A1.1)
 GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
@@ -127,11 +129,13 @@ def _segment_counts(flags: np.ndarray, counts: np.ndarray) -> np.ndarray:
     return cs[offsets[1:]] - cs[offsets[:-1]]
 
 
-def _c4_stats(text: pa.Array) -> dict:
+def _c4_stats(text: pa.Array, split=None) -> dict:
     """Core of the C4 line filter (shared by the query stage and the
     flagship's opt-in rule bank): -> dict of clean_text (pa.Array),
-    n_lines/n_kept (int64 np), keep (bool np)."""
-    flat, counts, valid = _line_split(text)
+    n_lines/n_kept (int64 np), keep (bool np). `split` = a precomputed
+    _line_split(text) to share across banks (deterministic, so shared
+    vs per-call splits are identical)."""
+    flat, counts, valid = split if split is not None else _line_split(text)
     keep_line = (
         np.asarray(pc.match_substring_regex(flat, C4_TERMINAL_RE))
         & np.asarray(pc.greater_equal(
@@ -194,9 +198,9 @@ def gopher_quality_flags(paths: str | list[str]) -> ray.data.Dataset:
     return _read_pages_text(paths).map_batches(stage, batch_format="pyarrow")
 
 
-def _gopher_stats(text: pa.Array) -> dict[str, pa.Array]:
+def _gopher_stats(text: pa.Array, split=None) -> dict[str, pa.Array]:
     """Core of the Gopher doc heuristics (shared by the query stage and
-    the flagship's opt-in rule bank)."""
+    the flagship's opt-in rule bank); `split` as in _c4_stats."""
     valid = np.asarray(pc.is_valid(text))
 
     def count(pattern: str, arr: pa.Array = text) -> np.ndarray:
@@ -211,7 +215,7 @@ def _gopher_stats(text: pa.Array) -> dict[str, pa.Array]:
         pc.replace_substring_regex(text, pattern=WHITESPACE_RE,
                                    replacement="")), 0)).astype(np.int64)
 
-    flat, n_lines, _ = _line_split(text)
+    flat, n_lines, _ = split if split is not None else _line_split(text)
     bullet = np.asarray(pc.match_substring_regex(flat, BULLET_LINE_RE))
     ellipsis = np.asarray(pc.match_substring_regex(flat, ELLIPSIS_LINE_RE))
     n_bullet = _segment_counts(bullet, n_lines)
@@ -311,14 +315,17 @@ def gopher_repetition_stats(paths: str | list[str]) -> ray.data.Dataset:
     return _read_pages_text(paths).map_batches(stage, batch_format="pyarrow")
 
 
-def _repetition_stats(text: pa.Array) -> dict[str, pa.Array]:
+def _repetition_stats(text: pa.Array, tv=None,
+                      split=None) -> dict[str, pa.Array]:
     """Core of the Gopher repetition stats (shared by the query
-    stage and the flagship's opt-in rule bank)."""
+    stage and the flagship's opt-in rule bank). `tv` = a precomputed
+    TokenView and `split` = a precomputed _line_split(text), both
+    deterministic, so sharing them with other stages is value-neutral."""
     from ..functions import textstats as ts
 
     valid = np.asarray(pc.is_valid(text))
     n_docs = len(text)
-    tv = ts.tokenize(text)
+    tv = tv if tv is not None else ts.tokenize(text)
     n_words = np.diff(tv.offsets)
     doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_words)
     lens = (np.asarray(pc.utf8_length(tv.flat), dtype=np.int64)
@@ -350,7 +357,7 @@ def _repetition_stats(text: pa.Array) -> dict[str, pa.Array]:
             np.where(total_chars > 0, dup5 / total_chars, np.nan), 1.0)
 
         # line family: exact duplicate lines by dictionary id
-        flat, n_lines, _ = _line_split(text)
+        flat, n_lines, _ = split if split is not None else _line_split(text)
         line_lens = (np.asarray(pc.utf8_length(flat), dtype=np.int64)
                      if len(flat) else np.zeros(0, dtype=np.int64))
         ldoc = np.repeat(np.arange(n_docs, dtype=np.int64), n_lines)
@@ -413,21 +420,31 @@ def _repetition_stats(text: pa.Array) -> dict[str, pa.Array]:
 # (config.RULE_BANK_RULES) AFTER the default rules, so the frozen golden
 # drop_reason order is untouched when banks are off (the default).
 _BANK_KEEP = {
-    "c4": lambda text: np.asarray(_c4_stats(text)["keep"]),
-    "gopher": lambda text: np.asarray(_gopher_stats(text)["gopher_keep"]),
-    "repetition": lambda text: np.asarray(
-        _repetition_stats(text)["repetition_keep"]),
+    "c4": lambda text, tv, split: np.asarray(
+        _c4_stats(text, split=split)["keep"]),
+    "gopher": lambda text, tv, split: np.asarray(
+        _gopher_stats(text, split=split)["gopher_keep"]),
+    "repetition": lambda text, tv, split: np.asarray(
+        _repetition_stats(text, tv=tv, split=split)["repetition_keep"]),
 }
 
 
-def bank_features_batch(batch: pa.Table,
-                        banks: tuple[str, ...]) -> pa.Table:
+def bank_features_batch(batch: pa.Table, banks: tuple[str, ...],
+                        tv=None) -> pa.Table:
     """Append `<bank>_keep` float64 0/1 columns for each requested bank
     (no nulls: a null-text doc gets 0.0, but its drop_reason stays
-    `null_text` — the first rule in the frozen order)."""
+    `null_text` — the first rule in the frozen order). The line split is
+    computed ONCE and shared across banks; pass `tv` (the fused stage's
+    TokenView) to also share the tokenization."""
+    bad = [b for b in banks if b not in _BANK_KEEP]
+    if bad or len(set(banks)) != len(banks):
+        raise ValueError(
+            f"rule_banks must be unique names from {sorted(_BANK_KEEP)}, "
+            f"got {banks!r}")
     text = _as_array(batch.column("text"))
+    split = _line_split(text)
     for bank in banks:
-        keep = _BANK_KEEP[bank](text)
+        keep = _BANK_KEEP[bank](text, tv, split)
         batch = batch.append_column(
             f"{bank}_keep",
             pa.array(np.where(keep, 1.0, 0.0), type=pa.float64()))

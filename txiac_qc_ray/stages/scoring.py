@@ -89,7 +89,8 @@ def make_qc_batch(rules: tuple[RuleSpec, ...] = DEFAULT_RULES,
         if rule_banks:
             from ..pipelines.webtext import bank_features_batch
 
-            batch = bank_features_batch(batch, rule_banks)
+            # share the stage's single tokenization with the banks
+            batch = bank_features_batch(batch, rule_banks, tv=tv)
         batch = apply_rules(batch, rules)
         return scrub(batch)
 
