@@ -180,17 +180,24 @@ def test_gopher_repetition_twin_and_semantics(ray_session, rep_corpus_dir):
     assert by.loc["r0", "frac_dup_lines"] == pytest.approx(2 / 5)
     assert by.loc["r0", "frac_chars_dup_lines"] == pytest.approx(12 / 36)
     assert not by.loc["r0", "repetition_keep"]
-    # r1: 'spark table' x40 tokens; top 2-gram dominates the text
+    # r1: 'spark table' x40 tokens; top 2-gram dominates the text and
+    # every dup n-gram fraction clips at 1.0 across the whole 5..10 family
     assert by.loc["r1", "frac_chars_top_2gram"] > 0.5
-    assert by.loc["r1", "frac_chars_dup_5grams"] == 1.0
+    for n in range(5, 11):
+        assert by.loc["r1", f"frac_chars_dup_{n}grams"] == 1.0
     assert not by.loc["r1", "repetition_keep"]
     # r2: 60 distinct 2-char words (120 token chars) -> every n-gram
     # ties at count 1 and the tie-break fixes charlen at 2n + (n-1)
     assert by.loc["r2", "frac_chars_top_2gram"] == pytest.approx(5 / 120)
     assert by.loc["r2", "frac_chars_top_3gram"] == pytest.approx(8 / 120)
     assert by.loc["r2", "frac_chars_top_4gram"] == pytest.approx(11 / 120)
-    assert by.loc["r2", "frac_chars_dup_5grams"] == 0.0
+    for n in range(5, 11):
+        assert by.loc["r2", f"frac_chars_dup_{n}grams"] == 0.0
     assert by.loc["r2", "repetition_keep"]
+    # r6 has 10 'z' tokens: its single 10-gram occurs once -> dup10 = 0,
+    # while shorter overlapping grams repeat
+    assert by.loc["r6", "frac_chars_dup_10grams"] == 0.0
+    assert by.loc["r6", "frac_chars_dup_9grams"] > 0.0
     # r6: overlapping 'z z' grams -> clipped at 1.0, dropped
     assert by.loc["r6", "frac_chars_top_2gram"] == 1.0
     assert not by.loc["r6", "repetition_keep"]

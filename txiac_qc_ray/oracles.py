@@ -801,11 +801,16 @@ def gopher_quality_flags_sql(pages_glob: str) -> str:
 def gopher_repetition_sql(pages_glob: str) -> str:
     from .pipelines import webtext as w
 
+    dup_ns = tuple(sorted(w.REP_MAX_DUP_GRAM_FRAC))
+    n_max = max(dup_ns)
     grams = "\n".join(
         f"    g{n} AS (SELECT rid, tok || ' ' || "
         + " || ' ' || ".join(f"t{k}" for k in range(1, n))
         + f" AS gram FROM wnd WHERE t{n-1} IS NOT NULL),"
-        for n in (2, 3, 4, 5))
+        for n in sorted(set((2, 3, 4) + dup_ns)))
+    leads = ",\n".join(
+        f"             lead(tok, {k}) OVER win AS t{k}"
+        for k in range(1, n_max))
     tops = "\n".join(
         f"""    top{n} AS (
       SELECT rid, cnt * length(gram) AS chars FROM (
@@ -814,7 +819,26 @@ def gopher_repetition_sql(pages_glob: str) -> str:
         FROM (SELECT rid, gram, count(*) AS cnt FROM g{n} GROUP BY 1, 2))
       WHERE rk = 1),"""
         for n in (2, 3, 4))
+    dups = "\n".join(
+        f"""    dup{n} AS (
+      SELECT rid, sum(cnt * length(gram)) AS chars
+      FROM (SELECT rid, gram, count(*) AS cnt FROM g{n} GROUP BY 1, 2)
+      WHERE cnt >= 2 GROUP BY rid),"""
+        for n in dup_ns)
     t = {n: w.REP_MAX_TOP_GRAM_FRAC[n] for n in (2, 3, 4)}
+    dup_frac_cols = "\n".join(
+        f"""        CASE WHEN coalesce(tc.total_chars, 0) = 0 THEN NULL
+             ELSE LEAST(CAST(coalesce(d{n}.chars, 0) AS DOUBLE)
+                          / tc.total_chars, 1.0)
+             END AS frac_chars_dup_{n}grams,"""
+        for n in dup_ns)
+    dup_joins = "\n".join(
+        f"      LEFT JOIN dup{n} d{n} USING (rid)" for n in dup_ns)
+    dup_selects = ",\n".join(
+        f"           frac_chars_dup_{n}grams" for n in dup_ns)
+    dup_keeps = "\n".join(
+        f"             AND frac_chars_dup_{n}grams <= "
+        f"{w.REP_MAX_DUP_GRAM_FRAC[n]}" for n in dup_ns)
     # every aggregation keys on `rid` (filename:file_row_number — unique
     # per ROW), not url: the op is per-row and a corpus can legitimately
     # carry the same url twice (recrawls at different warc_ts)
@@ -823,7 +847,8 @@ def gopher_repetition_sql(pages_glob: str) -> str:
       SELECT url, text,
              filename || ':' || file_row_number AS rid,
              regexp_extract_all(lower(text), '{w.TOKEN_RE}') AS toks,
-             string_split(text, chr(10)) AS ls
+             string_split(text, chr(10)) AS ls,
+             string_split(text, chr(10) || chr(10)) AS ps
       FROM read_parquet('{pages_glob}', filename=true, file_row_number=true)),
     tok AS (
       SELECT rid, unnest(toks) AS tok, generate_subscripts(toks, 1) AS pos
@@ -831,15 +856,11 @@ def gopher_repetition_sql(pages_glob: str) -> str:
     tc AS (SELECT rid, sum(length(tok)) AS total_chars FROM tok GROUP BY rid),
     wnd AS (
       SELECT rid, tok,
-             lead(tok, 1) OVER win AS t1, lead(tok, 2) OVER win AS t2,
-             lead(tok, 3) OVER win AS t3, lead(tok, 4) OVER win AS t4
+{leads}
       FROM tok WINDOW win AS (PARTITION BY rid ORDER BY pos)),
 {grams}
 {tops}
-    dup5 AS (
-      SELECT rid, sum(cnt * length(gram)) AS chars
-      FROM (SELECT rid, gram, count(*) AS cnt FROM g5 GROUP BY 1, 2)
-      WHERE cnt >= 2 GROUP BY rid),
+{dups}
     ln AS (SELECT rid, unnest(ls) AS line FROM base),
     lc AS (SELECT rid, line, count(*) AS cnt, length(line) AS len
            FROM ln GROUP BY rid, line),
@@ -848,6 +869,14 @@ def gopher_repetition_sql(pages_glob: str) -> str:
              sum(cnt * len) AS line_chars,
              sum(CASE WHEN cnt >= 2 THEN cnt * len ELSE 0 END) AS dup_chars
       FROM lc GROUP BY rid),
+    pn AS (SELECT rid, unnest(ps) AS para FROM base),
+    pc AS (SELECT rid, para, count(*) AS cnt, length(para) AS len
+           FROM pn GROUP BY rid, para),
+    pstat AS (
+      SELECT rid, sum(cnt) AS n_paras, count(*) AS n_distinct,
+             sum(cnt * len) AS para_chars,
+             sum(CASE WHEN cnt >= 2 THEN cnt * len ELSE 0 END) AS dup_chars
+      FROM pc GROUP BY rid),
     d AS (
       SELECT b.url, b.text,
         CASE WHEN l.n_lines IS NULL THEN NULL
@@ -856,6 +885,12 @@ def gopher_repetition_sql(pages_glob: str) -> str:
         CASE WHEN coalesce(l.line_chars, 0) = 0 THEN NULL
              ELSE CAST(l.dup_chars AS DOUBLE) / l.line_chars
              END AS frac_chars_dup_lines,
+        CASE WHEN p.n_paras IS NULL THEN NULL
+             ELSE CAST(p.n_paras - p.n_distinct AS DOUBLE) / p.n_paras
+             END AS frac_dup_paragraphs,
+        CASE WHEN coalesce(p.para_chars, 0) = 0 THEN NULL
+             ELSE CAST(p.dup_chars AS DOUBLE) / p.para_chars
+             END AS frac_chars_dup_paragraphs,
         CASE WHEN coalesce(tc.total_chars, 0) = 0 THEN NULL
              ELSE LEAST(CAST(coalesce(t2.chars, 0) AS DOUBLE)
                           / tc.total_chars, 1.0) END AS frac_chars_top_2gram,
@@ -865,26 +900,29 @@ def gopher_repetition_sql(pages_glob: str) -> str:
         CASE WHEN coalesce(tc.total_chars, 0) = 0 THEN NULL
              ELSE LEAST(CAST(coalesce(t4.chars, 0) AS DOUBLE)
                           / tc.total_chars, 1.0) END AS frac_chars_top_4gram,
-        CASE WHEN coalesce(tc.total_chars, 0) = 0 THEN NULL
-             ELSE LEAST(CAST(coalesce(d5.chars, 0) AS DOUBLE)
-                          / tc.total_chars, 1.0) END AS frac_chars_dup_5grams
+{dup_frac_cols}
+        b.rid AS rid
       FROM base b
       LEFT JOIN lstat l USING (rid)
+      LEFT JOIN pstat p USING (rid)
       LEFT JOIN tc USING (rid)
       LEFT JOIN top2 t2 USING (rid)
       LEFT JOIN top3 t3 USING (rid)
       LEFT JOIN top4 t4 USING (rid)
-      LEFT JOIN dup5 d5 USING (rid))
+{dup_joins})
     SELECT url, frac_dup_lines, frac_chars_dup_lines,
+           frac_dup_paragraphs, frac_chars_dup_paragraphs,
            frac_chars_top_2gram, frac_chars_top_3gram, frac_chars_top_4gram,
-           frac_chars_dup_5grams,
+{dup_selects},
            coalesce(text IS NOT NULL
              AND frac_dup_lines <= {w.REP_MAX_DUP_LINE_FRAC}
              AND frac_chars_dup_lines <= {w.REP_MAX_DUP_LINE_CHAR_FRAC}
+             AND frac_dup_paragraphs <= {w.REP_MAX_DUP_PARA_FRAC}
+             AND frac_chars_dup_paragraphs <= {w.REP_MAX_DUP_PARA_CHAR_FRAC}
              AND frac_chars_top_2gram <= {t[2]}
              AND frac_chars_top_3gram <= {t[3]}
              AND frac_chars_top_4gram <= {t[4]}
-             AND frac_chars_dup_5grams <= {w.REP_MAX_DUP_5GRAM_FRAC},
+{dup_keeps},
              FALSE) AS repetition_keep
     FROM d
     """

@@ -68,13 +68,14 @@ BULLET_LINE_RE = "^\\s*[-*•]"
 ELLIPSIS_LINE_RE = "(\\.\\.\\.|…)$"
 
 # Gopher repetition thresholds (Rae et al. 2021 table A1): a doc is
-# dropped when ANY fraction exceeds its bound. 6..10-gram duplicate
-# fractions follow the same shape as the 5-gram one (bounds 0.14..0.10)
-# and are omitted — the 5-gram column is the family's representative.
+# dropped when ANY fraction exceeds its bound.
 REP_MAX_DUP_LINE_FRAC = 0.30
 REP_MAX_DUP_LINE_CHAR_FRAC = 0.20
+REP_MAX_DUP_PARA_FRAC = 0.30
+REP_MAX_DUP_PARA_CHAR_FRAC = 0.20
 REP_MAX_TOP_GRAM_FRAC = {2: 0.20, 3: 0.18, 4: 0.16}
-REP_MAX_DUP_5GRAM_FRAC = 0.15
+REP_MAX_DUP_GRAM_FRAC = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12,
+                         9: 0.11, 10: 0.10}
 TOKEN_RE = r"[a-z]+"  # tokenize()'s [a-z]+ runs over lowercased text
 
 GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
@@ -257,40 +258,63 @@ def _gopher_stats(text: pa.Array, split=None) -> dict[str, pa.Array]:
     }
 
 
-def _gram_runs(ids: np.ndarray, doc_of: np.ndarray, lens: np.ndarray,
-               n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Exact per-(doc, n-gram) occurrence groups over the flat token stream.
+def _all_gram_runs(ids: np.ndarray, doc_of: np.ndarray, lens: np.ndarray,
+                   ns: tuple[int, ...]) -> dict:
+    """Exact per-(doc, n-gram) occurrence groups for EVERY n in `ns`,
+    from ONE sort.
 
-    Grouping key = the n dictionary-id columns themselves (lexsort), NOT a
-    hash — two distinct grams can never merge, so the counts equal the SQL
-    twin's string-keyed counts exactly. Returns (doc of each group, count
-    per group, char length of the gram incl. the n-1 joining spaces)."""
-    if len(ids) < n:
-        z = np.zeros(0, dtype=np.int64)
-        return z, z, z
-    cols = [ids[k:len(ids) - (n - 1) + k] for k in range(n)]
-    same = doc_of[: len(cols[0])] == doc_of[n - 1:]
-    if not same.any():
-        z = np.zeros(0, dtype=np.int64)
-        return z, z, z
-    cols = [c[same] for c in cols]
-    doc = doc_of[: len(same)][same]
+    Grouping keys are the dictionary-id columns themselves, NOT a hash —
+    two distinct grams can never merge, so the counts equal the SQL
+    twin's string-keyed counts exactly. One lexsort on (doc, c_0..c_9)
+    orders positions so that, by the lexicographic prefix property,
+    positions sharing any n-prefix are contiguous FOR ALL n at once;
+    per n we filter to positions whose gram fits inside the doc (a
+    subsequence keeps contiguity) and cut runs by comparing the first
+    n columns of consecutive kept rows. Out-of-range tail columns pad
+    with -1 (< every real id, filtered before use).
+
+    -> {n: (doc of each group, count per group, char length of the
+    gram incl. its n-1 joining spaces)}."""
+    z = np.zeros(0, dtype=np.int64)
+    n_max = max(ns)
+    T = len(ids)
+    if T < min(ns):
+        return {n: (z, z, z) for n in ns}
+    cols = [np.full(T, -1, dtype=np.int64) for _ in range(n_max)]
+    cols[0][:] = ids
+    for k in range(1, n_max):
+        # max() guards short streams: a negative T-k slice would wrap
+        cols[k][: max(0, T - k)] = ids[k:]
+    order = np.lexsort(tuple(reversed(cols)) + (doc_of,))
+    doc_s = doc_of[order]
+    cols_s = [c[order] for c in cols]
     cum = np.concatenate([[0], np.cumsum(lens, dtype=np.int64)])
-    starts = np.nonzero(same)[0]
-    charlen = cum[starts + n] - cum[starts] + (n - 1)
-    order = np.lexsort(tuple(reversed(cols)) + (doc,))
-    doc_s = doc[order]
-    first = np.ones(len(order), dtype=bool)
-    if len(order) > 1:
-        prev, cur = order[:-1], order[1:]
-        same_run = doc_s[1:] == doc_s[:-1]
-        for c in cols:
-            same_run &= c[cur] == c[prev]
-        first[1:] = ~same_run
-    run_start = np.nonzero(first)[0]
-    counts = np.diff(np.concatenate([run_start, [len(order)]]))
-    return (doc_s[run_start], counts.astype(np.int64),
-            charlen[order][run_start].astype(np.int64))
+    out = {}
+    for n in ns:
+        if T < n:
+            out[n] = (z, z, z)
+            continue
+        valid = np.zeros(T, dtype=bool)
+        valid[: T - (n - 1)] = doc_of[: T - (n - 1)] == doc_of[n - 1:]
+        keep = valid[order]
+        sub = np.nonzero(keep)[0]
+        if not len(sub):
+            out[n] = (z, z, z)
+            continue
+        first = np.ones(len(sub), dtype=bool)
+        if len(sub) > 1:
+            prev, cur = sub[:-1], sub[1:]
+            same_run = doc_s[cur] == doc_s[prev]
+            for c in cols_s[:n]:
+                same_run &= c[cur] == c[prev]
+            first[1:] = ~same_run
+        run_start = np.nonzero(first)[0]
+        counts = np.diff(np.concatenate([run_start, [len(sub)]]))
+        starts = order[sub[run_start]]
+        charlen = cum[starts + n] - cum[starts] + (n - 1)
+        out[n] = (doc_s[sub[run_start]], counts.astype(np.int64),
+                  charlen.astype(np.int64))
+    return out
 
 
 def gopher_repetition_stats(paths: str | list[str]) -> ray.data.Dataset:
@@ -301,8 +325,9 @@ def gopher_repetition_stats(paths: str | list[str]) -> ray.data.Dataset:
     frac_chars_top_{2,3,4}gram (count x char-length of the most frequent
     word n-gram / total token chars; ties broken toward the SHORTEST gram,
     which fixes the value since count and length determine it),
-    frac_chars_dup_5grams (chars across all 5-grams occurring >=2x / total
-    token chars; the overlap-uncorrected variant), repetition_keep.
+    frac_chars_dup_{5..10}grams (chars across all n-grams occurring >=2x
+    / total token chars; the overlap-uncorrected variant — the COMPLETE
+    published family, bounds 0.15 down to 0.10), repetition_keep.
 
     Tokens are tokenize()'s lowercase [a-z]+ runs; fractions clip at 1.0
     (overlapping self-similar grams can exceed it). Null text -> null
@@ -334,10 +359,12 @@ def _repetition_stats(text: pa.Array, tv=None,
     np.add.at(total_chars, doc_of, lens)
     ids = tv.ids if tv.ids is not None else np.zeros(0, dtype=np.int64)
 
+    dup_ns = tuple(sorted(REP_MAX_DUP_GRAM_FRAC))
+    runs = _all_gram_runs(ids, doc_of, lens, (2, 3, 4) + dup_ns)
     with np.errstate(divide="ignore", invalid="ignore"):
         tops = {}
         for n in (2, 3, 4):
-            doc_g, cnt, charlen = _gram_runs(ids, doc_of, lens, n)
+            doc_g, cnt, charlen = runs[n]
             best_cnt = np.zeros(n_docs, dtype=np.int64)
             np.maximum.at(best_cnt, doc_g, cnt)
             # among max-count grams keep the shortest (value-fixing
@@ -349,67 +376,86 @@ def _repetition_stats(text: pa.Array, tv=None,
             tops[n] = np.minimum(
                 np.where(total_chars > 0, chars / total_chars, np.nan),
                 1.0)
-        doc_g, cnt, charlen = _gram_runs(ids, doc_of, lens, 5)
-        dup5 = np.zeros(n_docs, dtype=np.int64)
-        d = cnt >= 2
-        np.add.at(dup5, doc_g[d], (cnt[d] * charlen[d]))
-        frac_dup5 = np.minimum(
-            np.where(total_chars > 0, dup5 / total_chars, np.nan), 1.0)
+        frac_dup = {}
+        for n in dup_ns:
+            doc_g, cnt, charlen = runs[n]
+            dup = np.zeros(n_docs, dtype=np.int64)
+            d = cnt >= 2
+            np.add.at(dup, doc_g[d], (cnt[d] * charlen[d]))
+            frac_dup[n] = np.minimum(
+                np.where(total_chars > 0, dup / total_chars, np.nan), 1.0)
 
-        # line family: exact duplicate lines by dictionary id
+        # line family: exact duplicate lines by dictionary id; the
+        # paragraph family is the same computation over a '\n\n' split
+        def dup_segment_stats(flat, n_segs):
+            seg_lens = (np.asarray(pc.utf8_length(flat), dtype=np.int64)
+                        if len(flat) else np.zeros(0, dtype=np.int64))
+            sdoc = np.repeat(np.arange(n_docs, dtype=np.int64), n_segs)
+            seg_chars = np.zeros(n_docs, dtype=np.int64)
+            np.add.at(seg_chars, sdoc, seg_lens)
+            distinct = np.zeros(n_docs, dtype=np.int64)
+            dup_chars = np.zeros(n_docs, dtype=np.int64)
+            if len(flat):
+                sid = np.asarray(
+                    pc.dictionary_encode(flat).indices, dtype=np.int64)
+                order = np.lexsort((sid, sdoc))
+                ss, ds = sid[order], sdoc[order]
+                first = np.ones(len(order), dtype=bool)
+                first[1:] = (ss[1:] != ss[:-1]) | (ds[1:] != ds[:-1])
+                run_start = np.nonzero(first)[0]
+                rcnt = np.diff(np.concatenate([run_start, [len(order)]]))
+                np.add.at(distinct, ds[run_start], 1)
+                dmask = rcnt >= 2
+                np.add.at(dup_chars, ds[run_start][dmask],
+                          rcnt[dmask] * seg_lens[order][run_start][dmask])
+            frac_dup = np.where(
+                n_segs > 0, (n_segs - distinct) / n_segs, np.nan)
+            frac_dup_chars = np.where(
+                seg_chars > 0, dup_chars / seg_chars, np.nan)
+            return frac_dup, frac_dup_chars, seg_chars
+
         flat, n_lines, _ = split if split is not None else _line_split(text)
-        line_lens = (np.asarray(pc.utf8_length(flat), dtype=np.int64)
-                     if len(flat) else np.zeros(0, dtype=np.int64))
-        ldoc = np.repeat(np.arange(n_docs, dtype=np.int64), n_lines)
-        line_chars = np.zeros(n_docs, dtype=np.int64)
-        np.add.at(line_chars, ldoc, line_lens)
-        if len(flat):
-            lid = np.asarray(
-                pc.dictionary_encode(flat).indices, dtype=np.int64)
-            order = np.lexsort((lid, ldoc))
-            ls, ds = lid[order], ldoc[order]
-            first = np.ones(len(order), dtype=bool)
-            first[1:] = (ls[1:] != ls[:-1]) | (ds[1:] != ds[:-1])
-            run_start = np.nonzero(first)[0]
-            rcnt = np.diff(np.concatenate([run_start, [len(order)]]))
-            distinct = np.zeros(n_docs, dtype=np.int64)
-            np.add.at(distinct, ds[run_start], 1)
-            dup_line_chars = np.zeros(n_docs, dtype=np.int64)
-            dmask = rcnt >= 2
-            np.add.at(dup_line_chars, ds[run_start][dmask],
-                      rcnt[dmask] * line_lens[order][run_start][dmask])
-        else:
-            distinct = np.zeros(n_docs, dtype=np.int64)
-            dup_line_chars = np.zeros(n_docs, dtype=np.int64)
-        frac_dup_lines = np.where(
-            n_lines > 0, (n_lines - distinct) / n_lines, np.nan)
-        frac_dup_line_chars = np.where(
-            line_chars > 0, dup_line_chars / line_chars, np.nan)
+        frac_dup_lines, frac_dup_line_chars, line_chars = (
+            dup_segment_stats(flat, n_lines))
+        paras = pc.split_pattern(text, "\n\n")
+        n_paras = np.asarray(pc.fill_null(pc.list_value_length(paras), 0),
+                             dtype=np.int64)
+        pflat = _as_array(pc.list_flatten(paras))
+        frac_dup_paras, frac_dup_para_chars, para_chars = (
+            dup_segment_stats(pflat, n_paras))
 
     with np.errstate(invalid="ignore"):
         keep = (
             valid
             & (frac_dup_lines <= REP_MAX_DUP_LINE_FRAC)
             & (frac_dup_line_chars <= REP_MAX_DUP_LINE_CHAR_FRAC)
+            & (frac_dup_paras <= REP_MAX_DUP_PARA_FRAC)
+            & (frac_dup_para_chars <= REP_MAX_DUP_PARA_CHAR_FRAC)
             & (tops[2] <= REP_MAX_TOP_GRAM_FRAC[2])
             & (tops[3] <= REP_MAX_TOP_GRAM_FRAC[3])
             & (tops[4] <= REP_MAX_TOP_GRAM_FRAC[4])
-            & (frac_dup5 <= REP_MAX_DUP_5GRAM_FRAC)
         )
+        for n in dup_ns:
+            keep &= frac_dup[n] <= REP_MAX_DUP_GRAM_FRAC[n]
 
     def col(arr: np.ndarray, null_when: np.ndarray) -> pa.Array:
         return pa.array(arr, type=pa.float64(), mask=null_when)
 
-    no_tok, no_lc = total_chars == 0, line_chars == 0
-    return {
+    no_tok = total_chars == 0
+    out = {
         "frac_dup_lines": col(frac_dup_lines, n_lines == 0),
-        "frac_chars_dup_lines": col(frac_dup_line_chars, no_lc),
+        "frac_chars_dup_lines": col(frac_dup_line_chars, line_chars == 0),
+        "frac_dup_paragraphs": col(frac_dup_paras, n_paras == 0),
+        "frac_chars_dup_paragraphs": col(frac_dup_para_chars,
+                                         para_chars == 0),
         "frac_chars_top_2gram": col(tops[2], no_tok),
         "frac_chars_top_3gram": col(tops[3], no_tok),
         "frac_chars_top_4gram": col(tops[4], no_tok),
-        "frac_chars_dup_5grams": col(frac_dup5, no_tok),
-        "repetition_keep": pa.array(keep),
     }
+    for n in dup_ns:
+        out[f"frac_chars_dup_{n}grams"] = col(frac_dup[n], no_tok)
+    out["repetition_keep"] = pa.array(keep)
+    return out
 
 
 
