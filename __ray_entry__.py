@@ -104,6 +104,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "c4_line_filter": _c4_line_filter,
         "gopher_quality_flags": _gopher_quality_flags,
         "gopher_repetition_stats": _gopher_repetition_stats,
+        "url_host_filter": _url_host_filter,                # r4-NEW
+        # r4-NEW training-prep op: concat-and-chunk sequence packing via
+        # a two-phase distributed prefix scan over the documents table
+        "chunk_for_training": D.chunk_for_training,
         # dedup family (r4-modified members + their exact anchors)
         "exact_dedup": D.exact_dedup,
         "exact_dedup_rows": D.exact_dedup_rows,             # r4-modified
@@ -142,11 +146,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_sum_wide": R.pivot_sum_wide,
         "sort_desc_topk": R.sort_desc_topk,
         "union_all_summaries": R.union_all_summaries,
-        "distinct_vals": R.distinct_vals,
-        "row_count": R.row_count,
         "ecdf_quantity": R.ecdf_quantity,
         "hash_sample": R.hash_sample,
         # ---------------- 50-row cap ends here -------------------------
+        # distinct_vals and row_count (trivial generics, driver-green in
+        # r1-r3, unmodified in r4) yield their cap slots to the r4-new
+        # url_host_filter and chunk_for_training; both keep stronger
+        # in-cap proxies (distinct_count_users counts distincts,
+        # group_size counts rows per group)
+        "distinct_vals": R.distinct_vals,
+        "row_count": R.row_count,
         # tail: unmodified since r3 AND driver-green in CORRECTNESS_r03
         # (still swept locally by scripts/check_oracle.py every round).
         # stratified_sample yields its cap slot to the r4-new
@@ -241,6 +250,12 @@ def _gopher_repetition_stats(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import gopher_repetition_stats
 
     return gopher_repetition_stats(_webtext_dir())
+
+
+def _url_host_filter(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import url_host_filter
+
+    return url_host_filter(_webtext_dir())
 
 
 def _pmis_merged(_sf_dir: str):
@@ -386,6 +401,29 @@ def oracle_sql() -> dict[str, str]:
         "c4_line_filter": O.c4_line_filter_sql(pages_glob),
         "gopher_quality_flags": O.gopher_quality_flags_sql(pages_glob),
         "gopher_repetition_stats": O.gopher_repetition_sql(pages_glob),
+        "url_host_filter": O.url_host_filter_sql(pages_glob),
+        # training-prep chunking: window cumsum + generate_series explode
+        "chunk_for_training": """
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt
+              FROM documents),
+            c AS (
+              SELECT doc_id, nt,
+                     CAST(coalesce(sum(nt) OVER (ORDER BY doc_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                         0) AS BIGINT) AS off
+              FROM t),
+            u AS (
+              SELECT doc_id, off, nt,
+                     unnest(generate_series(off // 512,
+                                            (off + nt - 1) // 512)) AS chunk_id
+              FROM c WHERE nt > 0)
+            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+                   CAST(GREATEST(chunk_id * 512 - off, 0) AS BIGINT) AS tok_start,
+                   CAST(LEAST((chunk_id + 1) * 512 - off, nt) AS BIGINT) AS tok_end
+            FROM u
+        """,
         "jsonl_ingest_docs": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,
                    CAST(n_chars AS BIGINT) AS n_chars

@@ -129,6 +129,7 @@ def run_bench() -> dict:
         ("dedup_index_first_seen", D.dedup_index_first_seen),
         ("ngram_jaccard_pairs", D.ngram_jaccard_pairs),
         ("dedup_paragraphs", D.dedup_paragraphs),
+        ("chunk_for_training", D.chunk_for_training),
     ]
     if not os.environ.get("GRAFT_SKIP_QUERIES"):
         # web-text rule banks benched over the FULL bench pages corpus
@@ -144,6 +145,7 @@ def run_bench() -> dict:
              lambda _sf: WT.gopher_quality_flags(corpus)),
             ("gopher_repetition_stats",
              lambda _sf: WT.gopher_repetition_stats(corpus)),
+            ("url_host_filter", lambda _sf: WT.url_host_filter(corpus)),
         ]
     for name, fn in query_list:
         queries[name] = timed(fn)

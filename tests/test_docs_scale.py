@@ -294,3 +294,48 @@ def test_cc_pointer_jump_deep_chain(ray_session):
         jumped.sort_values("node", ignore_index=True))
     assert r_plain >= n - 2          # one hop per round
     assert r_jump <= 7               # frontier doubles per round
+
+
+def test_chunk_for_training_semantics(ray_session, tmp_path):
+    """Concat-and-chunk packing vs a brute-force reference: sparse,
+    UNSORTED doc_ids (exercises the doc_id-range bucketing + local sort),
+    zero-token and null docs (skipped but never shifting the stream),
+    spans partition each doc's tokens, every chunk holds exactly
+    context_len tokens except the last."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from txiac_qc_ray.pipelines.docs import chunk_for_training
+
+    d = str(tmp_path)
+    ids = [50, 3, 100, 7, 10, 42]
+    texts = ["e " * 7, "a b c", None, "", "d " * 10, "f g"]
+    pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(texts, pa.string())}),
+                   os.path.join(d, "documents.parquet"))
+    C = 4
+    got = (chunk_for_training(d, context_len=C).to_pandas()
+           .sort_values(["doc_id", "chunk_id"], ignore_index=True))
+
+    # brute force: lay tokens end-to-end in doc_id order
+    order = sorted(range(len(ids)), key=lambda i: ids[i])
+    rows, off = [], 0
+    for i in order:
+        nt = len((texts[i] or "").split())
+        if nt == 0:
+            continue
+        for cid in range(off // C, (off + nt - 1) // C + 1):
+            rows.append((ids[i], cid, max(cid * C - off, 0),
+                         min((cid + 1) * C - off, nt)))
+        off += nt
+    exp = pd.DataFrame(rows, columns=["doc_id", "chunk_id",
+                                      "tok_start", "tok_end"])
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+    # spans partition each doc's tokens
+    per_doc = got.groupby("doc_id").apply(
+        lambda g: (g["tok_end"] - g["tok_start"]).sum())
+    assert per_doc.to_dict() == {3: 3, 10: 10, 42: 2, 50: 7}  # 7/100: 0 tok
+    # every chunk carries exactly C tokens except the final one
+    load = (got["tok_end"] - got["tok_start"]).groupby(got["chunk_id"]).sum()
+    assert (load.iloc[:-1] == C).all() and load.iloc[-1] <= C

@@ -63,7 +63,8 @@ def test_every_query_survives_empty_tables(ray_session, empty_dir):
         # them outright rather than running at full fixture scale just
         # to discard the (correctly non-empty) result
         if name.startswith(("pmis_", "csv_ingest", "jsonl_ingest",
-                            "scrub_docs", "c4_line_filter", "gopher_")):
+                            "scrub_docs", "c4_line_filter", "gopher_",
+                            "url_host_filter")):
             continue
         exempt = name in MAY_BE_NONEMPTY
         try:

@@ -56,6 +56,8 @@ CHECKED = [
     "grouped_variance", "anti_join_agg", "hopping_window",
     "lag_diff", "left_outer_join", "rolling_time_sum_cents",
     "stratified_sample", "simhash_neardup_pairs",
+    # round-4 additions
+    "chunk_for_training",
 ]
 
 

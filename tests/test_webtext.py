@@ -103,6 +103,43 @@ def test_c4_line_filter_twin_and_semantics(ray_session, corpus_dir):
     assert by.loc["u7", "n_lines"] == 2 and by.loc["u7", "n_kept"] == 0
 
 
+URL_ROWS = [
+    "https://good.example/page1",        # clean -> keep
+    "http://host013.example/page",       # blocklisted host
+    "ftp://files.example/readme",        # non-http(s) scheme -> no host
+    None,                                # null url
+    "https://assets.example/logo.PNG",   # static asset, case-insensitive
+    "https://cdn.example/app.js?v=123",  # asset ext guarded by ?query
+    "https://ads.example/banner",        # blocklisted host
+    "https://good.example/file.pdfx",    # NOT an asset ext (pdfx)
+    "https://no-path.example",           # authority only, no path
+]
+
+
+def test_url_host_filter_twin_and_semantics(ray_session, tmp_path):
+    d = tmp_path / "urls"
+    d.mkdir()
+    t = pa.table({"url": pa.array(URL_ROWS, type=pa.string()),
+                  "text": pa.array([""] * len(URL_ROWS))})
+    pq.write_table(t, str(d / "part-00000.parquet"))
+    out = _twin_equal(W.url_host_filter(str(d)),
+                      O.url_host_filter_sql(str(d) + "/*.parquet"))
+    by = out.set_index("url")  # normalize() stringifies nulls to 'None'
+    assert by.loc["https://good.example/page1", "keep"]
+    assert by.loc["https://good.example/page1", "host"] == "good.example"
+    assert not by.loc["http://host013.example/page", "keep"]
+    assert by.loc["http://host013.example/page", "host"] == "host013.example"
+    assert by.loc["ftp://files.example/readme", "host"] == "None"
+    assert not by.loc["ftp://files.example/readme", "keep"]
+    assert by.loc["None", "host"] == "None" and not by.loc["None", "keep"]
+    assert not by.loc["https://assets.example/logo.PNG", "keep"]
+    assert not by.loc["https://cdn.example/app.js?v=123", "keep"]
+    assert not by.loc["https://ads.example/banner", "keep"]
+    assert by.loc["https://good.example/file.pdfx", "keep"]
+    assert by.loc["https://no-path.example", "keep"]
+    assert by.loc["https://no-path.example", "host"] == "no-path.example"
+
+
 def test_gopher_quality_flags_twin_and_semantics(ray_session, corpus_dir):
     out = _twin_equal(W.gopher_quality_flags(corpus_dir),
                       O.gopher_quality_flags_sql(corpus_dir + "/*.parquet"))

@@ -798,6 +798,28 @@ def gopher_quality_flags_sql(pages_glob: str) -> str:
     """
 
 
+def url_host_filter_sql(pages_glob: str) -> str:
+    from .pipelines import webtext as w
+
+    # DuckDB regexp_extract returns '' (not NULL) on no match -> nullif;
+    # the AND chain goes NULL for unparsed hosts -> coalesce(..., FALSE)
+    # matches the engine's plain-bool keep
+    blocklist = ", ".join(f"'{h}'" for h in w.URL_HOST_BLOCKLIST)
+    return f"""
+    WITH d AS (
+      SELECT url,
+             nullif(regexp_extract(url,
+                 '^https?://({w.URL_HOST_CHARSET})', 1), '') AS host
+      FROM read_parquet('{pages_glob}'))
+    SELECT url, host,
+           coalesce(host IS NOT NULL
+             AND host NOT IN ({blocklist})
+             AND NOT regexp_matches(url, '{w.URL_BAD_EXT_RE}'),
+             FALSE) AS keep
+    FROM d
+    """
+
+
 def gopher_repetition_sql(pages_glob: str) -> str:
     from .pipelines import webtext as w
 

@@ -18,7 +18,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Max, Min
 from ray.data.aggregate import Sum as RaySum
 
 from ..functions import textstats as ts
@@ -1652,6 +1652,104 @@ def deterministic_shuffle(sf_dir: str) -> ray.data.Dataset:
 
     return (ds.map_batches(bucket_stage, batch_format="pyarrow")
             .groupby("bucket").map_groups(rank_group, batch_format="pandas"))
+
+
+def chunk_for_training(sf_dir: str, context_len: int = 512) -> ray.data.Dataset:
+    """GPT-style concat-and-chunk sequence packing: documents are laid
+    end-to-end in doc_id order (whitespace \\S+ tokens — the same
+    definition as token_counts) and the global token stream is cut into
+    fixed context_len windows. -> streaming Dataset of (doc_id,
+    chunk_id, tok_start, tok_end): one row per (document, chunk)
+    overlap, tok_* the within-doc token span [start, end) landing in
+    that chunk — ~n_docs + total_tokens/context_len rows, O(corpus),
+    never collected here; canonical order is (doc_id, chunk_id).
+
+    Shape — the two-phase distributed prefix scan (same primitive as
+    windows.running_total_cents, keyed on the GLOBAL sequence instead
+    of per-user): (1) one text pass reduces the corpus to int rows
+    (doc_id, n_tokens), materialized once in the object store
+    (~16 bytes/doc; three consumers, and the KB-sized text column never
+    moves again); (2) doc_id-range buckets (bucket order == doc order
+    by construction) get per-bucket token sums whose exclusive prefix
+    sum — the only driver state, n_buckets rows — is each bucket's
+    global starting token offset; (3) each bucket group sorts locally,
+    adds its carry + local cumsum and explodes chunk spans vectorized
+    (repeat/arange, no row loop). Partitioning assumption: doc_ids are
+    roughly uniform over [min, max] (dense ids -> even buckets); a
+    pathologically clustered id space concentrates group sizes but
+    never changes the result.
+
+    Reference analog: none (training-prep op beyond Home.py's surface);
+    the SQL twin is a window cumsum + generate_series explode."""
+    C = int(context_len)
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "chunk_id": pa.array([], pa.int64()),
+                      "tok_start": pa.array([], pa.int64()),
+                      "tok_end": pa.array([], pa.int64())})
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def tok_counts(t: pa.Table) -> pa.Table:
+        n = pc.fill_null(
+            pc.cast(pc.count_substring_regex(t["text"], r"\S+"),
+                    pa.int64()), 0)  # null text -> 0 tokens (no chunk)
+        return pa.table({"doc_id": t["doc_id"], "n_tokens": n})
+
+    counted = ds.map_batches(tok_counts, batch_format="pyarrow").materialize()
+
+    bounds = counted.aggregate(Min("doc_id"), Max("doc_id")) or {}
+    lo = bounds.get("min(doc_id)")
+    if lo is None:  # empty corpus (empty-partition contract)
+        return ray.data.from_arrow(empty)
+    lo, hi = int(lo), int(bounds["max(doc_id)"])
+    n_buckets = _shard_count(sf_dir, "documents")
+    span = max(1, -(-(hi - lo + 1) // n_buckets))
+
+    def bucket_partials(t: pa.Table) -> pa.Table:
+        b = (np.asarray(t["doc_id"]) - lo) // span
+        uniq, inv = np.unique(b, return_inverse=True)
+        sums = np.bincount(inv, weights=np.asarray(t["n_tokens"]))
+        return pa.table({"bucket": uniq.astype(np.int64),
+                         "cnt": sums.astype(np.int64)})
+
+    per_bucket = ensure_columns(
+        counted.map_batches(bucket_partials, batch_format="pyarrow")
+               .groupby("bucket").aggregate(RaySum("cnt", alias_name="cnt"))
+               .to_pandas(),
+        {"bucket": "int64", "cnt": "int64"})
+    per = np.zeros(n_buckets, dtype=np.int64)
+    per[per_bucket["bucket"].to_numpy()] = per_bucket["cnt"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(per)[:-1]])
+    off_ref = ray.put(offsets)  # n_buckets int64s, broadcast once
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        b = (np.asarray(t["doc_id"]) - lo) // span
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    def explode(g: pd.DataFrame) -> pd.DataFrame:
+        carry = ray.get(off_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values("doc_id", ignore_index=True)
+        nt = g["n_tokens"].to_numpy().astype(np.int64)
+        start = carry + np.concatenate([[0], np.cumsum(nt)[:-1]])
+        keep = nt > 0
+        if not keep.any():  # bucket of only empty/null docs
+            return typed_empty({"doc_id": "int64", "chunk_id": "int64",
+                                "tok_start": "int64", "tok_end": "int64"})
+        ids, nt, start = g["doc_id"].to_numpy()[keep], nt[keep], start[keep]
+        first, last = start // C, (start + nt - 1) // C
+        cnt = last - first + 1  # chunks this doc overlaps
+        rep = np.repeat(np.arange(len(ids), dtype=np.int64), cnt)
+        intra = (np.arange(int(cnt.sum()), dtype=np.int64)
+                 - np.repeat(np.concatenate([[0], np.cumsum(cnt)[:-1]]), cnt))
+        cid = first[rep] + intra
+        return pd.DataFrame({
+            "doc_id": ids[rep],
+            "chunk_id": cid,
+            "tok_start": np.maximum(cid * C - start[rep], 0),
+            "tok_end": np.minimum((cid + 1) * C - start[rep], nt[rep]),
+        })
+
+    return (counted.map_batches(with_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(explode, batch_format="pandas"))
 
 
 def tfidf_top_terms(sf_dir: str, top_k: int = 3) -> ray.data.Dataset:

@@ -78,6 +78,15 @@ REP_MAX_DUP_GRAM_FRAC = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12,
                          9: 0.11, 10: 0.10}
 TOKEN_RE = r"[a-z]+"  # tokenize()'s [a-z]+ runs over lowercased text
 
+# URL-level filtering (the C4-family domain blocklist step): scheme must
+# be http(s), host must not be blocklisted, path must not be a static
+# asset. One host charset constant builds BOTH engines' patterns (pyarrow
+# extract_regex needs a named group, DuckDB regexp_extract a plain one).
+URL_HOST_CHARSET = r"[^/?#]+"
+URL_HOST_BLOCKLIST = ("host013.example", "host042.example",
+                      "host077.example", "ads.example", "tracker.example")
+URL_BAD_EXT_RE = r"(?i)\.(?:jpe?g|png|gif|webp|css|js|ico|pdf|zip)(?:[?#].*)?$"
+
 GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
 GOPHER_MEAN_LEN_LO, GOPHER_MEAN_LEN_HI = 3.0, 10.0
 GOPHER_MAX_SYMBOL_RATIO = 0.1
@@ -109,6 +118,37 @@ def scrub_docs(paths: str | list[str]) -> ray.data.Dataset:
         })
 
     return _read_pages_text(paths).map_batches(stage, batch_format="pyarrow")
+
+
+def url_host_filter(paths: str | list[str]) -> ray.data.Dataset:
+    """URL-level filtering -> (url, host, keep): the step every web
+    pipeline runs BEFORE fetching/cleaning text (C4 §2.2's badword-domain
+    blocklist analog). host = the authority of an http(s) URL (null when
+    the scheme is not http/https or the url is null); keep = host parsed
+    AND host not in URL_HOST_BLOCKLIST AND the path is not a static
+    asset (URL_BAD_EXT_RE). One stateless vectorized pass, no shuffle —
+    complements `cap_per_host` (which bounds per-domain VOLUME; this
+    drops domains outright)."""
+    ds = ray.data.read_parquet(paths, columns=["url"])
+    host_pat = "^https?://(?P<host>" + URL_HOST_CHARSET + ")"
+    block = pa.array(URL_HOST_BLOCKLIST)
+
+    def stage(t: pa.Table) -> pa.Table:
+        url = _as_array(t.column("url"))
+        host = pc.struct_field(pc.extract_regex(url, host_pat), "host")
+        valid = np.asarray(pc.is_valid(host))
+        blocked = np.asarray(
+            pc.fill_null(pc.is_in(host, value_set=block), False))
+        bad_ext = np.asarray(
+            pc.fill_null(pc.match_substring_regex(url, URL_BAD_EXT_RE),
+                         False))
+        return pa.table({
+            "url": url,
+            "host": host,
+            "keep": pa.array(valid & ~blocked & ~bad_ext),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow")
 
 
 def _line_split(text: pa.Array) -> tuple[pa.Array, np.ndarray, np.ndarray]:
