@@ -105,9 +105,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gopher_quality_flags": _gopher_quality_flags,
         "gopher_repetition_stats": _gopher_repetition_stats,
         "url_host_filter": _url_host_filter,                # r4-NEW
-        # r4-NEW training-prep op: concat-and-chunk sequence packing via
-        # a two-phase distributed prefix scan over the documents table
+        # r4-NEW training-prep ops: concat-and-chunk sequence packing via
+        # a two-phase distributed prefix scan, and replayable quality-
+        # proportional importance sampling
         "chunk_for_training": D.chunk_for_training,
+        "weighted_sample": D.weighted_sample,
         # dedup family (r4-modified members + their exact anchors)
         "exact_dedup": D.exact_dedup,
         "exact_dedup_rows": D.exact_dedup_rows,             # r4-modified
@@ -145,17 +147,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_size": R.group_size,
         "pivot_sum_wide": R.pivot_sum_wide,
         "sort_desc_topk": R.sort_desc_topk,
-        "union_all_summaries": R.union_all_summaries,
         "ecdf_quantity": R.ecdf_quantity,
         "hash_sample": R.hash_sample,
         # ---------------- 50-row cap ends here -------------------------
-        # distinct_vals and row_count (trivial generics, driver-green in
-        # r1-r3, unmodified in r4) yield their cap slots to the r4-new
-        # url_host_filter and chunk_for_training; both keep stronger
-        # in-cap proxies (distinct_count_users counts distincts,
-        # group_size counts rows per group)
+        # distinct_vals, row_count and union_all_summaries (trivial
+        # generics, driver-green in r1-r3, unmodified in r4) yield their
+        # cap slots to the r4-new url_host_filter / chunk_for_training /
+        # weighted_sample; each keeps a stronger in-cap proxy
+        # (distinct_count_users counts distincts, group_size counts rows
+        # per group, multiway_join_agg unions/aggregates summaries)
         "distinct_vals": R.distinct_vals,
         "row_count": R.row_count,
+        "union_all_summaries": R.union_all_summaries,
         # tail: unmodified since r3 AND driver-green in CORRECTNESS_r03
         # (still swept locally by scripts/check_oracle.py every round).
         # stratified_sample yields its cap slot to the r4-new
@@ -423,6 +426,17 @@ def oracle_sql() -> dict[str, str]:
                    CAST(GREATEST(chunk_id * 512 - off, 0) AS BIGINT) AS tok_start,
                    CAST(LEAST((chunk_id + 1) * 512 - off, nt) AS BIGINT) AS tok_end
             FROM u
+        """,
+        # quality-proportional importance sampling: the same splitmix64
+        # uniform and int/const weight division recomputed in SQL
+        "weighted_sample": f"""
+            WITH d AS (
+              SELECT doc_id, lang, n_chars,
+                     CAST({O.mix64_scalar("CAST(doc_id AS HUGEINT)")}
+                          AS DOUBLE) / 18446744073709551616.0 AS u,
+                     LEAST(n_chars / 2000.0, 1.0) AS weight
+              FROM documents)
+            SELECT doc_id, lang, n_chars, weight FROM d WHERE u < weight
         """,
         "jsonl_ingest_docs": f"""
             SELECT CAST(doc_id AS BIGINT) AS doc_id, text, lang, source,

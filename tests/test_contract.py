@@ -95,11 +95,11 @@ def test_correctness_cap_covers_priority_queries():
         # ingest twin in-cap)
         "scrub_docs", "c4_line_filter", "gopher_quality_flags",
         "gopher_repetition_stats",
-        # late-r4 new ops (distinct_vals and row_count — trivial
-        # generics, driver-green r1-r3, unmodified in r4 — yielded
-        # their slots; distinct_count_users / group_size are stronger
-        # in-cap proxies)
-        "url_host_filter", "chunk_for_training",
+        # late-r4 new ops (distinct_vals, row_count and
+        # union_all_summaries — trivial generics, driver-green r1-r3,
+        # unmodified in r4 — yielded their slots; distinct_count_users /
+        # group_size / multiway_join_agg are stronger in-cap proxies)
+        "url_host_filter", "chunk_for_training", "weighted_sample",
     }
     missing = priority - first50
     assert not missing, f"priority queries past the 50-row cap: {missing}"
@@ -110,14 +110,14 @@ def test_correctness_cap_covers_priority_queries():
         "grouped_mean_by_priority", "semi_join_agg", "anti_join_agg",
         "project_derive", "timestamp_days", "filter_isin", "pair_concat",
         "binned_histogram", "group_size", "pivot_sum_wide", "sort_desc_topk",
-        "union_all_summaries", "ecdf_quantity",
+        "ecdf_quantity",
         "hash_sample",
         # stratified_sample yielded its cap slot to the r4-new
         # dedup_paragraphs (pure replayable filter; hash_sample twin
-        # stays inside the cap); distinct_vals and row_count later
-        # yielded theirs to url_host_filter / chunk_for_training —
-        # 21 of the 24 r3-tail queries stay in-cap, >= VERDICT r3
-        # item 7's >=20 bar
+        # stays inside the cap); distinct_vals, row_count and
+        # union_all_summaries later yielded theirs to url_host_filter /
+        # chunk_for_training / weighted_sample — 20 of the 24 r3-tail
+        # queries stay in-cap, meeting VERDICT r3 item 7's >=20 bar
     }
     assert r3_tail - first50 == set(), f"r3 tail not rotated in: {r3_tail - first50}"
     assert "dedup_paragraphs" in first50, "r4-new op must be driver-recorded"

@@ -57,7 +57,7 @@ CHECKED = [
     "lag_diff", "left_outer_join", "rolling_time_sum_cents",
     "stratified_sample", "simhash_neardup_pairs",
     # round-4 additions
-    "chunk_for_training",
+    "chunk_for_training", "weighted_sample",
 ]
 
 

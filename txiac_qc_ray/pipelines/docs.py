@@ -1654,6 +1654,33 @@ def deterministic_shuffle(sf_dir: str) -> ray.data.Dataset:
             .groupby("bucket").map_groups(rank_group, batch_format="pandas"))
 
 
+def weighted_sample(sf_dir: str, full_weight_chars: int = 2000) -> ray.data.Dataset:
+    """Deterministic quality-PROPORTIONAL downsampling (the DSIR-style
+    importance-resampling primitive): keep a document with probability
+    equal to its weight — here min(n_chars / full_weight_chars, 1), a
+    length-quality proxy — by comparing a replayable per-doc uniform
+    u = mix64(doc_id) / 2^64 against the weight. A seeded random sample
+    cannot be replayed across engines/restarts; this can, and it is
+    exactly as uniform as the mixer. Pure streamed filter, no shuffle,
+    no driver state. -> Dataset of kept (doc_id, lang, n_chars, weight).
+
+    Float parity with the SQL twin: uint64 -> double conversion and the
+    divide-by-2^64 are both correctly rounded IEEE ops in both engines,
+    and weight is an int/const double division — so u < weight is the
+    same bit-exact comparison on both sides."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    denom = float(full_weight_chars)
+
+    def stage(t: pa.Table) -> pa.Table:
+        u = _mix64(np.asarray(t["doc_id"]).astype(np.uint64)).astype(
+            np.float64) / 2.0**64
+        w = np.minimum(np.asarray(t["n_chars"]) / denom, 1.0)
+        t = t.append_column("weight", pa.array(w, type=pa.float64()))
+        return t.filter(pa.array(u < w))
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
 def chunk_for_training(sf_dir: str, context_len: int = 512) -> ray.data.Dataset:
     """GPT-style concat-and-chunk sequence packing: documents are laid
     end-to-end in doc_id order (whitespace \\S+ tokens — the same
