@@ -271,7 +271,7 @@ def test_rule_banks_in_flagship(ray_session):
     from txiac_qc_ray.sources.pages import default_pages_dir
 
     d = default_pages_dir(2000)
-    banks = ("c4", "gopher", "repetition")
+    banks = ("c4", "gopher", "repetition", "url")
     out = (build_qc_pipeline(read_pages(d), PipelineConfig(rule_banks=banks))
            .to_pandas().sort_values("url", ignore_index=True))
     out_actors = (build_qc_pipeline(
@@ -282,9 +282,10 @@ def test_rule_banks_in_flagship(ray_session):
     by = out.set_index("url")
     for bank, fn in [("c4", W.c4_line_filter),
                      ("gopher", W.gopher_quality_flags),
-                     ("repetition", W.gopher_repetition_stats)]:
+                     ("repetition", W.gopher_repetition_stats),
+                     ("url", W.url_host_filter)]:
         keep_col = {"c4": "keep", "gopher": "gopher_keep",
-                    "repetition": "repetition_keep"}[bank]
+                    "repetition": "repetition_keep", "url": "keep"}[bank]
         standalone = fn(d).to_pandas().set_index("url")[keep_col].astype(bool)
         flag = by[f"{bank}_keep"].astype(bool)
         assert flag.equals(standalone.reindex(by.index)), bank
@@ -295,6 +296,8 @@ def test_rule_banks_in_flagship(ray_session):
     bank_reasons = out["drop_reason"].isin(
         ["c4_dropped", "gopher_dropped", "repetition_dropped"])
     assert bank_reasons.any()
+    # the url bank fires on the fixture's blocklisted hosts
+    assert (out["drop_reason"] == "url_dropped").any()
     # keep = base keep AND all three bank keeps
     base = (build_qc_pipeline(read_pages(d), PipelineConfig())
             .to_pandas().sort_values("url", ignore_index=True))
@@ -302,7 +305,8 @@ def test_rule_banks_in_flagship(ray_session):
     expect = (base["keep"].to_numpy()
               & by["c4_keep"].to_numpy().astype(bool)
               & by["gopher_keep"].to_numpy().astype(bool)
-              & by["repetition_keep"].to_numpy().astype(bool))
+              & by["repetition_keep"].to_numpy().astype(bool)
+              & by["url_keep"].to_numpy().astype(bool))
     assert (out["keep"].to_numpy() == expect).all()
     # and the non-bank columns of the banks-on run match the default run
     shared = [c for c in base.columns if not c.startswith("rule_")

@@ -34,7 +34,7 @@ def main(argv: list[str] | None = None) -> int:
                            "drop_reason=exact_duplicate via a broadcast hash set")
     runp.add_argument("--rule-banks", default="",
                       help="comma-separated opt-in web-text rule banks "
-                           "(c4,gopher,repetition) appended after the "
+                           "(c4,gopher,repetition,url) appended after the "
                            "default rules (pipelines/webtext.py)")
     runp.add_argument("--num-cpus", type=int, default=None,
                       help="only used when Ray is not already initialised")

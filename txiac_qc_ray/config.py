@@ -66,6 +66,7 @@ RULE_BANK_RULES: dict[str, RuleSpec] = {
     "gopher": RuleSpec("gopher_dropped", "gopher_keep", "lt", lo=0.5),
     "repetition": RuleSpec("repetition_dropped", "repetition_keep",
                            "lt", lo=0.5),
+    "url": RuleSpec("url_dropped", "url_keep", "lt", lo=0.5),
 }
 
 # Feature columns the feature stage emits (all float64 unless noted).

@@ -120,33 +120,34 @@ def scrub_docs(paths: str | list[str]) -> ray.data.Dataset:
     return _read_pages_text(paths).map_batches(stage, batch_format="pyarrow")
 
 
+def _url_keep(url: pa.Array) -> tuple[pa.Array, np.ndarray]:
+    """-> (host, keep) for a url column: host = the authority of an
+    http(s) URL (null when the scheme is not http/https or the url is
+    null); keep = host parsed AND host not in URL_HOST_BLOCKLIST AND
+    the path is not a static asset (URL_BAD_EXT_RE). Shared by the
+    standalone query and the flagship's opt-in `url` rule bank."""
+    host_pat = "^https?://(?P<host>" + URL_HOST_CHARSET + ")"
+    host = pc.struct_field(pc.extract_regex(url, host_pat), "host")
+    valid = np.asarray(pc.is_valid(host))
+    blocked = np.asarray(pc.fill_null(
+        pc.is_in(host, value_set=pa.array(URL_HOST_BLOCKLIST)), False))
+    bad_ext = np.asarray(pc.fill_null(
+        pc.match_substring_regex(url, URL_BAD_EXT_RE), False))
+    return host, valid & ~blocked & ~bad_ext
+
+
 def url_host_filter(paths: str | list[str]) -> ray.data.Dataset:
     """URL-level filtering -> (url, host, keep): the step every web
     pipeline runs BEFORE fetching/cleaning text (C4 §2.2's badword-domain
-    blocklist analog). host = the authority of an http(s) URL (null when
-    the scheme is not http/https or the url is null); keep = host parsed
-    AND host not in URL_HOST_BLOCKLIST AND the path is not a static
-    asset (URL_BAD_EXT_RE). One stateless vectorized pass, no shuffle —
+    blocklist analog). One stateless vectorized pass, no shuffle —
     complements `cap_per_host` (which bounds per-domain VOLUME; this
     drops domains outright)."""
     ds = ray.data.read_parquet(paths, columns=["url"])
-    host_pat = "^https?://(?P<host>" + URL_HOST_CHARSET + ")"
-    block = pa.array(URL_HOST_BLOCKLIST)
 
     def stage(t: pa.Table) -> pa.Table:
         url = _as_array(t.column("url"))
-        host = pc.struct_field(pc.extract_regex(url, host_pat), "host")
-        valid = np.asarray(pc.is_valid(host))
-        blocked = np.asarray(
-            pc.fill_null(pc.is_in(host, value_set=block), False))
-        bad_ext = np.asarray(
-            pc.fill_null(pc.match_substring_regex(url, URL_BAD_EXT_RE),
-                         False))
-        return pa.table({
-            "url": url,
-            "host": host,
-            "keep": pa.array(valid & ~blocked & ~bad_ext),
-        })
+        host, keep = _url_keep(url)
+        return pa.table({"url": url, "host": host, "keep": pa.array(keep)})
 
     return ds.map_batches(stage, batch_format="pyarrow")
 
@@ -314,7 +315,10 @@ def _all_gram_runs(ids: np.ndarray, doc_of: np.ndarray, lens: np.ndarray,
     with -1 (< every real id, filtered before use).
 
     -> {n: (doc of each group, count per group, char length of the
-    gram incl. its n-1 joining spaces)}."""
+    gram incl. its n-1 joining spaces)}. charlen is read from one
+    representative occurrence per group — valid because `lens` is a
+    function of the dictionary id (same id == same token == same
+    length), which tokenize() guarantees."""
     z = np.zeros(0, dtype=np.int64)
     n_max = max(ns)
     T = len(ids)
@@ -506,12 +510,15 @@ def _repetition_stats(text: pa.Array, tv=None,
 # (config.RULE_BANK_RULES) AFTER the default rules, so the frozen golden
 # drop_reason order is untouched when banks are off (the default).
 _BANK_KEEP = {
-    "c4": lambda text, tv, split: np.asarray(
+    "c4": lambda batch, text, tv, split: np.asarray(
         _c4_stats(text, split=split)["keep"]),
-    "gopher": lambda text, tv, split: np.asarray(
+    "gopher": lambda batch, text, tv, split: np.asarray(
         _gopher_stats(text, split=split)["gopher_keep"]),
-    "repetition": lambda text, tv, split: np.asarray(
+    "repetition": lambda batch, text, tv, split: np.asarray(
         _repetition_stats(text, tv=tv, split=split)["repetition_keep"]),
+    # url bank keys on the batch's url column, not the text
+    "url": lambda batch, text, tv, split: _url_keep(
+        _as_array(batch.column("url")))[1],
 }
 
 
@@ -530,7 +537,7 @@ def bank_features_batch(batch: pa.Table, banks: tuple[str, ...],
     text = _as_array(batch.column("text"))
     split = _line_split(text)
     for bank in banks:
-        keep = _BANK_KEEP[bank](text, tv, split)
+        keep = _BANK_KEEP[bank](batch, text, tv, split)
         batch = batch.append_column(
             f"{bank}_keep",
             pa.array(np.where(keep, 1.0, 0.0), type=pa.float64()))
