@@ -113,6 +113,10 @@ URL_ROWS = [
     "https://ads.example/banner",        # blocklisted host
     "https://good.example/file.pdfx",    # NOT an asset ext (pdfx)
     "https://no-path.example",           # authority only, no path
+    # blocklist evasion attempts — normalization must catch all three
+    "https://ADS.example/banner2",       # uppercase host
+    "https://ads.example:8080/banner3",  # explicit port
+    "https://u:p@ads.example/banner4",   # userinfo
 ]
 
 
@@ -138,6 +142,11 @@ def test_url_host_filter_twin_and_semantics(ray_session, tmp_path):
     assert by.loc["https://good.example/file.pdfx", "keep"]
     assert by.loc["https://no-path.example", "keep"]
     assert by.loc["https://no-path.example", "host"] == "no-path.example"
+    for evasion in ("https://ADS.example/banner2",
+                    "https://ads.example:8080/banner3",
+                    "https://u:p@ads.example/banner4"):
+        assert by.loc[evasion, "host"] == "ads.example", evasion
+        assert not by.loc[evasion, "keep"], evasion
 
 
 def test_gopher_quality_flags_twin_and_semantics(ray_session, corpus_dir):

@@ -121,13 +121,22 @@ def scrub_docs(paths: str | list[str]) -> ray.data.Dataset:
 
 
 def _url_keep(url: pa.Array) -> tuple[pa.Array, np.ndarray]:
-    """-> (host, keep) for a url column: host = the authority of an
-    http(s) URL (null when the scheme is not http/https or the url is
-    null); keep = host parsed AND host not in URL_HOST_BLOCKLIST AND
-    the path is not a static asset (URL_BAD_EXT_RE). Shared by the
+    """-> (host, keep) for a url column: host = the NORMALIZED host of
+    an http(s) URL — authority lowercased, userinfo ('user@') and port
+    (':8080') stripped — null when the scheme is not http/https or the
+    url is null; keep = host parsed AND host not in URL_HOST_BLOCKLIST
+    AND the path is not a static asset (URL_BAD_EXT_RE). Normalizing
+    BEFORE the blocklist test matters: 'https://ADS.example:8080/x' and
+    'https://u@ads.example/x' are the blocked domain too — an exact
+    compare on the raw authority is trivially evadable. Shared by the
     standalone query and the flagship's opt-in `url` rule bank."""
     host_pat = "^https?://(?P<host>" + URL_HOST_CHARSET + ")"
-    host = pc.struct_field(pc.extract_regex(url, host_pat), "host")
+    auth = pc.struct_field(pc.extract_regex(url, host_pat), "host")
+    # '^.*@' matches at most once (anchored, greedy -> last '@');
+    # ':.*$' consumes to end — replace-all == replace-first for both,
+    # so Arrow's replace-all equals the SQL twin's replace-first
+    host = pc.utf8_lower(pc.replace_substring_regex(
+        pc.replace_substring_regex(auth, "^.*@", ""), ":.*$", ""))
     valid = np.asarray(pc.is_valid(host))
     blocked = np.asarray(pc.fill_null(
         pc.is_in(host, value_set=pa.array(URL_HOST_BLOCKLIST)), False))
