@@ -327,20 +327,37 @@ def _all_gram_runs(ids: np.ndarray, doc_of: np.ndarray, lens: np.ndarray,
     gram incl. its n-1 joining spaces)}. charlen is read from one
     representative occurrence per group — valid because `lens` is a
     function of the dictionary id (same id == same token == same
-    length), which tokenize() guarantees."""
+    length), which tokenize() guarantees.
+
+    The n_max id columns are BIT-PACKED, first id most significant,
+    into ceil(n_max / (63 // bits)) int64 words (bits = width of the
+    largest id+1; pads encode as 0, real ids as id+1, so packing is
+    injective and word order == tuple order). A per-batch dictionary is
+    small (~10-20 bits), so 10 id columns typically fit TWO words:
+    the lexsort runs on 3 keys instead of 11 and each per-n run-cut
+    compares at most 2 words (the last masked to its first n-w*ipw ids
+    by a right shift) instead of n columns — ~3x on the whole op,
+    hash-free exactness unchanged."""
     z = np.zeros(0, dtype=np.int64)
     n_max = max(ns)
     T = len(ids)
     if T < min(ns):
         return {n: (z, z, z) for n in ns}
-    cols = [np.full(T, -1, dtype=np.int64) for _ in range(n_max)]
-    cols[0][:] = ids
-    for k in range(1, n_max):
-        # max() guards short streams: a negative T-k slice would wrap
-        cols[k][: max(0, T - k)] = ids[k:]
-    order = np.lexsort(tuple(reversed(cols)) + (doc_of,))
+    bits = int(int(ids.max(initial=0)) + 1).bit_length()
+    ipw = max(1, 63 // bits)  # ids per 63-bit word (sign bit untouched)
+    words, wcounts = [], []
+    for w0 in range(0, n_max, ipw):
+        cnt = min(ipw, n_max - w0)
+        word = np.zeros(T, dtype=np.int64)
+        for k in range(w0, w0 + cnt):
+            word <<= bits
+            # max() guards short streams: a negative T-k slice would wrap
+            word[: max(0, T - k)] |= ids[k:] + 1 if k else ids + 1
+        words.append(word)
+        wcounts.append(cnt)
+    order = np.lexsort(tuple(reversed(words)) + (doc_of,))
     doc_s = doc_of[order]
-    cols_s = [c[order] for c in cols]
+    words_s = [w[order] for w in words]
     cum = np.concatenate([[0], np.cumsum(lens, dtype=np.int64)])
     out = {}
     for n in ns:
@@ -358,8 +375,16 @@ def _all_gram_runs(ids: np.ndarray, doc_of: np.ndarray, lens: np.ndarray,
         if len(sub) > 1:
             prev, cur = sub[:-1], sub[1:]
             same_run = doc_s[cur] == doc_s[prev]
-            for c in cols_s[:n]:
-                same_run &= c[cur] == c[prev]
+            rem = n
+            for w, cnt in zip(words_s, wcounts):
+                if rem <= 0:
+                    break
+                if rem >= cnt:
+                    same_run &= w[cur] == w[prev]
+                else:
+                    sh = (cnt - rem) * bits  # keep the first `rem` ids
+                    same_run &= (w[cur] >> sh) == (w[prev] >> sh)
+                rem -= cnt
             first[1:] = ~same_run
         run_start = np.nonzero(first)[0]
         counts = np.diff(np.concatenate([run_start, [len(sub)]]))
