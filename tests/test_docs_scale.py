@@ -339,3 +339,33 @@ def test_chunk_for_training_semantics(ray_session, tmp_path):
     # every chunk carries exactly C tokens except the final one
     load = (got["tok_end"] - got["tok_start"]).groupby(got["chunk_id"]).sum()
     assert (load.iloc[:-1] == C).all() and load.iloc[-1] <= C
+
+
+def test_chunk_for_training_layout_invariance(ray_session, tmp_path):
+    """The global token offsets (and so every chunk span) must not
+    depend on how the corpus is sharded into files or batched."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from txiac_qc_ray.pipelines.docs import chunk_for_training
+
+    rng = np.random.default_rng(7)
+    n = 300
+    ids = rng.permutation(np.arange(0, 5 * n, 5, dtype=np.int64))  # sparse
+    texts = [" ".join(["w"] * int(k)) for k in rng.integers(0, 40, n)]
+    t = pa.table({"doc_id": pa.array(ids), "text": pa.array(texts)})
+
+    one = str(tmp_path / "one"); os.makedirs(one)
+    pq.write_table(t, os.path.join(one, "documents.parquet"))
+    # same rows split across three row groups in a different row order
+    many = str(tmp_path / "many"); os.makedirs(many)
+    perm = rng.permutation(n)
+    pq.write_table(t.take(perm), os.path.join(many, "documents.parquet"),
+                   row_group_size=n // 3)
+
+    def run(d):
+        return (chunk_for_training(d, context_len=32).to_pandas()
+                .sort_values(["doc_id", "chunk_id"], ignore_index=True))
+
+    pd.testing.assert_frame_equal(run(one), run(many))
