@@ -113,10 +113,15 @@ URL_ROWS = [
     "https://ads.example/banner",        # blocklisted host
     "https://good.example/file.pdfx",    # NOT an asset ext (pdfx)
     "https://no-path.example",           # authority only, no path
-    # blocklist evasion attempts — normalization must catch all three
+    # blocklist evasion attempts — normalization must catch all four
     "https://ADS.example/banner2",       # uppercase host
     "https://ads.example:8080/banner3",  # explicit port
     "https://u:p@ads.example/banner4",   # userinfo
+    "https://ads.example./banner5",      # FQDN trailing dot
+    # IPv6 literals survive the digits-only port strip
+    "https://[2001:db8::1]/x",
+    "https://[::1]:8080/x",
+    "https://:8080/x",                   # empty authority -> null host
 ]
 
 
@@ -144,9 +149,15 @@ def test_url_host_filter_twin_and_semantics(ray_session, tmp_path):
     assert by.loc["https://no-path.example", "host"] == "no-path.example"
     for evasion in ("https://ADS.example/banner2",
                     "https://ads.example:8080/banner3",
-                    "https://u:p@ads.example/banner4"):
+                    "https://u:p@ads.example/banner4",
+                    "https://ads.example./banner5"):
         assert by.loc[evasion, "host"] == "ads.example", evasion
         assert not by.loc[evasion, "keep"], evasion
+    assert by.loc["https://[2001:db8::1]/x", "host"] == "[2001:db8::1]"
+    assert by.loc["https://[2001:db8::1]/x", "keep"]
+    assert by.loc["https://[::1]:8080/x", "host"] == "[::1]"
+    assert by.loc["https://:8080/x", "host"] == "None"
+    assert not by.loc["https://:8080/x", "keep"]
 
 
 def test_gopher_quality_flags_twin_and_semantics(ray_session, corpus_dir):

@@ -804,16 +804,17 @@ def url_host_filter_sql(pages_glob: str) -> str:
     # DuckDB regexp_extract returns '' (not NULL) on no match -> nullif;
     # the AND chain goes NULL for unparsed hosts -> coalesce(..., FALSE)
     # matches the engine's plain-bool keep. Host normalization (strip
-    # userinfo/port, lowercase) mirrors webtext._url_keep: '^.*@' and
-    # ':.*$' each match at most once, so replace-first == replace-all.
+    # userinfo / digits-only port / FQDN trailing dot, lowercase)
+    # mirrors webtext._url_keep: each pattern matches at most once, so
+    # replace-first == replace-all.
     blocklist = ", ".join(f"'{h}'" for h in w.URL_HOST_BLOCKLIST)
     return f"""
     WITH d AS (
       SELECT url,
-             lower(regexp_replace(regexp_replace(
-                 nullif(regexp_extract(url,
-                     '^https?://({w.URL_HOST_CHARSET})', 1), ''),
-                 '^.*@', ''), ':.*$', '')) AS host
+             nullif(lower(regexp_replace(regexp_replace(regexp_replace(
+                 regexp_extract(url,
+                     '^https?://({w.URL_HOST_CHARSET})', 1),
+                 '^.*@', ''), ':[0-9]*$', ''), '\\.+$', '')), '') AS host
       FROM read_parquet('{pages_glob}'))
     SELECT url, host,
            coalesce(host IS NOT NULL

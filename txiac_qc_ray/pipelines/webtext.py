@@ -122,21 +122,32 @@ def scrub_docs(paths: str | list[str]) -> ray.data.Dataset:
 
 def _url_keep(url: pa.Array) -> tuple[pa.Array, np.ndarray]:
     """-> (host, keep) for a url column: host = the NORMALIZED host of
-    an http(s) URL — authority lowercased, userinfo ('user@') and port
-    (':8080') stripped — null when the scheme is not http/https or the
-    url is null; keep = host parsed AND host not in URL_HOST_BLOCKLIST
-    AND the path is not a static asset (URL_BAD_EXT_RE). Normalizing
-    BEFORE the blocklist test matters: 'https://ADS.example:8080/x' and
-    'https://u@ads.example/x' are the blocked domain too — an exact
-    compare on the raw authority is trivially evadable. Shared by the
-    standalone query and the flagship's opt-in `url` rule bank."""
+    an http(s) URL — authority lowercased, userinfo ('user@'), port
+    (':8080') and the FQDN trailing dot stripped — null when the scheme
+    is not http/https or the url is null; keep = host parsed AND host
+    not in URL_HOST_BLOCKLIST AND the path is not a static asset
+    (URL_BAD_EXT_RE). Normalizing BEFORE the blocklist test matters:
+    'https://ADS.example:8080/x', 'https://u@ads.example/x' and
+    'https://ads.example./x' are all the blocked domain — an exact
+    compare on the raw authority is trivially evadable. The port strip
+    is digits-only so IPv6 literals ('[2001:db8::1]') survive intact.
+    Out of scope (documented, not silent): percent-encoded hostnames
+    ('ads%2eexample') — crawl pipelines see DNS-resolvable hostnames,
+    and decoding belongs to a URL canonicalizer, not a filter. Shared
+    by the standalone query and the flagship's opt-in `url` rule bank."""
     host_pat = "^https?://(?P<host>" + URL_HOST_CHARSET + ")"
     auth = pc.struct_field(pc.extract_regex(url, host_pat), "host")
-    # '^.*@' matches at most once (anchored, greedy -> last '@');
-    # ':.*$' consumes to end — replace-all == replace-first for both,
-    # so Arrow's replace-all equals the SQL twin's replace-first
+    # each pattern matches at most once ('^.*@' anchored+greedy -> last
+    # '@'; the two '$'-anchored strips), so Arrow's replace-all equals
+    # the SQL twin's replace-first
     host = pc.utf8_lower(pc.replace_substring_regex(
-        pc.replace_substring_regex(auth, "^.*@", ""), ":.*$", ""))
+        pc.replace_substring_regex(
+            pc.replace_substring_regex(auth, "^.*@", ""),
+            ":[0-9]*$", ""),
+        "\\.+$", ""))
+    # an authority that strips to nothing ('https://:8080/x') is no
+    # host at all -> null (the SQL twin's outer nullif)
+    host = pc.if_else(pc.equal(host, ""), pa.scalar(None, pa.string()), host)
     valid = np.asarray(pc.is_valid(host))
     blocked = np.asarray(pc.fill_null(
         pc.is_in(host, value_set=pa.array(URL_HOST_BLOCKLIST)), False))
@@ -320,8 +331,9 @@ def _all_gram_runs(ids: np.ndarray, doc_of: np.ndarray, lens: np.ndarray,
     positions sharing any n-prefix are contiguous FOR ALL n at once;
     per n we filter to positions whose gram fits inside the doc (a
     subsequence keeps contiguity) and cut runs by comparing the first
-    n columns of consecutive kept rows. Out-of-range tail columns pad
-    with -1 (< every real id, filtered before use).
+    n id columns of consecutive kept rows. Out-of-range tail positions
+    pad with the encoding's 0 (< every real id+1; they appear only in
+    rows the per-n validity filter removes or in key positions past n).
 
     -> {n: (doc of each group, count per group, char length of the
     gram incl. its n-1 joining spaces)}. charlen is read from one
@@ -345,6 +357,7 @@ def _all_gram_runs(ids: np.ndarray, doc_of: np.ndarray, lens: np.ndarray,
         return {n: (z, z, z) for n in ns}
     bits = int(int(ids.max(initial=0)) + 1).bit_length()
     ipw = max(1, 63 // bits)  # ids per 63-bit word (sign bit untouched)
+    enc = ids + 1  # encoded once; pads stay 0
     words, wcounts = [], []
     for w0 in range(0, n_max, ipw):
         cnt = min(ipw, n_max - w0)
@@ -352,7 +365,7 @@ def _all_gram_runs(ids: np.ndarray, doc_of: np.ndarray, lens: np.ndarray,
         for k in range(w0, w0 + cnt):
             word <<= bits
             # max() guards short streams: a negative T-k slice would wrap
-            word[: max(0, T - k)] |= ids[k:] + 1 if k else ids + 1
+            word[: max(0, T - k)] |= enc[k:]
         words.append(word)
         wcounts.append(cnt)
     order = np.lexsort(tuple(reversed(words)) + (doc_of,))
