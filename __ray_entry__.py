@@ -91,9 +91,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # other four PMIS flows are r3-green + unmodified -> tail)
         "pmis_audit_flow": _pmis_audit_flow,
         "pmis_counters": _pmis_counters,
-        "csv_ingest_sections": _csv_ingest_sections,
-        # composite corpus prep + decontamination + keyword extraction
+        # composite corpus prep + decontamination + keyword extraction,
+        # and the end-to-end prep->chunks training export (r4-NEW; takes
+        # csv_ingest_sections' slot — r1-r3 driver-green, unmodified
+        # since r2, frozen-fixture read pytest-pinned, and its JSONL
+        # ingest twin sits in the tail by the same argument)
         "prep_corpus": D.prep_corpus,
+        "prep_to_chunks": D.prep_to_chunks,
         "decontaminate_bloom": D.decontaminate_bloom,       # r4-modified
         "tfidf_top_terms": D.tfidf_top_terms,               # r4-modified
         "cap_per_host": D.cap_per_host,
@@ -177,6 +181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fixture read path is pytest-pinned and its CSV ingest twin
         # stays in-cap) yields its slot to gopher_repetition_stats
         "jsonl_ingest_docs": _jsonl_ingest_docs,
+        "csv_ingest_sections": _csv_ingest_sections,
         "pmis_yby_flow": _pmis_yby_flow,
         "pmis_county_summary": _pmis_county_summary,
         "pmis_diff_histogram": _pmis_diff_histogram,
@@ -507,6 +512,7 @@ def oracle_sql() -> dict[str, str]:
         "deterministic_shuffle": O.deterministic_shuffle_sql(),
         "cap_per_host": O.cap_per_host_sql(5),
         "prep_corpus": O.prep_corpus_sql(),
+        "prep_to_chunks": O.prep_to_chunks_sql(),
         # ANN: IVF is exact by construction (bound-pruned probe); LSH
         # parameters give recall 1.0 on the test corpora (pytest-pinned),
         # so both must equal the brute-force top-k

@@ -76,7 +76,12 @@ def test_correctness_cap_covers_priority_queries():
     first50 = set(keys[:50])
     priority = {
         "qc_label_documents", "pmis_audit_flow", "pmis_counters",
-        "csv_ingest_sections", "prep_corpus",
+        "prep_corpus",
+        # csv_ingest_sections yielded its slot to the r4-new
+        # prep_to_chunks: r1-r3 driver-green, unmodified since r2, the
+        # frozen-fixture read is pytest-pinned, and jsonl_ingest_docs
+        # sits in the tail by the same argument
+        "prep_to_chunks",
         "decontaminate_bloom", "tfidf_top_terms",
         "cap_per_host", "exact_dedup",
         "exact_dedup_rows", "dedup_index_first_seen", "minhash_lsh_dedup",
@@ -142,3 +147,4 @@ def test_corpus_sized_ops_return_streaming_datasets(ray_session):
     assert isinstance(D.exact_dedup_rows(sf), ray.data.Dataset)
     assert isinstance(D.tfidf_top_terms(sf), ray.data.Dataset)
     assert isinstance(D.chunk_for_training(sf), ray.data.Dataset)
+    assert isinstance(D.prep_to_chunks(sf), ray.data.Dataset)

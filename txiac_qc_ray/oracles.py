@@ -107,14 +107,13 @@ def neardup_clusters_sql(threshold: float = 0.5) -> str:
     """
 
 
-def prep_corpus_sql(jaccard_threshold: float = 0.5, eval_mod: int = 50,
-                    min_overlap: int = 5, min_tokens: int = 10,
-                    max_mean_tok_len: float = 12.0) -> str:
-    """Composite corpus-prep twin: the exact-dedup, near-dup-cluster,
-    decontamination and quality-gate CTEs composed into one statement —
-    value-checks the whole chain end to end."""
-    return f"""
-    WITH RECURSIVE {_SHINGLES},
+def _prep_surv_ctes(jaccard_threshold: float, eval_mod: int,
+                    min_overlap: int, min_tokens: int,
+                    max_mean_tok_len: float) -> str:
+    """The corpus-prep CTE block ending in `surv` (the surviving docs) —
+    shared by prep_corpus_sql and prep_to_chunks_sql. Callers prepend
+    'WITH RECURSIVE ' and select from surv."""
+    return f"""{_SHINGLES},
     winners AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
     jp AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -143,15 +142,59 @@ def prep_corpus_sql(jaccard_threshold: float = 0.5, eval_mod: int = 50,
              CASE WHEN len(regexp_extract_all(text, '\\S+')) = 0 THEN NULL
                   ELSE CAST(length(replace(text, ' ', '')) AS DOUBLE)
                        / len(regexp_extract_all(text, '\\S+')) END AS mean_len
-      FROM documents)
-    SELECT doc_id, lang, source, n_chars, n_tokens
-    FROM gated
-    WHERE doc_id IN (SELECT doc_id FROM winners)
-      AND doc_id NOT IN (SELECT doc_id FROM losers)
-      AND doc_id NOT IN (SELECT doc_id FROM cont)
-      AND doc_id % {eval_mod} != 0
-      AND n_tokens >= {min_tokens}
-      AND mean_len <= {max_mean_tok_len}
+      FROM documents),
+    surv AS (
+      SELECT doc_id, lang, source, n_chars, n_tokens
+      FROM gated
+      WHERE doc_id IN (SELECT doc_id FROM winners)
+        AND doc_id NOT IN (SELECT doc_id FROM losers)
+        AND doc_id NOT IN (SELECT doc_id FROM cont)
+        AND doc_id % {eval_mod} != 0
+        AND n_tokens >= {min_tokens}
+        AND mean_len <= {max_mean_tok_len})"""
+
+
+def prep_corpus_sql(jaccard_threshold: float = 0.5, eval_mod: int = 50,
+                    min_overlap: int = 5, min_tokens: int = 10,
+                    max_mean_tok_len: float = 12.0) -> str:
+    """Composite corpus-prep twin: the exact-dedup, near-dup-cluster,
+    decontamination and quality-gate CTEs composed into one statement —
+    value-checks the whole chain end to end."""
+    ctes = _prep_surv_ctes(jaccard_threshold, eval_mod, min_overlap,
+                           min_tokens, max_mean_tok_len)
+    return f"""
+    WITH RECURSIVE {ctes}
+    SELECT doc_id, lang, source, n_chars, n_tokens FROM surv
+    """
+
+
+def prep_to_chunks_sql(context_len: int = 256,
+                       jaccard_threshold: float = 0.5, eval_mod: int = 50,
+                       min_overlap: int = 5, min_tokens: int = 10,
+                       max_mean_tok_len: float = 12.0) -> str:
+    """End-to-end training-export twin: the prep CTEs composed with the
+    window-cumsum + generate_series chunk explode over the survivors'
+    global token stream (doc_id order)."""
+    C = int(context_len)
+    ctes = _prep_surv_ctes(jaccard_threshold, eval_mod, min_overlap,
+                           min_tokens, max_mean_tok_len)
+    return f"""
+    WITH RECURSIVE {ctes},
+    c AS (
+      SELECT doc_id, CAST(n_tokens AS BIGINT) AS nt,
+             CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                 0) AS BIGINT) AS off
+      FROM surv),
+    u AS (
+      SELECT doc_id, off, nt,
+             unnest(generate_series(off // {C},
+                                    (off + nt - 1) // {C})) AS chunk_id
+      FROM c WHERE nt > 0)
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           CAST(GREATEST(chunk_id * {C} - off, 0) AS BIGINT) AS tok_start,
+           CAST(LEAST((chunk_id + 1) * {C} - off, nt) AS BIGINT) AS tok_end
+    FROM u
     """
 
 

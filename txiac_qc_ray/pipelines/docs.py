@@ -1708,11 +1708,6 @@ def chunk_for_training(sf_dir: str, context_len: int = 512) -> ray.data.Dataset:
 
     Reference analog: none (training-prep op beyond Home.py's surface);
     the SQL twin is a window cumsum + generate_series explode."""
-    C = int(context_len)
-    empty = pa.table({"doc_id": pa.array([], pa.int64()),
-                      "chunk_id": pa.array([], pa.int64()),
-                      "tok_start": pa.array([], pa.int64()),
-                      "tok_end": pa.array([], pa.int64())})
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def tok_counts(t: pa.Table) -> pa.Table:
@@ -1722,13 +1717,27 @@ def chunk_for_training(sf_dir: str, context_len: int = 512) -> ray.data.Dataset:
         return pa.table({"doc_id": t["doc_id"], "n_tokens": n})
 
     counted = ds.map_batches(tok_counts, batch_format="pyarrow").materialize()
+    return _chunk_token_stream(counted, int(context_len),
+                               _shard_count(sf_dir, "documents"))
 
+
+def _chunk_token_stream(counted: ray.data.Dataset, C: int,
+                        n_buckets: int) -> ray.data.Dataset:
+    """Phases 2-3 of the concat-and-chunk packer over a MATERIALIZED
+    Dataset of int rows (doc_id, n_tokens): doc_id-range buckets carry
+    exclusive-prefix token offsets (driver state = n_buckets ints),
+    each bucket group explodes its chunk spans vectorized. Shared by
+    chunk_for_training (whole corpus) and prep_to_chunks (prep_corpus
+    survivors)."""
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "chunk_id": pa.array([], pa.int64()),
+                      "tok_start": pa.array([], pa.int64()),
+                      "tok_end": pa.array([], pa.int64())})
     bounds = counted.aggregate(Min("doc_id"), Max("doc_id")) or {}
     lo = bounds.get("min(doc_id)")
     if lo is None:  # empty corpus (empty-partition contract)
         return ray.data.from_arrow(empty)
     lo, hi = int(lo), int(bounds["max(doc_id)"])
-    n_buckets = _shard_count(sf_dir, "documents")
     span = max(1, -(-(hi - lo + 1) // n_buckets))
 
     def bucket_partials(t: pa.Table) -> pa.Table:
@@ -2248,6 +2257,22 @@ def prep_corpus(sf_dir: str, jaccard_threshold: float = 0.5,
     Only DROP-side sets ever reach the driver: exact-dup LOSERS (o(dup
     rate), never the winner list, which is O(corpus)), near-dup cluster
     losers, and contaminated ids."""
+    stream = _prep_survivors(sf_dir, jaccard_threshold, eval_mod,
+                             min_overlap, min_tokens, max_mean_tok_len)
+    df = ensure_columns(
+        stream.to_pandas(),
+        {"doc_id": "int64", "lang": "object", "source": "object",
+         "n_chars": "int64", "n_tokens": "int64"})
+    return df.sort_values("doc_id", ignore_index=True)
+
+
+def _prep_survivors(sf_dir: str, jaccard_threshold: float, eval_mod: int,
+                    min_overlap: int, min_tokens: int,
+                    max_mean_tok_len: float) -> ray.data.Dataset:
+    """The streamed core of prep_corpus: broadcast o(corpus) drop-sets,
+    one filtered pass -> surviving (doc_id, lang, source, n_chars,
+    n_tokens) as a Dataset (prep_corpus collects it; prep_to_chunks
+    keeps streaming into the chunk packer)."""
     dup_losers = set(exact_dedup_losers(sf_dir)["doc_id"].astype(int))
     clusters = neardup_clusters(sf_dir, jaccard_threshold)
     cluster_losers = {int(d) for d, c in zip(clusters["doc_id"], clusters["cluster_id"])
@@ -2280,11 +2305,32 @@ def prep_corpus(sf_dir: str, jaccard_threshold: float = 0.5,
         t = t.append_column("n_tokens", pa.array(n_tok))
         return t.filter(pa.array(ok)).drop_columns(["text"])
 
-    df = ensure_columns(
-        ds.map_batches(stage, batch_format="pyarrow").to_pandas(),
-        {"doc_id": "int64", "lang": "object", "source": "object",
-         "n_chars": "int64", "n_tokens": "int64"})
-    return df.sort_values("doc_id", ignore_index=True)
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def prep_to_chunks(sf_dir: str, context_len: int = 256,
+                   jaccard_threshold: float = 0.5, eval_mod: int = 50,
+                   min_overlap: int = 5, min_tokens: int = 10,
+                   max_mean_tok_len: float = 12.0) -> ray.data.Dataset:
+    """END-TO-END training-data export: the prep_corpus chain (exact
+    dedup -> near-dup dedup -> decontaminate -> quality gate) composed
+    with concat-and-chunk sequence packing — the full flow a corpus
+    build runs to turn raw pages-of-text into fixed-context training
+    chunks. -> streaming Dataset of (doc_id, chunk_id, tok_start,
+    tok_end) over the SURVIVORS' global token stream (doc_id order);
+    canonical order is (doc_id, chunk_id).
+
+    Everything composes streaming: the survivor filter is one pass with
+    broadcast o(corpus) drop-sets (_prep_survivors), the packer's only
+    driver state is n_buckets prefix offsets (_chunk_token_stream), and
+    the int (doc_id, n_tokens) survivor rows are the sole materialized
+    intermediate. The SQL twin wraps the prep CTEs with the window-
+    cumsum chunk explode, value-checking the WHOLE flow end to end."""
+    counted = (_prep_survivors(sf_dir, jaccard_threshold, eval_mod,
+                               min_overlap, min_tokens, max_mean_tok_len)
+               .select_columns(["doc_id", "n_tokens"]).materialize())
+    return _chunk_token_stream(counted, int(context_len),
+                               _shard_count(sf_dir, "documents"))
 
 
 # ---- near-dup clusters: connected components over LSH pairs --------------
