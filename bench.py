@@ -130,6 +130,8 @@ def run_bench() -> dict:
         ("ngram_jaccard_pairs", D.ngram_jaccard_pairs),
         ("dedup_paragraphs", D.dedup_paragraphs),
         ("chunk_for_training", D.chunk_for_training),
+        ("weighted_sample", D.weighted_sample),
+        ("prep_to_chunks", D.prep_to_chunks),
     ]
     if not os.environ.get("GRAFT_SKIP_QUERIES"):
         # web-text rule banks benched over the FULL bench pages corpus
