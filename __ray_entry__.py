@@ -177,9 +177,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": D.decontaminate_against,
         "deterministic_shuffle": D.deterministic_shuffle,
         "embedding_neardup_lsh": D.embedding_neardup_pairs_lsh,
-        # jsonl_ingest_docs (r3-driver-green, unmodified r4; the frozen
-        # fixture read path is pytest-pinned and its CSV ingest twin
-        # stays in-cap) yields its slot to gopher_repetition_stats
+        # BOTH ingest ops now sit in the tail (jsonl yielded its slot to
+        # gopher_repetition_stats; csv later to prep_to_chunks): each is
+        # r1-r3 driver-green, unmodified since r2, a deterministic
+        # frozen-fixture parse with a pytest byte-stability pin — ingest
+        # has no distribution-sensitive path, so the local sweep is a
+        # sufficient regression signal for one round
         "jsonl_ingest_docs": _jsonl_ingest_docs,
         "csv_ingest_sections": _csv_ingest_sections,
         "pmis_yby_flow": _pmis_yby_flow,
@@ -410,28 +413,9 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality_flags": O.gopher_quality_flags_sql(pages_glob),
         "gopher_repetition_stats": O.gopher_repetition_sql(pages_glob),
         "url_host_filter": O.url_host_filter_sql(pages_glob),
-        # training-prep chunking: window cumsum + generate_series explode
-        "chunk_for_training": """
-            WITH t AS (
-              SELECT doc_id,
-                     CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS nt
-              FROM documents),
-            c AS (
-              SELECT doc_id, nt,
-                     CAST(coalesce(sum(nt) OVER (ORDER BY doc_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                         0) AS BIGINT) AS off
-              FROM t),
-            u AS (
-              SELECT doc_id, off, nt,
-                     unnest(generate_series(off // 512,
-                                            (off + nt - 1) // 512)) AS chunk_id
-              FROM c WHERE nt > 0)
-            SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-                   CAST(GREATEST(chunk_id * 512 - off, 0) AS BIGINT) AS tok_start,
-                   CAST(LEAST((chunk_id + 1) * 512 - off, nt) AS BIGINT) AS tok_end
-            FROM u
-        """,
+        # training-prep chunking: shared window-cumsum + generate_series
+        # explode (oracles._chunk_explode_sql)
+        "chunk_for_training": O.chunk_for_training_sql(),
         # quality-proportional importance sampling: the same splitmix64
         # uniform and int/const weight division recomputed in SQL
         "weighted_sample": f"""

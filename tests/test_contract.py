@@ -95,9 +95,11 @@ def test_correctness_cap_covers_priority_queries():
         # green and UNMODIFIED in r4 — yielded their slots; each keeps
         # an in-cap proxy: bloom shares decontaminate's oracle, the LSH
         # path is pytest-pinned equal to embedding_neardup_pairs)
-        # (jsonl_ingest_docs later yielded its slot to the fourth new op
-        # by the same rule — pytest-pinned frozen-fixture read, CSV
-        # ingest twin in-cap)
+        # (jsonl_ingest_docs later yielded its slot to the fourth new
+        # op, and csv_ingest_sections its slot to prep_to_chunks — BOTH
+        # ingest ops now sit in the tail: r1-r3 driver-green,
+        # unmodified since r2, deterministic frozen-fixture parses with
+        # pytest byte-stability pins)
         "scrub_docs", "c4_line_filter", "gopher_quality_flags",
         "gopher_repetition_stats",
         # late-r4 new ops (distinct_vals, row_count and

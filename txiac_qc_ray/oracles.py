@@ -168,24 +168,18 @@ def prep_corpus_sql(jaccard_threshold: float = 0.5, eval_mod: int = 50,
     """
 
 
-def prep_to_chunks_sql(context_len: int = 256,
-                       jaccard_threshold: float = 0.5, eval_mod: int = 50,
-                       min_overlap: int = 5, min_tokens: int = 10,
-                       max_mean_tok_len: float = 12.0) -> str:
-    """End-to-end training-export twin: the prep CTEs composed with the
-    window-cumsum + generate_series chunk explode over the survivors'
-    global token stream (doc_id order)."""
-    C = int(context_len)
-    ctes = _prep_surv_ctes(jaccard_threshold, eval_mod, min_overlap,
-                           min_tokens, max_mean_tok_len)
-    return f"""
-    WITH RECURSIVE {ctes},
+def _chunk_explode_sql(source: str, C: int) -> str:
+    """The concat-and-chunk explode (window cumsum over doc_id order +
+    generate_series span split) over `source` rows (doc_id, n_tokens) —
+    appended after a WITH block; shared by chunk_for_training_sql and
+    prep_to_chunks_sql so the span math can never drift between them."""
+    return f""",
     c AS (
       SELECT doc_id, CAST(n_tokens AS BIGINT) AS nt,
              CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
                  0) AS BIGINT) AS off
-      FROM surv),
+      FROM {source}),
     u AS (
       SELECT doc_id, off, nt,
              unnest(generate_series(off // {C},
@@ -196,6 +190,30 @@ def prep_to_chunks_sql(context_len: int = 256,
            CAST(LEAST((chunk_id + 1) * {C} - off, nt) AS BIGINT) AS tok_end
     FROM u
     """
+
+
+def chunk_for_training_sql(context_len: int = 512) -> str:
+    """Whole-corpus concat-and-chunk twin (token_counts' \\S+ tokens)."""
+    return f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT)
+                 AS n_tokens
+      FROM documents){_chunk_explode_sql("t", int(context_len))}"""
+
+
+def prep_to_chunks_sql(context_len: int = 256,
+                       jaccard_threshold: float = 0.5, eval_mod: int = 50,
+                       min_overlap: int = 5, min_tokens: int = 10,
+                       max_mean_tok_len: float = 12.0) -> str:
+    """End-to-end training-export twin: the prep CTEs composed with the
+    shared chunk explode over the survivors' global token stream
+    (doc_id order)."""
+    ctes = _prep_surv_ctes(jaccard_threshold, eval_mod, min_overlap,
+                           min_tokens, max_mean_tok_len)
+    return (f"""
+    WITH RECURSIVE {ctes}"""
+            + _chunk_explode_sql("surv", int(context_len)))
 
 
 def decontaminate_sql(eval_mod: int = 50, min_overlap: int = 5) -> str:

@@ -2294,11 +2294,15 @@ def _prep_survivors(sf_dir: str, jaccard_threshold: float, eval_mod: int,
         sel = ~np.asarray(pc.is_in(t["doc_id"], value_set=ks))
         sel &= vid % eval_mod != 0  # eval split is never training data
         t = t.filter(pa.array(sel))
-        n_tok = np.asarray(pc.count_substring_regex(t["text"], r"\S+"),
-                           dtype=np.int64)
-        alpha = np.asarray(
+        # fill_null BEFORE the numpy cast: np.asarray(arrow null) goes
+        # through NaN -> int64 which is platform-undefined; 0 fails the
+        # min_tokens gate deterministically (matching the SQL twin,
+        # where NULL fails the comparison)
+        n_tok = np.asarray(pc.fill_null(pc.cast(
+            pc.count_substring_regex(t["text"], r"\S+"), pa.int64()), 0))
+        alpha = np.asarray(pc.fill_null(pc.cast(
             pc.utf8_length(pc.replace_substring(t["text"], " ", "")),
-            dtype=np.int64)
+            pa.int64()), 0))
         with np.errstate(divide="ignore", invalid="ignore"):
             mean_len = np.where(n_tok > 0, alpha / n_tok, np.inf)
         ok = (n_tok >= min_tokens) & (mean_len <= max_mean_tok_len)
