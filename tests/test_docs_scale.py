@@ -369,3 +369,29 @@ def test_chunk_for_training_layout_invariance(ray_session, tmp_path):
                 .sort_values(["doc_id", "chunk_id"], ignore_index=True))
 
     pd.testing.assert_frame_equal(run(one), run(many))
+
+
+def test_vocab_topk_cms_matches_exact(ray_session, tmp_path):
+    """The count-min scale twin must (a) never underestimate, (b) agree
+    with the exact vocab_topk on the fixture's top-k set, and (c) have
+    exact counts here (vocab << 2^w_bits makes collisions negligible —
+    if one ever lands, the >= bound still holds and (b)/(c) localize it)."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from txiac_qc_ray.pipelines import docs as D
+
+    exact = D.vocab_topk(SF, k=15)
+    approx = D.vocab_topk_cms(SF, k=15)
+    assert list(approx["tok"]) == list(exact["tok"])
+    assert (approx["cnt_approx"].to_numpy()
+            >= exact["cnt"].to_numpy()).all()
+    assert (approx["cnt_approx"].to_numpy()
+            == exact["cnt"].to_numpy()).all()
+    # empty corpus -> typed empty
+    t = pq.read_table(f"{SF}/documents.parquet").schema.empty_table()
+    d = str(tmp_path)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    out = D.vocab_topk_cms(d)
+    assert len(out) == 0 and list(out.columns) == ["tok", "cnt_approx"]

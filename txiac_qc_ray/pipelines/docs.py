@@ -1597,6 +1597,87 @@ def vocab_topk(sf_dir: str, k: int = 20) -> pd.DataFrame:
     return out[["tok", "cnt"]].reset_index(drop=True)
 
 
+def vocab_topk_cms(sf_dir: str, k: int = 20, w_bits: int = 13,
+                   d: int = 4, cand_per_batch: int = 256) -> pd.DataFrame:
+    """APPROXIMATE global vocabulary top-k — the scale twin of
+    `vocab_topk` for the regime where even the vocabulary-sized shuffle
+    is too wide (web-scale vocabularies with URLs/typos run to billions
+    of distinct tokens). Count-min sketch (Cormode & Muthukrishnan
+    2005, public algorithm): each batch emits (1) the NONZERO cells of
+    its local d x 2^w_bits sketch — cell sums merge by a groupby-SUM
+    whose output is CONSTANT in the corpus (<= d * 2^w_bits rows) —
+    and (2) its `cand_per_batch` locally-heaviest tokens (a global
+    heavy hitter is a local heavy hitter in some batch, so the true
+    top-k is always nominated; the candidate union is o(vocabulary)).
+    The driver assembles the sketch and scores only the candidates:
+    est(tok) = min_j sketch[j][hash_j(tok)], which NEVER underestimates
+    — a true heavy hitter cannot be displaced except by collision
+    inflation of a light token, bounded by eps ~ e/2^w_bits of total
+    token mass per row. Deterministic (fnv1a64 + salted mix64, no
+    RNG). Not SQL-value-checkable (approximate), so it ships
+    pytest-pinned against the exact `vocab_topk` instead of a
+    queries() row. -> (tok, cnt_approx) sorted (cnt desc, tok asc)."""
+    w = 1 << w_bits
+    salts = (np.uint64(0x9E3779B97F4A7C15)
+             * np.arange(1, d + 1, dtype=np.uint64))
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        tv = ts.tokenize(t["text"].combine_chunks()
+                         if isinstance(t["text"], pa.ChunkedArray)
+                         else t["text"])
+        if tv.ids is None or len(tv.flat) == 0:
+            return pa.table({"cell": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64()),
+                             "tok": pa.array([], pa.string())})
+        cnt = np.bincount(tv.ids, minlength=len(tv.dictionary)).astype(np.int64)
+        h = fnv1a64(tv.dictionary)
+        cells, sums = [], []
+        for j in range(d):
+            col = (_mix64(h + salts[j]) % np.uint64(w)).astype(np.int64)
+            key = j * w + col
+            uniq, inv = np.unique(key, return_inverse=True)
+            cells.append(uniq)
+            sums.append(np.bincount(inv, weights=cnt).astype(np.int64))
+        top = np.argsort(cnt)[::-1][:cand_per_batch]
+        n_cells = sum(len(c) for c in cells)
+        return pa.table({
+            "cell": np.concatenate(cells + [np.full(len(top), -1, np.int64)]),
+            "cnt": np.concatenate(sums + [cnt[top]]),
+            "tok": pa.concat_arrays([
+                pa.nulls(n_cells, pa.string()),
+                pc.cast(pc.take(tv.dictionary, pa.array(top)), pa.string()),
+            ]),
+        })
+
+    parts = ds.map_batches(partials, batch_format="pyarrow").materialize()
+    cell_sums = ensure_columns(
+        parts.filter(expr="cell >= 0")
+             .groupby("cell").aggregate(RaySum("cnt", alias_name="cnt"))
+             .to_pandas(),
+        {"cell": "int64", "cnt": "int64"})  # <= d * w rows: constant
+    cand = ensure_columns(
+        parts.filter(expr="cell < 0")
+             .groupby("tok").aggregate(Count())
+             .to_pandas(),
+        {"tok": "object", "count()": "int64"})  # o(vocab) distinct strings
+    if not len(cand):
+        return pd.DataFrame({"tok": pd.Series([], dtype="object"),
+                             "cnt_approx": pd.Series([], dtype="int64")})
+    sketch = np.zeros(d * w, dtype=np.int64)
+    sketch[cell_sums["cell"].to_numpy()] = cell_sums["cnt"].to_numpy()
+    toks = pa.array(cand["tok"].tolist(), type=pa.string())
+    h = fnv1a64(toks)
+    est = np.full(len(cand), np.iinfo(np.int64).max)
+    for j in range(d):
+        col = (_mix64(h + salts[j]) % np.uint64(w)).astype(np.int64)
+        est = np.minimum(est, sketch[j * w + col])
+    out = pd.DataFrame({"tok": cand["tok"].to_numpy(), "cnt_approx": est})
+    out = out.sort_values(["cnt_approx", "tok"], ascending=[False, True],
+                          ignore_index=True)
+    return out.head(k).reset_index(drop=True)
+
+
 def deterministic_shuffle(sf_dir: str) -> ray.data.Dataset:
     """Replayable training-order shuffle: global order by
     (mix64(doc_id), doc_id) — a seeded `random_shuffle` cannot be
