@@ -349,12 +349,13 @@ def _pmis_counters(sf_dir: str):
 
 def _jsonl_ingest_docs(_sf_dir: str):
     """JSONL source parity (S1 family, third format after Parquet+CSV):
-    ray.data.read_json over the frozen 500-row fixture; the DuckDB twin
-    reads the SAME file via read_json_auto, so parse fidelity (unicode
-    text, int64 ids) is value-checked end to end."""
-    import ray.data
+    sources.jsonl.read_docs_jsonl over the frozen 500-row fixture (the
+    same reader handles .jsonl.gz — pytest-pinned gz==plain); the
+    DuckDB twin reads the SAME file via read_json_auto, so parse
+    fidelity (unicode text, int64 ids) is value-checked end to end."""
+    from txiac_qc_ray.sources.jsonl import read_docs_jsonl
 
-    ds = ray.data.read_json(_DOCS_JSONL)
+    ds = read_docs_jsonl(_DOCS_JSONL)
     df = ds.select_columns(["doc_id", "text", "lang", "source", "n_chars"]).to_pandas()
     df["doc_id"] = df["doc_id"].astype("int64")
     df["n_chars"] = df["n_chars"].astype("int64")

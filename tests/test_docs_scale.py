@@ -395,3 +395,25 @@ def test_vocab_topk_cms_matches_exact(ray_session, tmp_path):
     pq.write_table(t, os.path.join(d, "documents.parquet"))
     out = D.vocab_topk_cms(d)
     assert len(out) == 0 and list(out.columns) == ["tok", "cnt_approx"]
+
+
+def test_jsonl_gz_source_equals_plain(ray_session, tmp_path):
+    """Gzipped line-JSON (the shipping format of web corpora) must parse
+    identically to the plain file through the same reader, and a mixed
+    plain+gz list must be rejected loudly."""
+    import gzip
+    import os
+    import shutil
+
+    from txiac_qc_ray.sources.jsonl import read_docs_jsonl
+
+    src = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests", "data", "docs_sample.jsonl")
+    gz = str(tmp_path / "docs_sample.jsonl.gz")
+    with open(src, "rb") as f, gzip.open(gz, "wb") as g:
+        shutil.copyfileobj(f, g)
+    plain = read_docs_jsonl(src).to_pandas()
+    packed = read_docs_jsonl(gz).to_pandas()
+    pd.testing.assert_frame_equal(plain, packed)
+    with pytest.raises(ValueError):
+        read_docs_jsonl([src, gz])
