@@ -98,3 +98,43 @@ def test_sq_dists_matches_broadcast(x):
     exp = ((x[:, None, :] - cent[None, :, :]) ** 2).sum(-1)
     got = _sq_dists(x, cent)
     np.testing.assert_allclose(got, exp, atol=1e-9)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.integers(0, 13), min_size=1, max_size=5),
+       st.integers(0, 3),
+       st.data())
+def test_all_gram_runs_packed_equals_bruteforce(doc_sizes, vbits, data):
+    """The bit-packed one-lexsort n-gram grouping == a per-position
+    brute force, for every n in 2..10 at once, across id widths that
+    exercise 1..31 ids-per-word packings and multi-doc boundaries.
+    Token lengths are a function of the id (the tokenize() invariant
+    the charlen representative relies on)."""
+    from collections import Counter
+
+    from txiac_qc_ray.pipelines.webtext import _all_gram_runs
+
+    V = [2, 5, 700, 2**40][vbits]
+    T = sum(doc_sizes)
+    ids = np.array(data.draw(st.lists(
+        st.integers(0, V - 1), min_size=T, max_size=T)), dtype=np.int64)
+    doc_of = np.repeat(np.arange(len(doc_sizes)),
+                       doc_sizes).astype(np.int64)
+    uniq = np.unique(ids) if T else np.array([], dtype=np.int64)
+    lmap = {int(u): (int(u) % 4) + 1 for u in uniq}
+    lens = (np.array([lmap[int(i)] for i in ids], dtype=np.int64)
+            if T else np.zeros(0, np.int64))
+    ns = (2, 3, 4, 5, 6, 7, 8, 9, 10)
+    runs = _all_gram_runs(ids, doc_of, lens, ns)
+    cum = np.concatenate([[0], np.cumsum(lens)])
+    for n in ns:
+        doc_g, cnt, charlen = runs[n]
+        got = sorted(zip(doc_g.tolist(), cnt.tolist(), charlen.tolist()))
+        c, lg = Counter(), {}
+        for i in range(T - n + 1):
+            if doc_of[i] == doc_of[i + n - 1]:
+                key = (int(doc_of[i]),) + tuple(ids[i:i + n].tolist())
+                c[key] += 1
+                lg[key] = int(cum[i + n] - cum[i]) + (n - 1)
+        exp = sorted((k[0], v, lg[k]) for k, v in c.items())
+        assert got == exp, n
