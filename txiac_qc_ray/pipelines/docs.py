@@ -1613,10 +1613,18 @@ def vocab_topk_cms(sf_dir: str, k: int = 20, w_bits: int = 13,
     est(tok) = min_j sketch[j][hash_j(tok)], which NEVER underestimates
     — a true heavy hitter cannot be displaced except by collision
     inflation of a light token, bounded by eps ~ e/2^w_bits of total
-    token mass per row. Deterministic (fnv1a64 + salted mix64, no
-    RNG). Not SQL-value-checkable (approximate), so it ships
-    pytest-pinned against the exact `vocab_topk` instead of a
-    queries() row. -> (tok, cnt_approx) sorted (cnt desc, tok asc)."""
+    token mass per row. Deterministic hashing (fnv1a64 + salted mix64,
+    no RNG). APPROXIMATION CONTRACT, stated honestly: nomination is
+    guaranteed only for tokens whose frequency fraction reaches
+    ~1/cand_per_batch within at least one batch — a token ranked below
+    the local cut in EVERY batch is never scored, so an adversarially
+    sharded corpus can drop a true top-k token (raise cand_per_batch to
+    tighten); and because candidates come from per-batch cuts, the
+    returned rows can vary with Ray's block layout (the sketch CELL
+    sums are layout-invariant; the nomination stage is not — unlike the
+    HLL twin, whose register maxes are wholly layout-invariant). Not
+    SQL-value-checkable, so it ships pytest-pinned against the exact
+    `vocab_topk`. -> (tok, cnt_approx) sorted (cnt desc, tok asc)."""
     w = 1 << w_bits
     salts = (np.uint64(0x9E3779B97F4A7C15)
              * np.arange(1, d + 1, dtype=np.uint64))
@@ -1651,19 +1659,18 @@ def vocab_topk_cms(sf_dir: str, k: int = 20, w_bits: int = 13,
         })
 
     parts = ds.map_batches(partials, batch_format="pyarrow").materialize()
-    cell_sums = ensure_columns(
-        parts.filter(expr="cell >= 0")
-             .groupby("cell").aggregate(RaySum("cnt", alias_name="cnt"))
-             .to_pandas(),
-        {"cell": "int64", "cnt": "int64"})  # <= d * w rows: constant
     cand = ensure_columns(
         parts.filter(expr="cell < 0")
              .groupby("tok").aggregate(Count())
              .to_pandas(),
         {"tok": "object", "count()": "int64"})  # o(vocab) distinct strings
     if not len(cand):
-        return pd.DataFrame({"tok": pd.Series([], dtype="object"),
-                             "cnt_approx": pd.Series([], dtype="int64")})
+        return typed_empty({"tok": "object", "cnt_approx": "int64"})
+    cell_sums = ensure_columns(
+        parts.filter(expr="cell >= 0")
+             .groupby("cell").aggregate(RaySum("cnt", alias_name="cnt"))
+             .to_pandas(),
+        {"cell": "int64", "cnt": "int64"})  # <= d * w rows: constant
     sketch = np.zeros(d * w, dtype=np.int64)
     sketch[cell_sums["cell"].to_numpy()] = cell_sums["cnt"].to_numpy()
     toks = pa.array(cand["tok"].tolist(), type=pa.string())
