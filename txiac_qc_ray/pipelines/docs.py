@@ -798,15 +798,24 @@ def ngram_jaccard_pairs(sf_dir: str, threshold: float = 0.25,
         o2 = np.lexsort((dloc, hh))
         d2, h2 = dloc[o2], hh[o2]
         bounds = np.concatenate([[0], np.nonzero(np.diff(h2))[0] + 1, [len(h2)]])
-        pair_a, pair_b = [], []
-        for i in range(len(bounds) - 1):
-            s, e = bounds[i], bounds[i + 1]
-            if e - s >= 2:
-                ai, bj = np.triu_indices(e - s, k=1)
-                pair_a.append(d2[s:e][ai])
-                pair_b.append(d2[s:e][bj])
-        if pair_a:
-            key = np.concatenate(pair_a) * np.int64(n_local) + np.concatenate(pair_b)
+        # all within-run (i<j) pairs via run-offset arithmetic (VERDICT
+        # r4 item 3 — the per-run Python loop + triu_indices iterated
+        # once per duplicated shingle): element at local offset p of an
+        # L-run is the 'a' side of (L-1-p) pairs whose 'b' sides are the
+        # next 1..L-1-p elements, so one repeat for the 'a' indices and
+        # one blockwise arange (repeat/cumsum) for the 'b' offsets emit
+        # every pair at once; dloc asc per run keeps a < b by doc_id.
+        starts, lens = bounds[:-1], np.diff(bounds)
+        multi = lens >= 2
+        starts, lens = starts[multi], lens[multi]
+        if len(lens):
+            run_of = np.repeat(np.arange(len(lens)), lens)
+            pos = np.arange(int(lens.sum())) - np.repeat(np.cumsum(lens) - lens, lens)
+            counts_a = lens[run_of] - 1 - pos
+            a_idx = np.repeat(starts[run_of] + pos, counts_a)
+            blk0 = np.cumsum(counts_a) - counts_a
+            within = np.arange(int(counts_a.sum())) - np.repeat(blk0, counts_a)
+            key = d2[a_idx] * np.int64(n_local) + d2[a_idx + 1 + within]
             uniq_key, inter = np.unique(key, return_counts=True)
             ia, ib = uniq_key // n_local, uniq_key % n_local
         else:
