@@ -116,3 +116,32 @@ def test_dedup_rule_drops_copies(ray_session, dup_pages_dir, mode):
     pure_dups = copies[plain.loc[dup_urls, "keep"].to_numpy()]
     assert len(pure_dups) > 0
     assert (pure_dups["drop_reason"] == "exact_duplicate").all()
+
+
+def test_dedup_index_path_matches_broadcast(ray_session, dup_pages_dir):
+    """The high-dup-rate drop-set form (sharded-actor DropIndex, the
+    driver never holds the keys — VERDICT r4 item 1) must label exactly
+    the rows the broadcast sorted-array form labels."""
+    import ray
+
+    from txiac_qc_ray.pipelines.qc import (build_qc_pipeline,
+                                           exact_dup_loser_index,
+                                           exact_dup_loser_rowkeys,
+                                           read_pages)
+
+    d, base_urls, dup_urls = dup_pages_dir
+    cfg_bc = PipelineConfig()
+    cfg_bc.dup_rowkeys_ref = ray.put(exact_dup_loser_rowkeys(d, cfg_bc))
+    cfg_bc.rules = cfg_bc.rules + (DEDUP_RULE,)
+    bc = (build_qc_pipeline(read_pages(d), cfg_bc).to_pandas()
+          .sort_values("url", ignore_index=True))
+
+    cfg_ix = PipelineConfig()
+    cfg_ix.dup_rowkeys_ref = exact_dup_loser_index(d, cfg_ix, n_shards=3)
+    cfg_ix.rules = cfg_ix.rules + (DEDUP_RULE,)
+    ix = (build_qc_pipeline(read_pages(d), cfg_ix).to_pandas()
+          .sort_values("url", ignore_index=True))
+
+    assert (bc["rule_exact_duplicate"] == ix["rule_exact_duplicate"]).all()
+    assert (bc["keep"] == ix["keep"]).all()
+    assert (bc["drop_reason"].fillna("") == ix["drop_reason"].fillna("")).all()

@@ -466,3 +466,116 @@ def test_cc_min_label_large_pair_graph(ray_session):
     got = dict(zip(labels["node"], labels["label"]))
     touched = np.unique(np.concatenate([a, b]))
     assert all(got[int(t)] == int(ref_map[int(t)]) for t in touched)
+
+
+def _w(k: int) -> str:
+    """Unique 5-letter word (tokens are [a-z]+ runs — digits vanish)."""
+    s = ""
+    for _ in range(5):
+        s += chr(ord("a") + k % 26)
+        k //= 26
+    return s
+
+
+def test_prep_corpus_high_dup_rate_no_driver_sets(ray_session, tmp_path):
+    """VERDICT r4 item 1: a >=50%-exact-duplicate corpus (the regime
+    where the old driver-side Python drop sets were O(corpus)) runs the
+    prep composite through the sharded-actor DropIndex and still
+    value-matches the independent DuckDB twin. Near-dups are exact
+    copies (jaccard 1.0 — LSH can never miss them) and contamination
+    overlaps sit far below the 0.5 jaccard threshold, so the SQL
+    all-pairs oracle and the LSH+verify engine agree exactly."""
+    import os
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from txiac_qc_ray.oracles import prep_corpus_sql
+    from txiac_qc_ray.pipelines import docs as D
+
+    texts = []
+    # 240 unique base docs over disjoint vocabularies, 30 tokens each
+    for i in range(240):
+        texts.append(" ".join(_w(i * 40 + j) for j in range(30)))
+    # 300 exact copies: one of each base doc + a second copy of the
+    # first 60 -> 300/570 = 52.6% duplicate rows
+    texts += texts[:240] + texts[:60]
+    # 20 contaminated docs: an 8-token run lifted from an eval doc
+    # (doc_id % 50 == 0 -> 6 shared distinct trigrams >= min_overlap 5)
+    # inside 30 otherwise-unique tokens (jaccard ~0.1, far below 0.5)
+    for c in range(20):
+        ev = (c % 5) * 50  # eval doc ids 0,50,100,150,200
+        run = " ".join(_w(ev * 40 + j) for j in range(8))
+        own = " ".join(_w(200_000 + c * 40 + j) for j in range(30))
+        texts.append(run + " " + own)
+    # 10 quality-gate failures: 5 too-short, 5 mean-token-len > 12
+    for q in range(5):
+        texts.append(_w(300_000 + q) + " " + _w(300_100 + q))
+    for q in range(5):
+        texts.append(" ".join(_w(310_000 + q * 20 + j) * 7 for j in range(12)))
+
+    n = len(texts)
+    t = pa.table({
+        "doc_id": pa.array(range(n), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * n, pa.string()),
+        "source": pa.array([f"s{i % 3}" for i in range(n)], pa.string()),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    d = str(tmp_path)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+
+    # the loser feed really is corpus-scale here (the old set() regime)
+    assert D.exact_dedup_losers_ds(d).count() == 300
+    assert 300 / n >= 0.5
+
+    got = D.prep_corpus(d)
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"read_parquet('{d}/documents.parquet')")
+    exp = (con.execute(prep_corpus_sql()).fetchdf()
+           .sort_values("doc_id", ignore_index=True))
+    con.close()
+
+    assert len(got) == len(exp)
+    for col in ("doc_id", "n_chars", "n_tokens"):
+        np.testing.assert_array_equal(got[col].to_numpy().astype(np.int64),
+                                      exp[col].to_numpy().astype(np.int64))
+    for col in ("lang", "source"):
+        assert list(got[col]) == list(exp[col])
+    # sanity on the regimes: contaminated + quality-fail + eval rows out
+    assert not set(range(240, 540)) & set(got["doc_id"])  # every copy lost
+
+
+def test_dropindex_membership_roundtrip(ray_session):
+    """DropIndex unit contract: exact membership (bloom prefilter +
+    sharded actor verify) for int64 ids and for uint64 keys riding as
+    their twos-complement int64 view, across multiple add sources."""
+    import ray
+
+    from txiac_qc_ray.state.dropindex import DropIndex
+
+    idx = DropIndex(n_shards=3)
+    rng = np.random.default_rng(11)
+    a = rng.integers(0, 1 << 62, 5000).astype(np.int64)
+    # uint64-range keys: the int64 view is negative — must round-trip
+    b = (rng.integers(0, 1 << 63, 3000).astype(np.uint64)
+         + np.uint64(1 << 63)).astype(np.int64)
+    idx.add_ids(a[:2500])
+    idx.add_dataset(ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(a[2500:], pa.int64())})))
+    idx.add_dataset(ray.data.from_arrow(
+        pa.table({"key": pa.array(b, pa.int64())})), column="key")
+    idx.seal()
+    members = np.unique(np.concatenate([a, b]))
+    assert idx.size() == len(members)
+
+    probe = np.concatenate([a[::7], b[::5],
+                            rng.integers(0, 1 << 62, 4000).astype(np.int64)])
+    got = idx.contains(probe)
+    exp = np.isin(probe, members)
+    np.testing.assert_array_equal(got, exp)
+    # empty probe and all-miss probe
+    assert idx.contains(np.empty(0, dtype=np.int64)).shape == (0,)
+    assert not idx.contains(np.array([-12345], dtype=np.int64)).any()

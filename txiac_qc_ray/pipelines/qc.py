@@ -142,16 +142,19 @@ def page_row_keys(url_col, ts_col):
     return fnv1a64(pc.binary_join_element_wise(url_s, ts_s, "\x00"))
 
 
-def exact_dup_loser_rowkeys(paths: str | list[str],
-                            cfg: PipelineConfig | None = None):
+def exact_dup_loser_rowkeys_ds(paths: str | list[str],
+                               cfg: PipelineConfig | None = None):
     """Pass 0 of the `--dedup` launch flow: cross-document EXACT dedup
     over the extracted text. One streamed extract pass; (row key, url,
     text) rides a bounded-shard shuffle keyed on the text's content
     hash; within a shard the (min url, min key) row of each distinct
     text wins (exact TEXT compare — a hash collision can never merge
-    two documents) and every other row is a loser. Returns the sorted
-    uint64 row keys (page_row_keys: url + warc_ts) of the losers —
-    O(dup rate), the broadcastable drop side, never the winner list.
+    two documents) and every other row is a loser. Returns a streaming
+    Dataset of the losers' uint64 row keys (page_row_keys: url +
+    warc_ts) — O(dup rate), never the winner list; consumers either
+    collect it (exact_dup_loser_rowkeys, the broadcast fast path) or
+    stream it into a sharded index (exact_dup_loser_index, the
+    high-dup-rate path).
 
     A loser whose key EQUALS its group winner's key (rows identical in
     url AND warc_ts AND text — true indistinguishable copies) is
@@ -195,12 +198,40 @@ def exact_dup_loser_rowkeys(paths: str | list[str],
         lose = (~first) & (key != winner_key)  # keep indistinguishable copies
         return pd.DataFrame({"key": key[lose]})
 
-    df = (ds.map_batches(add_shard, **kw)
-          .groupby("shard").map_groups(losers, batch_format="pandas")
-          .to_pandas())
+    return (ds.map_batches(add_shard, **kw)
+            .groupby("shard").map_groups(losers, batch_format="pandas"))
+
+
+def exact_dup_loser_rowkeys(paths: str | list[str],
+                            cfg: PipelineConfig | None = None):
+    """Collected sorted-uint64 twin of `exact_dup_loser_rowkeys_ds` —
+    the broadcastable drop side for corpora whose dup rate keeps the
+    loser set driver-sized; `exact_dup_loser_index` is the sharded-actor
+    path beyond that (paths pytest-pinned identical)."""
+    import numpy as np
+
+    df = exact_dup_loser_rowkeys_ds(paths, cfg).to_pandas()
     if "key" not in df.columns:  # fully-unique corpus: no losers
         return np.zeros(0, dtype=np.uint64)
     return np.unique(df["key"].to_numpy().astype(np.uint64))
+
+
+def exact_dup_loser_index(paths: str | list[str],
+                          cfg: PipelineConfig | None = None,
+                          n_shards: int = 8):
+    """Scale path for the --dedup drop set (VERDICT r4 item 1): the
+    loser row keys stream straight from the bounded-shard dedup shuffle
+    into a sharded-actor membership index + 512 KiB bloom — the driver
+    never holds the keys, so a high-duplicate-rate crawl cannot OOM it.
+    mark_dup_losers accepts the returned DropIndex anywhere it accepts
+    the broadcast key-array ref (flag values pytest-pinned equal)."""
+    from ..state.dropindex import DropIndex
+
+    idx = DropIndex(n_shards)
+    # uint64 keys ride as their int64 twos-complement view — consistent
+    # on both add and probe (DropIndex contract)
+    idx.add_dataset(exact_dup_loser_rowkeys_ds(paths, cfg), column="key")
+    return idx.seal()
 
 
 def qc_label_documents(sf_dir: str, cfg: PipelineConfig | None = None,

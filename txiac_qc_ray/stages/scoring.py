@@ -42,22 +42,30 @@ def _models() -> tuple[LangIdModel, UnigramLM, ScrubStage]:
 
 def mark_dup_losers(batch: pa.Table, dup_rowkeys_ref) -> pa.Table:
     """Append the `is_dup_loser` feature (1.0 when this page's row key —
-    url + warc_ts, see qc.page_row_keys — is in the broadcast exact-dup
-    drop set, else 0.0) so the cross-document dedup decision becomes an
-    ordinary RuleSpec (config.DEDUP_RULE) evaluated by apply_rules —
-    flags, drop_reason and rule_flags stay uniform with every other
-    rule. The drop set is a sorted uint64 array read zero-copy from the
-    object store; the membership test is one searchsorted per batch."""
+    url + warc_ts, see qc.page_row_keys — is in the exact-dup drop set,
+    else 0.0) so the cross-document dedup decision becomes an ordinary
+    RuleSpec (config.DEDUP_RULE) evaluated by apply_rules — flags,
+    drop_reason and rule_flags stay uniform with every other rule.
+
+    Two drop-set forms (pytest-pinned identical): an ObjectRef to a
+    sorted uint64 key array (broadcast fast path, one searchsorted per
+    batch) or a state.dropindex.DropIndex (high-dup-rate path — the
+    keys live sharded across actors, the batch probes a 512 KiB bloom
+    and pays an actor round trip only for candidates)."""
     import ray
 
     from ..pipelines.qc import page_row_keys
+    from ..state.dropindex import DropIndex
 
-    hs = ray.get(dup_rowkeys_ref)
     uh = page_row_keys(batch.column("url"), batch.column("warc_ts"))
-    pos = np.searchsorted(hs, uh)
-    inb = pos < len(hs)
-    hit = np.zeros(len(uh), dtype=bool)
-    hit[inb] = hs[pos[inb]] == uh[inb]
+    if isinstance(dup_rowkeys_ref, DropIndex):
+        hit = dup_rowkeys_ref.contains(uh.astype(np.int64))
+    else:
+        hs = ray.get(dup_rowkeys_ref)
+        pos = np.searchsorted(hs, uh)
+        inb = pos < len(hs)
+        hit = np.zeros(len(uh), dtype=bool)
+        hit[inb] = hs[pos[inb]] == uh[inb]
     return batch.append_column("is_dup_loser",
                                pa.array(hit.astype(np.float64)))
 
