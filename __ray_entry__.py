@@ -75,55 +75,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from txiac_qc_ray.pipelines.qc import qc_label_documents
 
     # ORDER MATTERS: the driver records correctness rows for the FIRST 50
-    # entries only. Round-4 rotation (VERDICT r3 item 7): ALL 24 r3-tail
-    # queries move inside the cap so every query regains a driver-recorded
-    # row, and every operator MODIFIED this round (the 8 streaming-Dataset
-    # boundary ops, topk_per_group, ngram_jaccard_pairs, decontaminate_bloom,
-    # dedup_index_first_seen, distinct_count_users, plus r3-modified
-    # tumbling/hopping, ADVICE r3) sits inside the cap too. The rotated-out
-    # tail is exactly the set that is BOTH unmodified since r3 AND
-    # driver-green in CORRECTNESS_r03; scripts/check_oracle.py still sweeps
-    # all 74 locally every round.
+    # entries only. Round-5 rotation (VERDICT r4 item 7: every query must
+    # regain a driver-recorded row within two rounds): ALL 33 r4-tail
+    # queries move inside the cap, plus the flagship + PMIS anchors, the
+    # r5-MODIFIED ops (prep_corpus / prep_to_chunks — DropIndex drop
+    # sets; neardup_clusters_distributed — data-sized CC partitions) and
+    # the r5-NEW BPE family. The rotated-out tail is exactly the set
+    # that is BOTH unmodified in r5 AND driver-green in CORRECTNESS_r04;
+    # scripts/check_oracle.py still sweeps everything locally.
     return {
         # flagship QC pipeline (value-checked vs frozen golden parquet)
         "qc_label_documents": qc_label_documents,
-        # reference-parity PMIS anchors (frozen two-cycle fixture; the
-        # other four PMIS flows are r3-green + unmodified -> tail)
+        # reference-parity PMIS anchors (frozen two-cycle fixture)
         "pmis_audit_flow": _pmis_audit_flow,
         "pmis_counters": _pmis_counters,
-        # composite corpus prep + decontamination + keyword extraction,
-        # and the end-to-end prep->chunks training export (r4-NEW; takes
-        # csv_ingest_sections' slot — r1-r3 driver-green, unmodified
-        # since r2, frozen-fixture read pytest-pinned, and its JSONL
-        # ingest twin sits in the tail by the same argument)
+        # r5-MODIFIED: drop sets now ride a sharded-actor DropIndex
         "prep_corpus": D.prep_corpus,
         "prep_to_chunks": D.prep_to_chunks,
-        "decontaminate_bloom": D.decontaminate_bloom,       # r4-modified
-        "tfidf_top_terms": D.tfidf_top_terms,               # r4-modified
+        # r5-NEW frozen-BPE subword family (functions/bpe.py)
+        "token_counts_bpe": D.token_counts_bpe,
+        "chunk_for_training_bpe": D.chunk_for_training_bpe,
+        # ---- the 33 r4-tail queries, rotated back in (item 7) --------
+        "distinct_vals": R.distinct_vals,
+        "row_count": R.row_count,
+        "union_all_summaries": R.union_all_summaries,
+        "stratified_sample": R.stratified_sample,
+        "decontaminate": D.decontaminate_against,
+        "deterministic_shuffle": D.deterministic_shuffle,
+        "embedding_neardup_lsh": D.embedding_neardup_pairs_lsh,
+        "jsonl_ingest_docs": _jsonl_ingest_docs,
+        "csv_ingest_sections": _csv_ingest_sections,
+        "pmis_yby_flow": _pmis_yby_flow,
+        "pmis_county_summary": _pmis_county_summary,
+        "pmis_diff_histogram": _pmis_diff_histogram,
+        "pmis_yby_district": _pmis_yby_district,
+        "token_counts": D.token_counts_docs,
+        "quality_stats": D.quality_stats_docs,
+        "fingerprint_docs": D.fingerprint_docs,
+        "langid_docs": D.langid_docs,
+        "vocab_topk": D.vocab_topk,
+        "neardup_clusters": D.neardup_clusters,
+        "neardup_clusters_distributed": D.neardup_clusters_distributed,  # r5-modified
+        "simhash_docs": D.simhash_docs,
+        "simhash_neardup_pairs": D.simhash_neardup_pairs,
+        "dedup_adjacent_tokens": D.dedup_adjacent_tokens,
+        "embedding_neardup_pairs": D.embedding_neardup_pairs,
+        "ann_topk_bruteforce": D.ann_topk_bruteforce,
+        "ann_topk_lsh": D.ann_topk_lsh,
+        "ann_topk_ivf": D.ann_topk_ivf,
+        "tolerance_join": R.tolerance_join,
+        "quantile_thresholds": R.quantile_thresholds_q,
+        "grouped_variance": R.grouped_variance,
+        "grouped_counters": R.grouped_counters,
+        "threshold_flag_audit": R.threshold_flag_audit,
+        "threshold_flag_two_sided": R.threshold_flag_two_sided,
+        # ---- r4-green heavyweights kept in-cap (spare slots) ---------
+        "exact_dedup": D.exact_dedup,
+        "exact_dedup_rows": D.exact_dedup_rows,
+        "minhash_lsh_dedup": D.minhash_lsh_candidates,
+        "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
+        "dedup_paragraphs": D.dedup_paragraphs,
+        "decontaminate_bloom": D.decontaminate_bloom,
+        "weighted_sample": D.weighted_sample,
+        "chunk_for_training": D.chunk_for_training,
+        # ---------------- 50-row cap ends here -------------------------
+        # (48 entries above; two slots reserved for the r5 embedding ops)
+        # tail: unmodified in r5 AND driver-green in CORRECTNESS_r04
+        # (still swept locally by scripts/check_oracle.py every round)
+        "tfidf_top_terms": D.tfidf_top_terms,
         "cap_per_host": D.cap_per_host,
-        # r4-NEW published web-text rule banks (pipelines/webtext.py)
-        # over the frozen deterministic pages corpus (PMIS-fixture style:
-        # the oracle SQL reads the same parquet bytes)
         "scrub_docs": _scrub_docs,
         "c4_line_filter": _c4_line_filter,
         "gopher_quality_flags": _gopher_quality_flags,
         "gopher_repetition_stats": _gopher_repetition_stats,
-        "url_host_filter": _url_host_filter,                # r4-NEW
-        # r4-NEW training-prep ops: concat-and-chunk sequence packing via
-        # a two-phase distributed prefix scan, and replayable quality-
-        # proportional importance sampling
-        "chunk_for_training": D.chunk_for_training,
-        "weighted_sample": D.weighted_sample,
-        # dedup family (r4-modified members + their exact anchors)
-        "exact_dedup": D.exact_dedup,
-        "exact_dedup_rows": D.exact_dedup_rows,             # r4-modified
-        "dedup_index_first_seen": D.dedup_index_first_seen,  # r4-modified
-        "dedup_paragraphs": D.dedup_paragraphs,             # r4-NEW
-        "minhash_lsh_dedup": D.minhash_lsh_candidates,
-        "ngram_jaccard_pairs": D.ngram_jaccard_pairs,       # r4-modified
+        "url_host_filter": _url_host_filter,
+        "dedup_index_first_seen": D.dedup_index_first_seen,
         "ann_topk_ivf_indexed": D.ann_topk_ivf_indexed,
-        # stream-shaped custom operators (all r4-modified: streaming
-        # Dataset boundary / distributed top-k finish)
         "asof_join": W.asof_join_clicks_errors,
         "session_windows": W.session_windows,
         "rolling_sum_cents": W.rolling_sum_cents,
@@ -131,11 +158,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_time_sum_cents": W.rolling_time_sum_cents,
         "running_total_cents": W.running_total_cents,
         "topk_per_group": W.topk_per_group,
-        "tumbling_window": R.tumbling_window,               # r3-modified
-        "hopping_window": R.hopping_window,                 # r3-modified
-        "distinct_count_users": R.distinct_count_users,     # r4-modified
+        "tumbling_window": R.tumbling_window,
+        "hopping_window": R.hopping_window,
+        "distinct_count_users": R.distinct_count_users,
         "multiway_join_agg": R.multiway_join_agg,
-        # r3 tail rotated into the cap (VERDICT r3 item 7)
         "grouped_quantiles": R.grouped_quantiles,
         "left_outer_join": R.left_outer_join,
         "tukey_fences": R.tukey_fences_q,
@@ -153,62 +179,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_desc_topk": R.sort_desc_topk,
         "ecdf_quantity": R.ecdf_quantity,
         "hash_sample": R.hash_sample,
-        # ---------------- 50-row cap ends here -------------------------
-        # distinct_vals, row_count and union_all_summaries (trivial
-        # generics, driver-green in r1-r3, unmodified in r4) yield their
-        # cap slots to the r4-new url_host_filter / chunk_for_training /
-        # weighted_sample; each keeps a stronger in-cap proxy
-        # (distinct_count_users counts distincts, group_size counts rows
-        # per group, multiway_join_agg unions/aggregates summaries)
-        "distinct_vals": R.distinct_vals,
-        "row_count": R.row_count,
-        "union_all_summaries": R.union_all_summaries,
-        # tail: unmodified since r3 AND driver-green in CORRECTNESS_r03
-        # (still swept locally by scripts/check_oracle.py every round).
-        # stratified_sample yields its cap slot to the r4-new
-        # dedup_paragraphs: it is a pure replayable filter, r3-green,
-        # and its twin hash_sample stays inside the cap. decontaminate,
-        # deterministic_shuffle and embedding_neardup_lsh (all r3-driver-
-        # green, unmodified in r4) yield theirs to the r4-new webtext
-        # rule banks; decontaminate_bloom shares decontaminate's oracle
-        # and embedding_neardup_lsh is pytest-pinned equal to
-        # embedding_neardup_pairs, so both keep an in-cap proxy.
-        "stratified_sample": R.stratified_sample,
-        "decontaminate": D.decontaminate_against,
-        "deterministic_shuffle": D.deterministic_shuffle,
-        "embedding_neardup_lsh": D.embedding_neardup_pairs_lsh,
-        # BOTH ingest ops now sit in the tail (jsonl yielded its slot to
-        # gopher_repetition_stats; csv later to prep_to_chunks): each is
-        # r1-r3 driver-green, unmodified since r2, a deterministic
-        # frozen-fixture parse with a pytest byte-stability pin — ingest
-        # has no distribution-sensitive path, so the local sweep is a
-        # sufficient regression signal for one round
-        "jsonl_ingest_docs": _jsonl_ingest_docs,
-        "csv_ingest_sections": _csv_ingest_sections,
-        "pmis_yby_flow": _pmis_yby_flow,
-        "pmis_county_summary": _pmis_county_summary,
-        "pmis_diff_histogram": _pmis_diff_histogram,
-        "pmis_yby_district": _pmis_yby_district,
-        "token_counts": D.token_counts_docs,
-        "quality_stats": D.quality_stats_docs,
-        "fingerprint_docs": D.fingerprint_docs,
-        "langid_docs": D.langid_docs,
-        "vocab_topk": D.vocab_topk,
-        "neardup_clusters": D.neardup_clusters,
-        "neardup_clusters_distributed": D.neardup_clusters_distributed,
-        "simhash_docs": D.simhash_docs,
-        "simhash_neardup_pairs": D.simhash_neardup_pairs,
-        "dedup_adjacent_tokens": D.dedup_adjacent_tokens,
-        "embedding_neardup_pairs": D.embedding_neardup_pairs,
-        "ann_topk_bruteforce": D.ann_topk_bruteforce,
-        "ann_topk_lsh": D.ann_topk_lsh,
-        "ann_topk_ivf": D.ann_topk_ivf,
-        "tolerance_join": R.tolerance_join,
-        "quantile_thresholds": R.quantile_thresholds_q,
-        "grouped_variance": R.grouped_variance,
-        "grouped_counters": R.grouped_counters,
-        "threshold_flag_audit": R.threshold_flag_audit,
-        "threshold_flag_two_sided": R.threshold_flag_two_sided,
     }
 
 
@@ -417,6 +387,11 @@ def oracle_sql() -> dict[str, str]:
         # training-prep chunking: shared window-cumsum + generate_series
         # explode (oracles._chunk_explode_sql)
         "chunk_for_training": O.chunk_for_training_sql(),
+        # frozen-BPE subword family: the merge table applied as staged
+        # nested REPLACEs over a fully-delimited symbol string (one
+        # spec, two engines — functions.bpe.bpe_ntok_ctes)
+        "token_counts_bpe": O.token_counts_bpe_sql(),
+        "chunk_for_training_bpe": O.chunk_for_training_bpe_sql(),
         # quality-proportional importance sampling: the same splitmix64
         # uniform and int/const weight division recomputed in SQL
         "weighted_sample": f"""

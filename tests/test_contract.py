@@ -63,71 +63,45 @@ def test_oracle_sql_parses():
 
 def test_correctness_cap_covers_priority_queries():
     """The driver records correctness rows for the FIRST 50 queries()
-    entries only; the flagship plus every operator MODIFIED in round 4
-    (streaming-Dataset boundary ops, the rewritten ngram/bloom/index/
-    distinct-count paths) and the r3-modified tumbling/hopping windows
-    must sit inside that cap (ADVICE r3: an op changed in a round may
-    not rely on the local sweep alone). A future reorder silently
-    dropping one of these from the record should fail here, not in the
-    next VERDICT."""
+    entries only. Round-5 policy (VERDICT r4 item 7: every query regains
+    a driver-recorded row within two rounds): the ENTIRE r4 tail (the 33
+    queries that rode only the local sweep in r4) is inside the cap,
+    plus the flagship + PMIS anchors and every op MODIFIED or NEW in r5
+    (ADVICE r3 rule: an op changed in a round may not rely on the local
+    sweep alone). The rotated-out tail is exactly the set that is BOTH
+    unmodified in r5 AND driver-green in CORRECTNESS_r04. A future
+    reorder silently dropping one of these from the record should fail
+    here, not in the next VERDICT."""
     import __ray_entry__ as E
 
     keys = list(E.queries())
     first50 = set(keys[:50])
-    priority = {
+    r4_tail = {
+        "distinct_vals", "row_count", "union_all_summaries",
+        "stratified_sample", "decontaminate", "deterministic_shuffle",
+        "embedding_neardup_lsh", "jsonl_ingest_docs", "csv_ingest_sections",
+        "pmis_yby_flow", "pmis_county_summary", "pmis_diff_histogram",
+        "pmis_yby_district", "token_counts", "quality_stats",
+        "fingerprint_docs", "langid_docs", "vocab_topk", "neardup_clusters",
+        "neardup_clusters_distributed", "simhash_docs",
+        "simhash_neardup_pairs", "dedup_adjacent_tokens",
+        "embedding_neardup_pairs", "ann_topk_bruteforce", "ann_topk_lsh",
+        "ann_topk_ivf", "tolerance_join", "quantile_thresholds",
+        "grouped_variance", "grouped_counters", "threshold_flag_audit",
+        "threshold_flag_two_sided",
+    }
+    assert len(r4_tail) == 33
+    priority = r4_tail | {
+        # permanent anchors
         "qc_label_documents", "pmis_audit_flow", "pmis_counters",
-        "prep_corpus",
-        # csv_ingest_sections yielded its slot to the r4-new
-        # prep_to_chunks: r1-r3 driver-green, unmodified since r2, the
-        # frozen-fixture read is pytest-pinned, and jsonl_ingest_docs
-        # sits in the tail by the same argument
-        "prep_to_chunks",
-        "decontaminate_bloom", "tfidf_top_terms",
-        "cap_per_host", "exact_dedup",
-        "exact_dedup_rows", "dedup_index_first_seen", "minhash_lsh_dedup",
-        "ngram_jaccard_pairs",
-        "ann_topk_ivf_indexed", "asof_join", "session_windows",
-        "rolling_sum_cents", "lag_diff", "rolling_time_sum_cents",
-        "running_total_cents", "topk_per_group", "tumbling_window",
-        "hopping_window", "distinct_count_users", "multiway_join_agg",
-        # late-r4 new ops must be driver-recorded (decontaminate,
-        # deterministic_shuffle, embedding_neardup_lsh — all r3-driver-
-        # green and UNMODIFIED in r4 — yielded their slots; each keeps
-        # an in-cap proxy: bloom shares decontaminate's oracle, the LSH
-        # path is pytest-pinned equal to embedding_neardup_pairs)
-        # (jsonl_ingest_docs later yielded its slot to the fourth new
-        # op, and csv_ingest_sections its slot to prep_to_chunks — BOTH
-        # ingest ops now sit in the tail: r1-r3 driver-green,
-        # unmodified since r2, deterministic frozen-fixture parses with
-        # pytest byte-stability pins)
-        "scrub_docs", "c4_line_filter", "gopher_quality_flags",
-        "gopher_repetition_stats",
-        # late-r4 new ops (distinct_vals, row_count and
-        # union_all_summaries — trivial generics, driver-green r1-r3,
-        # unmodified in r4 — yielded their slots; distinct_count_users /
-        # group_size / multiway_join_agg are stronger in-cap proxies)
-        "url_host_filter", "chunk_for_training", "weighted_sample",
+        # r5-modified (DropIndex drop sets; data-sized CC partitions is
+        # covered by neardup_clusters_distributed in the r4 tail above)
+        "prep_corpus", "prep_to_chunks",
+        # r5-new
+        "token_counts_bpe", "chunk_for_training_bpe",
     }
     missing = priority - first50
     assert not missing, f"priority queries past the 50-row cap: {missing}"
-    # the r4 rotation promise: every r3-tail query is inside the cap
-    r3_tail = {
-        "tumbling_window", "hopping_window", "grouped_quantiles",
-        "left_outer_join", "topk_per_group", "tukey_fences", "grouped_mean",
-        "grouped_mean_by_priority", "semi_join_agg", "anti_join_agg",
-        "project_derive", "timestamp_days", "filter_isin", "pair_concat",
-        "binned_histogram", "group_size", "pivot_sum_wide", "sort_desc_topk",
-        "ecdf_quantity",
-        "hash_sample",
-        # stratified_sample yielded its cap slot to the r4-new
-        # dedup_paragraphs (pure replayable filter; hash_sample twin
-        # stays inside the cap); distinct_vals, row_count and
-        # union_all_summaries later yielded theirs to url_host_filter /
-        # chunk_for_training / weighted_sample — 20 of the 24 r3-tail
-        # queries stay in-cap, meeting VERDICT r3 item 7's >=20 bar
-    }
-    assert r3_tail - first50 == set(), f"r3 tail not rotated in: {r3_tail - first50}"
-    assert "dedup_paragraphs" in first50, "r4-new op must be driver-recorded"
     # every query has an oracle twin (value-checked, not rows-only)
     assert set(E.oracle_sql()) == set(keys)
 

@@ -202,6 +202,27 @@ def chunk_for_training_sql(context_len: int = 512) -> str:
       FROM documents){_chunk_explode_sql("t", int(context_len))}"""
 
 
+def token_counts_bpe_sql() -> str:
+    """Frozen-BPE subword-count twin: the SAME merge table applied as
+    staged nested REPLACEs over a fully-delimited '(sym)' sequence
+    (functions.bpe.bpe_ntok_ctes documents the encoding and why the
+    stages exist — DuckDB's binder caps expression depth at 128)."""
+    from .functions.bpe import bpe_ntok_ctes
+
+    return ("WITH " + bpe_ntok_ctes()
+            + "\nSELECT doc_id, CAST(n_tokens AS BIGINT) AS n_subwords"
+              " FROM bpe_ntok")
+
+
+def chunk_for_training_bpe_sql(context_len: int = 256) -> str:
+    """Concat-and-chunk twin over the frozen-BPE subword stream: the
+    bpe CTE chain feeds the shared window-cumsum chunk explode."""
+    from .functions.bpe import bpe_ntok_ctes
+
+    return ("WITH " + bpe_ntok_ctes()
+            + _chunk_explode_sql("bpe_ntok", int(context_len)))
+
+
 def prep_to_chunks_sql(context_len: int = 256,
                        jaccard_threshold: float = 0.5, eval_mod: int = 50,
                        min_overlap: int = 5, min_tokens: int = 10,
