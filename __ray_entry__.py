@@ -138,8 +138,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_bloom": D.decontaminate_bloom,
         "weighted_sample": D.weighted_sample,
         "chunk_for_training": D.chunk_for_training,
+        # r5-NEW deterministic text->embedding stage + the end-to-end
+        # text -> embedding -> ANN composition (the reserved slots)
+        "embed_docs": D.embed_docs,
+        "ann_topk_from_text": D.ann_topk_from_text,
         # ---------------- 50-row cap ends here -------------------------
-        # (48 entries above; two slots reserved for the r5 embedding ops)
         # tail: unmodified in r5 AND driver-green in CORRECTNESS_r04
         # (still swept locally by scripts/check_oracle.py every round)
         "tfidf_top_terms": D.tfidf_top_terms,
@@ -392,6 +395,10 @@ def oracle_sql() -> dict[str, str]:
         # spec, two engines — functions.bpe.bpe_ntok_ctes)
         "token_counts_bpe": O.token_counts_bpe_sql(),
         "chunk_for_training_bpe": O.chunk_for_training_bpe_sql(),
+        # text->embedding (FNV/splitmix64 Rademacher projection in
+        # HUGEINT SQL) and its end-to-end ANN composition
+        "embed_docs": O.embed_docs_sql(),
+        "ann_topk_from_text": O.ann_topk_from_text_sql(),
         # quality-proportional importance sampling: the same splitmix64
         # uniform and int/const weight division recomputed in SQL
         "weighted_sample": f"""

@@ -99,6 +99,7 @@ def test_correctness_cap_covers_priority_queries():
         "prep_corpus", "prep_to_chunks",
         # r5-new
         "token_counts_bpe", "chunk_for_training_bpe",
+        "embed_docs", "ann_topk_from_text",
     }
     missing = priority - first50
     assert not missing, f"priority queries past the 50-row cap: {missing}"

@@ -579,3 +579,59 @@ def test_dropindex_membership_roundtrip(ray_session):
     # empty probe and all-miss probe
     assert idx.contains(np.empty(0, dtype=np.int64)).shape == (0,)
     assert not idx.contains(np.array([-12345], dtype=np.int64)).any()
+
+
+def test_embed_docs_tasks_equals_actors(ray_session):
+    """The actor-pool embedder (state in __init__) and the stateless
+    task form must produce identical embeddings."""
+    from txiac_qc_ray.pipelines.docs import embed_docs
+
+    a = (embed_docs(SF, mode="tasks").to_pandas()
+         .sort_values("doc_id", ignore_index=True))
+    b = (embed_docs(SF, mode="actors").to_pandas()
+         .sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(a, b)
+    assert list(a.columns) == ["doc_id"] + [f"e{j}" for j in range(16)]
+
+
+def test_ann_from_text_matches_single_process_reference(ray_session):
+    """End-to-end text -> embedding -> ANN: the fused streamed pipeline
+    must equal a single-process reference computed straight from the
+    raw text (tokens -> mix64(fnv) signs -> int sums -> cosine top-k),
+    proving the whole composition, not just the embedding stage."""
+    import pyarrow.parquet as pq
+
+    from txiac_qc_ray.functions.urls import fnv1a64
+    from txiac_qc_ray.pipelines.docs import (_EMBED_DIM, _mix64,
+                                             ann_topk_from_text)
+    from txiac_qc_ray.functions import textstats as ts
+
+    got = ann_topk_from_text(SF, k=5, query_mod=50)
+
+    t = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    tv = ts.tokenize(t["text"])
+    mixed = _mix64(fnv1a64(tv.dictionary))
+    bits = ((mixed[:, None] >> np.arange(_EMBED_DIM, dtype=np.uint64)) &
+            np.uint64(1)).astype(np.int64)
+    per_tok = (bits * 2 - 1)[tv.ids]
+    ids = np.asarray(t["doc_id"])
+    emb = np.zeros((len(ids), _EMBED_DIM), dtype=np.int64)
+    for j in range(_EMBED_DIM):
+        emb[:, j] = ts.seg_sum(per_tok[:, j].astype(np.float64),
+                               tv.offsets).astype(np.int64)
+    n2 = np.sum(emb * emb, axis=1)
+    is_q = (ids % 50 == 0) & (n2 > 0)
+    is_c = (ids % 50 != 0) & (n2 > 0)
+    rows = []
+    for qi in np.nonzero(is_q)[0][np.argsort(ids[is_q])]:
+        dots = (emb[qi] @ emb[is_c].T).astype(np.float64)
+        sims = dots / np.sqrt((n2[qi] * n2[is_c]).astype(np.float64))
+        cid = ids[is_c]
+        order = np.lexsort((cid, -sims))[:5]
+        for o in order:
+            rows.append((int(ids[qi]), int(cid[o]), sims[o]))
+    ref = pd.DataFrame(rows, columns=["qid", "nid", "sim"])
+    from txiac_qc_ray.pipelines.relational import round_half_away
+    ref["sim"] = round_half_away(ref["sim"].to_numpy(), 4)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), ref.reset_index(drop=True))

@@ -299,6 +299,59 @@ def mixed_list(hs: str, salt: int) -> str:
     return e
 
 
+def _embed_ctes() -> str:
+    """CTE block ending in `emb` (doc_id, e0..e15): the hashing/random-
+    projection embedder re-expressed in HUGEINT SQL — FNV-1a of each
+    [a-z]+ token, splitmix64 finalizer, per-dimension Rademacher sign
+    from bit j, integer sums (exact in both engines). Token-less docs
+    LEFT-JOIN back as the zero vector, matching the engine."""
+    from .pipelines.docs import _EMBED_DIM
+
+    sums = ", ".join(
+        f"CAST(sum(CASE WHEN ((m >> {j}) & 1) = 1 THEN 1 ELSE -1 END) "
+        f"AS BIGINT) AS e{j}" for j in range(_EMBED_DIM))
+    zeros = ", ".join(f"coalesce(e{j}, 0) AS e{j}" for j in range(_EMBED_DIM))
+    return f"""toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents),
+    fh AS (SELECT doc_id, {fnv_expr('tok')} AS f FROM toks),
+    mh AS (SELECT doc_id, {mix64_scalar('f')} AS m FROM fh),
+    eagg AS (SELECT doc_id, {sums} FROM mh GROUP BY doc_id),
+    emb AS (SELECT d.doc_id, {zeros}
+            FROM documents d LEFT JOIN eagg USING (doc_id))"""
+
+
+def embed_docs_sql() -> str:
+    """Text->embedding twin: (doc_id, e0..e15)."""
+    return f"WITH {_embed_ctes()}\n    SELECT * FROM emb"
+
+
+def ann_topk_from_text_sql(k: int = 5, query_mod: int = 50) -> str:
+    """End-to-end text -> embedding -> cosine top-k twin. Similarity is
+    dot / sqrt(na*nb) over the int embeddings — integer dot/norms exact,
+    sqrt and the division correctly rounded, so both engines produce
+    bit-identical sims; rank on the UNROUNDED sim (ties -> nid asc),
+    4dp half-away rounding only in the output (ann_topk_bruteforce
+    precedent)."""
+    from .pipelines.docs import _EMBED_DIM
+
+    dot = " + ".join(f"q.e{j} * c.e{j}" for j in range(_EMBED_DIM))
+    n2 = " + ".join(f"e{j} * e{j}" for j in range(_EMBED_DIM))
+    sim = f"CAST({dot} AS DOUBLE) / sqrt(CAST(q.n2 * c.n2 AS DOUBLE))"
+    return f"""
+    WITH {_embed_ctes()},
+    n AS (SELECT *, ({n2}) AS n2 FROM emb),
+    q AS (SELECT * FROM n WHERE doc_id % {query_mod} = 0 AND n2 > 0),
+    c AS (SELECT * FROM n WHERE doc_id % {query_mod} != 0 AND n2 > 0)
+    SELECT qid, nid, sim FROM (
+      SELECT q.doc_id AS qid, c.doc_id AS nid,
+             round({sim}, 4) AS sim,
+             row_number() OVER (PARTITION BY q.doc_id
+                                ORDER BY {sim} DESC, c.doc_id) AS rk
+      FROM q CROSS JOIN c) WHERE rk <= {k}
+    """
+
+
 def mix64_scalar(x: str) -> str:
     """splitmix64 finalizer of a scalar HUGEINT expression in [0, 2^64)
     (textual expansion — each xor step duplicates the operand text)."""
