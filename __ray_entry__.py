@@ -137,7 +137,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_paragraphs": D.dedup_paragraphs,
         "decontaminate_bloom": D.decontaminate_bloom,
         "weighted_sample": D.weighted_sample,
-        "chunk_for_training": D.chunk_for_training,
+        # r5-MODIFIED (Arrow-native partial top-k — chunk_for_training
+        # yielded its slot: r4-driver-green, unmodified in r5, and the
+        # in-cap chunk_for_training_bpe shares _chunk_token_stream)
+        "topk_per_group": W.topk_per_group,
         # r5-NEW deterministic text->embedding stage + the end-to-end
         # text -> embedding -> ANN composition (the reserved slots)
         "embed_docs": D.embed_docs,
@@ -160,7 +163,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lag_diff": W.lag_diff,
         "rolling_time_sum_cents": W.rolling_time_sum_cents,
         "running_total_cents": W.running_total_cents,
-        "topk_per_group": W.topk_per_group,
+        "chunk_for_training": D.chunk_for_training,
         "tumbling_window": R.tumbling_window,
         "hopping_window": R.hopping_window,
         "distinct_count_users": R.distinct_count_users,

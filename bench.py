@@ -81,31 +81,52 @@ def run_bench() -> dict:
         build_qc_pipeline(read_pages(corpus, num_blocks=n_blocks), cfg).write_parquet(out_dir)
         qc_sec = min(qc_sec, time.time() - t0)
 
-    # representative operator pipelines over the sf tables
+    queries = {}
+    if not os.environ.get("GRAFT_SKIP_QUERIES"):
+        if os.environ.get("GRAFT_SHARED_QUERIES"):
+            # fast local-iteration path: all queries share this session
+            for name, fn in _bench_query_fns(sf_dir, corpus):
+                queries[name] = _timed(fn, sf_dir)
+        else:
+            # Per-query PROCESS isolation (VERDICT r4 item 6: with every
+            # query sharing one session, object-store fill and worker
+            # state from earlier queries leaked into later timings —
+            # r4's driver numbers read tolerance_join 0.81 -> 1.52 s on
+            # an UNCHANGED path while the isolated table said 0.61).
+            # Each query gets a fresh process + Ray session running
+            # warm + best-of-2; the parent's session stays up for the
+            # headline only.
+            for name, _ in _bench_query_fns(sf_dir, corpus):
+                env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus),
+                           GRAFT_SF_DIR=sf_dir)
+                out = subprocess.run(
+                    [sys.executable, os.path.abspath(__file__), "--one", name],
+                    env=env, capture_output=True, text=True, check=True).stdout
+                queries[name] = json.loads(out.strip().splitlines()[-1])["sec"]
+
+    ray.shutdown()
+    return {
+        "metric": "qc_e2e_sec",
+        "value": round(qc_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / qc_sec, 1),
+    }
+
+
+def _bench_query_fns(sf_dir: str, corpus: str) -> list:
+    """The representative operator pipelines benched per round. The
+    web-text rule banks run over the FULL bench pages corpus (the
+    driver fixture is only 2k docs — not a perf signal)."""
     from txiac_qc_ray.pipelines import docs as D
     from txiac_qc_ray.pipelines import relational as R
+    from txiac_qc_ray.pipelines import webtext as WT
     from txiac_qc_ray.pipelines import windows as W
 
-    # Per-query isolation (VERDICT r2 item 6: r2's driver numbers for
-    # tumbling_window/exact_dedup were 2-3x BASELINE.md's because the
-    # first timed execution of a query also paid worker spin-up and page
-    # cache faults from whatever ran before): one untimed warm pass per
-    # query, then best of two timed passes — the steady-state number.
-    def timed(fn) -> float:
-        def run():
-            res = fn(sf_dir)
-            if hasattr(res, "to_pandas"):
-                res.to_pandas()
-        run()  # warm (untimed)
-        best = float("inf")
-        for _ in range(2):
-            t0 = time.time()
-            run()
-            best = min(best, time.time() - t0)
-        return round(best, 3)
-
-    queries = {}
-    query_list = [] if os.environ.get("GRAFT_SKIP_QUERIES") else [
+    return [
         ("grouped_counters", R.grouped_counters),
         ("tolerance_join", R.tolerance_join),
         ("tumbling_window", R.tumbling_window),
@@ -132,37 +153,58 @@ def run_bench() -> dict:
         ("chunk_for_training", D.chunk_for_training),
         ("weighted_sample", D.weighted_sample),
         ("prep_to_chunks", D.prep_to_chunks),
+        # r5: BPE subword family + text->embedding->ANN
+        ("token_counts_bpe", D.token_counts_bpe),
+        ("chunk_for_training_bpe", D.chunk_for_training_bpe),
+        ("embed_docs", D.embed_docs),
+        ("ann_topk_from_text", D.ann_topk_from_text),
+        ("scrub_docs", lambda _sf: WT.scrub_docs(corpus)),
+        ("c4_line_filter", lambda _sf: WT.c4_line_filter(corpus)),
+        ("gopher_quality_flags", lambda _sf: WT.gopher_quality_flags(corpus)),
+        ("gopher_repetition_stats",
+         lambda _sf: WT.gopher_repetition_stats(corpus)),
+        ("url_host_filter", lambda _sf: WT.url_host_filter(corpus)),
     ]
-    if not os.environ.get("GRAFT_SKIP_QUERIES"):
-        # web-text rule banks benched over the FULL bench pages corpus
-        # (the driver fixture is only 2k docs — not a perf signal);
-        # inside the skip guard so --scaling subprocesses stay
-        # flagship-only
-        from txiac_qc_ray.pipelines import webtext as WT
 
-        query_list += [
-            ("scrub_docs", lambda _sf: WT.scrub_docs(corpus)),
-            ("c4_line_filter", lambda _sf: WT.c4_line_filter(corpus)),
-            ("gopher_quality_flags",
-             lambda _sf: WT.gopher_quality_flags(corpus)),
-            ("gopher_repetition_stats",
-             lambda _sf: WT.gopher_repetition_stats(corpus)),
-            ("url_host_filter", lambda _sf: WT.url_host_filter(corpus)),
-        ]
-    for name, fn in query_list:
-        queries[name] = timed(fn)
 
+def _timed(fn, sf_dir: str) -> float:
+    """One untimed warm pass (worker spin-up, model caches, page cache),
+    then best of two timed passes — the steady-state number."""
+    def run():
+        res = fn(sf_dir)
+        if hasattr(res, "to_pandas"):
+            res.to_pandas()
+    run()  # warm (untimed)
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        run()
+        best = min(best, time.time() - t0)
+    return round(best, 3)
+
+
+def run_one_query(name: str) -> dict:
+    """Fresh-process single-query bench (the per-query isolation unit):
+    own Ray session, warm + best-of-2, one JSON line {"query","sec"}."""
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_docs = max(1000, int(4_000_000 * sf_of(sf_dir)))
+
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from txiac_qc_ray.sources.pages import default_pages_dir
+
+    corpus = default_pages_dir(n_docs)
+    fns = dict(_bench_query_fns(sf_dir, corpus))
+    sec = _timed(fns[name], sf_dir)
     ray.shutdown()
-    return {
-        "metric": "qc_e2e_sec",
-        "value": round(qc_sec, 3),
-        "unit": "sec",
-        "queries": queries,
-        "sf": sf,
-        "num_cpus": num_cpus,
-        "n_docs": n_docs,
-        "docs_per_sec": round(n_docs / qc_sec, 1),
-    }
+    return {"query": name, "sec": sec}
 
 
 def _probe_worker(args: tuple) -> float:
@@ -280,5 +322,7 @@ def run_scaling(lo: int = 4, hi: int = 16) -> dict:
 if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--one" in sys.argv:
+        print(json.dumps(run_one_query(sys.argv[sys.argv.index("--one") + 1])))
     else:
         print(json.dumps(run_bench()))

