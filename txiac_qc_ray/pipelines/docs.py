@@ -2607,10 +2607,22 @@ def _prep_survivors(sf_dir: str, jaccard_threshold: float, eval_mod: int,
     driver union-find."""
     from ..state.dropindex import DropIndex
 
+    def norm(t: pa.Table) -> pa.Table:
+        # normalize each feed to ONE (doc_id int64) schema — including
+        # Ray's zero-column empty-groupby blocks — so the three feeds
+        # union into a single push pass (one barrier, not three)
+        if "doc_id" not in t.column_names:
+            return pa.table({"doc_id": pa.array([], pa.int64())})
+        return pa.table({"doc_id": pc.cast(t["doc_id"], pa.int64())})
+
+    drops = (exact_dedup_losers_ds(sf_dir)
+             .map_batches(norm, batch_format="pyarrow")
+             .union(neardup_cluster_losers_ds(sf_dir, jaccard_threshold)
+                    .map_batches(norm, batch_format="pyarrow"))
+             .union(_contaminated_ids_ds(sf_dir, eval_mod, min_overlap)
+                    .map_batches(norm, batch_format="pyarrow")))
     idx = DropIndex(_prep_drop_index_shards(sf_dir))
-    idx.add_dataset(exact_dedup_losers_ds(sf_dir))
-    idx.add_dataset(neardup_cluster_losers_ds(sf_dir, jaccard_threshold))
-    idx.add_dataset(_contaminated_ids_ds(sf_dir, eval_mod, min_overlap))
+    idx.add_dataset(drops)
     idx.seal()
 
     ds = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source", "n_chars"])
