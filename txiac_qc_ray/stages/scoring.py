@@ -55,10 +55,13 @@ def mark_dup_losers(batch: pa.Table, dup_rowkeys_ref) -> pa.Table:
     import ray
 
     from ..pipelines.qc import page_row_keys
-    from ..state.dropindex import DropIndex
 
     uh = page_row_keys(batch.column("url"), batch.column("warc_ts"))
-    if isinstance(dup_rowkeys_ref, DropIndex):
+    # discriminate on ray.ObjectRef, NOT on the DropIndex class: the
+    # driver contract pickles txiac_qc_ray modules BY VALUE, so the
+    # worker-side DropIndex class object can be a clone of the one this
+    # instance was built from and isinstance would silently miss
+    if not isinstance(dup_rowkeys_ref, ray.ObjectRef):
         hit = dup_rowkeys_ref.contains(uh.astype(np.int64))
     else:
         hs = ray.get(dup_rowkeys_ref)

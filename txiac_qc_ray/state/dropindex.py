@@ -156,9 +156,12 @@ class DropIndex:
     def contains(self, ids: np.ndarray) -> np.ndarray:
         """Exact vectorized membership: bloom probe first (broadcast
         bitmap, zero RPC), actor verify only for the candidates."""
+        if self.bloom_ref is None:
+            raise RuntimeError("DropIndex.contains before seal() — the "
+                               "bloom prefilter is not built yet")
         ids = np.asarray(ids, dtype=np.int64)
         out = np.zeros(len(ids), dtype=bool)
-        if not len(ids) or self.bloom_ref is None:
+        if not len(ids):
             return out
         bm = ray.get(self.bloom_ref)
         cand = np.ones(len(ids), dtype=bool)
