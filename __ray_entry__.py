@@ -129,8 +129,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_counters": R.grouped_counters,
         "threshold_flag_audit": R.threshold_flag_audit,
         "threshold_flag_two_sided": R.threshold_flag_two_sided,
+        # r5-NEW (this session): sliding-window duplicate-substring
+        # fraction (Lee et al. 2021 signal) — takes exact_dedup's spare
+        # slot (r4-driver-green, unmodified in r5; exact_dedup_rows
+        # stays in-cap and shares its hash/verify core)
+        "dup_window_fraction": D.dup_window_fraction,
         # ---- r4-green heavyweights kept in-cap (spare slots) ---------
-        "exact_dedup": D.exact_dedup,
         "exact_dedup_rows": D.exact_dedup_rows,
         "minhash_lsh_dedup": D.minhash_lsh_candidates,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
@@ -148,6 +152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- 50-row cap ends here -------------------------
         # tail: unmodified in r5 AND driver-green in CORRECTNESS_r04
         # (still swept locally by scripts/check_oracle.py every round)
+        "exact_dedup": D.exact_dedup,  # yielded its slot to dup_window_fraction
         "tfidf_top_terms": D.tfidf_top_terms,
         "cap_per_host": D.cap_per_host,
         "scrub_docs": _scrub_docs,
@@ -393,6 +398,8 @@ def oracle_sql() -> dict[str, str]:
         # training-prep chunking: shared window-cumsum + generate_series
         # explode (oracles._chunk_explode_sql)
         "chunk_for_training": O.chunk_for_training_sql(),
+        # Lee-et-al-style sliding-window duplicate-substring fraction
+        "dup_window_fraction": O.dup_window_fraction_sql(),
         # frozen-BPE subword family: the merge table applied as staged
         # nested REPLACEs over a fully-delimited symbol string (one
         # spec, two engines — functions.bpe.bpe_ntok_ctes)

@@ -150,6 +150,7 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("dedup_index_first_seen", D.dedup_index_first_seen),
         ("ngram_jaccard_pairs", D.ngram_jaccard_pairs),
         ("dedup_paragraphs", D.dedup_paragraphs),
+        ("dup_window_fraction", D.dup_window_fraction),
         ("chunk_for_training", D.chunk_for_training),
         ("weighted_sample", D.weighted_sample),
         ("prep_to_chunks", D.prep_to_chunks),

@@ -343,3 +343,68 @@ def test_dedup_paragraphs_all_identical(ray_session, tmp_path):
     assert (got.loc[1:, "text_dedup"] == "").all()
     assert list(got["n_total_segs"]) == [2] * 30
     assert list(got["n_kept_segs"]) == [2] + [0] * 29
+
+
+def test_dup_window_fraction_semantics(ray_session, tmp_path):
+    """Sliding 3-token windows: only window texts occurring in >= 2
+    DISTINCT docs count; within-doc repeats alone do not; every
+    position of a shared text counts; shard count never changes the
+    answer."""
+    from txiac_qc_ray.pipelines import docs as D
+
+    texts = [
+        "alpha beta gamma delta epsilon",  # 0: shares 'alpha beta gamma' w/ 1
+        "alpha beta gamma zeta eta",       # 1
+        "pq rs pq rs pq rs",               # 2: within-doc repeats only
+        "uniq words only here now",        # 3: clean
+        "xy",                              # 4: too short -> 0 windows
+        "",                                # 5: empty
+    ]
+    d = _write_docs(tmp_path, texts)
+    got = _collect(D.dup_window_fraction(d, window_tokens=3, max_frac=0.3),
+                   ["doc_id"])
+    assert list(got["doc_id"]) == [0, 1, 2, 3, 4, 5]
+    assert list(got["n_windows"]) == [3, 3, 4, 3, 0, 0]
+    # docs 0/1 share exactly one window text at one position each
+    assert list(got["n_dup_windows"]) == [1, 1, 0, 0, 0, 0]
+    assert got.loc[4, "n_windows"] == 0 and pd.isna(got.loc[4, "dup_frac"])
+    assert list(got["keep"]) == [False, False, True, True, True, True]
+    alt = _collect(D.dup_window_fraction(d, window_tokens=3, max_frac=0.3,
+                                         n_shards=1), ["doc_id"])
+    pd.testing.assert_frame_equal(got, alt)
+
+
+def test_dup_window_fraction_adversarial_vs_sql(ray_session, tmp_path):
+    """~60%-duplicate corpus (boilerplate prefix shared by most docs,
+    plus exact dup pairs): engine == DuckDB twin value-for-value, and
+    no driver-side set of the shared-window population is ever built
+    (candidates ride the DropIndex)."""
+    import duckdb
+
+    from txiac_qc_ray import oracles as O
+    from txiac_qc_ray.pipelines import docs as D
+
+    words = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+             "do eiusmod tempor incididunt ut labore et dolore").split()
+    texts = []
+    for i in range(60):
+        body = " ".join(words[(i * 3) % 7:] + [f"tail{i} mark{i % 5}"])
+        if i % 3 == 0:
+            texts.append("shared boiler plate prefix spans many documents "
+                         + body)
+        elif i % 3 == 1:
+            texts.append(texts[-1])  # exact duplicate of the previous doc
+        else:
+            texts.append(body)
+    d = _write_docs(tmp_path, texts)
+    got = _collect(D.dup_window_fraction(d, window_tokens=8), ["doc_id"])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    want = (con.execute(O.dup_window_fraction_sql(8))
+            .df().sort_values("doc_id", ignore_index=True))
+    got["keep"] = got["keep"].astype(bool)
+    want["keep"] = want["keep"].astype(bool)
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False)
+    assert (got["n_dup_windows"] > 0).mean() > 0.5  # the corpus IS adversarial

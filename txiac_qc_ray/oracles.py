@@ -522,6 +522,44 @@ def dedup_paragraphs_sql(seg_tokens: int = 20) -> str:
     """
 
 
+def dup_window_fraction_sql(window_tokens: int = 8,
+                            max_frac: float = 0.3) -> str:
+    """Sliding-window cross-doc duplicate-fraction twin: windows via
+    1-based inclusive list slices over the [a-z]+ tokens of lower(text)
+    (ts.tokenize), shared = window text in >= 2 DISTINCT docs, dup count
+    = window POSITIONS whose text is shared. dup_frac is one int/int
+    double division (bit-equal to the engine); n_windows = 0 docs keep."""
+    w1 = window_tokens - 1
+    return rf"""
+    WITH tl AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+      FROM documents),
+    win AS (
+      SELECT doc_id, array_to_string(ts[i:i+{w1}], ' ') AS wtext
+      FROM tl CROSS JOIN
+           unnest(generate_series(1, coalesce(len(ts), 0) - {w1})) AS u(i)),
+    shared AS (
+      SELECT wtext FROM win GROUP BY wtext
+      HAVING count(DISTINCT doc_id) >= 2),
+    dup AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup
+      FROM win JOIN shared USING (wtext) GROUP BY doc_id),
+    nw AS (
+      SELECT doc_id,
+             CAST(greatest(coalesce(len(ts), 0) - {w1}, 0) AS BIGINT) AS n_windows
+      FROM tl)
+    SELECT d.doc_id, nw.n_windows,
+           coalesce(dup.n_dup, 0::BIGINT) AS n_dup_windows,
+           CASE WHEN nw.n_windows > 0
+                THEN CAST(coalesce(dup.n_dup, 0) AS DOUBLE)
+                     / CAST(nw.n_windows AS DOUBLE) END AS dup_frac,
+           (nw.n_windows = 0 OR
+            CAST(coalesce(dup.n_dup, 0) AS DOUBLE)
+            / CAST(greatest(nw.n_windows, 1) AS DOUBLE) <= {max_frac}) AS keep
+    FROM documents d JOIN nw USING (doc_id) LEFT JOIN dup USING (doc_id)
+    """
+
+
 def simhash_sql() -> str:
     return f"""
     WITH tok AS (

@@ -96,11 +96,21 @@ def _mix64(x: np.ndarray) -> np.ndarray:
 def token_ngram_hashes(texts: pa.Array, n: int = 3) -> tuple[np.ndarray, np.ndarray]:
     """(flat ngram hashes, offsets per doc) — word n-gram shingles, hashed
     to uint64; n-grams never cross documents."""
-    tv = ts.tokenize(texts)
+    h, offsets, _ = _ngram_hashes_tv(ts.tokenize(texts), n)
+    return h, offsets
+
+
+def _ngram_hashes_tv(tv: ts.TokenView, n: int
+                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(flat ngram hashes, per-doc offsets, flat-token start index of each
+    ngram) over an existing TokenView — shared core of token_ngram_hashes
+    and dup_window_fraction (which also needs the window texts, gathered
+    from tv.flat at starts+k)."""
     n_docs = len(tv.offsets) - 1
     counts = np.diff(tv.offsets)
     if len(tv.flat) < n:
-        return np.zeros(0, np.uint64), np.zeros(n_docs + 1, np.int64)
+        return (np.zeros(0, np.uint64), np.zeros(n_docs + 1, np.int64),
+                np.zeros(0, np.int64))
     tok_hash = fnv1a64(tv.flat)
     h = np.zeros(len(tok_hash) - n + 1, dtype=np.uint64)
     for k in range(n):
@@ -110,7 +120,7 @@ def token_ngram_hashes(texts: pa.Array, n: int = 3) -> tuple[np.ndarray, np.ndar
     new_counts = np.maximum(counts - (n - 1), 0)
     offsets = np.zeros(n_docs + 1, dtype=np.int64)
     np.cumsum(new_counts, out=offsets[1:])
-    return h[valid], offsets
+    return h[valid], offsets, np.nonzero(valid)[0].astype(np.int64)
 
 
 # ---- exact dedup (SURVEY.md §2.6: groupby(hash).first) -------------------
@@ -1525,6 +1535,188 @@ def dedup_paragraphs(sf_dir: str, seg_tokens: int = 20,
 
     return (both.map_batches(add_dshard, batch_format="pyarrow")
             .groupby("dshard").map_groups(reassemble, batch_format="pandas"))
+
+
+DUP_WINDOW_TOKENS = 8       # sliding-window width (tokens)
+DUP_WINDOW_MAX_FRAC = 0.3   # keep iff dup_frac <= this (Lee et al. spirit)
+
+
+def dup_window_fraction(sf_dir: str, window_tokens: int = DUP_WINDOW_TOKENS,
+                        max_frac: float = DUP_WINDOW_MAX_FRAC,
+                        n_shards: int | None = None) -> ray.data.Dataset:
+    """Cross-document duplicate-substring statistics over SLIDING
+    token windows (the "exact substring dedup" signal of Lee et al.
+    2021, *Deduplicating Training Data Makes Language Models Better*,
+    re-expressed window-wise: their suffix-array match of >= k tokens
+    across documents is exactly "some k-token sliding window occurs in
+    both"). Complements dedup_paragraphs (TUMBLING segments): windows
+    overlap, so a shared span is detected at every alignment, not only
+    when it lands on a segment boundary.
+
+    Per document: n_windows = max(n_tokens - W + 1, 0) over the
+    lowercased [a-z]+ tokens (ts.tokenize), n_dup_windows = how many of
+    its window POSITIONS carry a window text that occurs in >= 2
+    DISTINCT documents corpus-wide, dup_frac = n_dup/n_windows (null
+    when no windows), keep = n_windows == 0 OR dup_frac <= max_frac.
+
+    Scale shape (never ships window text for the full corpus — a
+    sliding window materializes W x the corpus if shipped naively):
+      1. hash pass: per batch, UNIQUE (window-hash, doc) pairs (house
+         position-salted xor-mix, _ngram_hashes_tv) shuffle on
+         shard(hash); a shard marks hashes seen in >= 2 docs ->
+         candidate hashes, a dup-rate-sized DATASET;
+      2. candidates stream into a DropIndex (bloom + sharded membership
+         actors, state/dropindex.py) — never a driver set;
+      3. verify pass: only windows whose hash probes the index ship
+         (hash, window TEXT, doc) to a shard groupby; groups on exact
+         text (collision-proof) count distinct docs and emit per-doc
+         dup-position partials;
+      4. accounting: per-doc sentinel rows (doc_id, n_windows) union the
+         partials, one doc-sharded groupby finishes. Streams end to end;
+         driver state is zero.
+
+    SQL twin: list-slice windows + HAVING count(DISTINCT doc_id) >= 2
+    (oracles.dup_window_fraction_sql). dup_frac is one int/int double
+    division — bit-equal across engines; same-text windows always share
+    a hash (hash is a pure function of the token tuple), so the engine's
+    candidate superset loses nothing.
+
+    Reference analog: Home.py:176-183's per-row rule flags — here the
+    flagged measure is a corpus-wide duplication statistic."""
+    W = int(window_tokens)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    _N = n_shards or _shard_count(sf_dir, "documents")
+    from ..state.dropindex import DropIndex
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        tv = ts.tokenize(t.column("text"))
+        h, off, _ = _ngram_hashes_tv(tv, W)
+        wdoc = np.repeat(np.asarray(t["doc_id"]), np.diff(off))
+        hi = h.view(np.int64)
+        order = np.lexsort((wdoc, hi))
+        hs, ws = hi[order], wdoc[order]
+        first = np.ones(len(hs), dtype=bool)
+        if len(hs) > 1:  # unique (hash, doc) per batch: pre-reduced shuffle
+            first[1:] = (hs[1:] != hs[:-1]) | (ws[1:] != ws[:-1])
+        return pa.table({
+            "shard": (hs[first].view(np.uint64) % np.uint64(_N)).astype(np.int64),
+            "whash": hs[first],
+            "doc_id": ws[first],
+        })
+
+    def shared_hashes(g: pd.DataFrame) -> pd.DataFrame:
+        if "whash" not in g.columns or not len(g):
+            return typed_empty({"whash": "int64"})
+        h = np.sort(g["whash"].to_numpy())
+        first = np.ones(len(h), dtype=bool)
+        first[1:] = h[1:] != h[:-1]
+        starts = np.nonzero(first)[0]
+        cnt = np.diff(np.append(starts, len(h)))  # rows are distinct docs
+        return pd.DataFrame({"whash": h[starts][cnt >= 2]})
+
+    cand = (ds.map_batches(hash_rows, batch_format="pyarrow")
+            .groupby("shard").map_groups(shared_hashes, batch_format="pandas"))
+    idx = DropIndex(_prep_drop_index_shards(sf_dir))
+    idx.add_dataset(cand, "whash")
+    idx.seal()
+
+    def cand_windows(t: pa.Table) -> pa.Table:
+        empty = pa.table({"shard": pa.array([], pa.int64()),
+                          "wtext": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64())})
+        if not t.num_rows:
+            return empty
+        tv = ts.tokenize(t.column("text"))
+        h, off, starts = _ngram_hashes_tv(tv, W)
+        hit = idx.contains(h.view(np.int64))
+        if not hit.any():
+            return empty
+        wdoc = np.repeat(np.asarray(t["doc_id"]), np.diff(off))[hit]
+        s = starts[hit]
+        flat = tv.flat.combine_chunks() if isinstance(tv.flat, pa.ChunkedArray) else tv.flat
+        cols = [flat.take(pa.array(s + k, type=pa.int64())) for k in range(W)]
+        wtext = pc.binary_join_element_wise(*cols, " ")
+        return pa.table({
+            "shard": (h[hit] % np.uint64(_N)).astype(np.int64),
+            "wtext": wtext,
+            "doc_id": wdoc,
+        })
+
+    def verify_count(g: pd.DataFrame) -> pd.DataFrame:
+        spec = {"doc_id": "int64", "n_windows": "int64",
+                "n_dup_windows": "int64"}
+        if "wtext" not in g.columns or not len(g):
+            return typed_empty(spec)
+        w = g["wtext"].to_numpy(dtype=object)
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((d, w))
+        w, d = w[order], d[order]
+        neww = np.ones(len(w), dtype=bool)
+        newd = np.ones(len(w), dtype=bool)
+        if len(w) > 1:
+            neww[1:] = w[1:] != w[:-1]
+            newd[1:] = neww[1:] | (d[1:] != d[:-1])
+        run_id = np.cumsum(neww) - 1
+        ndocs = np.bincount(run_id[newd])  # distinct docs per window text
+        dup_pos = ndocs[run_id] >= 2       # every POSITION of a shared text
+        if not dup_pos.any():
+            return typed_empty(spec)
+        dd = d[dup_pos]
+        uniq, n_dup = np.unique(dd, return_counts=True)
+        return pd.DataFrame({"doc_id": uniq,
+                             "n_windows": np.zeros(len(uniq), np.int64),
+                             "n_dup_windows": n_dup.astype(np.int64)})
+
+    partials = (ds.map_batches(cand_windows, batch_format="pyarrow")
+                .groupby("shard").map_groups(verify_count,
+                                             batch_format="pandas"))
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        low = pc.utf8_lower(pc.fill_null(t.column("text"), ""))
+        # count of maximal [a-z] runs == ts.tokenize token count
+        n_tok = np.asarray(pc.count_substring_regex(low, "[a-z]+"),
+                           dtype=np.int64)
+        nw = np.maximum(n_tok - (W - 1), 0)
+        return pa.table({"doc_id": t["doc_id"],
+                         "n_windows": pa.array(nw, pa.int64()),
+                         "n_dup_windows": pa.array(
+                             np.zeros(t.num_rows, np.int64))})
+
+    both = ds.map_batches(doc_rows, batch_format="pyarrow").union(partials)
+
+    def add_dshard(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "dshard", pa.array(np.asarray(t["doc_id"]) % np.int64(_N)))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        spec = {"doc_id": "int64", "n_windows": "int64",
+                "n_dup_windows": "int64", "dup_frac": "float64",
+                "keep": "bool"}
+        if "doc_id" not in g.columns or not len(g):
+            return typed_empty(spec)
+        d = g["doc_id"].to_numpy()
+        order = np.argsort(d, kind="stable")
+        d = d[order]
+        nw = g["n_windows"].to_numpy()[order]
+        nd = g["n_dup_windows"].to_numpy()[order]
+        change = np.ones(len(d), dtype=bool)
+        if len(d) > 1:
+            change[1:] = d[1:] != d[:-1]
+        gid = np.cumsum(change) - 1
+        uniq = d[change]
+        nw_s = np.bincount(gid, weights=nw).astype(np.int64)
+        nd_s = np.bincount(gid, weights=nd).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = np.where(nw_s > 0, nd_s / np.maximum(nw_s, 1), np.nan)
+        keep = (nw_s == 0) | (frac <= max_frac)
+        out = pd.DataFrame({"doc_id": uniq, "n_windows": nw_s,
+                            "n_dup_windows": nd_s, "dup_frac": frac,
+                            "keep": keep})
+        out.loc[nw_s == 0, "dup_frac"] = np.nan
+        return out
+
+    return (both.map_batches(add_dshard, batch_format="pyarrow")
+            .groupby("dshard").map_groups(finish, batch_format="pandas"))
 
 
 def decontaminate_against(sf_dir: str, eval_mod: int = 50,
