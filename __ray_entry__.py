@@ -140,7 +140,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
         "dedup_paragraphs": D.dedup_paragraphs,
         "decontaminate_bloom": D.decontaminate_bloom,
-        "weighted_sample": D.weighted_sample,
+        # r5-NEW (this session): CCNet-style per-language perplexity
+        # buckets — takes weighted_sample's spare slot (r4-driver-green
+        # + builder sf0.1 re-check, unmodified in r5)
+        "ccnet_ppl_buckets": D.ccnet_ppl_buckets,
         # r5-MODIFIED (Arrow-native partial top-k — chunk_for_training
         # yielded its slot: r4-driver-green, unmodified in r5, and the
         # in-cap chunk_for_training_bpe shares _chunk_token_stream)
@@ -153,6 +156,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tail: unmodified in r5 AND driver-green in CORRECTNESS_r04
         # (still swept locally by scripts/check_oracle.py every round)
         "exact_dedup": D.exact_dedup,  # yielded its slot to dup_window_fraction
+        "weighted_sample": D.weighted_sample,  # yielded to ccnet_ppl_buckets
         "tfidf_top_terms": D.tfidf_top_terms,
         "cap_per_host": D.cap_per_host,
         "scrub_docs": _scrub_docs,
@@ -400,6 +404,9 @@ def oracle_sql() -> dict[str, str]:
         "chunk_for_training": O.chunk_for_training_sql(),
         # Lee-et-al-style sliding-window duplicate-substring fraction
         "dup_window_fraction": O.dup_window_fraction_sql(),
+        # CCNet-style per-language perplexity buckets (frozen integer
+        # micro-nat cost table as VALUES; order-statistic thresholds)
+        "ccnet_ppl_buckets": O.ccnet_ppl_buckets_sql(),
         # frozen-BPE subword family: the merge table applied as staged
         # nested REPLACEs over a fully-delimited symbol string (one
         # spec, two engines — functions.bpe.bpe_ntok_ctes)

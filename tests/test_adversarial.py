@@ -408,3 +408,41 @@ def test_dup_window_fraction_adversarial_vs_sql(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got[want.columns.tolist()], want, check_dtype=False)
     assert (got["n_dup_windows"] > 0).mean() > 0.5  # the corpus IS adversarial
+
+
+def test_ccnet_ppl_buckets_semantics_and_ties(ray_session, tmp_path):
+    """Tie-heavy corpus: many docs share one exact score (same int
+    cost / token count), so the 1/3-rank threshold lands INSIDE the tie
+    run — every member must land in the same bucket in both engines;
+    null text and tokenless docs get NULL score/bucket and stay out of
+    the threshold population; head<=middle<=tail ordering holds."""
+    import duckdb
+
+    from txiac_qc_ray import oracles as O
+    from txiac_qc_ray.pipelines import docs as D
+
+    texts = (["the the the"] * 9            # one tied score x9 (all-vocab)
+             + ["zzzq zzzq"] * 6            # one tied OOV-heavy score x6
+             + ["the of and zzzq"] * 5      # mixed
+             + ["1234 5678", ""])           # tokenless + empty -> NULL
+    d = _write_docs(tmp_path, texts)
+    got = _collect(D.ccnet_ppl_buckets(d), ["doc_id"])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    want = (con.execute(O.ccnet_ppl_buckets_sql())
+            .df().sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False)
+    # tie runs are atomic: one bucket per distinct score
+    body = got[got["n_tok"] > 0]
+    assert (body.groupby("ppl_score")["ppl_bucket"].nunique() == 1).all()
+    # tokenless docs: NULL score and bucket
+    tail = got[got["n_tok"] == 0]
+    assert len(tail) == 2
+    assert tail["ppl_score"].isna().all() and tail["ppl_bucket"].isna().all()
+    # bucket order follows score order within a language
+    en = got[(got["lang_pred"] == "en") & (got["n_tok"] > 0)]
+    rank = {"head": 0, "middle": 1, "tail": 2}
+    srt = en.sort_values("ppl_score")
+    assert srt["ppl_bucket"].map(rank).is_monotonic_increasing

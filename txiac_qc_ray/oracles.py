@@ -824,7 +824,12 @@ def csv_ingest_sql(path_csv: str) -> str:
     """
 
 
-def langid_sql() -> str:
+def _langid_pred_ctes() -> str:
+    """CTE chain ending in `langpred(doc_id, lang_pred)` — the frozen
+    vocab-profile classifier re-expressed in SQL, shared by langid_sql
+    and ccnet_ppl_buckets_sql (one spec, two uses). Null text -> NULL
+    lang (the engine's LangIdModel returns None there; tokenless but
+    non-null text -> 'und')."""
     from .config import LANGID_LANGS, LANGID_MIN_SCORE, LANGID_UNKNOWN
     from .vocab import LANG_VOCABS
 
@@ -835,7 +840,7 @@ def langid_sql() -> str:
     )
     ord_rows = ", ".join(f"('{lang}', {i})" for i, lang in enumerate(LANGID_LANGS))
     return f"""
-    WITH vocab(lang, tok) AS (VALUES {vocab_rows}),
+    vocab(lang, tok) AS (VALUES {vocab_rows}),
     lang_order(lang, ord) AS (VALUES {ord_rows}),
     tok AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
@@ -857,12 +862,71 @@ def langid_sql() -> str:
       SELECT doc_id, lang, score,
              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, ord) AS rk
       FROM scores
-    )
-    SELECT d.doc_id,
-           CASE WHEN b.score IS NULL OR b.score < {LANGID_MIN_SCORE}
-                THEN '{LANGID_UNKNOWN}' ELSE b.lang END AS lang_pred
-    FROM documents d
-    LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+    ),
+    langpred AS (
+      SELECT d.doc_id,
+             CASE WHEN d.text IS NULL THEN NULL
+                  WHEN b.score IS NULL OR b.score < {LANGID_MIN_SCORE}
+                  THEN '{LANGID_UNKNOWN}' ELSE b.lang END AS lang_pred
+      FROM documents d
+      LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+    )"""
+
+
+def langid_sql() -> str:
+    return f"""
+    WITH {_langid_pred_ctes()}
+    SELECT doc_id, lang_pred FROM langpred
+    """
+
+
+def ccnet_ppl_buckets_sql() -> str:
+    """CCNet-style per-language perplexity-bucket twin: the frozen
+    integer micro-nat cost table (stages.perplexity.quantized_cost_table
+    — the SAME ints the engine uses) as VALUES; score = CAST(cost
+    sum)/CAST(n) double division; thresholds = the ceil(k*n/3)-th
+    smallest score per language via row_number (order statistics — no
+    interpolation, tie-proof across engines)."""
+    from .stages.perplexity import quantized_cost_table
+
+    vocab, costs, oov = quantized_cost_table()
+    cost_rows = ", ".join(
+        f"('{t}', {c})" for t, c in zip(vocab.to_pylist(), costs.tolist()))
+    return f"""
+    WITH {_langid_pred_ctes()},
+    cost(tok, c) AS (VALUES {cost_rows}),
+    ctok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents),
+    dcost AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(sum(coalesce(c.c, {oov})) AS BIGINT) AS total_cost
+      FROM ctok t LEFT JOIN cost c USING (tok) GROUP BY t.doc_id),
+    scored AS (
+      SELECT l.doc_id, l.lang_pred,
+             coalesce(d.n_tok, 0::BIGINT) AS n_tok,
+             CASE WHEN d.n_tok > 0
+                  THEN CAST(d.total_cost AS DOUBLE) / CAST(d.n_tok AS DOUBLE)
+             END AS ppl_score
+      FROM langpred l LEFT JOIN dcost d USING (doc_id)),
+    ranked AS (
+      SELECT lang_pred, ppl_score,
+             row_number() OVER (PARTITION BY lang_pred ORDER BY ppl_score) AS rn,
+             count(*) OVER (PARTITION BY lang_pred) AS n
+      FROM scored WHERE n_tok > 0),
+    th AS (
+      SELECT lang_pred,
+             max(CASE WHEN rn = CAST(ceil(n / 3.0) AS BIGINT)
+                      THEN ppl_score END) AS t1,
+             max(CASE WHEN rn = CAST(ceil(2 * n / 3.0) AS BIGINT)
+                      THEN ppl_score END) AS t2
+      FROM ranked GROUP BY lang_pred)
+    SELECT s.doc_id, s.lang_pred, s.n_tok, s.ppl_score,
+           CASE WHEN s.n_tok = 0 THEN NULL
+                WHEN s.ppl_score <= t.t1 THEN 'head'
+                WHEN s.ppl_score <= t.t2 THEN 'middle'
+                ELSE 'tail' END AS ppl_bucket
+    FROM scored s LEFT JOIN th t USING (lang_pred)
     """
 
 

@@ -2699,6 +2699,127 @@ def langid_docs(sf_dir: str) -> pd.DataFrame:
     return df.sort_values("doc_id", ignore_index=True)
 
 
+_CCNET_MODEL_CACHE: list = []
+
+
+def ccnet_ppl_buckets(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style per-language perplexity bucketing (Wenzek et al.
+    2020, *CCNet: Extracting High Quality Monolingual Datasets from Web
+    Crawl Data*, public): score every document with the frozen unigram
+    LM, then split each language's population into head/middle/tail at
+    its 1/3 and 2/3 quantiles (head = lowest perplexity = best).
+
+    Determinism / SQL-parity spec (one spec, two engines):
+      - tokens: lowercased [a-z]+ (ts.tokenize == the langid twin);
+      - lang: the frozen LangIdModel (same vocab VALUES in SQL);
+      - score: sum of frozen INTEGER micro-nat token costs
+        (stages.perplexity.quantized_cost_table; exp/log ran once at
+        freeze time) / token count — ONE int/int double division,
+        bit-equal across engines and monotone in the true perplexity;
+      - thresholds: t_k = the ceil(k*n/3)-th SMALLEST score per language
+        (an order statistic — no interpolation, well-defined under ties,
+        so both engines pick the same double);
+      - bucket: score <= t1 -> 'head', <= t2 -> 'middle', else 'tail';
+        docs with no tokens get NULL score/bucket and are excluded from
+        the threshold population.
+
+    Scale shape: one streamed scoring pass reduces the corpus to int
+    rows (doc_id, lang_pred, n_tok, total_cost) materialized ONCE
+    (~32 B/doc — the chunk-packer precedent, two consumers); the
+    threshold CDF is a groupby over DISTINCT (lang, cost, n) triples
+    (vocabulary-style bounded shuffle — the driver sees distinct triples
+    + counts, never the corpus); labeling is a second streamed pass with
+    the tiny {lang: (t1, t2)} dict in the closure. If even the distinct
+    triple table outgrows the driver, calibrate.grouped_sketch_digests
+    is the documented approximate alternative.
+
+    Reference analog: percentile threshold calibration (Home.py:337-365)
+    — here calibrated per language group."""
+    from ..stages.langid import LangIdModel
+    from ..stages.perplexity import quantized_cost_table
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    vocab, costs, oov = quantized_cost_table()
+
+    def score_batch(t: pa.Table) -> pa.Table:
+        if not _CCNET_MODEL_CACHE:  # frozen model, once per worker process
+            _CCNET_MODEL_CACHE.append(LangIdModel())
+        model = _CCNET_MODEL_CACHE[0]
+        text = t.column("text")
+        tv = ts.tokenize(text)
+        preds, _ = model.predict(text, tv)
+        n = ts.token_counts(tv).astype(np.int64)
+        total = np.zeros(len(n), dtype=np.int64)
+        if len(tv.flat) > 0:
+            didx = np.asarray(pc.fill_null(
+                pc.index_in(tv.dictionary, value_set=vocab), -1))
+            dcost = np.where(didx >= 0, costs[np.clip(didx, 0, None)],
+                             np.int64(oov))
+            total = ts.seg_sum(dcost[tv.ids], tv.offsets).astype(np.int64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang_pred": pa.array(preds, type=pa.string()),
+            "n_tok": pa.array(n, pa.int64()),
+            "total_cost": pa.array(total, pa.int64()),
+        })
+
+    scored = ds.map_batches(score_batch, batch_format="pyarrow").materialize()
+
+    def nonzero_only(t: pa.Table) -> pa.Table:
+        return t.filter(pc.greater(t["n_tok"], 0))
+
+    cdf = ensure_columns(
+        (scored.map_batches(nonzero_only, batch_format="pyarrow")
+         .groupby(["lang_pred", "total_cost", "n_tok"]).count().to_pandas()),
+        {"lang_pred": "object", "total_cost": "int64", "n_tok": "int64",
+         "count()": "int64"})
+
+    th: dict[str, tuple[float, float]] = {}
+    for lang, grp in cdf.groupby("lang_pred"):
+        score = (grp["total_cost"].to_numpy().astype(np.float64)
+                 / grp["n_tok"].to_numpy().astype(np.float64))
+        cnt = grp["count()"].to_numpy()
+        order = np.argsort(score, kind="stable")
+        s, c = score[order], cnt[order]
+        firsts = np.ones(len(s), dtype=bool)
+        firsts[1:] = s[1:] != s[:-1]  # distinct (cost,n) can tie as doubles
+        vals = s[firsts]
+        csum = np.cumsum(np.add.reduceat(c, np.nonzero(firsts)[0]))
+        ntot = int(csum[-1])
+        k1 = (ntot + 2) // 3        # == ceil(n/3): SQL ceil(n/3.0)
+        k2 = (2 * ntot + 2) // 3    # == ceil(2n/3)
+        t1 = vals[np.searchsorted(csum, k1)]  # k-th smallest score
+        t2 = vals[np.searchsorted(csum, k2)]
+        th[lang] = (float(t1), float(t2))
+
+    def label(t: pa.Table) -> pa.Table:
+        lang_arr = t["lang_pred"].combine_chunks() if isinstance(
+            t["lang_pred"], pa.ChunkedArray) else t["lang_pred"]
+        lang = np.asarray(lang_arr, dtype=object)
+        n = np.asarray(t["n_tok"], dtype=np.int64)
+        cost = np.asarray(t["total_cost"], dtype=np.int64)
+        pos = n > 0
+        score = np.full(len(n), np.nan, dtype=np.float64)
+        score[pos] = (cost[pos].astype(np.float64)
+                      / n[pos].astype(np.float64))
+        bucket = np.full(len(n), None, dtype=object)
+        for lg, (t1, t2) in th.items():
+            m = pos & (lang == lg)
+            if not m.any():
+                continue
+            bucket[m] = np.where(score[m] <= t1, "head",
+                                 np.where(score[m] <= t2, "middle", "tail"))
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "lang_pred": lang_arr,
+            "n_tok": t["n_tok"],
+            "ppl_score": pa.array(score, type=pa.float64(), mask=~pos),
+            "ppl_bucket": pa.array(bucket, type=pa.string()),
+        })
+
+    return scored.map_batches(label, batch_format="pyarrow")
+
+
 def prep_corpus(sf_dir: str, jaccard_threshold: float = 0.5,
                 eval_mod: int = 50, min_overlap: int = 5,
                 min_tokens: int = 10, max_mean_tok_len: float = 12.0) -> pd.DataFrame:

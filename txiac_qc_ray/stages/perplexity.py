@@ -78,3 +78,22 @@ def perplexity_batch(batch: pa.Table) -> pa.Table:
         _LM_CACHE.append(UnigramLM())
     ppl = _LM_CACHE[0].score(batch.column("text"))
     return batch.append_column("ppl", pa.array(ppl, type=pa.float64()))
+
+
+PPL_COST_SCALE = 1_000_000  # micro-nats: cost(tok) = round(-logp * SCALE)
+
+
+def quantized_cost_table() -> tuple[pa.Array, np.ndarray, int]:
+    """Frozen INTEGER per-token cost table for the CCNet-style bucket op
+    (pipelines.docs.ccnet_ppl_buckets): cost = round(-logp * 1e6) int64
+    over the UnigramLM vocab; OOV = round(-PPL_OOV_LOGP * 1e6). Integer
+    costs make the doc score (= cost sum / token count, ONE int/int
+    double division) bit-identical between the Ray engine and the DuckDB
+    twin: log/exp run once HERE at freeze time, never per engine — the
+    int table itself is the spec, embedded as VALUES in the SQL
+    (oracles.ccnet_ppl_buckets_sql). Monotone in the real unigram
+    perplexity, so quantile buckets over it are the CCNet buckets."""
+    lm = UnigramLM()
+    costs = np.rint(-lm.logp * PPL_COST_SCALE).astype(np.int64)
+    oov = int(np.rint(-PPL_OOV_LOGP * PPL_COST_SCALE))
+    return lm.vocab, costs, oov
