@@ -139,7 +139,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh_dedup": D.minhash_lsh_candidates,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
         "dedup_paragraphs": D.dedup_paragraphs,
-        "decontaminate_bloom": D.decontaminate_bloom,
+        # r5-NEW (this session): all-pairs top-k cosine self-join — takes
+        # decontaminate_bloom's spare slot (r4-driver-green, unmodified
+        # in r5; its exact sibling `decontaminate` stays in-cap above)
+        "knn_self_join": D.knn_self_join,
         # r5-NEW (this session): CCNet-style per-language perplexity
         # buckets — takes weighted_sample's spare slot (r4-driver-green
         # + builder sf0.1 re-check, unmodified in r5)
@@ -157,6 +160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (still swept locally by scripts/check_oracle.py every round)
         "exact_dedup": D.exact_dedup,  # yielded its slot to dup_window_fraction
         "weighted_sample": D.weighted_sample,  # yielded to ccnet_ppl_buckets
+        "decontaminate_bloom": D.decontaminate_bloom,  # yielded to knn_self_join
         "tfidf_top_terms": D.tfidf_top_terms,
         "cap_per_host": D.cap_per_host,
         "scrub_docs": _scrub_docs,
@@ -407,6 +411,8 @@ def oracle_sql() -> dict[str, str]:
         # CCNet-style per-language perplexity buckets (frozen integer
         # micro-nat cost table as VALUES; order-statistic thresholds)
         "ccnet_ppl_buckets": O.ccnet_ppl_buckets_sql(),
+        # all-pairs top-k cosine self-join (k-NN join)
+        "knn_self_join": O.knn_self_join_sql(),
         # frozen-BPE subword family: the merge table applied as staged
         # nested REPLACEs over a fully-delimited symbol string (one
         # spec, two engines — functions.bpe.bpe_ntok_ctes)

@@ -152,6 +152,7 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("dedup_paragraphs", D.dedup_paragraphs),
         ("dup_window_fraction", D.dup_window_fraction),
         ("ccnet_ppl_buckets", D.ccnet_ppl_buckets),
+        ("knn_self_join", D.knn_self_join),
         ("chunk_for_training", D.chunk_for_training),
         ("weighted_sample", D.weighted_sample),
         ("prep_to_chunks", D.prep_to_chunks),

@@ -446,3 +446,48 @@ def test_ccnet_ppl_buckets_semantics_and_ties(ray_session, tmp_path):
     rank = {"head": 0, "middle": 1, "tail": 2}
     srt = en.sort_values("ppl_score")
     assert srt["ppl_bucket"].map(rank).is_monotonic_increasing
+
+
+def test_knn_self_join_ties_and_small_corpus(ray_session, tmp_path):
+    """Duplicate vectors create EXACT similarity ties (sim 1.0 against
+    every copy) — the (sim desc, nid asc) tie-break must pick the same
+    neighbors as the SQL row_number twin; a corpus smaller than k
+    returns n-1 neighbors per vector, never the self match."""
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from txiac_qc_ray import oracles as O
+    from txiac_qc_ray.pipelines import docs as D
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 8))
+    # ids 0,1,2 identical; 3,4 identical; 5..11 distinct
+    vecs = np.concatenate([base[:1]] * 3 + [base[1:2]] * 2 + [base])
+    t = pa.table({
+        "vec_id": pa.array(range(len(vecs)), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs],
+                              pa.list_(pa.float32())),
+    })
+    pq.write_table(t, str(tmp_path / "embeddings.parquet"))
+    d = str(tmp_path)
+    got = _collect(D.knn_self_join(d, k=4), ["qid", "nid"])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{d}/embeddings.parquet'")
+    want = (con.execute(O.knn_self_join_sql(4))
+            .df().sort_values(["qid", "nid"], ignore_index=True))
+    pd.testing.assert_frame_equal(
+        got[["qid", "nid", "sim"]], want, check_dtype=False)
+    # each of the identical triplet ranks its two copies first (nid asc)
+    q0 = got[got["qid"] == 0].sort_values(["sim", "nid"],
+                                          ascending=[False, True])
+    assert list(q0["nid"])[:2] == [1, 2] and (q0["sim"].iloc[:2] == 1.0).all()
+
+    # tiny corpus: 3 vectors, k=5 -> exactly 2 neighbors each, no self
+    t3 = t.slice(0, 3)
+    d3 = tmp_path / "tiny"
+    d3.mkdir()
+    pq.write_table(t3, str(d3 / "embeddings.parquet"))
+    small = _collect(D.knn_self_join(str(d3), k=5), ["qid", "nid"])
+    assert len(small) == 6
+    assert (small["qid"] != small["nid"]).all()

@@ -100,7 +100,7 @@ def test_correctness_cap_covers_priority_queries():
         # r5-new
         "token_counts_bpe", "chunk_for_training_bpe",
         "embed_docs", "ann_topk_from_text",
-        "dup_window_fraction", "ccnet_ppl_buckets",
+        "dup_window_fraction", "ccnet_ppl_buckets", "knn_self_join",
         # r5-modified (Arrow-native partial top-k)
         "topk_per_group",
     }

@@ -522,6 +522,25 @@ def dedup_paragraphs_sql(seg_tokens: int = 20) -> str:
     """
 
 
+def knn_self_join_sql(k: int = 5) -> str:
+    """All-pairs top-k cosine self-join twin: rank on the UNROUNDED
+    similarity with the family's (sim desc, nid asc) tie-break, emit the
+    rounded sim (house ANN convention, same as ann_topk_bruteforce)."""
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb
+               FROM embeddings)
+    SELECT qid, nid, sim FROM (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             round(list_cosine_similarity(a.emb, b.emb), 4) AS sim,
+             row_number() OVER (
+                 PARTITION BY a.vec_id
+                 ORDER BY list_cosine_similarity(a.emb, b.emb) DESC, b.vec_id
+             ) AS rk
+      FROM e a JOIN e b ON a.vec_id != b.vec_id
+    ) WHERE rk <= {k}
+    """
+
+
 def dup_window_fraction_sql(window_tokens: int = 8,
                             max_frac: float = 0.3) -> str:
     """Sliding-window cross-doc duplicate-fraction twin: windows via

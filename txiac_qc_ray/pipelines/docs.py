@@ -1368,6 +1368,64 @@ def ann_topk_lsh(sf_dir: str, n_queries: int = 4, k: int = 5,
     return _merge_topk(parts, k)
 
 
+def knn_self_join(sf_dir: str, k: int = 5) -> ray.data.Dataset:
+    """All-pairs top-k cosine similarity SELF-join: for EVERY vector in
+    the embeddings table, its k nearest other vectors — the k-NN-join
+    generalization of ann_topk_bruteforce (whose queries are a fixed
+    probe set). The canonical "find each document's closest neighbors"
+    primitive behind near-dup review, cluster seeding and retrieval
+    eval.
+
+    -> streaming Dataset of (qid, nid, sim), k rows per vector (fewer
+    only when the table has <= k vectors), sim rounded half-away to 4
+    (house ANN convention; ranking happens on the UNROUNDED sims with
+    the family's (sim desc, nid asc) tie-break).
+
+    Shape: the normalized corpus is broadcast ONCE (ray.put — the
+    embedding table is the small side, _corpus_broadcast contract) and
+    every batch of the same table computes one (batch x corpus) matmul
+    + ONE row-vectorized stable argsort against it, emitting its own
+    rows' FINAL top-k — no shuffle, no merge, each row finished where
+    it was read. Stable argsort of -sims over nid-ascending columns
+    gives the exact (sim desc, nid asc) order, ties included. Self
+    matches are masked to -inf before ranking. Beyond-RAM corpora:
+    compose the IVF path (ann_topk_ivf / the hive index) per query
+    batch instead of the broadcast — same output contract.
+
+    SQL twin: self cross join (vec_id !=) + row_number <= k."""
+    ids_all, norm = _corpus_broadcast(sf_dir)
+    ref = ray.put((ids_all, norm))
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        empty = pa.table({"qid": pa.array([], pa.int64()),
+                          "nid": pa.array([], pa.int64()),
+                          "sim": pa.array([], pa.float64())})
+        if not t.num_rows:
+            return empty
+        aid, an = ray.get(ref)
+        if not len(aid):
+            return empty
+        vid = np.asarray(t["vec_id"])
+        m = emb_ndarray(t["embedding"])
+        mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+        sims = mn @ an.T                       # (batch, corpus)
+        sims[vid[:, None] == aid[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        # stable sort of -sims over nid-ascending columns == the exact
+        # (sim desc, nid asc) tie-break, vectorized across the batch
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        simk = np.take_along_axis(sims, order, axis=1).ravel()
+        nid = aid[order].ravel()
+        qid = np.repeat(vid, kk)
+        keep = np.isfinite(simk)               # drops self when corpus <= k
+        return pa.table({"qid": qid[keep],
+                         "nid": nid[keep].astype(np.int64),
+                         "sim": round_half_away(simk[keep], 4)})
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
 def dedup_adjacent_tokens(sf_dir: str) -> ray.data.Dataset:
     """Within-document repetition dedup as a TRANSFORM (north_rule:
     'within-document n-gram repetition dedup'): collapse immediately
