@@ -286,14 +286,24 @@ def test_cc_pointer_jump_deep_chain(ray_session):
     dst = np.concatenate([np.arange(1, n), np.arange(n - 1)]).astype(np.int64)
     edges = pd.DataFrame({"src": src, "dst": dst})
 
-    plain, r_plain = _cc_min_label(edges, max_iters=64)
-    jumped, r_jump = _cc_min_label(edges, max_iters=64, pointer_jump=True)
+    # single_task_max_rows=0 forces the DISTRIBUTED rounds (this test
+    # pins round counts; the default-path fast task reports 1 round)
+    plain, r_plain = _cc_min_label(edges, max_iters=64,
+                                   single_task_max_rows=0)
+    jumped, r_jump = _cc_min_label(edges, max_iters=64, pointer_jump=True,
+                                   single_task_max_rows=0)
     assert (plain["label"] == 0).all() and (jumped["label"] == 0).all()
     pd.testing.assert_frame_equal(
         plain.sort_values("node", ignore_index=True),
         jumped.sort_values("node", ignore_index=True))
     assert r_plain >= n - 2          # one hop per round
     assert r_jump <= 7               # frontier doubles per round
+    # the default single-task fast path: identical labels, 1 round
+    fast, r_fast = _cc_min_label(edges, max_iters=64)
+    pd.testing.assert_frame_equal(
+        fast.sort_values("node", ignore_index=True),
+        plain.sort_values("node", ignore_index=True))
+    assert r_fast == 1
 
 
 def test_chunk_for_training_semantics(ray_session, tmp_path):
@@ -466,6 +476,12 @@ def test_cc_min_label_large_pair_graph(ray_session):
     got = dict(zip(labels["node"], labels["label"]))
     touched = np.unique(np.concatenate([a, b]))
     assert all(got[int(t)] == int(ref_map[int(t)]) for t in touched)
+    # the distributed rounds (fast path disabled) agree on the same graph
+    from txiac_qc_ray.pipelines.docs import _cc_min_label as _cml
+    dist, _ = _cml(edges, max_iters=64, pointer_jump=True,
+                   single_task_max_rows=0)
+    got_d = dict(zip(dist["node"], dist["label"]))
+    assert all(got_d[int(t)] == int(ref_map[int(t)]) for t in touched)
 
 
 def _w(k: int) -> str:

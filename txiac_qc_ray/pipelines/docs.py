@@ -3114,8 +3114,34 @@ def _cc_num_partitions(n_edges: int, n_nodes: int,
     return int(max(4, -(-max(n_edges, n_nodes) // rows_per_partition)))
 
 
+@ray.remote(num_cpus=1)
+def _cc_labels_single_task(src: np.ndarray, dst: np.ndarray) -> pa.Table:
+    """Exact component-min labels for a ONE-PARTITION-sized edge list,
+    computed inside a single Ray task: vectorized min-label propagation
+    (np.minimum.at across edges) + pointer jumping (label <-
+    min(label, label[label])) until fixpoint — O(E) numpy work per
+    round, O(log diameter) rounds. Both edge directions must be present
+    (the _cc_min_label_ds contract), so src covers every node and the
+    propagation is symmetric; node ids index through the sorted unique
+    array, so the fixpoint label is the component's MIN node id —
+    identical to the distributed rounds' answer (pytest-pinned)."""
+    nodes, inv = np.unique(src, return_inverse=True)
+    d = np.searchsorted(nodes, dst)
+    lbl = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        new = lbl.copy()
+        np.minimum.at(new, d, lbl[inv])
+        new = np.minimum(new, new[new])
+        if np.array_equal(new, lbl):
+            break
+        lbl = new
+    return pa.table({"node": nodes.astype(np.int64), "label": nodes[lbl]})
+
+
 def _cc_min_label_ds(edges_pd: pd.DataFrame, max_iters: int = 64,
-                     pointer_jump: bool = False) -> tuple[ray.data.Dataset, int]:
+                     pointer_jump: bool = False,
+                     single_task_max_rows: int = 2_000_000
+                     ) -> tuple[ray.data.Dataset, int]:
     """Distributed min-label connected components over an undirected
     edge list (both directions present). Returns (labels DATASET with
     int64 (node, label=component min) — already materialized by the
@@ -3130,7 +3156,24 @@ def _cc_min_label_ds(edges_pd: pd.DataFrame, max_iters: int = 64,
     (classic pointer doubling / Shiloach-Vishkin shortcutting). Off by
     default: near-dup components are shallow (clusters of mutually
     similar docs), so the extra join per round costs more than the
-    saved rounds; turn it on for deep chain-shaped graphs."""
+    saved rounds; turn it on for deep chain-shaped graphs.
+
+    FAST PATH: an edge list that fits a single partition
+    (<= single_task_max_rows, the same 2M-row bound _cc_num_partitions
+    uses per partition) skips the distributed rounds entirely — one Ray
+    task computes the identical fixpoint vectorized
+    (_cc_labels_single_task) and the labels ride back as an Arrow ref
+    (from_arrow_refs; nothing extra lands on the driver). Each
+    distributed round costs 3+ cluster barriers (join, repartition,
+    groupby, fixpoint sum), which dominates wall time on small graphs;
+    the rounds only pay for themselves once the label table outgrows
+    one worker. Reported rounds = 1. Tests that pin ROUND COUNTS pass
+    single_task_max_rows=0 to force the distributed rounds."""
+    if 0 < len(edges_pd) <= single_task_max_rows:
+        ref = _cc_labels_single_task.remote(
+            edges_pd["src"].to_numpy(dtype=np.int64),
+            edges_pd["dst"].to_numpy(dtype=np.int64))
+        return ray.data.from_arrow_refs([ref]), 1
     nodes = np.unique(edges_pd["src"].to_numpy())
     n_parts = _cc_num_partitions(len(edges_pd), len(nodes))
     # from_arrow keeps every block Arrow-typed end to end (a pandas-block
@@ -3184,9 +3227,12 @@ def _cc_min_label_ds(edges_pd: pd.DataFrame, max_iters: int = 64,
 
 
 def _cc_min_label(edges_pd: pd.DataFrame, max_iters: int = 64,
-                  pointer_jump: bool = False) -> tuple[pd.DataFrame, int]:
+                  pointer_jump: bool = False,
+                  single_task_max_rows: int = 2_000_000
+                  ) -> tuple[pd.DataFrame, int]:
     """Collected twin of _cc_min_label_ds (tests / small graphs)."""
-    labels, rounds = _cc_min_label_ds(edges_pd, max_iters, pointer_jump)
+    labels, rounds = _cc_min_label_ds(edges_pd, max_iters, pointer_jump,
+                                      single_task_max_rows)
     out = labels.to_pandas()
     out["node"] = out["node"].astype(np.int64)
     out["label"] = out["label"].astype(np.int64)
