@@ -136,13 +136,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_window_fraction": D.dup_window_fraction,
         # ---- r4-green heavyweights kept in-cap (spare slots) ---------
         "exact_dedup_rows": D.exact_dedup_rows,
-        "minhash_lsh_dedup": D.minhash_lsh_candidates,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
         "dedup_paragraphs": D.dedup_paragraphs,
         # r5-NEW (this session): all-pairs top-k cosine self-join — takes
         # decontaminate_bloom's spare slot (r4-driver-green, unmodified
         # in r5; its exact sibling `decontaminate` stays in-cap above)
         "knn_self_join": D.knn_self_join,
+        # r5-NEW (this session): embedding-cosine near-dup clusters —
+        # takes minhash_lsh_dedup's spare slot (r4-driver-green,
+        # unmodified in r5; its pair source embedding_neardup_pairs and
+        # the minhash cluster twin neardup_clusters stay in-cap above)
+        "embedding_neardup_clusters": D.embedding_neardup_clusters,
         # r5-NEW (this session): CCNet-style per-language perplexity
         # buckets — takes weighted_sample's spare slot (r4-driver-green
         # + builder sf0.1 re-check, unmodified in r5)
@@ -161,6 +165,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": D.exact_dedup,  # yielded its slot to dup_window_fraction
         "weighted_sample": D.weighted_sample,  # yielded to ccnet_ppl_buckets
         "decontaminate_bloom": D.decontaminate_bloom,  # yielded to knn_self_join
+        "minhash_lsh_dedup": D.minhash_lsh_candidates,  # yielded to embedding_neardup_clusters
         "tfidf_top_terms": D.tfidf_top_terms,
         "cap_per_host": D.cap_per_host,
         "scrub_docs": _scrub_docs,
@@ -413,6 +418,8 @@ def oracle_sql() -> dict[str, str]:
         "ccnet_ppl_buckets": O.ccnet_ppl_buckets_sql(),
         # all-pairs top-k cosine self-join (k-NN join)
         "knn_self_join": O.knn_self_join_sql(),
+        # embedding-cosine near-dup clusters (recursive min-label walk)
+        "embedding_neardup_clusters": O.embedding_neardup_clusters_sql(),
         # frozen-BPE subword family: the merge table applied as staged
         # nested REPLACEs over a fully-delimited symbol string (one
         # spec, two engines — functions.bpe.bpe_ntok_ctes)

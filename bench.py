@@ -153,6 +153,7 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("dup_window_fraction", D.dup_window_fraction),
         ("ccnet_ppl_buckets", D.ccnet_ppl_buckets),
         ("knn_self_join", D.knn_self_join),
+        ("embedding_neardup_clusters", D.embedding_neardup_clusters),
         ("chunk_for_training", D.chunk_for_training),
         ("weighted_sample", D.weighted_sample),
         ("prep_to_chunks", D.prep_to_chunks),

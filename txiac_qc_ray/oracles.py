@@ -522,6 +522,28 @@ def dedup_paragraphs_sql(seg_tokens: int = 20) -> str:
     """
 
 
+def embedding_neardup_clusters_sql(threshold: float = 0.4) -> str:
+    """Connected components of the embedding-cosine pair graph via a
+    recursive min-label walk (same shape as neardup_clusters_sql over
+    the Jaccard graph)."""
+    return f"""
+    WITH RECURSIVE pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[]))
+            >= {threshold}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    walk(node, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    )
+    SELECT node AS vec_id, min(label) AS cluster_id FROM walk GROUP BY node
+    """
+
+
 def knn_self_join_sql(k: int = 5) -> str:
     """All-pairs top-k cosine self-join twin: rank on the UNROUNDED
     similarity with the family's (sim desc, nid asc) tie-break, emit the

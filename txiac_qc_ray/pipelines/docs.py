@@ -1202,6 +1202,32 @@ def embedding_neardup_pairs(sf_dir: str, threshold: float = 0.4) -> pd.DataFrame
     return df.sort_values(["id_a", "id_b"], ignore_index=True)
 
 
+def embedding_neardup_clusters(sf_dir: str,
+                               threshold: float = 0.4) -> pd.DataFrame:
+    """Embedding-cosine near-duplicate CLUSTERS: the connected
+    components of the cosine pair graph (sim >= threshold), cluster_id
+    = min vec_id of the component — completing the dedup matrix
+    (minhash near-dups already cluster via neardup_clusters; this is
+    the same contract over the embedding metric). Pairs come from the
+    exact broadcast-matmul path (embedding_neardup_pairs); at
+    beyond-RAM corpus scale swap in embedding_neardup_pairs_lsh (same
+    verified pairs, bucketed shuffle) — the CC stage is shared and
+    sizes itself (_cc_min_label: one vectorized task for
+    one-partition graphs, partitioned min-label rounds beyond).
+
+    SQL twin: cosine pair graph + recursive min-label walk."""
+    pairs = embedding_neardup_pairs(sf_dir, threshold)
+    if not len(pairs):
+        return typed_empty({"vec_id": "int64", "cluster_id": "int64"})
+    a = pairs["id_a"].to_numpy(dtype=np.int64)
+    b = pairs["id_b"].to_numpy(dtype=np.int64)
+    edges_pd = pd.DataFrame({"src": np.concatenate([a, b]),
+                             "dst": np.concatenate([b, a])})
+    labels, _ = _cc_min_label(edges_pd)
+    out = labels.rename(columns={"node": "vec_id", "label": "cluster_id"})
+    return out.sort_values("vec_id", ignore_index=True)
+
+
 _NEARDUP_LSH_PLANES = 3
 _NEARDUP_LSH_TABLES = 24
 
