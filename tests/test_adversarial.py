@@ -491,3 +491,33 @@ def test_knn_self_join_ties_and_small_corpus(ray_session, tmp_path):
     small = _collect(D.knn_self_join(str(d3), k=5), ["qid", "nid"])
     assert len(small) == 6
     assert (small["qid"] != small["nid"]).all()
+
+
+def test_dup_window_fraction_clean_corpus_shortcut(ray_session, tmp_path):
+    """A corpus with NO shared windows: every doc keeps, dup counts are
+    zero, and the answer matches the SQL twin (exercises the
+    empty-candidate fast path that skips the verify pass)."""
+    import duckdb
+
+    from txiac_qc_ray import oracles as O
+    from txiac_qc_ray.pipelines import docs as D
+
+    # letter-unique words: tokens are [a-z]+ runs, so digits would
+    # vanish and make every row identical — spell the row index out
+    def w(i, tag):
+        return tag + "abcdefghijklmnopqrst"[i]
+
+    texts = [" ".join(w(i, t) for t in ("aa", "bb", "cc", "dd", "ee"))
+             for i in range(20)]
+    d = _write_docs(tmp_path, texts)
+    got = _collect(D.dup_window_fraction(d, window_tokens=3), ["doc_id"])
+    assert (got["n_dup_windows"] == 0).all() and got["keep"].all()
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    want = (con.execute(O.dup_window_fraction_sql(3))
+            .df().sort_values("doc_id", ignore_index=True))
+    got["keep"] = got["keep"].astype(bool)
+    want["keep"] = want["keep"].astype(bool)
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False)

@@ -1703,6 +1703,11 @@ def dup_window_fraction(sf_dir: str, window_tokens: int = DUP_WINDOW_TOKENS,
     idx = DropIndex(_prep_drop_index_shards(sf_dir))
     idx.add_dataset(cand, "whash")
     idx.seal()
+    # clean corpus: no window hash is shared anywhere — the verify pass
+    # (a full read + shuffle) can be skipped and the accounting finishes
+    # from the doc sentinel rows alone (identical by construction; one
+    # constant-size actor round trip to learn this)
+    have_candidates = idx.size() > 0
 
     def cand_windows(t: pa.Table) -> pa.Table:
         empty = pa.table({"shard": pa.array([], pa.int64()),
@@ -1753,7 +1758,8 @@ def dup_window_fraction(sf_dir: str, window_tokens: int = DUP_WINDOW_TOKENS,
 
     partials = (ds.map_batches(cand_windows, batch_format="pyarrow")
                 .groupby("shard").map_groups(verify_count,
-                                             batch_format="pandas"))
+                                             batch_format="pandas")
+                ) if have_candidates else None
 
     def doc_rows(t: pa.Table) -> pa.Table:
         low = pc.utf8_lower(pc.fill_null(t.column("text"), ""))
@@ -1766,7 +1772,9 @@ def dup_window_fraction(sf_dir: str, window_tokens: int = DUP_WINDOW_TOKENS,
                          "n_dup_windows": pa.array(
                              np.zeros(t.num_rows, np.int64))})
 
-    both = ds.map_batches(doc_rows, batch_format="pyarrow").union(partials)
+    both = ds.map_batches(doc_rows, batch_format="pyarrow")
+    if partials is not None:
+        both = both.union(partials)
 
     def add_dshard(t: pa.Table) -> pa.Table:
         return t.append_column(
