@@ -137,7 +137,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- r4-green heavyweights kept in-cap (spare slots) ---------
         "exact_dedup_rows": D.exact_dedup_rows,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
-        "dedup_paragraphs": D.dedup_paragraphs,
+        # r5-NEW (this session): Lee-et-al exact-substring REMOVAL —
+        # takes dedup_paragraphs' spare slot (r4-driver-green,
+        # unmodified in r5; shares the window index/verify core with
+        # the in-cap dup_window_fraction)
+        "remove_dup_windows": D.remove_dup_windows,
         # r5-NEW (this session): all-pairs top-k cosine self-join — takes
         # decontaminate_bloom's spare slot (r4-driver-green, unmodified
         # in r5; its exact sibling `decontaminate` stays in-cap above)
@@ -166,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": D.weighted_sample,  # yielded to ccnet_ppl_buckets
         "decontaminate_bloom": D.decontaminate_bloom,  # yielded to knn_self_join
         "minhash_lsh_dedup": D.minhash_lsh_candidates,  # yielded to embedding_neardup_clusters
+        "dedup_paragraphs": D.dedup_paragraphs,  # yielded to remove_dup_windows
         "tfidf_top_terms": D.tfidf_top_terms,
         "cap_per_host": D.cap_per_host,
         "scrub_docs": _scrub_docs,
@@ -413,6 +418,8 @@ def oracle_sql() -> dict[str, str]:
         "chunk_for_training": O.chunk_for_training_sql(),
         # Lee-et-al-style sliding-window duplicate-substring fraction
         "dup_window_fraction": O.dup_window_fraction_sql(),
+        # Lee-et-al exact-substring removal (covered-position anti-join)
+        "remove_dup_windows": O.remove_dup_windows_sql(),
         # CCNet-style per-language perplexity buckets (frozen integer
         # micro-nat cost table as VALUES; order-statistic thresholds)
         "ccnet_ppl_buckets": O.ccnet_ppl_buckets_sql(),

@@ -151,6 +151,7 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("ngram_jaccard_pairs", D.ngram_jaccard_pairs),
         ("dedup_paragraphs", D.dedup_paragraphs),
         ("dup_window_fraction", D.dup_window_fraction),
+        ("remove_dup_windows", D.remove_dup_windows),
         ("ccnet_ppl_buckets", D.ccnet_ppl_buckets),
         ("knn_self_join", D.knn_self_join),
         ("embedding_neardup_clusters", D.embedding_neardup_clusters),

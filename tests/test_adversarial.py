@@ -521,3 +521,53 @@ def test_dup_window_fraction_clean_corpus_shortcut(ray_session, tmp_path):
     want["keep"] = want["keep"].astype(bool)
     pd.testing.assert_frame_equal(
         got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_remove_dup_windows_semantics(ray_session, tmp_path):
+    """Symmetric exact-substring removal: a 3-token span shared by two
+    docs vanishes from BOTH; within-doc repeats alone survive; overlap
+    of two shared windows removes the union of covered tokens; the
+    answer matches the SQL twin on a duplicate-heavy corpus."""
+    import duckdb
+
+    from txiac_qc_ray import oracles as O
+    from txiac_qc_ray.pipelines import docs as D
+
+    texts = [
+        "aa bb cc dd ee",     # 0: shares 'aa bb cc' AND 'bb cc dd' w/ 1
+        "aa bb cc dd zz",     # 1: -> tokens aa..dd covered in both
+        "pq rs pq rs pq rs",  # 2: within-doc repeats only -> untouched
+        "solo words here",    # 3: clean
+        "",                   # 4: empty
+    ]
+    d = _write_docs(tmp_path, texts)
+    got = _collect(D.remove_dup_windows(d, window_tokens=3), ["doc_id"])
+    assert list(got["doc_id"]) == [0, 1, 2, 3, 4]
+    assert list(got["text_dedup"]) == ["ee", "zz", texts[2], texts[3], ""]
+    assert list(got["n_tokens"]) == [5, 5, 6, 3, 0]
+    assert list(got["n_removed_tokens"]) == [4, 4, 0, 0, 0]
+    # shard invariance
+    alt = _collect(D.remove_dup_windows(d, window_tokens=3, n_shards=1),
+                   ["doc_id"])
+    pd.testing.assert_frame_equal(got, alt)
+
+    # duplicate-heavy corpus value-checked against the SQL twin
+    words = ("lorem ipsum dolor sit amet consectetur adipiscing elit sed "
+             "do eiusmod tempor incididunt").split()
+    many = []
+    for i in range(40):
+        body = " ".join(words[(i * 5) % 7:] + [f"tail{'x' * (i % 9 + 1)}"])
+        many.append(("common prefix shared across documents " + body)
+                    if i % 2 == 0 else body)
+    d2 = tmp_path / "many"
+    d2.mkdir()
+    dd = _write_docs(d2, many)
+    got2 = _collect(D.remove_dup_windows(dd, window_tokens=8), ["doc_id"])
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{dd}/documents.parquet'")
+    want2 = (con.execute(O.remove_dup_windows_sql(8))
+             .df().sort_values("doc_id", ignore_index=True))
+    pd.testing.assert_frame_equal(
+        got2[want2.columns.tolist()], want2, check_dtype=False)
+    assert (got2["n_removed_tokens"] > 0).mean() > 0.4

@@ -101,7 +101,7 @@ def test_correctness_cap_covers_priority_queries():
         "token_counts_bpe", "chunk_for_training_bpe",
         "embed_docs", "ann_topk_from_text",
         "dup_window_fraction", "ccnet_ppl_buckets", "knn_self_join",
-        "embedding_neardup_clusters",
+        "embedding_neardup_clusters", "remove_dup_windows",
         # r5-modified (Arrow-native partial top-k)
         "topk_per_group",
     }

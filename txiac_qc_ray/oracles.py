@@ -601,6 +601,50 @@ def dup_window_fraction_sql(window_tokens: int = 8,
     """
 
 
+def remove_dup_windows_sql(window_tokens: int = 8) -> str:
+    """Exact-substring removal twin: covered token positions = the
+    1-based union of [i, i+W-1] over every shared window start i
+    (engine: 0-based [wpos, wpos+W) — same set); anti-join the token
+    stream, ordered string_agg. Empty-after-removal and tokenless docs
+    both yield ''."""
+    w1 = window_tokens - 1
+    return rf"""
+    WITH tl AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+      FROM documents),
+    toks AS (
+      SELECT doc_id, unnest(ts) AS tok, generate_subscripts(ts, 1) AS pos
+      FROM tl),
+    win AS (
+      SELECT doc_id, i, array_to_string(ts[i:i+{w1}], ' ') AS wtext
+      FROM tl CROSS JOIN
+           unnest(generate_series(1, coalesce(len(ts), 0) - {w1})) AS u(i)),
+    shared AS (
+      SELECT wtext FROM win GROUP BY wtext
+      HAVING count(DISTINCT doc_id) >= 2),
+    cov AS (
+      SELECT DISTINCT w.doc_id, u.p
+      FROM win w JOIN shared USING (wtext)
+      CROSS JOIN unnest(generate_series(w.i, w.i + {w1})) AS u(p)),
+    kept AS (
+      SELECT t.doc_id, t.tok, t.pos
+      FROM toks t LEFT JOIN cov c ON c.doc_id = t.doc_id AND c.p = t.pos
+      WHERE c.doc_id IS NULL),
+    agg AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_dedup,
+             CAST(count(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id),
+    tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+            FROM toks GROUP BY doc_id)
+    SELECT d.doc_id, coalesce(a.text_dedup, '') AS text_dedup,
+           coalesce(t.n, 0::BIGINT) AS n_tokens,
+           coalesce(t.n, 0::BIGINT) - coalesce(a.n_kept, 0::BIGINT)
+               AS n_removed_tokens
+    FROM documents d LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN tot t USING (doc_id)
+    """
+
+
 def simhash_sql() -> str:
     return f"""
     WITH tok AS (

@@ -1625,6 +1625,83 @@ DUP_WINDOW_TOKENS = 8       # sliding-window width (tokens)
 DUP_WINDOW_MAX_FRAC = 0.3   # keep iff dup_frac <= this (Lee et al. spirit)
 
 
+def _shared_window_index(ds: ray.data.Dataset, W: int, _N: int, sf_dir: str):
+    """DropIndex of the window HASHES seen in >= 2 distinct documents —
+    the shared candidate-nomination stage of dup_window_fraction and
+    remove_dup_windows. One streamed pass emits per-batch-UNIQUE
+    (window-hash, doc) pairs to a bounded shard groupby; hashes whose
+    group spans >= 2 docs stream into the index (bloom + sharded
+    membership actors — never a driver set). Superset semantics: a hash
+    collision can nominate, the verify pass's exact-text grouping
+    discards it."""
+    from ..state.dropindex import DropIndex
+
+    def hash_rows(t: pa.Table) -> pa.Table:
+        tv = ts.tokenize(t.column("text"))
+        h, off, _ = _ngram_hashes_tv(tv, W)
+        wdoc = np.repeat(np.asarray(t["doc_id"]), np.diff(off))
+        hi = h.view(np.int64)
+        order = np.lexsort((wdoc, hi))
+        hs, ws = hi[order], wdoc[order]
+        first = np.ones(len(hs), dtype=bool)
+        if len(hs) > 1:  # unique (hash, doc) per batch: pre-reduced shuffle
+            first[1:] = (hs[1:] != hs[:-1]) | (ws[1:] != ws[:-1])
+        return pa.table({
+            "shard": (hs[first].view(np.uint64) % np.uint64(_N)).astype(np.int64),
+            "whash": hs[first],
+            "doc_id": ws[first],
+        })
+
+    def shared_hashes(g: pd.DataFrame) -> pd.DataFrame:
+        if "whash" not in g.columns or not len(g):
+            return typed_empty({"whash": "int64"})
+        h = np.sort(g["whash"].to_numpy())
+        first = np.ones(len(h), dtype=bool)
+        first[1:] = h[1:] != h[:-1]
+        starts = np.nonzero(first)[0]
+        cnt = np.diff(np.append(starts, len(h)))  # rows are distinct docs
+        return pd.DataFrame({"whash": h[starts][cnt >= 2]})
+
+    cand = (ds.map_batches(hash_rows, batch_format="pyarrow")
+            .groupby("shard").map_groups(shared_hashes, batch_format="pandas"))
+    idx = DropIndex(_prep_drop_index_shards(sf_dir))
+    idx.add_dataset(cand, "whash")
+    idx.seal()
+    return idx
+
+
+def _candidate_window_rows(t: pa.Table, W: int, _N: int, idx) -> pa.Table:
+    """(shard, wtext, doc_id, wpos) for the windows of one batch whose
+    hash probes the shared-hash index; wpos = the window's start TOKEN
+    index within its document. Only index hits ship their text — the
+    full corpus never pays the W x window blowup."""
+    empty = pa.table({"shard": pa.array([], pa.int64()),
+                      "wtext": pa.array([], pa.string()),
+                      "doc_id": pa.array([], pa.int64()),
+                      "wpos": pa.array([], pa.int64())})
+    if not t.num_rows:
+        return empty
+    tv = ts.tokenize(t.column("text"))
+    h, off, starts = _ngram_hashes_tv(tv, W)
+    hit = idx.contains(h.view(np.int64))
+    if not hit.any():
+        return empty
+    counts = np.diff(off)
+    wdoc = np.repeat(np.asarray(t["doc_id"]), counts)[hit]
+    wpos = (np.arange(len(h), dtype=np.int64)
+            - np.repeat(off[:-1], counts))[hit]
+    s = starts[hit]
+    flat = tv.flat.combine_chunks() if isinstance(tv.flat, pa.ChunkedArray) else tv.flat
+    cols = [flat.take(pa.array(s + k, type=pa.int64())) for k in range(W)]
+    wtext = pc.binary_join_element_wise(*cols, " ")
+    return pa.table({
+        "shard": (h[hit] % np.uint64(_N)).astype(np.int64),
+        "wtext": wtext,
+        "doc_id": wdoc,
+        "wpos": pa.array(wpos, pa.int64()),
+    })
+
+
 def dup_window_fraction(sf_dir: str, window_tokens: int = DUP_WINDOW_TOKENS,
                         max_frac: float = DUP_WINDOW_MAX_FRAC,
                         n_shards: int | None = None) -> ray.data.Dataset:
@@ -1670,39 +1747,7 @@ def dup_window_fraction(sf_dir: str, window_tokens: int = DUP_WINDOW_TOKENS,
     W = int(window_tokens)
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     _N = n_shards or _shard_count(sf_dir, "documents")
-    from ..state.dropindex import DropIndex
-
-    def hash_rows(t: pa.Table) -> pa.Table:
-        tv = ts.tokenize(t.column("text"))
-        h, off, _ = _ngram_hashes_tv(tv, W)
-        wdoc = np.repeat(np.asarray(t["doc_id"]), np.diff(off))
-        hi = h.view(np.int64)
-        order = np.lexsort((wdoc, hi))
-        hs, ws = hi[order], wdoc[order]
-        first = np.ones(len(hs), dtype=bool)
-        if len(hs) > 1:  # unique (hash, doc) per batch: pre-reduced shuffle
-            first[1:] = (hs[1:] != hs[:-1]) | (ws[1:] != ws[:-1])
-        return pa.table({
-            "shard": (hs[first].view(np.uint64) % np.uint64(_N)).astype(np.int64),
-            "whash": hs[first],
-            "doc_id": ws[first],
-        })
-
-    def shared_hashes(g: pd.DataFrame) -> pd.DataFrame:
-        if "whash" not in g.columns or not len(g):
-            return typed_empty({"whash": "int64"})
-        h = np.sort(g["whash"].to_numpy())
-        first = np.ones(len(h), dtype=bool)
-        first[1:] = h[1:] != h[:-1]
-        starts = np.nonzero(first)[0]
-        cnt = np.diff(np.append(starts, len(h)))  # rows are distinct docs
-        return pd.DataFrame({"whash": h[starts][cnt >= 2]})
-
-    cand = (ds.map_batches(hash_rows, batch_format="pyarrow")
-            .groupby("shard").map_groups(shared_hashes, batch_format="pandas"))
-    idx = DropIndex(_prep_drop_index_shards(sf_dir))
-    idx.add_dataset(cand, "whash")
-    idx.seal()
+    idx = _shared_window_index(ds, W, _N, sf_dir)
     # clean corpus: no window hash is shared anywhere — the verify pass
     # (a full read + shuffle) can be skipped and the accounting finishes
     # from the doc sentinel rows alone (identical by construction; one
@@ -1710,26 +1755,7 @@ def dup_window_fraction(sf_dir: str, window_tokens: int = DUP_WINDOW_TOKENS,
     have_candidates = idx.size() > 0
 
     def cand_windows(t: pa.Table) -> pa.Table:
-        empty = pa.table({"shard": pa.array([], pa.int64()),
-                          "wtext": pa.array([], pa.string()),
-                          "doc_id": pa.array([], pa.int64())})
-        if not t.num_rows:
-            return empty
-        tv = ts.tokenize(t.column("text"))
-        h, off, starts = _ngram_hashes_tv(tv, W)
-        hit = idx.contains(h.view(np.int64))
-        if not hit.any():
-            return empty
-        wdoc = np.repeat(np.asarray(t["doc_id"]), np.diff(off))[hit]
-        s = starts[hit]
-        flat = tv.flat.combine_chunks() if isinstance(tv.flat, pa.ChunkedArray) else tv.flat
-        cols = [flat.take(pa.array(s + k, type=pa.int64())) for k in range(W)]
-        wtext = pc.binary_join_element_wise(*cols, " ")
-        return pa.table({
-            "shard": (h[hit] % np.uint64(_N)).astype(np.int64),
-            "wtext": wtext,
-            "doc_id": wdoc,
-        })
+        return _candidate_window_rows(t, W, _N, idx)
 
     def verify_count(g: pd.DataFrame) -> pd.DataFrame:
         spec = {"doc_id": "int64", "n_windows": "int64",
@@ -1809,6 +1835,132 @@ def dup_window_fraction(sf_dir: str, window_tokens: int = DUP_WINDOW_TOKENS,
 
     return (both.map_batches(add_dshard, batch_format="pyarrow")
             .groupby("dshard").map_groups(finish, batch_format="pandas"))
+
+
+def remove_dup_windows(sf_dir: str, window_tokens: int = DUP_WINDOW_TOKENS,
+                       n_shards: int | None = None) -> ray.data.Dataset:
+    """Lee et al. 2021 exact-substring REMOVAL (the companion of
+    dup_window_fraction's flagging): delete every token covered by ANY
+    W-token sliding window whose text occurs in >= 2 distinct documents
+    corpus-wide, and reassemble each document from its surviving tokens
+    (space-joined [a-z]+ token stream, dedup_paragraphs-style). Note
+    this is SYMMETRIC removal — every occurrence of a shared span goes,
+    including the first (the conservative variant of the paper's
+    policy, which keeps one occurrence; symmetric is deterministic
+    under any partitioning and is what "remove all copies of
+    boilerplate" wants).
+
+    -> streaming Dataset of (doc_id, text_dedup, n_tokens,
+    n_removed_tokens); every input doc appears (empty text when all
+    tokens are covered or the doc had none).
+
+    Shape: shares the candidate-nomination index and the verify pass
+    with dup_window_fraction (_shared_window_index /
+    _candidate_window_rows — hash pass + DropIndex + exact-text shard
+    groupby, no W x corpus blowup); the verify groups emit (doc_id,
+    wpos) rows for shared POSITIONS only (dup-rate-sized); reassembly
+    shuffles each doc's TEXT once on shard(doc_id) together with its
+    removed positions and rebuilds vectorized (difference-array span
+    cover + one tokenize per group + arrow binary_join).
+
+    SQL twin: covered positions via generate_series(i, i+W-1) unnest,
+    anti-join the token stream, ordered string_agg."""
+    W = int(window_tokens)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    _N = n_shards or _shard_count(sf_dir, "documents")
+    idx = _shared_window_index(ds, W, _N, sf_dir)
+    have_candidates = idx.size() > 0
+
+    def shared_positions(g: pd.DataFrame) -> pd.DataFrame:
+        spec = {"doc_id": "int64", "wpos": "int64", "text": "object"}
+        if "wtext" not in g.columns or not len(g):
+            return typed_empty(spec)
+        w = g["wtext"].to_numpy(dtype=object)
+        d = g["doc_id"].to_numpy()
+        p = g["wpos"].to_numpy()
+        order = np.lexsort((d, w))
+        w, d, p = w[order], d[order], p[order]
+        neww = np.ones(len(w), dtype=bool)
+        newd = np.ones(len(w), dtype=bool)
+        if len(w) > 1:
+            neww[1:] = w[1:] != w[:-1]
+            newd[1:] = neww[1:] | (d[1:] != d[:-1])
+        run_id = np.cumsum(neww) - 1
+        ndocs = np.bincount(run_id[newd])
+        shared = ndocs[run_id] >= 2
+        if not shared.any():
+            return typed_empty(spec)
+        return pd.DataFrame({"doc_id": d[shared], "wpos": p[shared],
+                             "text": np.full(int(shared.sum()), "",
+                                             dtype=object)})
+
+    if have_candidates:
+        positions = (ds.map_batches(
+            lambda t: _candidate_window_rows(t, W, _N, idx),
+            batch_format="pyarrow")
+            .groupby("shard").map_groups(shared_positions,
+                                         batch_format="pandas"))
+    else:
+        positions = None
+
+    def doc_rows(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "wpos": pa.array(np.full(t.num_rows, -1, np.int64)),
+            "text": pc.fill_null(t.column("text"), ""),
+        })
+
+    both = ds.map_batches(doc_rows, batch_format="pyarrow")
+    if positions is not None:
+        both = both.union(positions)
+
+    def add_dshard(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "dshard", pa.array(np.asarray(t["doc_id"]) % np.int64(_N)))
+
+    def rebuild(g: pd.DataFrame) -> pd.DataFrame:
+        spec = {"doc_id": "int64", "text_dedup": "object",
+                "n_tokens": "int64", "n_removed_tokens": "int64"}
+        if "doc_id" not in g.columns or not len(g):
+            return typed_empty(spec)
+        is_doc = g["wpos"].to_numpy() == -1
+        docs = g[is_doc]
+        d = docs["doc_id"].to_numpy()
+        order = np.argsort(d, kind="stable")
+        d = d[order]
+        tv = ts.tokenize(pa.array(docs["text"].to_numpy(dtype=object)[order],
+                                  pa.string()))
+        counts = np.diff(tv.offsets)
+        # difference-array span cover: +1 at wpos, -1 at min(wpos+W, len)
+        cover = np.zeros(len(tv.flat) + 1, dtype=np.int64)
+        pos_rows = g[~is_doc]
+        if len(pos_rows):
+            pd_ = pos_rows["doc_id"].to_numpy()
+            pp = pos_rows["wpos"].to_numpy()
+            di = np.searchsorted(d, pd_)
+            starts = tv.offsets[di] + pp
+            ends = np.minimum(starts + W, tv.offsets[di + 1])
+            np.add.at(cover, starts, 1)
+            np.add.at(cover, ends, -1)
+        covered = np.cumsum(cover[:-1]) > 0
+        keep = ~covered
+        doc_of = np.repeat(np.arange(len(d), dtype=np.int64), counts)
+        n_keep = np.bincount(doc_of[keep], minlength=len(d)).astype(np.int64)
+        off = np.zeros(len(d) + 1, dtype=np.int32)
+        np.cumsum(n_keep, out=off[1:])
+        flat = tv.flat.combine_chunks() if isinstance(tv.flat, pa.ChunkedArray) else tv.flat
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(off, type=pa.int32()),
+                                     flat.filter(pa.array(keep))), " ")
+        return pd.DataFrame({
+            "doc_id": d,
+            "text_dedup": joined.to_pandas().astype(object),
+            "n_tokens": counts.astype(np.int64),
+            "n_removed_tokens": (counts - n_keep).astype(np.int64),
+        })
+
+    return (both.map_batches(add_dshard, batch_format="pyarrow")
+            .groupby("dshard").map_groups(rebuild, batch_format="pandas"))
 
 
 def decontaminate_against(sf_dir: str, eval_mod: int = 50,
