@@ -571,3 +571,54 @@ def test_remove_dup_windows_semantics(ray_session, tmp_path):
     pd.testing.assert_frame_equal(
         got2[want2.columns.tolist()], want2, check_dtype=False)
     assert (got2["n_removed_tokens"] > 0).mean() > 0.4
+
+
+def test_window_ops_fuzz_vs_python_reference(ray_session, tmp_path):
+    """Seeded fuzz: random tiny-alphabet corpora (high natural window
+    duplication, docs shorter/equal/longer than W, empty docs) —
+    dup_window_fraction and remove_dup_windows both equal a pure-Python
+    reference on every trial."""
+    from collections import Counter
+
+    from txiac_qc_ray.pipelines import docs as D
+
+    rng = np.random.default_rng(11)
+    vocab = ["ax", "by", "cz", "dw"]  # 4 tokens -> many shared windows
+    W = 3
+    for trial in range(4):
+        n_docs = int(rng.integers(5, 14))
+        texts = []
+        for _ in range(n_docs):
+            n_tok = int(rng.integers(0, 9))
+            texts.append(" ".join(
+                vocab[int(k)] for k in rng.integers(0, len(vocab), n_tok)))
+        d = tmp_path / f"t{trial}"
+        d.mkdir()
+        dd = _write_docs(d, texts)
+
+        toks = [t.split() if t else [] for t in texts]
+        wins = [[tuple(tk[i:i + W]) for i in range(len(tk) - W + 1)]
+                for tk in toks]
+        docs_of = Counter()
+        for i, ws in enumerate(wins):
+            for w in set(ws):
+                docs_of[w] += 1
+        shared = {w for w, c in docs_of.items() if c >= 2}
+
+        frac = _collect(D.dup_window_fraction(dd, window_tokens=W),
+                        ["doc_id"])
+        for i, ws in enumerate(wins):
+            assert frac.loc[i, "n_windows"] == len(ws)
+            assert frac.loc[i, "n_dup_windows"] == sum(
+                w in shared for w in ws), (trial, i)
+
+        rem = _collect(D.remove_dup_windows(dd, window_tokens=W),
+                       ["doc_id"])
+        for i, tk in enumerate(toks):
+            cov = np.zeros(len(tk), dtype=bool)
+            for p, w in enumerate(wins[i]):
+                if w in shared:
+                    cov[p:p + W] = True
+            want_text = " ".join(t for t, c in zip(tk, cov) if not c)
+            assert rem.loc[i, "text_dedup"] == want_text, (trial, i)
+            assert rem.loc[i, "n_removed_tokens"] == int(cov.sum())
