@@ -99,10 +99,21 @@ def run_bench() -> dict:
             for name, _ in _bench_query_fns(sf_dir, corpus):
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus),
                            GRAFT_SF_DIR=sf_dir)
-                out = subprocess.run(
-                    [sys.executable, os.path.abspath(__file__), "--one", name],
-                    env=env, capture_output=True, text=True, check=True).stdout
-                queries[name] = json.loads(out.strip().splitlines()[-1])["sec"]
+                # a failing query records null instead of killing the
+                # whole bench (one bad op must not erase 40 timings)
+                try:
+                    out = subprocess.run(
+                        [sys.executable, os.path.abspath(__file__),
+                         "--one", name],
+                        env=env, capture_output=True, text=True,
+                        check=True, timeout=600).stdout
+                    queries[name] = json.loads(
+                        out.strip().splitlines()[-1])["sec"]
+                except (subprocess.SubprocessError, ValueError,
+                        KeyError, IndexError) as exc:
+                    print(f"bench: {name} failed: "
+                          f"{type(exc).__name__}", file=sys.stderr)
+                    queries[name] = None
 
     ray.shutdown()
     return {
