@@ -129,3 +129,11 @@ def test_corpus_sized_ops_return_streaming_datasets(ray_session):
     assert isinstance(D.tfidf_top_terms(sf), ray.data.Dataset)
     assert isinstance(D.chunk_for_training(sf), ray.data.Dataset)
     assert isinstance(D.prep_to_chunks(sf), ray.data.Dataset)
+    # r5 corpus-sized ops keep the same boundary
+    assert isinstance(D.dup_window_fraction(sf), ray.data.Dataset)
+    assert isinstance(D.remove_dup_windows(sf), ray.data.Dataset)
+    assert isinstance(D.ccnet_ppl_buckets(sf), ray.data.Dataset)
+    assert isinstance(D.knn_self_join(sf), ray.data.Dataset)
+    assert isinstance(D.embed_docs(sf), ray.data.Dataset)
+    assert isinstance(D.token_counts_bpe(sf), ray.data.Dataset)
+    assert isinstance(D.chunk_for_training_bpe(sf), ray.data.Dataset)
