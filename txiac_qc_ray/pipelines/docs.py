@@ -1415,8 +1415,10 @@ def knn_self_join(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     it was read. Stable argsort of -sims over nid-ascending columns
     gives the exact (sim desc, nid asc) order, ties included. Self
     matches are masked to -inf before ranking. Beyond-RAM corpora:
-    compose the IVF path (ann_topk_ivf / the hive index) per query
-    batch instead of the broadcast — same output contract.
+    replace the broadcast with the IVF layout (build_ivf_index's hive
+    partitions + triangle-bound pruning, the ann_topk_ivf_indexed
+    pattern) so each query batch scans only its candidate lists —
+    that variant is not implemented here.
 
     SQL twin: self cross join (vec_id !=) + row_number <= k."""
     ids_all, norm = _corpus_broadcast(sf_dir)
