@@ -171,6 +171,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate_bloom": D.decontaminate_bloom,  # yielded to knn_self_join
         "minhash_lsh_dedup": D.minhash_lsh_candidates,  # yielded to embedding_neardup_clusters
         "dedup_paragraphs": D.dedup_paragraphs,  # yielded to remove_dup_windows
+        # r5-new but TAIL by design: its value check transfers from the
+        # IN-CAP knn_self_join — pytest pins the two byte-equal on the
+        # fixtures (test_knn_self_join_ivf_equals_broadcast), and the
+        # local sweep still value-checks it against the same SQL twin
+        "knn_self_join_ivf": D.knn_self_join_ivf,
         "tfidf_top_terms": D.tfidf_top_terms,
         "cap_per_host": D.cap_per_host,
         "scrub_docs": _scrub_docs,
@@ -423,8 +428,10 @@ def oracle_sql() -> dict[str, str]:
         # CCNet-style per-language perplexity buckets (frozen integer
         # micro-nat cost table as VALUES; order-statistic thresholds)
         "ccnet_ppl_buckets": O.ccnet_ppl_buckets_sql(),
-        # all-pairs top-k cosine self-join (k-NN join)
+        # all-pairs top-k cosine self-join (k-NN join); the IVF scale
+        # path answers the SAME twin (provably exact bound expansion)
         "knn_self_join": O.knn_self_join_sql(),
+        "knn_self_join_ivf": O.knn_self_join_sql(),
         # embedding-cosine near-dup clusters (recursive min-label walk)
         "embedding_neardup_clusters": O.embedding_neardup_clusters_sql(),
         # frozen-BPE subword family: the merge table applied as staged

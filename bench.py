@@ -165,6 +165,7 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("remove_dup_windows", D.remove_dup_windows),
         ("ccnet_ppl_buckets", D.ccnet_ppl_buckets),
         ("knn_self_join", D.knn_self_join),
+        ("knn_self_join_ivf", D.knn_self_join_ivf),
         ("embedding_neardup_clusters", D.embedding_neardup_clusters),
         ("chunk_for_training", D.chunk_for_training),
         ("weighted_sample", D.weighted_sample),

@@ -68,10 +68,14 @@ def test_correctness_cap_covers_priority_queries():
     queries that rode only the local sweep in r4) is inside the cap,
     plus the flagship + PMIS anchors and every op MODIFIED or NEW in r5
     (ADVICE r3 rule: an op changed in a round may not rely on the local
-    sweep alone). The rotated-out tail is exactly the set that is BOTH
-    unmodified in r5 AND driver-green in CORRECTNESS_r04. A future
-    reorder silently dropping one of these from the record should fail
-    here, not in the next VERDICT."""
+    sweep alone). One stated exception: an r5-new op that is
+    pytest-PINNED BYTE-EQUAL to an in-cap query on the fixtures
+    (knn_self_join_ivf == knn_self_join) may ride the tail — the
+    driver's value check transfers through the pin, and the local sweep
+    still runs it against the same SQL twin. The rotated-out tail is
+    exactly the set that is BOTH unmodified in r5 AND driver-green in
+    CORRECTNESS_r04. A future reorder silently dropping one of these
+    from the record should fail here, not in the next VERDICT."""
     import __ray_entry__ as E
 
     keys = list(E.queries())

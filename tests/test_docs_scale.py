@@ -651,3 +651,22 @@ def test_ann_from_text_matches_single_process_reference(ray_session):
     ref["sim"] = round_half_away(ref["sim"].to_numpy(), 4)
     pd.testing.assert_frame_equal(
         got.reset_index(drop=True), ref.reset_index(drop=True))
+
+
+def test_knn_self_join_ivf_equals_broadcast(ray_session, tmp_path):
+    """The IVF scale path of the k-NN self-join is EXACT: byte-equal to
+    the broadcast op on the fixture, including with n_probe=1 — the
+    adversarial setting where most of each query's true top-k lives
+    OUTSIDE its first probed list, so the answer is correct only if the
+    phase-2 bound expansion actually fires."""
+    from txiac_qc_ray.pipelines import docs as D
+
+    a = (D.knn_self_join(SF).to_pandas()
+         .sort_values(["qid", "nid"], ignore_index=True))
+    b = (D.knn_self_join_ivf(SF, index_dir=str(tmp_path / "ivf_a"))
+         .to_pandas().sort_values(["qid", "nid"], ignore_index=True))
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    c = (D.knn_self_join_ivf(SF, n_probe=1, n_lists=8,
+                             index_dir=str(tmp_path / "ivf_b"))
+         .to_pandas().sort_values(["qid", "nid"], ignore_index=True))
+    pd.testing.assert_frame_equal(a, c, check_dtype=False)

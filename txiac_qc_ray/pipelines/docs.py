@@ -1415,10 +1415,9 @@ def knn_self_join(sf_dir: str, k: int = 5) -> ray.data.Dataset:
     it was read. Stable argsort of -sims over nid-ascending columns
     gives the exact (sim desc, nid asc) order, ties included. Self
     matches are masked to -inf before ranking. Beyond-RAM corpora:
-    replace the broadcast with the IVF layout (build_ivf_index's hive
-    partitions + triangle-bound pruning, the ann_topk_ivf_indexed
-    pattern) so each query batch scans only its candidate lists —
-    that variant is not implemented here.
+    knn_self_join_ivf computes the SAME exact join against the
+    partitioned IVF layout (queries shuffle to lists; pytest-pinned
+    byte-equal) — use it when the embedding table outgrows a worker.
 
     SQL twin: self cross join (vec_id !=) + row_number <= k."""
     ids_all, norm = _corpus_broadcast(sf_dir)
@@ -1452,6 +1451,234 @@ def knn_self_join(sf_dir: str, k: int = 5) -> ray.data.Dataset:
                          "sim": round_half_away(simk[keep], 4)})
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def knn_self_join_ivf(sf_dir: str, k: int = 5, n_lists: int = 16,
+                      n_probe: int = 4, index_dir: str | None = None,
+                      n_shards: int | None = None) -> ray.data.Dataset:
+    """The beyond-RAM SCALE PATH of knn_self_join: the same exact
+    all-pairs top-k cosine join computed against the PARTITIONED IVF
+    layout (build_ivf_index's `list_id=K/` hive dirs + the
+    centroid/r_max sidecar) instead of a whole-corpus broadcast —
+    nothing ever holds the full embedding table in one place, and a
+    list's vectors are read only by the workers whose queries probe it.
+
+    Provably exact, the ann_topk_ivf_indexed argument per query: after
+    scanning the n_probe nearest (non-empty) lists, any unscanned list
+    j can still matter only if q . c_j + r_max_j >= the query's current
+    k-th best UNROUNDED sim (Cauchy-Schwarz on the residual); phase 2
+    scans exactly those. Same output contract as knn_self_join —
+    (qid, nid, sim rounded half-away to 4), (sim desc, nid asc)
+    tie-break — pytest-pinned equal.
+
+    Dataflow (five bounded shuffles; queries ride to lists, never lists
+    to every query):
+      1. assign: each query batch emits (list_id, qid, qvec) rows for
+         its n_probe nearest non-empty lists;
+      2. scan-1: groupby(list_id) — each group reads ITS list's parquet
+         files once, one matmul vs the group's queries (self masked),
+         per-query partial top-k (materialized once, two consumers);
+      3. expand: partials + query rows meet on shard(qid); per query
+         the k-th best fixes the bound and phase-2 assignments emit;
+      4. scan-2: the (usually empty) extra lists, same shape as 2;
+      5. finish: all partials merge per query with the family
+         tie-break, rounding applied last."""
+    import glob as _glob
+    import json as _json
+
+    if index_dir is None:
+        import hashlib
+
+        files = _table_files(sf_dir, "embeddings")
+        fp = "|".join(f"{p}:{os.path.getsize(p)}:{os.stat(p).st_mtime_ns}"
+                      for p in files)
+        tag = hashlib.sha1(
+            f"{os.path.abspath(sf_dir)}|0|{n_lists}|{fp}".encode()
+        ).hexdigest()[:16]
+        index_dir = f"/tmp/txiac_ivf_index_{os.getuid()}_{tag}"
+    meta_path = os.path.join(index_dir, "_ivf_meta.json")
+    if not os.path.exists(meta_path):
+        # n_queries=0: EVERY vector is indexed (the self-join has no
+        # reserved probe split)
+        build_ivf_index(sf_dir, index_dir, n_queries=0, n_lists=n_lists)
+    with open(meta_path) as f:
+        meta = _json.load(f)
+    cent = np.asarray(meta["centroids"], dtype=np.float64)
+    counts = np.asarray(meta["counts"], dtype=np.int64)
+    r_max = np.asarray(meta["r_max"], dtype=np.float64)
+    empty = pa.table({"qid": pa.array([], pa.int64()),
+                      "nid": pa.array([], pa.int64()),
+                      "sim": pa.array([], pa.float64())})
+    if cent.ndim != 2 or not counts.sum():
+        return ray.data.from_arrow(empty)
+    live = np.nonzero(counts > 0)[0]          # empty lists never matter
+    _N = n_shards or _shard_count(sf_dir, "embeddings")
+    P = min(n_probe, len(live))
+    bc = ray.put((cent, r_max, live))
+    dim = cent.shape[1]
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def _phase1_lists(qn: np.ndarray) -> np.ndarray:
+        """(B, P) phase-1 list ids per query — n_probe nearest NON-EMPTY
+        lists by centroid sim; deterministic (stable argsort), shared by
+        the assign and expand stages."""
+        ce, _, lv = ray.get(bc)
+        sims = qn @ ce[lv].T
+        return lv[np.argsort(-sims, axis=1, kind="stable")[:, :P]]
+
+    def _qvec_col(mn: np.ndarray) -> pa.Array:
+        return pa.FixedSizeListArray.from_arrays(
+            pa.array(mn.ravel(), pa.float64()), dim)
+
+    def assign1(t: pa.Table) -> pa.Table:
+        e = pa.table({"list_id": pa.array([], pa.int64()),
+                      "qid": pa.array([], pa.int64()),
+                      "qvec": pa.array([], pa.list_(pa.float64(), dim))})
+        if not t.num_rows:
+            return e
+        vid = np.asarray(t["vec_id"])
+        mn = emb_ndarray(t["embedding"])
+        mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+        lids = _phase1_lists(mn)
+        return pa.table({
+            "list_id": pa.array(lids.ravel(), pa.int64()),
+            "qid": pa.array(np.repeat(vid, P), pa.int64()),
+            "qvec": _qvec_col(np.repeat(mn, P, axis=0)),
+        })
+
+    def scan(g: pd.DataFrame) -> pd.DataFrame:
+        spec = {"qid": "int64", "nid": "int64", "sim": "float64"}
+        if "list_id" not in g.columns or not len(g):
+            return typed_empty(spec)
+        lid = int(g["list_id"].iloc[0])
+        paths = sorted(_glob.glob(
+            os.path.join(index_dir, f"list_id={lid}", "*.parquet")))
+        if not paths:
+            return typed_empty(spec)
+        import pyarrow.parquet as _pq
+
+        lt = _pq.read_table(paths, columns=["vec_id", "embedding"])
+        lvid = np.asarray(lt["vec_id"])
+        lm = emb_ndarray(lt["embedding"])
+        lm = lm / np.linalg.norm(lm, axis=1, keepdims=True)
+        qid = g["qid"].to_numpy()
+        qm = np.stack(g["qvec"].to_numpy()).astype(np.float64, copy=False)
+        sims = qm @ lm.T
+        sims[qid[:, None] == lvid[None, :]] = -np.inf
+        kk = min(k, sims.shape[1])
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :kk]
+        simk = np.take_along_axis(sims, order, axis=1).ravel()
+        keep = np.isfinite(simk)
+        return pd.DataFrame({"qid": np.repeat(qid, kk)[keep],
+                             "nid": lvid[order].ravel()[keep],
+                             "sim": simk[keep]})
+
+    p1 = (ds.map_batches(assign1, batch_format="pyarrow")
+          .groupby("list_id").map_groups(scan, batch_format="pandas")
+          .materialize())  # two consumers: the expand stage + the finish
+
+    def _mark_q(t: pa.Table) -> pa.Table:
+        """Query rows for the expand stage: carry the normalized vector,
+        sim = NaN marks 'this is a query row'."""
+        vid = (np.asarray(t["vec_id"]) if t.num_rows
+               else np.zeros(0, np.int64))
+        mn = (emb_ndarray(t["embedding"]) if t.num_rows
+              else np.zeros((0, dim)))
+        if t.num_rows:
+            mn = mn / np.linalg.norm(mn, axis=1, keepdims=True)
+        return pa.table({
+            "qshard": pa.array(vid % np.int64(_N), pa.int64()),
+            "qid": pa.array(vid, pa.int64()),
+            "sim": pa.array(np.full(len(vid), np.nan)),
+            "qvec": _qvec_col(mn),
+        })
+
+    def _mark_p(t: pa.Table) -> pa.Table:
+        """Phase-1 partial rows for the expand stage: qvec null."""
+        qid = np.asarray(t["qid"]) if t.num_rows else np.zeros(0, np.int64)
+        return pa.table({
+            "qshard": pa.array(qid % np.int64(_N), pa.int64()),
+            "qid": pa.array(qid, pa.int64()),
+            "sim": (t["sim"] if t.num_rows
+                    else pa.array([], pa.float64())),
+            "qvec": pa.array([None] * t.num_rows,
+                             pa.list_(pa.float64(), dim)),
+        })
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        e = {"list_id": "int64", "qid": "int64", "qvec": "object"}
+        if "qid" not in g.columns or not len(g):
+            return typed_empty(e)
+        ce, rm, lv = ray.get(bc)
+        isq = g["qvec"].notna().to_numpy()
+        qrows = g[isq]
+        qid_q = qrows["qid"].to_numpy()
+        if not len(qid_q):
+            return typed_empty(e)
+        qm = np.stack(qrows["qvec"].to_numpy()).astype(np.float64,
+                                                       copy=False)
+        # k-th best unrounded sim per query from the phase-1 partials
+        parts = g[~isq]
+        kth = np.full(len(qid_q), -np.inf)
+        if len(parts):
+            order_q = np.argsort(qid_q, kind="stable")
+            pq_ = parts["qid"].to_numpy()
+            ps = parts["sim"].to_numpy()
+            po = np.lexsort((-ps, pq_))
+            pq_, ps = pq_[po], ps[po]
+            starts = np.searchsorted(pq_, qid_q[order_q])
+            ends = np.searchsorted(pq_, qid_q[order_q], side="right")
+            nth = starts + (k - 1)
+            has = nth < ends
+            kth_sorted = np.full(len(qid_q), -np.inf)
+            kth_sorted[has] = ps[nth[has]]
+            kth[order_q] = kth_sorted
+        sims_c = qm @ ce[lv].T
+        bounds = sims_c + rm[lv][None, :]
+        need = bounds >= kth[:, None]
+        # exclude the phase-1 lists (recomputed deterministically)
+        l1 = _phase1_lists(qm)
+        lut = np.full(ce.shape[0], -1, dtype=np.int64)
+        lut[lv] = np.arange(len(lv))
+        need[np.repeat(np.arange(len(qid_q)), l1.shape[1]),
+             lut[l1].ravel()] = False
+        qi2, lj2 = np.nonzero(need)
+        if not len(qi2):
+            return typed_empty(e)
+        return pd.DataFrame({"list_id": lv[lj2].astype(np.int64),
+                             "qid": qid_q[qi2],
+                             "qvec": list(qm[qi2])})
+
+    both = (ds.map_batches(_mark_q, batch_format="pyarrow")
+            .union(p1.map_batches(_mark_p, batch_format="pyarrow")))
+    a2 = both.groupby("qshard").map_groups(expand, batch_format="pandas")
+    p2 = a2.groupby("list_id").map_groups(scan, batch_format="pandas")
+
+    def add_qshard(t: pa.Table) -> pa.Table:
+        s = (np.asarray(t["qid"]) % np.int64(_N) if t.num_rows
+             else np.zeros(0, np.int64))
+        return t.append_column("qshard", pa.array(s, pa.int64()))
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        spec = {"qid": "int64", "nid": "int64", "sim": "float64"}
+        if "qid" not in g.columns or not len(g):
+            return typed_empty(spec)
+        qid = g["qid"].to_numpy()
+        nid = g["nid"].to_numpy()
+        sim = g["sim"].to_numpy()
+        order = np.lexsort((nid, -sim, qid))  # (qid, sim desc, nid asc)
+        qid, nid, sim = qid[order], nid[order], sim[order]
+        newq = np.ones(len(qid), dtype=bool)
+        if len(qid) > 1:
+            newq[1:] = qid[1:] != qid[:-1]
+        rank = np.arange(len(qid)) - np.maximum.accumulate(
+            np.where(newq, np.arange(len(qid)), 0))
+        keep = rank < k
+        return pd.DataFrame({"qid": qid[keep], "nid": nid[keep],
+                             "sim": round_half_away(sim[keep], 4)})
+
+    return (p1.union(p2).map_batches(add_qshard, batch_format="pyarrow")
+            .groupby("qshard").map_groups(finish, batch_format="pandas"))
 
 
 def dedup_adjacent_tokens(sf_dir: str) -> ray.data.Dataset:
