@@ -135,7 +135,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stays in-cap and shares its hash/verify core)
         "dup_window_fraction": D.dup_window_fraction,
         # ---- r4-green heavyweights kept in-cap (spare slots) ---------
-        "exact_dedup_rows": D.exact_dedup_rows,
+        # r5-MODIFIED (vectorized LSH bucket pair sweep via
+        # _run_pair_indices — minhash_lsh_dedup re-enters the cap in
+        # exact_dedup_rows' spare slot: exact_dedup_rows is
+        # r4-driver-green, unmodified in r5, and shares its shard/loser
+        # core with the in-cap prep_corpus/prep_to_chunks chain)
+        "minhash_lsh_dedup": D.minhash_lsh_candidates,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
         # r5-NEW (this session): Lee-et-al exact-substring REMOVAL —
         # takes dedup_paragraphs' spare slot (r4-driver-green,
@@ -169,7 +174,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": D.exact_dedup,  # yielded its slot to dup_window_fraction
         "weighted_sample": D.weighted_sample,  # yielded to ccnet_ppl_buckets
         "decontaminate_bloom": D.decontaminate_bloom,  # yielded to knn_self_join
-        "minhash_lsh_dedup": D.minhash_lsh_candidates,  # yielded to embedding_neardup_clusters
+        "exact_dedup_rows": D.exact_dedup_rows,  # yielded to minhash_lsh_dedup (r5-modified)
         "dedup_paragraphs": D.dedup_paragraphs,  # yielded to remove_dup_windows
         # r5-new but TAIL by design: its value check transfers from the
         # IN-CAP knn_self_join — pytest pins the two byte-equal on the

@@ -108,6 +108,12 @@ def test_correctness_cap_covers_priority_queries():
         "embedding_neardup_clusters", "remove_dup_windows",
         # r5-modified (Arrow-native partial top-k)
         "topk_per_group",
+        # r5-modified (vectorized LSH bucket pair sweep: the shared
+        # _run_pair_indices expansion replaced the per-bucket
+        # triu_indices loops in minhash/simhash/embedding-LSH; the
+        # simhash + embedding queries were already in-cap via the r4
+        # tail, minhash_lsh_dedup re-entered in exact_dedup_rows' slot)
+        "minhash_lsh_dedup",
     }
     missing = priority - first50
     assert not missing, f"priority queries past the 50-row cap: {missing}"

@@ -670,3 +670,32 @@ def test_knn_self_join_ivf_equals_broadcast(ray_session, tmp_path):
                              index_dir=str(tmp_path / "ivf_b"))
          .to_pandas().sort_values(["qid", "nid"], ignore_index=True))
     pd.testing.assert_frame_equal(a, c, check_dtype=False)
+
+
+def test_run_pair_indices_matches_triu_reference():
+    """The shared LSH-bucket pair expansion (_run_pair_indices) emits
+    exactly the pairs the old per-run triu_indices loop did, in the
+    same row-major order — fuzzed over random run layouts including
+    empty input, all-singleton runs, and one giant run."""
+    from txiac_qc_ray.pipelines.docs import _run_pair_indices
+
+    rng = np.random.default_rng(7)
+    layouts = [[], [1], [1, 1, 1], [5], [200], [3, 1, 2, 1, 4]]
+    layouts += [rng.integers(1, 9, size=rng.integers(1, 40)).tolist()
+                for _ in range(50)]
+    for lens in layouts:
+        key = np.repeat(np.arange(len(lens), dtype=np.int64), lens)
+        ref_i, ref_j = [], []
+        start = 0
+        for ln in lens:
+            a, b = np.triu_indices(ln, k=1)
+            ref_i.append(a + start)
+            ref_j.append(b + start)
+            start += ln
+        ref_i = (np.concatenate(ref_i) if ref_i
+                 else np.empty(0, dtype=np.int64))
+        ref_j = (np.concatenate(ref_j) if ref_j
+                 else np.empty(0, dtype=np.int64))
+        got_i, got_j = _run_pair_indices(key)
+        np.testing.assert_array_equal(got_i, ref_i)
+        np.testing.assert_array_equal(got_j, ref_j)
