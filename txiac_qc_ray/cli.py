@@ -32,6 +32,14 @@ def main(argv: list[str] | None = None) -> int:
                            "pages whose extracted text loses exact dedup (min-url "
                            "copy wins), pass 1 drops them with "
                            "drop_reason=exact_duplicate via a broadcast hash set")
+    runp.add_argument("--neardup", action="store_true",
+                      help="two-pass: cross-document NEAR-dup dedup — pass 0 "
+                           "runs MinHash-LSH + exact-Jaccard verify over the "
+                           "extracted text, clusters via connected components "
+                           "(min row key wins) and pass 1 drops the losers "
+                           "with drop_reason=near_duplicate")
+    runp.add_argument("--neardup-jaccard", type=float, default=0.8,
+                      help="verified-Jaccard threshold for --neardup pairs")
     runp.add_argument("--rule-banks", default="",
                       help="comma-separated opt-in web-text rule banks "
                            "(c4,gopher,repetition,url) appended after the "
@@ -88,6 +96,29 @@ def main(argv: list[str] | None = None) -> int:
             idx.add_dataset(losers, column="key")
             cfg.dup_rowkeys_ref = idx.seal()
         cfg.rules = cfg.rules + (DEDUP_RULE,)
+    if args.neardup:
+        from .config import NEARDUP_RULE
+        from .pipelines.qc import neardup_loser_rowkeys_ds
+
+        # pass 0 (near-dup): same broadcast-vs-sharded-index split as
+        # --dedup above, over the MinHash-LSH component losers
+        losers = neardup_loser_rowkeys_ds(
+            args.input, cfg, args.neardup_jaccard).materialize()
+        if losers.count() <= 4_000_000:
+            import numpy as np
+
+            df = losers.to_pandas()
+            keys = (np.unique(df["key"].to_numpy().astype(np.int64)
+                              .view(np.uint64))
+                    if "key" in df.columns else np.zeros(0, dtype=np.uint64))
+            cfg.neardup_rowkeys_ref = ray.put(keys)
+        else:
+            from .state.dropindex import DropIndex
+
+            idx = DropIndex(8)
+            idx.add_dataset(losers, column="key")
+            cfg.neardup_rowkeys_ref = idx.seal()
+        cfg.rules = cfg.rules + (NEARDUP_RULE,)
     if args.calibrate:
         from .pipelines.calibrate import calibrate_rules
         from .stages.extract import extract_batch

@@ -56,6 +56,11 @@ DEFAULT_RULES: tuple[RuleSpec, ...] = (
 # drop_reason order of the golden fixtures is untouched.
 DEDUP_RULE = RuleSpec("exact_duplicate", "is_dup_loser", "gt", hi=0.5)
 
+# Cross-document NEAR-dup drop rule for the --neardup launch flow
+# (qc.neardup_loser_rowkeys marks MinHash-LSH component losers in
+# `is_neardup_loser`). Appended after the defaults like DEDUP_RULE.
+NEARDUP_RULE = RuleSpec("near_duplicate", "is_neardup_loser", "gt", hi=0.5)
+
 # Published web-text rule banks (pipelines/webtext.py) as optional
 # flagship drop rules: PipelineConfig.rule_banks selects them; the
 # feature stage appends one float 0/1 `<bank>_keep` column per bank and
@@ -117,6 +122,9 @@ class PipelineConfig:
     # ship into every task; each batch reads it zero-copy from the
     # object store.
     dup_rowkeys_ref: object = None
+    # Same contract for the --neardup pass 0 drop set
+    # (qc.neardup_loser_rowkeys / neardup_loser_index); None = off.
+    neardup_rowkeys_ref: object = None
     # Opt-in published web-text rule banks (keys of RULE_BANK_RULES);
     # () = off, the golden-pinned default.
     rule_banks: tuple[str, ...] = ()

@@ -370,7 +370,21 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.5,
     """Near-dup pairs via shingle->minhash->band->bucket-groupby->verify
     (the scale path: the only shuffle is groupby(band, band_hash), keyed
     exactly as the ray_guide LSH pattern prescribes)."""
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return minhash_candidate_pairs_ds(
+        lambda: _read(sf_dir, "documents", ["doc_id", "text"]),
+        n_shards or _shard_count(sf_dir, "documents"),
+        jaccard_threshold)
+
+
+def minhash_candidate_pairs_ds(ds_factory, n_shards: int,
+                               jaccard_threshold: float = 0.5) -> pd.DataFrame:
+    """Core of minhash_lsh_candidates over ANY (doc_id:int64, text)
+    corpus: `ds_factory()` must return a fresh streaming Dataset of the
+    corpus each call (it is scanned twice — once for the band explode,
+    once for the candidate verify — and re-using one lazy Dataset would
+    re-execute its upstream anyway). The flagship --neardup flow feeds
+    extracted PAGES through this with doc_id = page row key."""
+    ds = ds_factory()
 
     # two-level grouping: shuffle on a bounded shard key, then a
     # vectorized within-shard groupby — a per-(band,hash) map_groups
@@ -380,7 +394,7 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.5,
     # in one shard). Band rows (~32 B x 16/doc) are much smaller than
     # the text the metadata-based count is derived from, so the bound is
     # conservative.
-    _N_SHARDS = n_shards or _shard_count(sf_dir, "documents")
+    _N_SHARDS = n_shards
 
     def explode_bands(t: pa.Table) -> pa.Table:
         sig = minhash_signatures(t["text"])
@@ -439,7 +453,8 @@ def minhash_lsh_candidates(sf_dir: str, jaccard_threshold: float = 0.5,
         "id_b": pairs_pd["id_b"].to_numpy().astype(np.int64),
     }))
     cand_ids = np.unique(pairs_pd[["id_a", "id_b"]].to_numpy().ravel())
-    verified = _verify_pairs_jaccard(sf_dir, pairs, cand_ids)
+    sets = _candidate_shingle_sets_ds(ds_factory(), cand_ids)
+    verified = _verify_pairs_jaccard_sets(sets, pairs, len(cand_ids))
     out = verified[verified["jaccard"] >= jaccard_threshold]
     return out.sort_values(["id_a", "id_b"], ignore_index=True)
 
@@ -452,8 +467,14 @@ def candidate_shingle_sets(sf_dir: str, cand_ids: np.ndarray,
     through), computed worker-side for ONLY the candidate docs
     (pc.is_in pushdown filter per batch). O(candidates) rows, never
     collected."""
+    return _candidate_shingle_sets_ds(
+        _read(sf_dir, "documents", ["doc_id", "text"]), cand_ids, n)
+
+
+def _candidate_shingle_sets_ds(ds: ray.data.Dataset, cand_ids: np.ndarray,
+                               n: int = 3) -> ray.data.Dataset:
+    """candidate_shingle_sets over an arbitrary (doc_id, text) Dataset."""
     id_set = pa.array(np.sort(cand_ids).astype(np.int64))
-    ds = _read(sf_dir, "documents", ["doc_id", "text"])
 
     def stage(t: pa.Table) -> pa.Table:
         t = t.filter(pc.is_in(t["doc_id"], value_set=id_set))
@@ -511,9 +532,18 @@ def _verify_pairs_jaccard(sf_dir: str, pairs: ray.data.Dataset,
       rate): two candidate-scale hash joins attach each side's blob,
       then the same per-batch sort-merge. Nothing touches the driver.
     -> pandas (id_a, id_b, jaccard) with jaccard rounded to 4dp."""
-    sets = candidate_shingle_sets(sf_dir, cand_ids, n)
+    return _verify_pairs_jaccard_sets(candidate_shingle_sets(sf_dir, cand_ids, n),
+                                      pairs, len(cand_ids), broadcast_max)
 
-    if len(cand_ids) <= broadcast_max:
+
+def _verify_pairs_jaccard_sets(sets: ray.data.Dataset, pairs: ray.data.Dataset,
+                               n_candidates: int,
+                               broadcast_max: int = _VERIFY_BROADCAST_MAX
+                               ) -> pd.DataFrame:
+    """_verify_pairs_jaccard over a prebuilt candidate shingle-set
+    Dataset (see _candidate_shingle_sets_ds) — the corpus-agnostic core
+    shared with the flagship --neardup pass."""
+    if n_candidates <= broadcast_max:
         tab = pa.concat_tables(sets.iter_batches(batch_size=65536,
                                                  batch_format="pyarrow"))
         vals, counts = _packed_i64(tab["shingles"])

@@ -82,6 +82,12 @@ def build_qc_pipeline(ds: ray.data.Dataset, cfg: PipelineConfig | None = None) -
 
             ds = ds.map_batches(
                 lambda t, _ref=cfg.dup_rowkeys_ref: mark_dup_losers(t, _ref), **kw)
+        if cfg.neardup_rowkeys_ref is not None:
+            from ..stages.scoring import mark_dup_losers
+
+            ds = ds.map_batches(
+                lambda t, _ref=cfg.neardup_rowkeys_ref: mark_dup_losers(
+                    t, _ref, column="is_neardup_loser"), **kw)
         if cfg.rule_banks:
             from .webtext import bank_features_batch
 
@@ -94,7 +100,8 @@ def build_qc_pipeline(ds: ray.data.Dataset, cfg: PipelineConfig | None = None) -
 
         ds = ds.map_batches(make_qc_batch(cfg.effective_rules(),
                                           cfg.dup_rowkeys_ref,
-                                          rule_banks=cfg.rule_banks), **kw)
+                                          rule_banks=cfg.rule_banks,
+                                          neardup_rowkeys_ref=cfg.neardup_rowkeys_ref), **kw)
     return ds
 
 
@@ -231,6 +238,110 @@ def exact_dup_loser_index(paths: str | list[str],
     # uint64 keys ride as their int64 twos-complement view — consistent
     # on both add and probe (DropIndex contract)
     idx.add_dataset(exact_dup_loser_rowkeys_ds(paths, cfg), column="key")
+    return idx.seal()
+
+
+def neardup_loser_rowkeys_ds(paths: str | list[str],
+                             cfg: PipelineConfig | None = None,
+                             jaccard_threshold: float = 0.8):
+    """Pass 0 of the `--neardup` launch flow: cross-document NEAR-dup
+    detection over the extracted page text (MinHash -> LSH banding ->
+    exact-Jaccard verify — docs.minhash_candidate_pairs_ds fed by the
+    pages extract, the NOTES 'wire near-dup into the flagship' item).
+    Verified pairs at or above `jaccard_threshold` form a similarity
+    graph; connected components resolve via the shared min-label CC
+    (docs._cc_min_label_ds — single-task fast path under one partition,
+    distributed rounds beyond), the component's min ROW KEY wins, and
+    every other member is a loser. Returns a streaming Dataset of the
+    losers' row keys (int64 twos-complement view of page_row_keys —
+    the DropIndex/mark_dup_losers key contract).
+
+    Notes on semantics at the boundary:
+    - exact copies are near-dups with jaccard 1.0, so --neardup
+      subsumes --dedup's drops (winner choice differs: min ROW KEY
+      here vs min (url, key) there — both deterministic);
+    - rows identical in url AND warc_ts share a row key and are ONE
+      graph node; a node is a loser only when its key differs from the
+      component winner's, so indistinguishable copies can only drop
+      together IN FAVOR OF a surviving distinct winner — the content
+      always keeps at least one copy (same guarantee as the exact-dup
+      pass, enforced here by construction)."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from .docs import _cc_min_label_ds, minhash_candidate_pairs_ds
+
+    cfg = cfg or PipelineConfig()
+    kw = dict(batch_format="pyarrow", batch_size=cfg.batch_size)
+    n_shards = _pages_shard_count(paths)
+
+    def pages_as_docs() -> ray.data.Dataset:
+        def adapt(t: pa.Table) -> pa.Table:
+            from ..functions import textstats as ts
+
+            t = t.filter(pc.is_valid(t.column("text")))
+            texts = t.column("text")
+            if isinstance(texts, pa.ChunkedArray):
+                texts = texts.combine_chunks()
+            # pages with < 3 tokens carry no 3-gram shingles; their
+            # empty sets would all be mutually Jaccard-1 "near-dups",
+            # so they are excluded from the graph — the length rules
+            # own them, near-dup dedup never fires on them
+            n_tok = np.diff(ts.tokenize(texts).offsets)
+            t = t.filter(pa.array(n_tok >= 3))
+            keys = page_row_keys(t.column("url"), t.column("warc_ts"))
+            return pa.table({"doc_id": keys.view(np.int64), "text": t["text"]})
+
+        return (read_pages(paths).map_batches(extract_batch, **kw)
+                .map_batches(adapt, **kw))
+
+    pairs = minhash_candidate_pairs_ds(pages_as_docs, n_shards,
+                                       jaccard_threshold)
+    empty = pa.table({"key": pa.array([], pa.int64())})
+    if len(pairs) == 0:
+        return ray.data.from_arrow(empty)
+    edges_pd = pd.DataFrame({
+        "src": np.concatenate([pairs["id_a"].to_numpy(),
+                               pairs["id_b"].to_numpy()]).astype(np.int64),
+        "dst": np.concatenate([pairs["id_b"].to_numpy(),
+                               pairs["id_a"].to_numpy()]).astype(np.int64),
+    })
+    labels, _ = _cc_min_label_ds(edges_pd)
+
+    def losers(t: pa.Table) -> pa.Table:
+        node = np.asarray(t["node"], dtype=np.int64)
+        label = np.asarray(t["label"], dtype=np.int64)
+        return pa.table({"key": node[node != label]})
+
+    out = labels.map_batches(losers, batch_format="pyarrow")
+    return out if out.count() else ray.data.from_arrow(empty)
+
+
+def neardup_loser_rowkeys(paths: str | list[str],
+                          cfg: PipelineConfig | None = None,
+                          jaccard_threshold: float = 0.8):
+    """Collected sorted-uint64 twin of neardup_loser_rowkeys_ds — the
+    broadcastable drop side (mirrors exact_dup_loser_rowkeys)."""
+    import numpy as np
+
+    df = neardup_loser_rowkeys_ds(paths, cfg, jaccard_threshold).to_pandas()
+    if "key" not in df.columns:
+        return np.zeros(0, dtype=np.uint64)
+    return np.unique(df["key"].to_numpy().astype(np.int64).view(np.uint64))
+
+
+def neardup_loser_index(paths: str | list[str],
+                        cfg: PipelineConfig | None = None,
+                        jaccard_threshold: float = 0.8, n_shards: int = 8):
+    """Sharded-actor form of the near-dup drop set (mirrors
+    exact_dup_loser_index; flag values pytest-pinned equal to the
+    broadcast form)."""
+    from ..state.dropindex import DropIndex
+
+    idx = DropIndex(n_shards)
+    idx.add_dataset(neardup_loser_rowkeys_ds(paths, cfg, jaccard_threshold),
+                    column="key")
     return idx.seal()
 
 

@@ -40,12 +40,16 @@ def _models() -> tuple[LangIdModel, UnigramLM, ScrubStage]:
     return _CACHE["langid"], _CACHE["lm"], _CACHE["scrub"]  # type: ignore[return-value]
 
 
-def mark_dup_losers(batch: pa.Table, dup_rowkeys_ref) -> pa.Table:
-    """Append the `is_dup_loser` feature (1.0 when this page's row key —
-    url + warc_ts, see qc.page_row_keys — is in the exact-dup drop set,
-    else 0.0) so the cross-document dedup decision becomes an ordinary
-    RuleSpec (config.DEDUP_RULE) evaluated by apply_rules — flags,
-    drop_reason and rule_flags stay uniform with every other rule.
+def mark_dup_losers(batch: pa.Table, dup_rowkeys_ref,
+                    column: str = "is_dup_loser") -> pa.Table:
+    """Append the `column` feature (1.0 when this page's row key —
+    url + warc_ts, see qc.page_row_keys — is in the given drop set,
+    else 0.0) so a cross-document dedup decision becomes an ordinary
+    RuleSpec evaluated by apply_rules — flags, drop_reason and
+    rule_flags stay uniform with every other rule. Two callers, two
+    columns: the --dedup exact drop set fills `is_dup_loser`
+    (config.DEDUP_RULE) and the --neardup MinHash-LSH drop set fills
+    `is_neardup_loser` (config.NEARDUP_RULE).
 
     Two drop-set forms (pytest-pinned identical): an ObjectRef to a
     sorted uint64 key array (broadcast fast path, one searchsorted per
@@ -69,13 +73,13 @@ def mark_dup_losers(batch: pa.Table, dup_rowkeys_ref) -> pa.Table:
         inb = pos < len(hs)
         hit = np.zeros(len(uh), dtype=bool)
         hit[inb] = hs[pos[inb]] == uh[inb]
-    return batch.append_column("is_dup_loser",
-                               pa.array(hit.astype(np.float64)))
+    return batch.append_column(column, pa.array(hit.astype(np.float64)))
 
 
 def make_qc_batch(rules: tuple[RuleSpec, ...] = DEFAULT_RULES,
                   dup_rowkeys_ref=None,
-                  rule_banks: tuple[str, ...] = ()):
+                  rule_banks: tuple[str, ...] = (),
+                  neardup_rowkeys_ref=None):
     """-> a single stateless map_batches fn running the whole QC stack.
 
     `rule_banks` mirrors PipelineConfig.rule_banks: the caller passes the
@@ -97,6 +101,9 @@ def make_qc_batch(rules: tuple[RuleSpec, ...] = DEFAULT_RULES,
         batch = batch.append_column("ppl", pa.array(lm.score(texts, tv), type=pa.float64()))
         if dup_rowkeys_ref is not None:
             batch = mark_dup_losers(batch, dup_rowkeys_ref)
+        if neardup_rowkeys_ref is not None:
+            batch = mark_dup_losers(batch, neardup_rowkeys_ref,
+                                    column="is_neardup_loser")
         if rule_banks:
             from ..pipelines.webtext import bank_features_batch
 
