@@ -95,11 +95,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r5-NEW frozen-BPE subword family (functions/bpe.py)
         "token_counts_bpe": D.token_counts_bpe,
         "chunk_for_training_bpe": D.chunk_for_training_bpe,
-        # ---- the 33 r4-tail queries, rotated back in (item 7) --------
-        "distinct_vals": R.distinct_vals,
-        "row_count": R.row_count,
-        "union_all_summaries": R.union_all_summaries,
-        "stratified_sample": R.stratified_sample,
+        # ---- r5-session-3 NEW ops (in-cap: an op NEW in a round may not
+        # rely on the local sweep alone — ADVICE r3 rule). They take the
+        # slots of the four trivial relational generics below the cap
+        # (distinct_vals / row_count / union_all_summaries /
+        # stratified_sample: driver-green r1-r3, unmodified since r2 —
+        # the oldest-green, lowest-risk rows in the whole surface).
+        "pii_counts": _pii_counts,
+        "quality_classifier": _quality_classifier,
+        "host_reputation_filter": D.host_reputation_filter,
+        "language_balanced_sample": D.language_balanced_sample,
+        # ---- 29 of the 33 r4-tail queries, rotated back in (item 7) --
         "decontaminate": D.decontaminate_against,
         "deterministic_shuffle": D.deterministic_shuffle,
         "embedding_neardup_lsh": D.embedding_neardup_pairs_lsh,
@@ -171,6 +177,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- 50-row cap ends here -------------------------
         # tail: unmodified in r5 AND driver-green in CORRECTNESS_r04
         # (still swept locally by scripts/check_oracle.py every round)
+        # the four r1-r3-green trivial generics that yielded their slots
+        # to the r5-session-3 ops (unmodified since r2):
+        "distinct_vals": R.distinct_vals,
+        "row_count": R.row_count,
+        "union_all_summaries": R.union_all_summaries,
+        "stratified_sample": R.stratified_sample,
         "exact_dedup": D.exact_dedup,  # yielded its slot to dup_window_fraction
         "weighted_sample": D.weighted_sample,  # yielded to ccnet_ppl_buckets
         "decontaminate_bloom": D.decontaminate_bloom,  # yielded to knn_self_join
@@ -276,6 +288,18 @@ def _url_host_filter(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import url_host_filter
 
     return url_host_filter(_webtext_dir())
+
+
+def _pii_counts(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import pii_counts
+
+    return pii_counts(_webtext_dir())
+
+
+def _quality_classifier(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import quality_classifier
+
+    return quality_classifier(_webtext_dir())
 
 
 def _pmis_merged(_sf_dir: str):
@@ -423,6 +447,13 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality_flags": O.gopher_quality_flags_sql(pages_glob),
         "gopher_repetition_stats": O.gopher_repetition_sql(pages_glob),
         "url_host_filter": O.url_host_filter_sql(pages_glob),
+        # PII audit counts + frozen-integer-weight linear quality
+        # classifier (r5 session 3) — same RE2 constants both engines
+        "pii_counts": O.pii_counts_sql(pages_glob),
+        "quality_classifier": O.quality_classifier_sql(pages_glob),
+        # host-reputation gate + language-balanced sampling (r5 s3)
+        "host_reputation_filter": O.host_reputation_filter_sql(),
+        "language_balanced_sample": O.language_balanced_sample_sql(),
         # training-prep chunking: shared window-cumsum + generate_series
         # explode (oracles._chunk_explode_sql)
         "chunk_for_training": O.chunk_for_training_sql(),

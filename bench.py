@@ -181,6 +181,12 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("gopher_repetition_stats",
          lambda _sf: WT.gopher_repetition_stats(corpus)),
         ("url_host_filter", lambda _sf: WT.url_host_filter(corpus)),
+        # r5 session 3: PII audit + linear quality classifier (pages
+        # corpus) and the host/language corpus-mixing ops (documents)
+        ("pii_counts", lambda _sf: WT.pii_counts(corpus)),
+        ("quality_classifier", lambda _sf: WT.quality_classifier(corpus)),
+        ("host_reputation_filter", D.host_reputation_filter),
+        ("language_balanced_sample", D.language_balanced_sample),
     ]
 
 

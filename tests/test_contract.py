@@ -80,9 +80,15 @@ def test_correctness_cap_covers_priority_queries():
 
     keys = list(E.queries())
     first50 = set(keys[:50])
+    # r5 session 3 added four new ops (pii_counts, quality_classifier,
+    # host_reputation_filter, language_balanced_sample) which, being NEW,
+    # outrank four r4-tail TRIVIAL GENERICS for cap slots: distinct_vals /
+    # row_count / union_all_summaries / stratified_sample are driver-green
+    # in r1-r3 (three consecutive recorded rounds) and unmodified since
+    # r2, the oldest-green lowest-risk rows on the surface — a brand-new
+    # op with zero driver rows wins the slot over them.
     r4_tail = {
-        "distinct_vals", "row_count", "union_all_summaries",
-        "stratified_sample", "decontaminate", "deterministic_shuffle",
+        "decontaminate", "deterministic_shuffle",
         "embedding_neardup_lsh", "jsonl_ingest_docs", "csv_ingest_sections",
         "pmis_yby_flow", "pmis_county_summary", "pmis_diff_histogram",
         "pmis_yby_district", "token_counts", "quality_stats",
@@ -94,8 +100,11 @@ def test_correctness_cap_covers_priority_queries():
         "grouped_variance", "grouped_counters", "threshold_flag_audit",
         "threshold_flag_two_sided",
     }
-    assert len(r4_tail) == 33
+    assert len(r4_tail) == 29
     priority = r4_tail | {
+        # r5-session-3 new ops (ADVICE r3 rule: new ops ride the cap)
+        "pii_counts", "quality_classifier",
+        "host_reputation_filter", "language_balanced_sample",
         # permanent anchors
         "qc_label_documents", "pmis_audit_flow", "pmis_counters",
         # r5-modified (DropIndex drop sets; data-sized CC partitions is
@@ -147,3 +156,6 @@ def test_corpus_sized_ops_return_streaming_datasets(ray_session):
     assert isinstance(D.embed_docs(sf), ray.data.Dataset)
     assert isinstance(D.token_counts_bpe(sf), ray.data.Dataset)
     assert isinstance(D.chunk_for_training_bpe(sf), ray.data.Dataset)
+    # r5-session-3 ops keep the same boundary
+    assert isinstance(D.host_reputation_filter(sf), ray.data.Dataset)
+    assert isinstance(D.language_balanced_sample(sf), ray.data.Dataset)

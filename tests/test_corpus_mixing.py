@@ -1,0 +1,145 @@
+"""Round-5 session-3 ops: PII audit counts, the frozen-weight linear
+quality classifier, the host-reputation gate and language-balanced
+sampling — semantic pins on handcrafted corpora + DuckDB-twin equality
+(the same twins the driver runs)."""
+
+import os
+import sys
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+from check_oracle import normalize  # noqa: E402
+
+from txiac_qc_ray import oracles as O  # noqa: E402
+from txiac_qc_ray.pipelines import docs as D  # noqa: E402
+from txiac_qc_ray.pipelines import webtext as W  # noqa: E402
+
+PII_ROWS = [
+    ("u0", "clean prose with the usual words and no identifiers at all."),
+    ("u1", "mail a.b@c.example and b.c@d.example plus ip 10.0.0.1 end."),
+    ("u2", "call (512) 555-0123 or (512) 555-9999 ssn 123-45-6789."),
+    ("u3", "that stupid dumb idiot text repeats stupid again."),
+    ("u4", None),
+    ("u5", ""),
+]
+
+
+@pytest.fixture(scope="module")
+def pages_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mixing_pages")
+    t = pa.table({"url": pa.array([r[0] for r in PII_ROWS]),
+                  "text": pa.array([r[1] for r in PII_ROWS],
+                                   type=pa.string())})
+    pq.write_table(t, os.path.join(str(d), "part-00000.parquet"))
+    return str(d)
+
+
+def _twin_equal(ds, sql, con=None):
+    mine = normalize(ds.to_pandas())
+    orc = normalize((con or duckdb.connect()).execute(sql).df())
+    pd.testing.assert_frame_equal(mine, orc)
+    return mine
+
+
+def test_pii_counts_twin_and_semantics(ray_session, pages_dir):
+    out = _twin_equal(W.pii_counts(pages_dir),
+                      O.pii_counts_sql(pages_dir + "/*.parquet"))
+    by = out.set_index("url")
+    assert by.loc["u0", "n_pii_total"] == 0 and not by.loc["u0", "has_pii"]
+    assert by.loc["u1", "n_email"] == 2 and by.loc["u1", "n_ipv4"] == 1
+    assert by.loc["u2", "n_phone"] == 2 and by.loc["u2", "n_ssn"] == 1
+    assert by.loc["u3", "n_toxicity"] == 4  # stupid x2 + dumb + idiot
+    # null / empty text -> all-zero counts, has_pii false
+    assert by.loc["u4", "n_pii_total"] == 0 and by.loc["u5", "n_pii_total"] == 0
+    assert not by.loc["u4", "has_pii"]
+
+
+def test_quality_classifier_twin_and_semantics(ray_session, tmp_path):
+    rows = [
+        # clean prose: alpha tokens + stop words clear the 10/word bar
+        ("q0", "the quick brown fox jumps over the lazy dog with style."),
+        # symbol/digit spam: negative weights sink it
+        ("q1", "#### $$$$ %%%% 1234 5678 @@@@ !!!! 9999 0000 ^^^^"),
+        # toxicity: one hit costs 200 points
+        ("q2", "you stupid thing"),
+        ("q3", None),
+        ("q4", ""),
+    ]
+    d = str(tmp_path / "pages")
+    os.makedirs(d)
+    t = pa.table({"url": pa.array([r[0] for r in rows]),
+                  "text": pa.array([r[1] for r in rows], type=pa.string())})
+    pq.write_table(t, os.path.join(d, "part-00000.parquet"))
+    out = _twin_equal(W.quality_classifier(d),
+                      O.quality_classifier_sql(d + "/*.parquet"))
+    by = out.set_index("url")
+    assert by.loc["q0", "keep"]
+    assert not by.loc["q1", "keep"]   # symbols + digits sink it
+    assert not by.loc["q2", "keep"]   # toxicity dominates
+    assert not by.loc["q3", "keep"]   # null text: n_words == 0
+    assert not by.loc["q4", "keep"]
+    # exact integer score on q0: 11 words, all alpha, 3 stop-word hits
+    # (the, the, with) -> 12*11 + 40*3 = 252 with the frozen weights
+    w = dict(W.QC_WEIGHTS)
+    assert by.loc["q0", "n_words"] == 11
+    assert by.loc["q0", "quality_score"] == w["alpha"] * 11 + w["stop"] * 3
+
+
+def _docs_view(path: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}')")
+    return con
+
+
+def test_host_reputation_filter_semantics(ray_session, tmp_path):
+    # hostA avg = (100+500)/2 = 300.0 (exactly at the bar -> kept);
+    # hostB avg = (100+200)/2 = 150.0 (dropped); null host avg 400 kept
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["x"] * 5),
+        "lang": pa.array(["en"] * 5),
+        "source": pa.array(["hostA", "hostA", "hostB", "hostB", None]),
+        "n_chars": pa.array([100, 500, 100, 200, 400], type=pa.int64()),
+    })
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    p = os.path.join(d, "documents.parquet")
+    pq.write_table(t, p)
+    out = _twin_equal(D.host_reputation_filter(d),
+                      O.host_reputation_filter_sql(), _docs_view(p))
+    assert sorted(out["doc_id"]) == [0, 1, 4]
+    assert set(out[out["doc_id"] < 2]["host_avg_chars"]) == {300.0}
+
+
+def test_language_balanced_sample_semantics(ray_session, tmp_path):
+    # 'en' has 200 docs (thinned toward 60), 'xx' has 3 (rate 1.0: ALL kept)
+    n_en = 200
+    t = pa.table({
+        "doc_id": pa.array(list(range(n_en + 3)), type=pa.int64()),
+        "text": pa.array(["x"] * (n_en + 3)),
+        "lang": pa.array(["en"] * n_en + ["xx"] * 3),
+        "source": pa.array(["s"] * (n_en + 3)),
+        "n_chars": pa.array([10] * (n_en + 3), type=pa.int64()),
+    })
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    p = os.path.join(d, "documents.parquet")
+    pq.write_table(t, p)
+    out = _twin_equal(D.language_balanced_sample(d),
+                      O.language_balanced_sample_sql(), _docs_view(p))
+    out["doc_id"] = out["doc_id"].astype(int)
+    xx = out[out["lang"] == "xx"]
+    assert len(xx) == 3 and set(xx["rate"]) == {1.0}  # rare lang passes whole
+    en = out[out["lang"] == "en"]
+    assert 0 < len(en) < n_en                        # dominant lang thinned
+    assert set(en["rate"]) == {60.0 / n_en}

@@ -64,7 +64,8 @@ def test_every_query_survives_empty_tables(ray_session, empty_dir):
         # to discard the (correctly non-empty) result
         if name.startswith(("pmis_", "csv_ingest", "jsonl_ingest",
                             "scrub_docs", "c4_line_filter", "gopher_",
-                            "url_host_filter")):
+                            "url_host_filter", "pii_counts",
+                            "quality_classifier")):
             continue
         exempt = name in MAY_BE_NONEMPTY
         try:

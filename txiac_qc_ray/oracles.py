@@ -421,6 +421,39 @@ def cap_per_host_sql(k: int = 5) -> str:
     """
 
 
+def host_reputation_filter_sql(min_avg_chars: float = 300.0) -> str:
+    """Host-reputation gate twin: the same exact-int mean (SUM/COUNT as
+    one correctly-rounded double division) computed per source with a
+    window, threshold compare on the UNROUNDED double — bit-identical to
+    the engine's float(int)/float(int)."""
+    return f"""
+    WITH h AS (
+      SELECT doc_id, source, lang, n_chars,
+             CAST(sum(n_chars) OVER (PARTITION BY source) AS DOUBLE)
+               / count(*) OVER (PARTITION BY source) AS host_avg
+      FROM documents)
+    SELECT doc_id, source, lang, n_chars,
+           round(host_avg, 4) AS host_avg_chars
+    FROM h WHERE host_avg >= {min_avg_chars}
+    """
+
+
+def language_balanced_sample_sql(per_lang_target: int = 60) -> str:
+    """Language-balanced sampling twin: the same splitmix64 uniform and
+    the same single target/count double division (LEAST against 1.0),
+    so u < rate is the identical bit-exact comparison."""
+    mix = mix64_scalar("CAST(doc_id AS HUGEINT)")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             CAST({mix} AS DOUBLE) / 18446744073709551616.0 AS u,
+             LEAST(CAST({per_lang_target} AS DOUBLE)
+                     / count(*) OVER (PARTITION BY lang), 1.0) AS rate
+      FROM documents)
+    SELECT doc_id, lang, n_chars, rate FROM d WHERE u < rate
+    """
+
+
 def hex16(v: str) -> str:
     """16-digit lowercase hex of a HUGEINT in [0, 2^64)."""
     return (f"printf('%08x%08x', CAST(({v}) >> 32 AS BIGINT), "
@@ -1034,6 +1067,64 @@ def scrub_docs_sql(pages_glob: str) -> str:
       FROM read_parquet('{pages_glob}'))
     SELECT url, scrubbed_text,
            coalesce(text <> scrubbed_text, FALSE) AS scrubbed
+    FROM s
+    """
+
+
+def pii_counts_sql(pages_glob: str) -> str:
+    """PII-audit twin: independent non-overlapping RE2 counts per frozen
+    scrub pattern — len(regexp_extract_all) mirrors pyarrow's
+    count_substring_regex over the SAME constants; null text -> 0."""
+    from .stages.scrub import SCRUB_PATTERNS
+
+    cols = ",\n             ".join(
+        f"coalesce(len(regexp_extract_all(text, '{pat}')), 0) AS n_{name}"
+        for name, pat, _repl in SCRUB_PATTERNS)
+    total = " + ".join(f"n_{name}" for name, _p, _r in SCRUB_PATTERNS)
+    casts = ",\n           ".join(
+        f"CAST(n_{name} AS BIGINT) AS n_{name}"
+        for name, _p, _r in SCRUB_PATTERNS)
+    return f"""
+    WITH c AS (
+      SELECT url,
+             {cols}
+      FROM read_parquet('{pages_glob}'))
+    SELECT url,
+           {casts},
+           CAST({total} AS BIGINT) AS n_pii_total,
+           ({total}) > 0 AS has_pii
+    FROM c
+    """
+
+
+def quality_classifier_sql(pages_glob: str) -> str:
+    """Linear quality classifier twin: the same frozen integer weight
+    vector (webtext.QC_WEIGHTS) over the same RE2 count features —
+    integer dot product, integer cross-multiplied keep rule, exact by
+    construction."""
+    from .pipelines import webtext as w
+
+    feat_re = {
+        "stop": f"lower(text), '{w.GOPHER_STOPWORD_RE}'",
+        "alpha": f"text, '{w.ALPHA_WORD_RE}'",
+        "sym": f"text, '{w.SYMBOL_RE}'",
+        "tox": f"text, '{w.BADWORD_RE}'",
+        "digit": f"text, '{w.DIGIT_RE}'",
+    }
+    cols = ",\n             ".join(
+        f"coalesce(len(regexp_extract_all({feat_re[name]})), 0) AS n_{name}"
+        for name, _wt in w.QC_WEIGHTS)
+    score = " + ".join(f"({wt}) * n_{name}" for name, wt in w.QC_WEIGHTS)
+    return f"""
+    WITH c AS (
+      SELECT url,
+             coalesce(len(regexp_extract_all(text, '{w.WORD_RE}')), 0) AS n_words,
+             {cols}
+      FROM read_parquet('{pages_glob}')),
+    s AS (SELECT url, n_words, {score} AS score FROM c)
+    SELECT url, CAST(n_words AS BIGINT) AS n_words,
+           CAST(score AS BIGINT) AS quality_score,
+           n_words > 0 AND score >= {w.QC_MIN_SCORE_PER_WORD} * n_words AS keep
     FROM s
     """
 

@@ -2602,6 +2602,137 @@ def weighted_sample(sf_dir: str, full_weight_chars: int = 2000) -> ray.data.Data
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
+_NULL_KEY = "\x00null\x00"  # shuffle/lookup stand-in for a null group key
+# (SQL GROUP BY / PARTITION BY treat NULL as one group); output rows keep
+# their real null value — only the internal key carries the sentinel
+
+
+def host_reputation_filter(sf_dir: str,
+                           min_avg_chars: float = 300.0) -> ray.data.Dataset:
+    """Host-level reputation gate — the domain-granularity complement of
+    the per-doc quality rules: aggregate a per-host quality statistic
+    (here mean document length in chars, the cheapest honest proxy; a
+    production run would plug in the quality classifier's mean score the
+    same way), then keep only documents whose host clears the bar. The
+    'drop low-reputation domains wholesale' step every crawl pipeline
+    runs between URL filtering (drops KNOWN-bad hosts) and per-doc rules
+    (judges docs one at a time).
+
+    Shape: per-batch integer partials (host, sum_chars, n_docs) -> one
+    groupby over HOST cardinality (metadata-sized: hosts, not docs) ->
+    the tiny reputation table broadcasts via ray.put -> one streamed
+    labeling pass (sorted-array searchsorted lookup, no shuffle of the
+    corpus). Null source is its own group, SQL-semantics. Float parity:
+    avg = float(int_sum) / float(int_count) — both conversions and the
+    division are correctly-rounded IEEE ops in numpy and DuckDB, so the
+    threshold compare and the rounded output column are bit-identical.
+
+    -> streaming Dataset of kept (doc_id, source, lang, n_chars,
+    host_avg_chars[4dp]). Reference analog: none (domain-level op beyond
+    Home.py's row-level surface); north_rule's url-hash partitioning
+    family."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "lang", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = np.asarray(pc.fill_null(t["source"], _NULL_KEY), dtype=object)
+        uniq, inv = np.unique(src, return_inverse=True)
+        n_chars = np.asarray(t["n_chars"], dtype=np.int64)
+        sums = np.zeros(len(uniq), dtype=np.int64)
+        np.add.at(sums, inv, n_chars)
+        cnts = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+        return pa.table({"host_key": pa.array(uniq.tolist(), type=pa.string()),
+                         "sum_chars": sums, "n_docs": cnts})
+
+    rep = ensure_columns(
+        ds.map_batches(partial, batch_format="pyarrow")
+          .groupby("host_key")
+          .aggregate(RaySum("sum_chars", alias_name="sum_chars"),
+                     RaySum("n_docs", alias_name="n_docs"))
+          .to_pandas(),
+        {"host_key": "object", "sum_chars": "int64", "n_docs": "int64"})
+    hosts = np.asarray(rep["host_key"], dtype=object)
+    order = np.argsort(hosts)
+    hosts = hosts[order]
+    avgs = (rep["sum_chars"].to_numpy().astype(np.float64)[order]
+            / rep["n_docs"].to_numpy().astype(np.float64)[order])
+    rep_ref = ray.put((hosts, avgs))
+
+    def label(t: pa.Table) -> pa.Table:
+        hs, av = ray.get(rep_ref)
+        src = np.asarray(pc.fill_null(t["source"], _NULL_KEY), dtype=object)
+        if len(hs) == 0:
+            return t.append_column(
+                "host_avg_chars",
+                pa.array(np.zeros(0, np.float64), type=pa.float64()))
+        idx = np.searchsorted(hs, src)
+        idx = np.clip(idx, 0, len(hs) - 1)  # every host is in the table
+        host_avg = av[idx]
+        t = t.append_column(
+            "host_avg_chars",
+            pa.array(round_half_away(host_avg, 4), type=pa.float64()))
+        return t.filter(pa.array(host_avg >= min_avg_chars))
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
+def language_balanced_sample(sf_dir: str,
+                             per_lang_target: int = 60) -> ray.data.Dataset:
+    """Language-balanced corpus downsampling — the mixing step a
+    multilingual training run does so high-resource languages don't
+    drown the rest: per language, keep each doc with probability
+    rate = min(1, target / lang_count), using the replayable per-doc
+    uniform u = mix64(doc_id) / 2^64 (same mixer contract as
+    weighted_sample — a seeded random sample can't be replayed across
+    engines/restarts; this can). Expected kept docs per language ==
+    min(target, lang_count): rare languages pass through whole, dominant
+    ones thin toward the target.
+
+    Shape: one metadata-sized count pass (groupby over LANGUAGE
+    cardinality), rates broadcast as a sorted-array lookup, then a pure
+    streamed filter — the corpus is never shuffled. Null lang is its own
+    group, SQL-semantics. Float parity: rate = float(target)/float(count)
+    and u are single correctly-rounded IEEE ops in both engines, so
+    u < rate is the same bit-exact comparison on both sides.
+
+    -> streaming Dataset of kept (doc_id, lang, n_chars, rate).
+    Reference analog: none (training-mix op beyond Home.py's surface)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        lang = np.asarray(pc.fill_null(t["lang"], _NULL_KEY), dtype=object)
+        uniq, cnt = np.unique(lang, return_counts=True)
+        return pa.table({"lang_key": pa.array(uniq.tolist(), type=pa.string()),
+                         "cnt": cnt.astype(np.int64)})
+
+    counts = ensure_columns(
+        ds.map_batches(count_partial, batch_format="pyarrow")
+          .groupby("lang_key").aggregate(RaySum("cnt", alias_name="cnt"))
+          .to_pandas(),
+        {"lang_key": "object", "cnt": "int64"})
+    langs = np.asarray(counts["lang_key"], dtype=object)
+    order = np.argsort(langs)
+    langs = langs[order]
+    rates = np.minimum(
+        np.float64(per_lang_target)
+        / counts["cnt"].to_numpy().astype(np.float64)[order], 1.0)
+    rate_ref = ray.put((langs, rates))
+
+    def stage(t: pa.Table) -> pa.Table:
+        ls, rs = ray.get(rate_ref)
+        lang = np.asarray(pc.fill_null(t["lang"], _NULL_KEY), dtype=object)
+        if len(ls) == 0:
+            return t.append_column(
+                "rate", pa.array(np.zeros(0, np.float64), type=pa.float64()))
+        idx = np.clip(np.searchsorted(ls, lang), 0, len(ls) - 1)
+        rate = rs[idx]
+        u = _mix64(np.asarray(t["doc_id"]).astype(np.uint64)).astype(
+            np.float64) / 2.0**64
+        t = t.append_column("rate", pa.array(rate, type=pa.float64()))
+        return t.filter(pa.array(u < rate))
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
 def chunk_for_training(sf_dir: str, context_len: int = 512) -> ray.data.Dataset:
     """GPT-style concat-and-chunk sequence packing: documents are laid
     end-to-end in doc_id order (whitespace \\S+ tokens — the same

@@ -549,6 +549,103 @@ def _repetition_stats(text: pa.Array, tv=None,
     return out
 
 
+def _count_re(arr: pa.Array, pat: str) -> np.ndarray:
+    """Non-overlapping RE2 match count per row, null -> 0 (the same
+    convention as DuckDB's coalesce(len(regexp_extract_all(..)), 0))."""
+    return np.asarray(pc.fill_null(
+        pc.cast(pc.count_substring_regex(arr, pat), pa.int64()), 0))
+
+
+def pii_counts(paths: str | list[str]) -> ray.data.Dataset:
+    """Per-page PII/toxicity AUDIT — the measuring arm of the scrub
+    bank: for every page, how many spans EACH frozen scrub pattern
+    (email/phone/ssn/ipv4/toxicity) matches in the original text, plus
+    the total and a has_pii flag. Where `scrub_docs` transforms, this
+    reports — the pass a compliance review runs over a crawl before
+    deciding what to scrub vs drop, and the per-category counters a
+    100 TB run would aggregate into its lineage metrics.
+
+    Counts are independent non-overlapping RE2 scans over the UNTOUCHED
+    text (not the scrub's sequential-replacement view) so both engines
+    evaluate the same spec: pyarrow count_substring_regex here,
+    len(regexp_extract_all(...)) in the DuckDB twin, SAME pattern
+    constants (stages/scrub.SCRUB_PATTERNS). Null text -> all counts 0,
+    has_pii false. One stateless vectorized pass, no shuffle, no driver
+    state — scales as a pure map.
+
+    Reference analog: none (the reference neither scrubs nor audits);
+    north_rule's PII bank, reporting side."""
+    def stage(t: pa.Table) -> pa.Table:
+        text = _as_array(t.column("text"))
+        cols: dict = {"url": t["url"]}
+        total = np.zeros(len(t), dtype=np.int64)
+        for name, pat, _repl in SCRUB_PATTERNS:
+            c = _count_re(text, pat)
+            cols[f"n_{name}"] = pa.array(c, type=pa.int64())
+            total += c
+        cols["n_pii_total"] = pa.array(total, type=pa.int64())
+        cols["has_pii"] = pa.array(total > 0)
+        return pa.table(cols)
+
+    return _read_pages_text(paths).map_batches(stage, batch_format="pyarrow")
+
+
+# Frozen integer weight vector for the linear quality classifier —
+# hand-frozen constants with the SHAPE of a learned fastText/DCLM-style
+# scorer (a learned one would load its weights the same way; committed
+# ints keep the op deterministic and SQL-twinnable with EXACT integer
+# arithmetic). Positive evidence: stop words (prose), alphabetic tokens;
+# negative: symbols, toxicity hits, digit characters. A page is kept when
+# its score clears QC_MIN_SCORE_PER_WORD points per word — the integer
+# cross-multiplied form of `score / n_words >= threshold`.
+QC_WEIGHTS = (("stop", 40), ("alpha", 12), ("sym", -30),
+              ("tox", -200), ("digit", -2))
+QC_MIN_SCORE_PER_WORD = 10
+DIGIT_RE = r"[0-9]"
+
+
+def quality_classifier(paths: str | list[str]) -> ray.data.Dataset:
+    """Linear quality classifier over count features — the frozen-weight
+    stand-in for the fastText/DCLM-style learned quality scorer every
+    modern web pipeline runs after the heuristic banks: score = w · x
+    where x is the vector of RE2 count features (stop words, alphabetic
+    tokens, symbols, toxicity hits, digit chars) and w is the committed
+    integer weight vector QC_WEIGHTS; keep iff n_words > 0 and
+    score >= QC_MIN_SCORE_PER_WORD * n_words (integer cross-multiply, no
+    float anywhere). -> (url, n_words, quality_score, keep).
+
+    All features are integer counts and the score is an int64 dot
+    product, so the DuckDB twin (same pattern constants, same weights)
+    is bit-exact by construction. One stateless vectorized pass, no
+    shuffle — at 100 TB this is a pure map over the stream, and swapping
+    the frozen ints for learned weights changes nothing structural (a
+    real model would ride an actor pool __init__, like stages/langid).
+
+    Reference analog: Home.py's per-measure threshold flags (H:176-183)
+    are single-feature hard gates; this is their multi-feature weighted
+    generalization."""
+    def stage(t: pa.Table) -> pa.Table:
+        text = _as_array(t.column("text"))
+        n_words = _count_re(text, WORD_RE)
+        feats = {
+            "stop": _count_re(pc.utf8_lower(text), GOPHER_STOPWORD_RE),
+            "alpha": _count_re(text, ALPHA_WORD_RE),
+            "sym": _count_re(text, SYMBOL_RE),
+            "tox": _count_re(text, BADWORD_RE),
+            "digit": _count_re(text, DIGIT_RE),
+        }
+        score = np.zeros(len(t), dtype=np.int64)
+        for name, w in QC_WEIGHTS:
+            score += w * feats[name]
+        keep = (n_words > 0) & (score >= QC_MIN_SCORE_PER_WORD * n_words)
+        return pa.table({
+            "url": t["url"],
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "quality_score": pa.array(score, type=pa.int64()),
+            "keep": pa.array(keep),
+        })
+
+    return _read_pages_text(paths).map_batches(stage, batch_format="pyarrow")
 
 
 # ---- flagship opt-in rule banks -----------------------------------------
