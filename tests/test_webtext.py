@@ -291,7 +291,7 @@ def test_rule_banks_in_flagship(ray_session):
     from txiac_qc_ray.sources.pages import default_pages_dir
 
     d = default_pages_dir(2000)
-    banks = ("c4", "gopher", "repetition", "url")
+    banks = ("c4", "gopher", "repetition", "url", "classifier")
     out = (build_qc_pipeline(read_pages(d), PipelineConfig(rule_banks=banks))
            .to_pandas().sort_values("url", ignore_index=True))
     out_actors = (build_qc_pipeline(
@@ -303,9 +303,11 @@ def test_rule_banks_in_flagship(ray_session):
     for bank, fn in [("c4", W.c4_line_filter),
                      ("gopher", W.gopher_quality_flags),
                      ("repetition", W.gopher_repetition_stats),
-                     ("url", W.url_host_filter)]:
+                     ("url", W.url_host_filter),
+                     ("classifier", W.quality_classifier)]:
         keep_col = {"c4": "keep", "gopher": "gopher_keep",
-                    "repetition": "repetition_keep", "url": "keep"}[bank]
+                    "repetition": "repetition_keep", "url": "keep",
+                    "classifier": "keep"}[bank]
         standalone = fn(d).to_pandas().set_index("url")[keep_col].astype(bool)
         flag = by[f"{bank}_keep"].astype(bool)
         assert flag.equals(standalone.reindex(by.index)), bank
@@ -326,7 +328,8 @@ def test_rule_banks_in_flagship(ray_session):
               & by["c4_keep"].to_numpy().astype(bool)
               & by["gopher_keep"].to_numpy().astype(bool)
               & by["repetition_keep"].to_numpy().astype(bool)
-              & by["url_keep"].to_numpy().astype(bool))
+              & by["url_keep"].to_numpy().astype(bool)
+              & by["classifier_keep"].to_numpy().astype(bool))
     assert (out["keep"].to_numpy() == expect).all()
     # and the non-bank columns of the banks-on run match the default run
     shared = [c for c in base.columns if not c.startswith("rule_")

@@ -42,8 +42,8 @@ def main(argv: list[str] | None = None) -> int:
                       help="verified-Jaccard threshold for --neardup pairs")
     runp.add_argument("--rule-banks", default="",
                       help="comma-separated opt-in web-text rule banks "
-                           "(c4,gopher,repetition,url) appended after the "
-                           "default rules (pipelines/webtext.py)")
+                           "(c4,gopher,repetition,url,classifier) appended "
+                           "after the default rules (pipelines/webtext.py)")
     runp.add_argument("--num-cpus", type=int, default=None,
                       help="only used when Ray is not already initialised")
     args = p.parse_args(argv)

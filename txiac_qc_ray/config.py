@@ -72,6 +72,8 @@ RULE_BANK_RULES: dict[str, RuleSpec] = {
     "repetition": RuleSpec("repetition_dropped", "repetition_keep",
                            "lt", lo=0.5),
     "url": RuleSpec("url_dropped", "url_keep", "lt", lo=0.5),
+    "classifier": RuleSpec("classifier_dropped", "classifier_keep",
+                           "lt", lo=0.5),
 }
 
 # Feature columns the feature stage emits (all float64 unless noted).

@@ -625,19 +625,7 @@ def quality_classifier(paths: str | list[str]) -> ray.data.Dataset:
     are single-feature hard gates; this is their multi-feature weighted
     generalization."""
     def stage(t: pa.Table) -> pa.Table:
-        text = _as_array(t.column("text"))
-        n_words = _count_re(text, WORD_RE)
-        feats = {
-            "stop": _count_re(pc.utf8_lower(text), GOPHER_STOPWORD_RE),
-            "alpha": _count_re(text, ALPHA_WORD_RE),
-            "sym": _count_re(text, SYMBOL_RE),
-            "tox": _count_re(text, BADWORD_RE),
-            "digit": _count_re(text, DIGIT_RE),
-        }
-        score = np.zeros(len(t), dtype=np.int64)
-        for name, w in QC_WEIGHTS:
-            score += w * feats[name]
-        keep = (n_words > 0) & (score >= QC_MIN_SCORE_PER_WORD * n_words)
+        n_words, score, keep = _classifier_stats(_as_array(t.column("text")))
         return pa.table({
             "url": t["url"],
             "n_words": pa.array(n_words, type=pa.int64()),
@@ -646,6 +634,26 @@ def quality_classifier(paths: str | list[str]) -> ray.data.Dataset:
         })
 
     return _read_pages_text(paths).map_batches(stage, batch_format="pyarrow")
+
+
+def _classifier_stats(text: pa.Array) -> tuple[np.ndarray, np.ndarray,
+                                               np.ndarray]:
+    """-> (n_words, score, keep) int64/int64/bool arrays — shared by the
+    standalone `quality_classifier` query and the flagship's opt-in
+    `classifier` rule bank (so the two can never drift)."""
+    n_words = _count_re(text, WORD_RE)
+    feats = {
+        "stop": _count_re(pc.utf8_lower(text), GOPHER_STOPWORD_RE),
+        "alpha": _count_re(text, ALPHA_WORD_RE),
+        "sym": _count_re(text, SYMBOL_RE),
+        "tox": _count_re(text, BADWORD_RE),
+        "digit": _count_re(text, DIGIT_RE),
+    }
+    score = np.zeros(len(n_words), dtype=np.int64)
+    for name, w in QC_WEIGHTS:
+        score += w * feats[name]
+    keep = (n_words > 0) & (score >= QC_MIN_SCORE_PER_WORD * n_words)
+    return n_words, score, keep
 
 
 # ---- flagship opt-in rule banks -----------------------------------------
@@ -663,6 +671,9 @@ _BANK_KEEP = {
     # url bank keys on the batch's url column, not the text
     "url": lambda batch, text, tv, split: _url_keep(
         _as_array(batch.column("url")))[1],
+    # frozen-integer-weight linear quality classifier (r5 s3) — shared
+    # _classifier_stats core with the standalone query
+    "classifier": lambda batch, text, tv, split: _classifier_stats(text)[2],
 }
 
 
