@@ -105,6 +105,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": _quality_classifier,
         "host_reputation_filter": D.host_reputation_filter,
         "language_balanced_sample": D.language_balanced_sample,
+        # (5th r5-s3 op) within-doc duplicate-line removal — takes
+        # threshold_flag_audit's slot (driver-green r1-r3, unmodified
+        # since r1; its sibling threshold_flag_two_sided stays in-cap)
+        "dedup_lines_within_doc": _dedup_lines_within_doc,
         # ---- 29 of the 33 r4-tail queries, rotated back in (item 7) --
         "decontaminate": D.decontaminate_against,
         "deterministic_shuffle": D.deterministic_shuffle,
@@ -133,7 +137,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_thresholds": R.quantile_thresholds_q,
         "grouped_variance": R.grouped_variance,
         "grouped_counters": R.grouped_counters,
-        "threshold_flag_audit": R.threshold_flag_audit,
         "threshold_flag_two_sided": R.threshold_flag_two_sided,
         # r5-NEW (this session): sliding-window duplicate-substring
         # fraction (Lee et al. 2021 signal) — takes exact_dedup's spare
@@ -183,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "row_count": R.row_count,
         "union_all_summaries": R.union_all_summaries,
         "stratified_sample": R.stratified_sample,
+        "threshold_flag_audit": R.threshold_flag_audit,
         "exact_dedup": D.exact_dedup,  # yielded its slot to dup_window_fraction
         "weighted_sample": D.weighted_sample,  # yielded to ccnet_ppl_buckets
         "decontaminate_bloom": D.decontaminate_bloom,  # yielded to knn_self_join
@@ -300,6 +304,12 @@ def _quality_classifier(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import quality_classifier
 
     return quality_classifier(_webtext_dir())
+
+
+def _dedup_lines_within_doc(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import dedup_lines_within_doc
+
+    return dedup_lines_within_doc(_webtext_dir())
 
 
 def _pmis_merged(_sf_dir: str):
@@ -451,6 +461,8 @@ def oracle_sql() -> dict[str, str]:
         # classifier (r5 session 3) — same RE2 constants both engines
         "pii_counts": O.pii_counts_sql(pages_glob),
         "quality_classifier": O.quality_classifier_sql(pages_glob),
+        # within-doc duplicate-line removal (r5 s3)
+        "dedup_lines_within_doc": O.dedup_lines_within_doc_sql(pages_glob),
         # host-reputation gate + language-balanced sampling (r5 s3)
         "host_reputation_filter": O.host_reputation_filter_sql(),
         "language_balanced_sample": O.language_balanced_sample_sql(),

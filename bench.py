@@ -185,6 +185,8 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         # corpus) and the host/language corpus-mixing ops (documents)
         ("pii_counts", lambda _sf: WT.pii_counts(corpus)),
         ("quality_classifier", lambda _sf: WT.quality_classifier(corpus)),
+        ("dedup_lines_within_doc",
+         lambda _sf: WT.dedup_lines_within_doc(corpus)),
         ("host_reputation_filter", D.host_reputation_filter),
         ("language_balanced_sample", D.language_balanced_sample),
     ]

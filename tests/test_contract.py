@@ -80,13 +80,15 @@ def test_correctness_cap_covers_priority_queries():
 
     keys = list(E.queries())
     first50 = set(keys[:50])
-    # r5 session 3 added four new ops (pii_counts, quality_classifier,
-    # host_reputation_filter, language_balanced_sample) which, being NEW,
-    # outrank four r4-tail TRIVIAL GENERICS for cap slots: distinct_vals /
-    # row_count / union_all_summaries / stratified_sample are driver-green
-    # in r1-r3 (three consecutive recorded rounds) and unmodified since
-    # r2, the oldest-green lowest-risk rows on the surface — a brand-new
-    # op with zero driver rows wins the slot over them.
+    # r5 session 3 added five new ops (pii_counts, quality_classifier,
+    # host_reputation_filter, language_balanced_sample,
+    # dedup_lines_within_doc) which, being NEW, outrank five r4-tail
+    # TRIVIAL GENERICS for cap slots: distinct_vals / row_count /
+    # union_all_summaries / stratified_sample / threshold_flag_audit are
+    # driver-green in r1-r3 (three consecutive recorded rounds) and
+    # unmodified since r1/r2, the oldest-green lowest-risk rows on the
+    # surface — a brand-new op with zero driver rows wins the slot over
+    # them (threshold_flag_audit's two-sided sibling stays in-cap).
     r4_tail = {
         "decontaminate", "deterministic_shuffle",
         "embedding_neardup_lsh", "jsonl_ingest_docs", "csv_ingest_sections",
@@ -97,14 +99,15 @@ def test_correctness_cap_covers_priority_queries():
         "simhash_neardup_pairs", "dedup_adjacent_tokens",
         "embedding_neardup_pairs", "ann_topk_bruteforce", "ann_topk_lsh",
         "ann_topk_ivf", "tolerance_join", "quantile_thresholds",
-        "grouped_variance", "grouped_counters", "threshold_flag_audit",
+        "grouped_variance", "grouped_counters",
         "threshold_flag_two_sided",
     }
-    assert len(r4_tail) == 29
+    assert len(r4_tail) == 28
     priority = r4_tail | {
         # r5-session-3 new ops (ADVICE r3 rule: new ops ride the cap)
         "pii_counts", "quality_classifier",
         "host_reputation_filter", "language_balanced_sample",
+        "dedup_lines_within_doc",
         # permanent anchors
         "qc_label_documents", "pmis_audit_flow", "pmis_counters",
         # r5-modified (DropIndex drop sets; data-sized CC partitions is

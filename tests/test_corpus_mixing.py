@@ -94,6 +94,32 @@ def test_quality_classifier_twin_and_semantics(ray_session, tmp_path):
     assert by.loc["q0", "quality_score"] == w["alpha"] * 11 + w["stop"] * 3
 
 
+def test_dedup_lines_within_doc_twin_and_semantics(ray_session, tmp_path):
+    rows = [
+        ("d0", "nav\nbody one.\nnav\nbody two.\nnav"),
+        ("d1", "a\na\na"),
+        ("d2", None),
+        ("d3", ""),
+        ("d4", "unique only\nlines here"),
+    ]
+    d = str(tmp_path / "pages")
+    os.makedirs(d)
+    t = pa.table({"url": pa.array([r[0] for r in rows]),
+                  "text": pa.array([r[1] for r in rows], type=pa.string())})
+    pq.write_table(t, os.path.join(d, "part-00000.parquet"))
+    out = _twin_equal(W.dedup_lines_within_doc(d),
+                      O.dedup_lines_within_doc_sql(d + "/*.parquet"))
+    by = out.set_index("url")
+    assert by.loc["d0", "clean_text"] == "nav\nbody one.\nbody two."
+    assert by.loc["d0", "n_lines"] == 5 and by.loc["d0", "n_dup_lines"] == 2
+    assert by.loc["d1", "clean_text"] == "a" and by.loc["d1", "n_dup_lines"] == 2
+    assert by.loc["d2", "clean_text"] == "None"  # normalize() stringifies
+    assert by.loc["d2", "n_lines"] == 0 and by.loc["d2", "n_dup_lines"] == 0
+    assert by.loc["d3", "clean_text"] == "" and by.loc["d3", "n_lines"] == 1
+    assert by.loc["d4", "clean_text"] == rows[4][1]
+    assert by.loc["d4", "n_dup_lines"] == 0
+
+
 def _docs_view(path: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     con.execute(

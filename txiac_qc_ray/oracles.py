@@ -1097,6 +1097,30 @@ def pii_counts_sql(pages_glob: str) -> str:
     """
 
 
+def dedup_lines_within_doc_sql(pages_glob: str) -> str:
+    """Within-doc line-dedup twin: keep element iff its FIRST list
+    position equals its own index (list_position returns the first
+    match), then rejoin — the same first-occurrence spec as the
+    engine's lexsort mask. array_to_string([]) is NULL in DuckDB ->
+    coalesce for the all-lines-removed-impossible / valid-empty case."""
+    return f"""
+    WITH l AS (
+      SELECT url, text, string_split(text, chr(10)) AS ls
+      FROM read_parquet('{pages_glob}')),
+    k AS (
+      SELECT url, text, ls,
+             list_filter(ls, (x, i) -> list_position(ls, x) = i) AS kept
+      FROM l)
+    SELECT url,
+           CASE WHEN text IS NULL THEN NULL
+                ELSE coalesce(array_to_string(kept, chr(10)), '') END AS clean_text,
+           CAST(coalesce(len(ls), 0) AS BIGINT) AS n_lines,
+           CAST(coalesce(len(ls), 0) - coalesce(len(kept), 0) AS BIGINT)
+             AS n_dup_lines
+    FROM k
+    """
+
+
 def quality_classifier_sql(pages_glob: str) -> str:
     """Linear quality classifier twin: the same frozen integer weight
     vector (webtext.QC_WEIGHTS) over the same RE2 count features —

@@ -636,6 +636,52 @@ def quality_classifier(paths: str | list[str]) -> ray.data.Dataset:
     return _read_pages_text(paths).map_batches(stage, batch_format="pyarrow")
 
 
+def dedup_lines_within_doc(paths: str | list[str]) -> ray.data.Dataset:
+    """Within-document duplicate-line REMOVAL: keep the FIRST occurrence
+    of each exact line, preserve order, rejoin with '\\n' — the removal
+    counterpart of `gopher_repetition_stats`' duplicate-line fractions
+    (that op measures, this one transforms). Repeated nav/footer/cookie
+    boilerplate inside one page is the classic target; C4-family
+    pipelines run this before any cross-document dedup so the repeated
+    chrome doesn't dominate shingles. -> (url, clean_text, n_lines,
+    n_dup_lines). Null text stays null with zero counts.
+
+    Vectorized: one split-flatten per batch, lines dictionary-encoded to
+    int codes, ONE (doc, code) lexsort marks first occurrences (global
+    position as the stable tie-break), and the kept mask reassembles per
+    doc via offset arithmetic + Arrow binary_join — no Python loop over
+    rows or lines. Stateless single pass, no shuffle (within-doc by
+    definition). The DuckDB twin expresses the same spec as a
+    list_position first-occurrence lambda."""
+    def stage(t: pa.Table) -> pa.Table:
+        text = _as_array(t.column("text"))
+        flat, counts, valid = _line_split(text)
+        n = len(flat)
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        codes = np.asarray(flat.dictionary_encode().indices)
+        order = np.lexsort((codes, doc_of))  # stable: position breaks ties
+        d2, c2 = doc_of[order], codes[order]
+        first = np.ones(n, dtype=bool)
+        first[1:] = (d2[1:] != d2[:-1]) | (c2[1:] != c2[:-1])
+        keep = np.zeros(n, dtype=bool)
+        keep[order] = first
+        kept_counts = _segment_counts(keep, counts)
+        off = np.concatenate([[0], np.cumsum(kept_counts)])
+        lst = pa.ListArray.from_arrays(pa.array(off, type=pa.int32()),
+                                       flat.filter(pa.array(keep)))
+        clean = np.asarray(pc.binary_join(
+            lst, pa.scalar("\n")).to_pandas(), dtype=object)
+        clean[~valid] = None
+        return pa.table({
+            "url": t["url"],
+            "clean_text": pa.array(clean.tolist(), type=pa.string()),
+            "n_lines": pa.array(counts, type=pa.int64()),
+            "n_dup_lines": pa.array(counts - kept_counts, type=pa.int64()),
+        })
+
+    return _read_pages_text(paths).map_batches(stage, batch_format="pyarrow")
+
+
 def _classifier_stats(text: pa.Array) -> tuple[np.ndarray, np.ndarray,
                                                np.ndarray]:
     """-> (n_words, score, keep) int64/int64/bool arrays — shared by the
