@@ -1129,7 +1129,7 @@ def quality_classifier_sql(pages_glob: str) -> str:
     from .pipelines import webtext as w
 
     feat_re = {
-        "stop": f"lower(text), '{w.GOPHER_STOPWORD_RE}'",
+        "stop": f"text, '(?i){w.GOPHER_STOPWORD_RE}'",
         "alpha": f"text, '{w.ALPHA_WORD_RE}'",
         "sym": f"text, '{w.SYMBOL_RE}'",
         "tox": f"text, '{w.BADWORD_RE}'",

@@ -575,12 +575,24 @@ def pii_counts(paths: str | list[str]) -> ray.data.Dataset:
 
     Reference analog: none (the reference neither scrubs nor audits);
     north_rule's PII bank, reporting side."""
+    from ..stages.scrub import _CANDIDATE_RE
+
     def stage(t: pa.Table) -> pa.Table:
         text = _as_array(t.column("text"))
+        n = len(t)
         cols: dict = {"url": t["url"]}
-        total = np.zeros(len(t), dtype=np.int64)
+        # scrub's candidate prefilter: every pattern requires a digit,
+        # '@' or a lexicon word, so ONE cheap scan finds the rows the 5
+        # counting passes must touch; non-candidates count 0 by
+        # construction (byte-identical to scanning every row)
+        cand = np.asarray(pc.fill_null(
+            pc.match_substring_regex(text, _CANDIDATE_RE), False))
+        sub = text.filter(pa.array(cand))
+        total = np.zeros(n, dtype=np.int64)
         for name, pat, _repl in SCRUB_PATTERNS:
-            c = _count_re(text, pat)
+            c = np.zeros(n, dtype=np.int64)
+            if len(sub):
+                c[cand] = _count_re(sub, pat)
             cols[f"n_{name}"] = pa.array(c, type=pa.int64())
             total += c
         cols["n_pii_total"] = pa.array(total, type=pa.int64())
@@ -689,7 +701,11 @@ def _classifier_stats(text: pa.Array) -> tuple[np.ndarray, np.ndarray,
     `classifier` rule bank (so the two can never drift)."""
     n_words = _count_re(text, WORD_RE)
     feats = {
-        "stop": _count_re(pc.utf8_lower(text), GOPHER_STOPWORD_RE),
+        # (?i) instead of a full lowercased copy of the batch: the
+        # stopwords are ASCII and both engines run RE2, so the fold is
+        # the same spec — and the lower() materialization was ~20% of
+        # the stage's wall
+        "stop": _count_re(text, "(?i)" + GOPHER_STOPWORD_RE),
         "alpha": _count_re(text, ALPHA_WORD_RE),
         "sym": _count_re(text, SYMBOL_RE),
         "tox": _count_re(text, BADWORD_RE),
