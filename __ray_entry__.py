@@ -133,7 +133,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk_bruteforce": D.ann_topk_bruteforce,
         "ann_topk_lsh": D.ann_topk_lsh,
         "ann_topk_ivf": D.ann_topk_ivf,
-        "tolerance_join": R.tolerance_join,
+        # r5-NEW (final session): per-rule first-fail funnel counters —
+        # takes tolerance_join's slot (driver-green r1+r2+r3, the
+        # longest green streak on the surface, unmodified since r2)
+        "rule_bank_funnel": _rule_bank_funnel,
         "quantile_thresholds": R.quantile_thresholds_q,
         "grouped_variance": R.grouped_variance,
         "grouped_counters": R.grouped_counters,
@@ -183,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the four r1-r3-green trivial generics that yielded their slots
         # to the r5-session-3 ops (unmodified since r2):
         "distinct_vals": R.distinct_vals,
+        "tolerance_join": R.tolerance_join,  # yielded to rule_bank_funnel
         "row_count": R.row_count,
         "union_all_summaries": R.union_all_summaries,
         "stratified_sample": R.stratified_sample,
@@ -310,6 +314,12 @@ def _dedup_lines_within_doc(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import dedup_lines_within_doc
 
     return dedup_lines_within_doc(_webtext_dir())
+
+
+def _rule_bank_funnel(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import rule_bank_funnel
+
+    return rule_bank_funnel(_webtext_dir())
 
 
 def _pmis_merged(_sf_dir: str):
@@ -463,6 +473,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_classifier": O.quality_classifier_sql(pages_glob),
         # within-doc duplicate-line removal (r5 s3)
         "dedup_lines_within_doc": O.dedup_lines_within_doc_sql(pages_glob),
+        "rule_bank_funnel": O.rule_bank_funnel_sql(pages_glob),
         # host-reputation gate + language-balanced sampling (r5 s3)
         "host_reputation_filter": O.host_reputation_filter_sql(),
         "language_balanced_sample": O.language_balanced_sample_sql(),

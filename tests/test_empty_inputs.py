@@ -65,7 +65,8 @@ def test_every_query_survives_empty_tables(ray_session, empty_dir):
         if name.startswith(("pmis_", "csv_ingest", "jsonl_ingest",
                             "scrub_docs", "c4_line_filter", "gopher_",
                             "url_host_filter", "pii_counts",
-                            "quality_classifier", "dedup_lines_within_doc")):
+                            "quality_classifier", "dedup_lines_within_doc",
+                            "rule_bank_funnel")):
             continue
         exempt = name in MAY_BE_NONEMPTY
         try:

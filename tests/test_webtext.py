@@ -368,3 +368,85 @@ def test_webtext_ops_with_duplicate_urls(ray_session, tmp_path):
     # passes, the repeated-phrase row clips and fails
     assert not same["repetition_keep"].iloc[-1]
     assert same["repetition_keep"].iloc[0]
+
+
+def _funnel_corpus_table() -> pa.Table:
+    """One row per funnel stage, each failing EXACTLY its own bank:
+    distinct 4-letter words everywhere so the repetition bank never
+    fires by accident, >=5 sentences of >=3 words ending '.' so c4
+    passes unless sabotaged, two stopwords so Gopher passes unless
+    sabotaged."""
+    import itertools
+
+    letters = "bcdfghjklmnpqrstvwxz"
+    gen = ("".join(p) for p in itertools.product(letters, repeat=3))
+
+    def words(n):
+        return ["w" + next(gen) for _ in range(n)]
+
+    def para(n_sent=5, wps=12):
+        sents = []
+        for i in range(n_sent):
+            ws = words(wps)
+            if i == 0:
+                ws[0], ws[1] = "the", "and"
+            sents.append(" ".join(ws).capitalize() + ".")
+        return " ".join(sents)
+
+    rep_para = para()
+    # classifier saboteur: 2 stopwords + 15 words carrying 7 digits each
+    # -> score 40*2 + 12*60 - 2*105 = 590 < 10*60, every other bank green
+    sents = []
+    for i in range(5):
+        ws = words(12)
+        if i == 0:
+            ws[0], ws[1] = "the", "and"
+        if i >= 2:
+            ws[:5] = [x + "1234567" for x in ws[:5]]
+        sents.append(" ".join(ws).capitalize() + ".")
+    rows = [
+        ("http://ok.example/a", None),                       # null_text
+        ("http://ads.example/x", para()),                    # url (blocklist)
+        ("http://ok.example/b", "lorem ipsum " + para()),    # c4
+        ("http://ok.example/c", para(n_sent=5, wps=8)),      # gopher (<50 w)
+        ("http://ok.example/d", rep_para + "\n\n" + rep_para),  # repetition
+        ("http://ok.example/e", " ".join(sents)),            # classifier
+        ("http://ok.example/f", para()),                     # kept
+    ]
+    return pa.table({"url": pa.array([r[0] for r in rows]),
+                     "text": pa.array([r[1] for r in rows],
+                                      type=pa.string())})
+
+
+def test_rule_bank_funnel_first_fail_attribution(ray_session, tmp_path):
+    """Each crafted row lands in EXACTLY its own stage (first-fail
+    priority), and the engine matches the DuckDB twin byte-for-byte."""
+    from txiac_qc_ray.oracles import rule_bank_funnel_sql
+    from txiac_qc_ray.pipelines.webtext import FUNNEL_STAGES, rule_bank_funnel
+
+    d = str(tmp_path / "funnel")
+    os.makedirs(d)
+    pq.write_table(_funnel_corpus_table(),
+                   os.path.join(d, "part-00000.parquet"))
+    mine = rule_bank_funnel(d)
+    assert list(mine["drop_stage"]) == list(FUNNEL_STAGES)
+    assert list(mine["n_docs"]) == [1] * len(FUNNEL_STAGES)
+    orc = duckdb.connect().execute(
+        rule_bank_funnel_sql(d + "/part-*.parquet")).df()
+    pd.testing.assert_frame_equal(
+        normalize(mine), normalize(orc))
+
+
+def test_rule_bank_funnel_fixture_twin(ray_session):
+    """Driver-fixture equality: the exact compare the driver will run,
+    plus the conservation law (stage counts sum to the corpus size)."""
+    from txiac_qc_ray.oracles import rule_bank_funnel_sql
+    from txiac_qc_ray.pipelines.webtext import rule_bank_funnel
+    from txiac_qc_ray.sources.pages import default_pages_dir
+
+    d = default_pages_dir(2000)
+    mine = rule_bank_funnel(d)
+    assert int(mine["n_docs"].sum()) == 2000
+    orc = duckdb.connect().execute(
+        rule_bank_funnel_sql(d + "/part-*.parquet")).df()
+    pd.testing.assert_frame_equal(normalize(mine), normalize(orc))

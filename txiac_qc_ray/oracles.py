@@ -1390,3 +1390,47 @@ def gopher_repetition_sql(pages_glob: str) -> str:
              FALSE) AS repetition_keep
     FROM d
     """
+
+
+def rule_bank_funnel_sql(pages_glob: str) -> str:
+    """Funnel twin: each bank's keep comes from ITS OWN oracle builder
+    nested as a subquery (same pattern constants, same thresholds —
+    the five twins can never drift from the funnel), joined on url
+    (unique per fixture row), first-fail CASE in the frozen
+    FUNNEL_STAGES order, and a VALUES spine so zero-count stages are
+    present on both sides."""
+    from .pipelines import webtext as w
+
+    spine = ", ".join(
+        f"({i}, '{s}')" for i, s in enumerate(w.FUNNEL_STAGES))
+    return f"""
+    WITH uf AS (SELECT url, coalesce(keep, FALSE) AS k_url
+                FROM ({url_host_filter_sql(pages_glob)})),
+    c4f AS (SELECT url, coalesce(keep, FALSE) AS k_c4
+            FROM ({c4_line_filter_sql(pages_glob)})),
+    gqf AS (SELECT url, coalesce(gopher_keep, FALSE) AS k_gopher
+            FROM ({gopher_quality_flags_sql(pages_glob)})),
+    repf AS (SELECT url, coalesce(repetition_keep, FALSE) AS k_rep
+             FROM ({gopher_repetition_sql(pages_glob)})),
+    qcf AS (SELECT url, coalesce(keep, FALSE) AS k_cls
+            FROM ({quality_classifier_sql(pages_glob)})),
+    base AS (SELECT url, text IS NULL AS is_null
+             FROM read_parquet('{pages_glob}')),
+    lab AS (
+      SELECT CASE WHEN is_null THEN 0
+                  WHEN NOT k_url THEN 1
+                  WHEN NOT k_c4 THEN 2
+                  WHEN NOT k_gopher THEN 3
+                  WHEN NOT k_rep THEN 4
+                  WHEN NOT k_cls THEN 5
+                  ELSE 6 END AS stage_idx
+      FROM base JOIN uf USING (url) JOIN c4f USING (url)
+                JOIN gqf USING (url) JOIN repf USING (url)
+                JOIN qcf USING (url)),
+    cnt AS (SELECT stage_idx, count(*) AS n FROM lab GROUP BY 1)
+    SELECT CAST(s.stage_idx AS BIGINT) AS stage_idx, s.drop_stage,
+           CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_docs
+    FROM (VALUES {spine}) s(stage_idx, drop_stage)
+    LEFT JOIN cnt USING (stage_idx)
+    ORDER BY s.stage_idx
+    """

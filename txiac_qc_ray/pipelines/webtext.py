@@ -759,3 +759,60 @@ def bank_features_batch(batch: pa.Table, banks: tuple[str, ...],
             f"{bank}_keep",
             pa.array(np.where(keep, 1.0, 0.0), type=pa.float64()))
     return batch
+
+
+# ---- rule-bank funnel counters -------------------------------------------
+# Frozen funnel order: a doc is attributed to the FIRST bank that drops
+# it (null text outranks every bank; a doc passing all five is 'kept').
+FUNNEL_BANKS = ("url", "c4", "gopher", "repetition", "classifier")
+FUNNEL_STAGES = ("null_text",) + FUNNEL_BANKS + ("kept",)
+
+
+def rule_bank_funnel(paths: str | list[str]) -> "pd.DataFrame":
+    """Per-rule kept/dropped FUNNEL counters over the whole corpus — the
+    north_star's "counters (kept/dropped/scrubbed per rule)" as its own
+    value-checked query: every page is attributed to the FIRST rule bank
+    that drops it in the frozen order FUNNEL_STAGES (null_text, url, c4,
+    gopher, repetition, classifier, kept), and the output is one row per
+    stage with its doc count — the one-screen report an operator reads
+    after a crawl-scale filtering run to see where the corpus went.
+
+    All five bank predicates are computed in ONE stateless vectorized
+    pass per batch (the line split and token view are shared across
+    banks exactly as in the flagship's fused rule stage), each batch
+    reduces to a constant 7-row partial, and a 7-group Sum finishes —
+    no shuffle of the corpus, no driver state; at 100 TB the funnel
+    costs one streamed read. Every stage row is always present (zero
+    counts included) so the schema is fixture-independent.
+
+    Reference analog: Home.py's per-measure flag counts (H:444-904 show
+    per-dimension outlier counters); this is the web-text rule-bank
+    version over the same first-fail attribution a drop_reason column
+    gives the flagship (stages/rules.py)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    n_stages = len(FUNNEL_STAGES)
+    ds = _read_pages_text(paths)
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = _as_array(t.column("text"))
+        split = _line_split(text)
+        lab = np.full(len(text), n_stages - 1, dtype=np.int64)
+        # assign last-to-first so the EARLIEST failing bank wins
+        for i in range(len(FUNNEL_BANKS) - 1, -1, -1):
+            keep = np.asarray(_BANK_KEEP[FUNNEL_BANKS[i]](t, text, None,
+                                                          split), dtype=bool)
+            lab[~keep] = i + 1
+        lab[np.asarray(pc.is_null(text))] = 0
+        return pa.table({
+            "stage_idx": np.arange(n_stages, dtype=np.int64),
+            "n_docs": np.bincount(lab, minlength=n_stages).astype(np.int64),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("stage_idx")
+             .aggregate(Sum("n_docs", alias_name="n_docs")))
+    df = agg.to_pandas().sort_values("stage_idx", ignore_index=True)
+    df["drop_stage"] = [FUNNEL_STAGES[int(i)] for i in df["stage_idx"]]
+    return df[["stage_idx", "drop_stage", "n_docs"]]
