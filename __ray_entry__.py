@@ -137,7 +137,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # takes tolerance_join's slot (driver-green r1+r2+r3, the
         # longest green streak on the surface, unmodified since r2)
         "rule_bank_funnel": _rule_bank_funnel,
-        "quantile_thresholds": R.quantile_thresholds_q,
+        # r5-NEW (final session): quality-based cluster representative
+        # selection — takes quantile_thresholds' slot (driver-green
+        # r1+r2+r3, unmodified since r2; its calibration siblings
+        # tukey_fences + the PMIS-flow thresholds stay value-checked
+        # in-cap)
+        "neardup_keep_best": D.neardup_keep_best,
         "grouped_variance": R.grouped_variance,
         "grouped_counters": R.grouped_counters,
         "threshold_flag_two_sided": R.threshold_flag_two_sided,
@@ -187,6 +192,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # to the r5-session-3 ops (unmodified since r2):
         "distinct_vals": R.distinct_vals,
         "tolerance_join": R.tolerance_join,  # yielded to rule_bank_funnel
+        "quantile_thresholds": R.quantile_thresholds_q,  # yielded to neardup_keep_best
         "row_count": R.row_count,
         "union_all_summaries": R.union_all_summaries,
         "stratified_sample": R.stratified_sample,
@@ -524,6 +530,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": O.ngram_jaccard_sql(0.25),
         "neardup_clusters": O.neardup_clusters_sql(0.5),
         "neardup_clusters_distributed": O.neardup_clusters_sql(0.5),
+        "neardup_keep_best": O.neardup_keep_best_sql(0.5),
         "simhash_docs": O.simhash_sql(),
         "simhash_neardup_pairs": O.simhash_neardup_sql(3),
         "dedup_adjacent_tokens": O.dedup_adjacent_tokens_sql(),

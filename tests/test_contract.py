@@ -98,24 +98,24 @@ def test_correctness_cap_covers_priority_queries():
         "neardup_clusters_distributed", "simhash_docs",
         "simhash_neardup_pairs", "dedup_adjacent_tokens",
         "embedding_neardup_pairs", "ann_topk_bruteforce", "ann_topk_lsh",
-        "ann_topk_ivf", "quantile_thresholds",
+        "ann_topk_ivf",
         "grouped_variance", "grouped_counters",
         "threshold_flag_two_sided",
-        # tolerance_join yielded its slot to rule_bank_funnel in the
-        # final session: it is driver-green r1+r2+r3 (the longest green
-        # streak on the surface), unmodified since r2, and the local
-        # sweep still value-checks it against the same SQL twin — a
-        # brand-new op with zero driver rows outranks it for the final
-        # driver run
+        # tolerance_join and quantile_thresholds yielded their slots to
+        # rule_bank_funnel / neardup_keep_best in the final session:
+        # both are driver-green r1+r2+r3 (the longest green streaks on
+        # the surface), unmodified since r2, and the local sweep still
+        # value-checks them against the same SQL twins — a brand-new op
+        # with zero driver rows outranks them for the final driver run
     }
-    assert len(r4_tail) == 27
+    assert len(r4_tail) == 26
     priority = r4_tail | {
         # r5-session-3 new ops (ADVICE r3 rule: new ops ride the cap)
         "pii_counts", "quality_classifier",
         "host_reputation_filter", "language_balanced_sample",
         "dedup_lines_within_doc",
         # r5-final-session new ops (same rule: new ops ride the cap)
-        "rule_bank_funnel",
+        "rule_bank_funnel", "neardup_keep_best",
         # permanent anchors
         "qc_label_documents", "pmis_audit_flow", "pmis_counters",
         # r5-modified (DropIndex drop sets; data-sized CC partitions is

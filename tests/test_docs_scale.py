@@ -699,3 +699,42 @@ def test_run_pair_indices_matches_triu_reference():
         got_i, got_j = _run_pair_indices(key)
         np.testing.assert_array_equal(got_i, ref_i)
         np.testing.assert_array_equal(got_j, ref_j)
+
+
+def test_neardup_keep_best_prefers_quality_over_min_id(ray_session, tmp_path):
+    """The representative is the LONGEST member (max n_chars, tie min
+    doc_id), not the min-id member — and the DuckDB twin agrees on the
+    crafted corpus."""
+    import os
+
+    import duckdb
+    import pyarrow.parquet as pq
+
+    from txiac_qc_ray.oracles import neardup_keep_best_sql
+    from txiac_qc_ray.pipelines import docs as D
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu "
+            "amber birch cedar dune")
+    texts = [base, base, base + " ember flint grove heath",
+             "totally unrelated words about nothing shared at all"]
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+        "text": pa.array(texts),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["s"] * 4),
+        "n_chars": pa.array([len(x) for x in texts], pa.int64()),
+    })
+    d = str(tmp_path)
+    pq.write_table(t, os.path.join(d, "documents.parquet"))
+    out = D.neardup_keep_best(d)
+    assert list(out["cluster_id"]) == [0]
+    assert list(out["best_doc_id"]) == [2]   # longest, NOT min id
+    assert list(out["cluster_size"]) == [3]
+    assert list(out["best_n_chars"]) == [len(texts[2])]
+    con = duckdb.connect()
+    con.register("documents", t)
+    orc = con.execute(neardup_keep_best_sql(0.5)).df()
+    pd.testing.assert_frame_equal(
+        out.astype("int64"), orc.astype("int64"))

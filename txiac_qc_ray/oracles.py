@@ -107,6 +107,41 @@ def neardup_clusters_sql(threshold: float = 0.5) -> str:
     """
 
 
+def neardup_keep_best_sql(threshold: float = 0.5) -> str:
+    """Representative-selection twin: the cluster walk from
+    neardup_clusters_sql, then per-cluster argmax by
+    (n_chars DESC, doc_id ASC) via row_number."""
+    return f"""
+    WITH RECURSIVE {_SHINGLES},
+    jp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) AS na, len(b.s) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ),
+    pairs AS (SELECT id_a, id_b FROM jp WHERE {_JACCARD} >= {threshold}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    walk(node, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    cl AS (SELECT node AS doc_id, min(label) AS cluster_id
+           FROM walk GROUP BY node),
+    j AS (SELECT cl.cluster_id, d.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+          FROM cl JOIN documents d USING (doc_id)),
+    r AS (SELECT cluster_id, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY n_chars DESC, doc_id ASC) AS rk,
+                 count(*) OVER (PARTITION BY cluster_id) AS sz
+          FROM j)
+    SELECT cluster_id, doc_id AS best_doc_id,
+           CAST(sz AS BIGINT) AS cluster_size, n_chars AS best_n_chars
+    FROM r WHERE rk = 1
+    """
+
+
 def _prep_surv_ctes(jaccard_threshold: float, eval_mod: int,
                     min_overlap: int, min_tokens: int,
                     max_mean_tok_len: float) -> str:
@@ -1433,4 +1468,28 @@ def rule_bank_funnel_sql(pages_glob: str) -> str:
     FROM (VALUES {spine}) s(stage_idx, drop_stage)
     LEFT JOIN cnt USING (stage_idx)
     ORDER BY s.stage_idx
+    """
+
+
+def dedup_url_keep_latest_sql(pages_glob: str) -> str:
+    """Keep-latest twin over the same deterministic two-crawl union:
+    the recrawl predicate is the SAME stable FNV-1a (fnv_expr) mod
+    RECRAWL_MOD, the shift the SAME exact INTERVAL 1 DAY at us
+    precision, the winner a row_number over (warc_ts DESC)."""
+    from .pipelines import webtext as w
+
+    return f"""
+    WITH base AS (SELECT url, warc_ts FROM read_parquet('{pages_glob}')),
+    marked AS (SELECT url, warc_ts, {fnv_expr('url')} AS h FROM base),
+    re AS (SELECT url, warc_ts + INTERVAL 1 DAY AS warc_ts
+           FROM marked WHERE h % {w.RECRAWL_MOD} = 0),
+    u AS (SELECT url, warc_ts FROM base
+          UNION ALL SELECT url, warc_ts FROM re),
+    r AS (SELECT url, warc_ts,
+                 row_number() OVER (PARTITION BY url
+                                    ORDER BY warc_ts DESC) AS rk,
+                 count(*) OVER (PARTITION BY url) AS n
+          FROM u)
+    SELECT url, warc_ts, CAST(n AS BIGINT) AS n_snapshots
+    FROM r WHERE rk = 1
     """

@@ -3646,6 +3646,71 @@ def neardup_clusters(sf_dir: str, jaccard_threshold: float = 0.5) -> pd.DataFram
                          "cluster_id": [find(x) for x in rows]})
 
 
+def neardup_keep_best(sf_dir: str,
+                      jaccard_threshold: float = 0.5) -> pd.DataFrame:
+    """Quality-based cluster representative selection: for every
+    near-dup cluster, keep the HIGHEST-QUALITY member (max n_chars,
+    tie-break min doc_id) instead of the arbitrary min-id winner —
+    what a real training-data pipeline does when near-duplicates differ
+    in completeness (a full article vs its truncated syndication copy).
+    -> one row per multi-doc cluster:
+    (cluster_id, best_doc_id, cluster_size, best_n_chars).
+
+    Scale shape: clusters come from the DISTRIBUTED min-label CC over
+    the MinHash-LSH verified pair graph (o(corpus) after the LSH
+    prefilter); member quality is gathered by ONE streamed broadcast-
+    filter pass over the corpus (sorted member-id array via ray.put +
+    searchsorted per batch — the corpus never shuffles and never lands
+    on the driver); the per-cluster argmax is a lexsort over the
+    o(corpus) member table. Reference analog: none (the reference keeps
+    first-by-order, Home.py has no dedup at all); published analog is
+    the representative-selection step of near-dedup pipelines
+    (Lee et al. 2021 §4 keep-one-per-cluster)."""
+    clusters = neardup_clusters_distributed(sf_dir, jaccard_threshold)
+    if len(clusters) == 0:
+        return pd.DataFrame({
+            "cluster_id": pd.Series([], dtype="int64"),
+            "best_doc_id": pd.Series([], dtype="int64"),
+            "cluster_size": pd.Series([], dtype="int64"),
+            "best_n_chars": pd.Series([], dtype="int64")})
+    member_ids = np.sort(clusters["doc_id"].to_numpy().astype(np.int64))
+    ids_ref = ray.put(member_ids)
+
+    def gather_quality(t: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        did = np.asarray(t["doc_id"], dtype=np.int64)
+        pos = np.searchsorted(ids, did)
+        pos[pos >= len(ids)] = 0
+        hit = ids[pos] == did
+        return pa.table({
+            "doc_id": pa.array(did[hit], pa.int64()),
+            "n_chars": pc.cast(t["n_chars"].filter(pa.array(hit)),
+                               pa.int64()),
+        })
+
+    quality = (_read(sf_dir, "documents", ["doc_id", "n_chars"])
+               .map_batches(gather_quality, batch_format="pyarrow")
+               .to_pandas())
+    m = clusters.merge(quality, on="doc_id")
+    # per-cluster argmax by (n_chars desc, doc_id asc): one lexsort,
+    # group heads after sorting by cluster
+    order = np.lexsort((m["doc_id"].to_numpy(),
+                        -m["n_chars"].to_numpy(),
+                        m["cluster_id"].to_numpy()))
+    m = m.iloc[order].reset_index(drop=True)
+    cid = m["cluster_id"].to_numpy()
+    head = np.ones(len(m), dtype=bool)
+    head[1:] = cid[1:] != cid[:-1]
+    sizes = np.bincount(np.cumsum(head) - 1)
+    best = m[head]
+    return pd.DataFrame({
+        "cluster_id": best["cluster_id"].to_numpy(),
+        "best_doc_id": best["doc_id"].to_numpy(),
+        "cluster_size": sizes.astype(np.int64),
+        "best_n_chars": best["n_chars"].to_numpy(),
+    })
+
+
 def neardup_clusters_distributed(sf_dir: str, jaccard_threshold: float = 0.5,
                                  max_iters: int = 64) -> pd.DataFrame:
     """Connected components via ITERATIVE MIN-LABEL PROPAGATION on Ray

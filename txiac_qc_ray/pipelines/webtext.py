@@ -816,3 +816,72 @@ def rule_bank_funnel(paths: str | list[str]) -> "pd.DataFrame":
     df = agg.to_pandas().sort_values("stage_idx", ignore_index=True)
     df["drop_stage"] = [FUNNEL_STAGES[int(i)] for i in df["stage_idx"]]
     return df[["stage_idx", "drop_stage", "n_docs"]]
+
+
+# ---- URL-keyed keep-latest snapshot dedup --------------------------------
+# Deterministic two-crawl union view of the pages corpus: every url whose
+# stable FNV-1a hash is ≡0 (mod RECRAWL_MOD) was "re-crawled" exactly one
+# day after its first snapshot — the fixture-side stand-in for reading a
+# second crawl's shards (same bytes, pure function of the url).
+RECRAWL_MOD = 3
+RECRAWL_SHIFT_US = 86_400_000_000  # exactly INTERVAL 1 DAY at us precision
+
+
+def dedup_url_keep_latest(paths: str | list[str],
+                          n_shards: int = 8) -> ray.data.Dataset:
+    """URL-keyed keep-latest snapshot dedup — the first step of every
+    incremental-crawl pipeline: when the same url appears in multiple
+    crawl snapshots, keep only the NEWEST capture (max warc_ts) and
+    count how many snapshots were seen. -> streaming Dataset
+    (url, warc_ts, n_snapshots), one row per distinct url.
+
+    The multi-snapshot input is the deterministic two-crawl union view
+    above (urls with fnv1a64(url) % RECRAWL_MOD == 0 carry a second
+    capture one day later); on a real run the union is simply
+    read_parquet over both crawls' shards and everything downstream is
+    unchanged. Scale shape: ONE bounded shuffle keyed on a url-hash
+    shard (the north_rule's partitioning key), winner + count picked
+    vectorized inside each shard group; per-url history never needs to
+    fit one worker beyond the url's own snapshot list, and no driver
+    state. `n_shards` bounds per-group payload — size it from input
+    bytes on a real corpus (house `_shard_count` rule).
+
+    Ties are impossible here (the recrawl is strictly later); a real
+    two-crawl union with equal timestamps would need a deterministic
+    tie-break (e.g. crawl id) — stated so the contract is explicit.
+
+    Reference analog: none (the reference has no temporal dedup);
+    Common-Crawl-style pipelines run exactly this before content dedup."""
+    from ..functions.urls import fnv1a64
+
+    ds = ray.data.read_parquet(paths, columns=["url", "warc_ts"])
+
+    def union_and_shard(t: pa.Table) -> pa.Table:
+        urls = _as_array(t.column("url"))
+        h = fnv1a64(urls)
+        ts = np.asarray(pc.cast(_as_array(t.column("warc_ts")),
+                                pa.int64()))
+        re_mask = (h % np.uint64(RECRAWL_MOD)) == 0
+        out_url = pa.concat_arrays([urls, urls.filter(pa.array(re_mask))])
+        out_ts = np.concatenate([ts, ts[re_mask] + RECRAWL_SHIFT_US])
+        shard = (np.concatenate([h, h[re_mask]])
+                 % np.uint64(n_shards)).astype(np.int64)
+        return pa.table({"url": out_url,
+                         "ts_us": pa.array(out_ts, pa.int64()),
+                         "shard": pa.array(shard)})
+
+    def winners(g):
+        import pandas as pd
+
+        g = g.sort_values(["url", "ts_us"], ascending=[True, False],
+                          ignore_index=True)
+        counts = g.groupby("url", sort=False).size().to_numpy()
+        win = g.drop_duplicates("url", keep="first")
+        return pd.DataFrame({
+            "url": win["url"].to_numpy(),
+            "warc_ts": pd.to_datetime(win["ts_us"].to_numpy(), unit="us"),
+            "n_snapshots": counts.astype("int64"),
+        })
+
+    return (ds.map_batches(union_and_shard, batch_format="pyarrow")
+            .groupby("shard").map_groups(winners, batch_format="pandas"))
