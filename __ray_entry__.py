@@ -119,7 +119,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmis_county_summary": _pmis_county_summary,
         "pmis_diff_histogram": _pmis_diff_histogram,
         "pmis_yby_district": _pmis_yby_district,
-        "token_counts": D.token_counts_docs,
+        # r5-NEW (final session): URL-keyed keep-latest snapshot dedup —
+        # takes token_counts' slot (driver-green r1+r3, the longest
+        # streak among the rotated-in tail, a trivial stateless scan
+        # unmodified since r1 whose BPE sibling token_counts_bpe is
+        # in-cap and value-checks the same read path)
+        "dedup_url_keep_latest": _dedup_url_keep_latest,
         "quality_stats": D.quality_stats_docs,
         "fingerprint_docs": D.fingerprint_docs,
         "langid_docs": D.langid_docs,
@@ -193,6 +198,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_vals": R.distinct_vals,
         "tolerance_join": R.tolerance_join,  # yielded to rule_bank_funnel
         "quantile_thresholds": R.quantile_thresholds_q,  # yielded to neardup_keep_best
+        "token_counts": D.token_counts_docs,  # yielded to dedup_url_keep_latest
         "row_count": R.row_count,
         "union_all_summaries": R.union_all_summaries,
         "stratified_sample": R.stratified_sample,
@@ -326,6 +332,12 @@ def _rule_bank_funnel(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import rule_bank_funnel
 
     return rule_bank_funnel(_webtext_dir())
+
+
+def _dedup_url_keep_latest(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import dedup_url_keep_latest
+
+    return dedup_url_keep_latest(_webtext_dir())
 
 
 def _pmis_merged(_sf_dir: str):
@@ -480,6 +492,7 @@ def oracle_sql() -> dict[str, str]:
         # within-doc duplicate-line removal (r5 s3)
         "dedup_lines_within_doc": O.dedup_lines_within_doc_sql(pages_glob),
         "rule_bank_funnel": O.rule_bank_funnel_sql(pages_glob),
+        "dedup_url_keep_latest": O.dedup_url_keep_latest_sql(pages_glob),
         # host-reputation gate + language-balanced sampling (r5 s3)
         "host_reputation_filter": O.host_reputation_filter_sql(),
         "language_balanced_sample": O.language_balanced_sample_sql(),

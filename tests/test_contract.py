@@ -93,7 +93,7 @@ def test_correctness_cap_covers_priority_queries():
         "decontaminate", "deterministic_shuffle",
         "embedding_neardup_lsh", "jsonl_ingest_docs", "csv_ingest_sections",
         "pmis_yby_flow", "pmis_county_summary", "pmis_diff_histogram",
-        "pmis_yby_district", "token_counts", "quality_stats",
+        "pmis_yby_district", "quality_stats",
         "fingerprint_docs", "langid_docs", "vocab_topk", "neardup_clusters",
         "neardup_clusters_distributed", "simhash_docs",
         "simhash_neardup_pairs", "dedup_adjacent_tokens",
@@ -101,21 +101,24 @@ def test_correctness_cap_covers_priority_queries():
         "ann_topk_ivf",
         "grouped_variance", "grouped_counters",
         "threshold_flag_two_sided",
-        # tolerance_join and quantile_thresholds yielded their slots to
-        # rule_bank_funnel / neardup_keep_best in the final session:
-        # both are driver-green r1+r2+r3 (the longest green streaks on
-        # the surface), unmodified since r2, and the local sweep still
-        # value-checks them against the same SQL twins — a brand-new op
-        # with zero driver rows outranks them for the final driver run
+        # tolerance_join, quantile_thresholds, and token_counts yielded
+        # their slots to rule_bank_funnel / neardup_keep_best /
+        # dedup_url_keep_latest in the final session: all are
+        # driver-green in multiple recorded rounds (tolerance_join and
+        # quantile_thresholds r1+r2+r3; token_counts r1+r3), unmodified
+        # since r1/r2, and the local sweep still value-checks them
+        # against the same SQL twins — a brand-new op with zero driver
+        # rows outranks them for the final driver run (token_counts'
+        # BPE sibling token_counts_bpe stays in-cap over the same read)
     }
-    assert len(r4_tail) == 26
+    assert len(r4_tail) == 25
     priority = r4_tail | {
         # r5-session-3 new ops (ADVICE r3 rule: new ops ride the cap)
         "pii_counts", "quality_classifier",
         "host_reputation_filter", "language_balanced_sample",
         "dedup_lines_within_doc",
         # r5-final-session new ops (same rule: new ops ride the cap)
-        "rule_bank_funnel", "neardup_keep_best",
+        "rule_bank_funnel", "neardup_keep_best", "dedup_url_keep_latest",
         # permanent anchors
         "qc_label_documents", "pmis_audit_flow", "pmis_counters",
         # r5-modified (DropIndex drop sets; data-sized CC partitions is

@@ -450,3 +450,38 @@ def test_rule_bank_funnel_fixture_twin(ray_session):
     orc = duckdb.connect().execute(
         rule_bank_funnel_sql(d + "/part-*.parquet")).df()
     pd.testing.assert_frame_equal(normalize(mine), normalize(orc))
+
+
+def test_dedup_url_keep_latest_semantics(ray_session):
+    """Recrawled urls (fnv%RECRAWL_MOD==0) keep the SHIFTED timestamp
+    with n_snapshots=2; the rest keep their original capture with
+    n_snapshots=1; one row per distinct url; and the DuckDB twin
+    agrees byte-for-byte on the driver fixture."""
+    from txiac_qc_ray.functions.urls import fnv1a64
+    from txiac_qc_ray.oracles import dedup_url_keep_latest_sql
+    from txiac_qc_ray.pipelines.webtext import (
+        RECRAWL_MOD, RECRAWL_SHIFT_US, dedup_url_keep_latest)
+    from txiac_qc_ray.sources.pages import default_pages_dir
+
+    d = default_pages_dir(2000)
+    import glob as _glob
+
+    base = pa.concat_tables(
+        [pq.read_table(f, columns=["url", "warc_ts"])
+         for f in sorted(_glob.glob(d + "/part-*.parquet"))])
+    mine = dedup_url_keep_latest(d).to_pandas().sort_values(
+        "url", ignore_index=True)
+    assert len(mine) == len(set(base["url"].to_pylist()))
+    h = fnv1a64(base["url"].combine_chunks())
+    re_mask = (h % np.uint64(RECRAWL_MOD)) == 0
+    ts0 = base["warc_ts"].to_pandas().astype("datetime64[us]").to_numpy()
+    expect = pd.DataFrame({"url": base["url"].to_pylist(), "ts": ts0})
+    expect.loc[re_mask, "ts"] += pd.Timedelta(microseconds=RECRAWL_SHIFT_US)
+    expect["n"] = np.where(re_mask, 2, 1).astype("int64")
+    expect = expect.sort_values("url", ignore_index=True)
+    assert (mine["warc_ts"].astype("datetime64[us]").to_numpy()
+            == expect["ts"].to_numpy()).all()
+    assert (mine["n_snapshots"].to_numpy() == expect["n"].to_numpy()).all()
+    orc = duckdb.connect().execute(
+        dedup_url_keep_latest_sql(d + "/part-*.parquet")).df()
+    pd.testing.assert_frame_equal(normalize(mine), normalize(orc))
