@@ -109,6 +109,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # threshold_flag_audit's slot (driver-green r1-r3, unmodified
         # since r1; its sibling threshold_flag_two_sided stays in-cap)
         "dedup_lines_within_doc": _dedup_lines_within_doc,
+        # ---- r5-session-4 NEW ops (in-cap: ADVICE r3 rule). They take
+        # the slots of four r4-driver-green rows unmodified in r5 (see
+        # the rotation comments at each displaced row below).
+        "token_balanced_mixture": D.token_balanced_mixture,
+        "url_snapshot_changes": _url_snapshot_changes,
         # ---- 29 of the 33 r4-tail queries, rotated back in (item 7) --
         "decontaminate": D.decontaminate_against,
         "deterministic_shuffle": D.deterministic_shuffle,
@@ -340,6 +345,12 @@ def _dedup_url_keep_latest(_sf_dir: str):
     return dedup_url_keep_latest(_webtext_dir())
 
 
+def _url_snapshot_changes(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import url_snapshot_changes
+
+    return url_snapshot_changes(_webtext_dir())
+
+
 def _pmis_merged(_sf_dir: str):
     """Tolerance-join of the FROZEN two-cycle fixture (the same parquet
     bytes the DuckDB oracle reads; scripts/freeze_pmis_fixture.py)."""
@@ -493,9 +504,15 @@ def oracle_sql() -> dict[str, str]:
         "dedup_lines_within_doc": O.dedup_lines_within_doc_sql(pages_glob),
         "rule_bank_funnel": O.rule_bank_funnel_sql(pages_glob),
         "dedup_url_keep_latest": O.dedup_url_keep_latest_sql(pages_glob),
+        # cross-snapshot content-change detection over the same
+        # deterministic two-crawl union (r5 s4)
+        "url_snapshot_changes": O.url_snapshot_changes_sql(pages_glob),
         # host-reputation gate + language-balanced sampling (r5 s3)
         "host_reputation_filter": O.host_reputation_filter_sql(),
         "language_balanced_sample": O.language_balanced_sample_sql(),
+        # source-rebalancing token-budget mixture (r5 s4): the same
+        # integer threshold and mix64 compare in HUGEINT — no floats
+        "token_balanced_mixture": O.token_balanced_mixture_sql(),
         # training-prep chunking: shared window-cumsum + generate_series
         # explode (oracles._chunk_explode_sql)
         "chunk_for_training": O.chunk_for_training_sql(),

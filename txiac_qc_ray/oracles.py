@@ -489,6 +489,41 @@ def language_balanced_sample_sql(per_lang_target: int = 60) -> str:
     """
 
 
+def token_balanced_mixture_sql() -> str:
+    """Token-budget mixture twin: the same integer threshold
+    t_s = (B*total*2^64 - 1) // (D*n*T_s) in HUGEINT and the same
+    mix64(doc_id) <= t_s compare — no float anywhere, so the two
+    engines agree bit for bit by construction. NULL source joins via
+    IS NOT DISTINCT FROM (USING would drop the null group)."""
+    from .pipelines.docs import MIXTURE_BUDGET_DEN, MIXTURE_BUDGET_NUM
+
+    mix = mix64_scalar("CAST(doc_id AS HUGEINT)")
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             CAST(coalesce(len(regexp_extract_all(text, '\\S+')), 0)
+                  AS BIGINT) AS n_tokens
+      FROM documents),
+    tot AS (SELECT source, CAST(sum(n_tokens) AS HUGEINT) AS src_tok
+            FROM tk GROUP BY source),
+    g AS (SELECT CAST(sum(src_tok) AS HUGEINT) AS all_tok,
+                 CAST(count(*) AS HUGEINT) AS n_src FROM tot),
+    thr AS (SELECT source,
+                   CASE WHEN src_tok = 0
+                        THEN 18446744073709551615::HUGEINT
+                        ELSE LEAST(
+                          ({MIXTURE_BUDGET_NUM}::HUGEINT * all_tok
+                             * 18446744073709551616::HUGEINT - 1)
+                            // ({MIXTURE_BUDGET_DEN}::HUGEINT * n_src
+                                * src_tok),
+                          18446744073709551615::HUGEINT) END AS t
+            FROM tot CROSS JOIN g)
+    SELECT doc_id, tk.source AS source, n_tokens
+    FROM tk JOIN thr ON tk.source IS NOT DISTINCT FROM thr.source
+    WHERE {mix} <= thr.t
+    """
+
+
 def hex16(v: str) -> str:
     """16-digit lowercase hex of a HUGEINT in [0, 2^64)."""
     return (f"printf('%08x%08x', CAST(({v}) >> 32 AS BIGINT), "
@@ -1468,6 +1503,33 @@ def rule_bank_funnel_sql(pages_glob: str) -> str:
     FROM (VALUES {spine}) s(stage_idx, drop_stage)
     LEFT JOIN cnt USING (stage_idx)
     ORDER BY s.stage_idx
+    """
+
+
+def url_snapshot_changes_sql(pages_glob: str) -> str:
+    """Cross-snapshot change twin over the same deterministic union:
+    the recrawl predicate and the change predicate are the SAME stable
+    FNV-1a arithmetic, the mutation the SAME text || CHANGE_SUFFIX, and
+    `changed` counts distinct text values with NULL as its own value
+    (count(DISTINCT) skips NULLs -> add bool_or(text IS NULL))."""
+    from .pipelines import webtext as w
+
+    return f"""
+    WITH base AS (SELECT url, text FROM read_parquet('{pages_glob}')),
+    marked AS (SELECT url, text, {fnv_expr('url')} AS h FROM base),
+    re AS (SELECT url,
+                  CASE WHEN (h // {w.RECRAWL_MOD}) % 2 = 0
+                            AND text IS NOT NULL
+                       THEN text || '{w.CHANGE_SUFFIX}' ELSE text
+                  END AS text
+           FROM marked WHERE h % {w.RECRAWL_MOD} = 0),
+    u AS (SELECT url, text FROM base
+          UNION ALL SELECT url, text FROM re)
+    SELECT url, CAST(count(*) AS BIGINT) AS n_snapshots,
+           (count(DISTINCT text)
+              + CASE WHEN bool_or(text IS NULL) THEN 1 ELSE 0 END) > 1
+             AS changed
+    FROM u GROUP BY url
     """
 
 

@@ -2733,6 +2733,85 @@ def language_balanced_sample(sf_dir: str,
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
+# token-budget mixture: keep probability numerator/denominator of the
+# per-source share — 4/5 means every source targets 80% of the equal
+# token share total/n_sources, so every source is thinned (no
+# degenerate keep-all side on a near-balanced corpus)
+MIXTURE_BUDGET_NUM = 4
+MIXTURE_BUDGET_DEN = 5
+
+
+def token_balanced_mixture(sf_dir: str) -> ray.data.Dataset:
+    """Source-rebalancing TOKEN-budget sampler — the corpus-mixing step
+    a training run does when sources must contribute equal token mass
+    (DoReMi/Pile-style mixing, with uniform target weights): per source
+    s with T_s total tokens, keep each doc with probability
+    p_s = min(1, (B/D) * total_tokens / (n_sources * T_s)), so every
+    source's expected kept-token mass is the same (B/D)-scaled equal
+    share. Complements language_balanced_sample (doc-count balanced,
+    float rate): this one balances TOKENS, and the keep decision is
+    INTEGER-exact — keep iff mix64(doc_id) <= t_s where
+    t_s = (B*total*2^64 - 1) // (D*n_sources*T_s), clipped to 2^64-1 —
+    so there is no float division on either side (u < p as a bit
+    comparison of the same integers; overflow bound: total < 2^59
+    keeps B*total*2^64 inside HUGEINT/int128 on the SQL side).
+
+    Shape: one metadata-sized count pass (groupby over SOURCE
+    cardinality -> n_sources int rows on the driver), thresholds
+    broadcast as a sorted-array lookup, then a pure streamed filter —
+    the corpus never shuffles. A zero-token source keeps everything
+    (p_s = inf -> t_s = 2^64-1). Null text counts 0 tokens; null
+    source is its own group (SQL semantics).
+
+    -> streaming Dataset of kept (doc_id, source, n_tokens).
+    Reference analog: none (training-mix op beyond Home.py's surface)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    U64_MAX = (1 << 64) - 1
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        src = np.asarray(pc.fill_null(t["source"], _NULL_KEY), dtype=object)
+        ntok = np.asarray(pc.fill_null(pc.cast(
+            pc.count_substring_regex(t["text"], r"\S+"), pa.int64()), 0))
+        uniq, inv = np.unique(src, return_inverse=True)
+        sums = np.bincount(inv, weights=ntok, minlength=len(uniq))
+        return pa.table({"src_key": pa.array(uniq.tolist(), type=pa.string()),
+                         "toks": sums.astype(np.int64)})
+
+    totals = ensure_columns(
+        ds.map_batches(count_partial, batch_format="pyarrow")
+          .groupby("src_key").aggregate(RaySum("toks", alias_name="toks"))
+          .to_pandas(),
+        {"src_key": "object", "toks": "int64"})
+    srcs = np.asarray(totals["src_key"], dtype=object)
+    order = np.argsort(srcs)
+    srcs = srcs[order]
+    toks = [int(v) for v in totals["toks"].to_numpy()[order]]
+    all_tok, n_src = sum(toks), len(toks)
+    # exact integer thresholds (python ints -> no intermediate overflow)
+    thr = np.array(
+        [U64_MAX if T == 0 else
+         min(U64_MAX,
+             (MIXTURE_BUDGET_NUM * all_tok * (1 << 64) - 1)
+             // (MIXTURE_BUDGET_DEN * n_src * T))
+         for T in toks], dtype=np.uint64)
+    thr_ref = ray.put((srcs, thr))
+
+    def stage(t: pa.Table) -> pa.Table:
+        ss, ts_ = ray.get(thr_ref)
+        src = np.asarray(pc.fill_null(t["source"], _NULL_KEY), dtype=object)
+        ntok = np.asarray(pc.fill_null(pc.cast(
+            pc.count_substring_regex(t["text"], r"\S+"), pa.int64()), 0))
+        out = pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                        "n_tokens": pa.array(ntok, pa.int64())})
+        if len(ss) == 0:
+            return out.filter(pa.array(np.zeros(len(src), bool)))
+        idx = np.clip(np.searchsorted(ss, src), 0, len(ss) - 1)
+        u = _mix64(np.asarray(t["doc_id"]).astype(np.uint64))
+        return out.filter(pa.array(u <= ts_[idx]))
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
 def chunk_for_training(sf_dir: str, context_len: int = 512) -> ray.data.Dataset:
     """GPT-style concat-and-chunk sequence packing: documents are laid
     end-to-end in doc_id order (whitespace \\S+ tokens — the same

@@ -885,3 +885,76 @@ def dedup_url_keep_latest(paths: str | list[str],
 
     return (ds.map_batches(union_and_shard, batch_format="pyarrow")
             .groupby("shard").map_groups(winners, batch_format="pandas"))
+
+
+# Deterministic content mutation of the two-crawl union view: HALF of
+# the re-crawled urls ((h // RECRAWL_MOD) % 2 == 0) changed content
+# between snapshots — their second capture's text carries this suffix.
+CHANGE_SUFFIX = " [updated]"
+
+
+def url_snapshot_changes(paths: str | list[str],
+                         n_shards: int = 8) -> ray.data.Dataset:
+    """Cross-snapshot CONTENT-change detection — the incremental-crawl
+    report that tells a refresh scheduler which pages actually changed
+    between crawls: per url, the snapshot count and whether any two
+    snapshots carry different text. -> streaming Dataset of
+    (url, n_snapshots, changed), one row per distinct url
+    (single-snapshot urls report changed=false).
+
+    Input is the same deterministic two-crawl union view as
+    dedup_url_keep_latest, extended with content drift: half of the
+    re-crawled urls ((fnv1a64(url) // RECRAWL_MOD) % 2 == 0, text
+    non-null) changed — their second capture is text || CHANGE_SUFFIX.
+    On a real run the union is read_parquet over both crawls' shards.
+
+    Scale shape: ONE bounded shuffle keyed on a url-hash shard; the
+    change test inside each shard group is an EXACT text compare
+    (distinct-text count per url, null counted as its own value), so
+    hash collisions cannot fabricate or hide a change. The shuffle
+    ships text once (dedup_paragraphs weight class); a cheaper
+    at-scale variant ships (url, text-hash) first — differing hashes
+    prove change outright — and ships text only for the equal-hash
+    multi-snapshot residue; stated, not built: one exact pass keeps
+    the twin contract simplest.
+
+    Reference analog: none (no temporal surface in Home.py); crawl
+    pipelines pair this with keep-latest dedup upstream."""
+    from ..functions.urls import fnv1a64
+
+    ds = ray.data.read_parquet(paths, columns=["url", "text"])
+
+    def union_and_shard(t: pa.Table) -> pa.Table:
+        urls = _as_array(t.column("url"))
+        text = _as_array(t.column("text"))
+        h = fnv1a64(urls)
+        re_mask = (h % np.uint64(RECRAWL_MOD)) == 0
+        changed = (re_mask
+                   & (((h // np.uint64(RECRAWL_MOD)) % np.uint64(2)) == 0)
+                   & np.asarray(pc.is_valid(text)))
+        re_sel = pa.array(re_mask)
+        re_text = text.filter(re_sel)
+        mut = pc.binary_join_element_wise(
+            pc.fill_null(re_text, ""), CHANGE_SUFFIX, "")
+        re_text = pc.if_else(pa.array(changed[re_mask]), mut, re_text)
+        out_url = pa.concat_arrays([urls, urls.filter(re_sel)])
+        out_text = pa.concat_arrays([text, re_text.combine_chunks()
+                                     if isinstance(re_text, pa.ChunkedArray)
+                                     else re_text])
+        shard = (np.concatenate([h, h[re_mask]])
+                 % np.uint64(n_shards)).astype(np.int64)
+        return pa.table({"url": out_url, "text": out_text,
+                         "shard": pa.array(shard)})
+
+    def report(g):
+        import pandas as pd
+
+        agg = g.groupby("url", sort=False)["text"]
+        return pd.DataFrame({
+            "url": agg.size().index.to_numpy(dtype=object),
+            "n_snapshots": agg.size().to_numpy().astype("int64"),
+            "changed": (agg.nunique(dropna=False) > 1).to_numpy(),
+        })
+
+    return (ds.map_batches(union_and_shard, batch_format="pyarrow")
+            .groupby("shard").map_groups(report, batch_format="pandas"))
