@@ -114,16 +114,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the rotation comments at each displaced row below).
         "token_balanced_mixture": D.token_balanced_mixture,
         "url_snapshot_changes": _url_snapshot_changes,
+        "remove_boilerplate_lines": _remove_boilerplate_lines,
+        "train_val_split": _train_val_split,
         # ---- 29 of the 33 r4-tail queries, rotated back in (item 7) --
         "decontaminate": D.decontaminate_against,
         "deterministic_shuffle": D.deterministic_shuffle,
         "embedding_neardup_lsh": D.embedding_neardup_pairs_lsh,
         "jsonl_ingest_docs": _jsonl_ingest_docs,
         "csv_ingest_sections": _csv_ingest_sections,
-        "pmis_yby_flow": _pmis_yby_flow,
-        "pmis_county_summary": _pmis_county_summary,
-        "pmis_diff_histogram": _pmis_diff_histogram,
-        "pmis_yby_district": _pmis_yby_district,
         # r5-NEW (final session): URL-keyed keep-latest snapshot dedup —
         # takes token_counts' slot (driver-green r1+r3, the longest
         # streak among the rotated-in tail, a trivial stateless scan
@@ -198,6 +196,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- 50-row cap ends here -------------------------
         # tail: unmodified in r5 AND driver-green in CORRECTNESS_r04
         # (still swept locally by scripts/check_oracle.py every round)
+        # The four remaining PMIS flows yielded their slots to the four
+        # r5-session-4 NEW ops (token_balanced_mixture /
+        # url_snapshot_changes / remove_boilerplate_lines /
+        # train_val_split — a brand-new op with zero driver rows
+        # outranks them): each flow reads the FROZEN fixture parquet
+        # (tests/data/pmis, generator==frozen pytest-pinned), is
+        # driver-green in r1-r3, unmodified since r2, and shares its
+        # tolerance-join + calibrate + flag cores with the two in-cap
+        # PMIS anchors (pmis_audit_flow, pmis_counters); the local
+        # sweep still value-checks all four against the same SQL twins
+        "pmis_yby_flow": _pmis_yby_flow,
+        "pmis_county_summary": _pmis_county_summary,
+        "pmis_diff_histogram": _pmis_diff_histogram,
+        "pmis_yby_district": _pmis_yby_district,
         # the four r1-r3-green trivial generics that yielded their slots
         # to the r5-session-3 ops (unmodified since r2):
         "distinct_vals": R.distinct_vals,
@@ -349,6 +361,18 @@ def _url_snapshot_changes(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import url_snapshot_changes
 
     return url_snapshot_changes(_webtext_dir())
+
+
+def _remove_boilerplate_lines(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import remove_boilerplate_lines
+
+    return remove_boilerplate_lines(_webtext_dir())
+
+
+def _train_val_split(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import train_val_split
+
+    return train_val_split(_webtext_dir())
 
 
 def _pmis_merged(_sf_dir: str):
@@ -507,6 +531,11 @@ def oracle_sql() -> dict[str, str]:
         # cross-snapshot content-change detection over the same
         # deterministic two-crawl union (r5 s4)
         "url_snapshot_changes": O.url_snapshot_changes_sql(pages_glob),
+        # host-frequency boilerplate-line removal over the chrome-
+        # injected view (r5 s4)
+        "remove_boilerplate_lines": O.remove_boilerplate_lines_sql(pages_glob),
+        # deterministic stratified train/val holdout report (r5 s4)
+        "train_val_split": O.train_val_split_sql(pages_glob),
         # host-reputation gate + language-balanced sampling (r5 s3)
         "host_reputation_filter": O.host_reputation_filter_sql(),
         "language_balanced_sample": O.language_balanced_sample_sql(),

@@ -189,6 +189,14 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
          lambda _sf: WT.dedup_lines_within_doc(corpus)),
         ("host_reputation_filter", D.host_reputation_filter),
         ("language_balanced_sample", D.language_balanced_sample),
+        # r5 session 4: mixture/holdout samplers (documents) and the
+        # crawl-snapshot + boilerplate webtext ops (pages corpus)
+        ("token_balanced_mixture", D.token_balanced_mixture),
+        ("train_val_split", lambda _sf: WT.train_val_split(corpus)),
+        ("url_snapshot_changes",
+         lambda _sf: WT.url_snapshot_changes(corpus)),
+        ("remove_boilerplate_lines",
+         lambda _sf: WT.remove_boilerplate_lines(corpus)),
     ]
 
 

@@ -92,8 +92,14 @@ def test_correctness_cap_covers_priority_queries():
     r4_tail = {
         "decontaminate", "deterministic_shuffle",
         "embedding_neardup_lsh", "jsonl_ingest_docs", "csv_ingest_sections",
-        "pmis_yby_flow", "pmis_county_summary", "pmis_diff_histogram",
-        "pmis_yby_district", "quality_stats",
+        # pmis_yby_flow / pmis_county_summary / pmis_diff_histogram /
+        # pmis_yby_district yielded their slots to the four
+        # r5-session-4 NEW ops: each reads the FROZEN fixture parquet
+        # (generator==frozen pytest-pinned), is driver-green r1-r3 and
+        # unmodified since r2, and shares its tolerance-join +
+        # calibrate + flag cores with the two in-cap PMIS anchors —
+        # a brand-new op with zero driver rows outranks them
+        "quality_stats",
         "fingerprint_docs", "langid_docs", "vocab_topk", "neardup_clusters",
         "neardup_clusters_distributed", "simhash_docs",
         "simhash_neardup_pairs", "dedup_adjacent_tokens",
@@ -111,12 +117,15 @@ def test_correctness_cap_covers_priority_queries():
         # rows outranks them for the final driver run (token_counts'
         # BPE sibling token_counts_bpe stays in-cap over the same read)
     }
-    assert len(r4_tail) == 25
+    assert len(r4_tail) == 21
     priority = r4_tail | {
         # r5-session-3 new ops (ADVICE r3 rule: new ops ride the cap)
         "pii_counts", "quality_classifier",
         "host_reputation_filter", "language_balanced_sample",
         "dedup_lines_within_doc",
+        # r5-session-4 new ops (same rule)
+        "token_balanced_mixture", "url_snapshot_changes",
+        "remove_boilerplate_lines", "train_val_split",
         # r5-final-session new ops (same rule: new ops ride the cap)
         "rule_bank_funnel", "neardup_keep_best", "dedup_url_keep_latest",
         # permanent anchors
@@ -173,3 +182,11 @@ def test_corpus_sized_ops_return_streaming_datasets(ray_session):
     # r5-session-3 ops keep the same boundary
     assert isinstance(D.host_reputation_filter(sf), ray.data.Dataset)
     assert isinstance(D.language_balanced_sample(sf), ray.data.Dataset)
+    # r5-session-4 ops keep the same boundary
+    from txiac_qc_ray.pipelines import webtext as WT
+    from txiac_qc_ray.sources.pages import default_pages_dir
+
+    assert isinstance(D.token_balanced_mixture(sf), ray.data.Dataset)
+    pages = default_pages_dir(2000)
+    assert isinstance(WT.url_snapshot_changes(pages), ray.data.Dataset)
+    assert isinstance(WT.remove_boilerplate_lines(pages), ray.data.Dataset)

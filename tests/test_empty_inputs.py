@@ -66,7 +66,9 @@ def test_every_query_survives_empty_tables(ray_session, empty_dir):
                             "scrub_docs", "c4_line_filter", "gopher_",
                             "url_host_filter", "pii_counts",
                             "quality_classifier", "dedup_lines_within_doc",
-                            "rule_bank_funnel", "dedup_url_keep_latest")):
+                            "rule_bank_funnel", "dedup_url_keep_latest",
+                            "url_snapshot_changes",
+                            "remove_boilerplate_lines", "train_val_split")):
             continue
         exempt = name in MAY_BE_NONEMPTY
         try:

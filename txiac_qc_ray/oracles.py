@@ -1533,6 +1533,81 @@ def url_snapshot_changes_sql(pages_glob: str) -> str:
     """
 
 
+def remove_boilerplate_lines_sql(pages_glob: str) -> str:
+    """Boilerplate-removal twin: the SAME normalized-host expression as
+    url_host_filter_sql (coalesced to '' — unparsed hosts form one
+    chrome group, as in the engine), the same chrome injection
+    constants, distinct-page counts per EXACT (host, line), ANTI JOIN
+    to drop boilerplate occurrences, ordered string_agg to reassemble.
+    A page whose every line is chrome string_aggs to NULL -> coalesce
+    to '' (Arrow binary_join of an empty list is ''); null text stays
+    NULL via the outer CASE."""
+    from .pipelines import webtext as w
+
+    host = ("coalesce(nullif(lower(regexp_replace(regexp_replace("
+            "regexp_replace(regexp_extract(url, "
+            f"'^https?://({w.URL_HOST_CHARSET})', 1), "
+            "'^.*@', ''), ':[0-9]*$', ''), '\\.+$', '')), ''), '')")
+    return f"""
+    WITH base AS (
+      SELECT url, text, {host} AS host, {fnv_expr('url')} AS uh
+      FROM read_parquet('{pages_glob}')),
+    inj AS (
+      SELECT url, text, host,
+             CASE WHEN text IS NULL THEN NULL
+                  ELSE host || '{w.BOILERPLATE_HEADER_SUFFIX}'
+                       || chr(10) || text
+                       || CASE WHEN uh % {w.FOOTER_MOD} = 0
+                               THEN chr(10) || '{w.BOILERPLATE_FOOTER_PRE}'
+                                    || host
+                                    || '{w.BOILERPLATE_FOOTER_POST}'
+                               ELSE '' END
+             END AS itext
+      FROM base),
+    lines AS (
+      SELECT url, host,
+             unnest(split(itext, chr(10))) AS line,
+             generate_subscripts(split(itext, chr(10)), 1) AS i
+      FROM inj WHERE itext IS NOT NULL),
+    bp AS (
+      SELECT host, line
+      FROM (SELECT host, line, count(DISTINCT url) AS c
+            FROM lines GROUP BY 1, 2)
+      WHERE c >= {w.BOILERPLATE_MIN_DOCS}),
+    tot AS (SELECT url, count(*) AS n_tot FROM lines GROUP BY url),
+    kept AS (
+      SELECT url, count(*) AS n_kept,
+             string_agg(line, chr(10) ORDER BY i) AS clean
+      FROM (SELECT * FROM lines ANTI JOIN bp USING (host, line))
+      GROUP BY url)
+    SELECT b.url,
+           CASE WHEN b.text IS NULL THEN NULL
+                ELSE coalesce(k.clean, '') END AS clean_text,
+           CAST(coalesce(t.n_tot, 0) - coalesce(k.n_kept, 0) AS BIGINT)
+             AS n_removed
+    FROM base b LEFT JOIN tot t USING (url) LEFT JOIN kept k USING (url)
+    """
+
+
+def train_val_split_sql(pages_glob: str) -> str:
+    """Holdout-split twin: the same mix64(fnv1a64(url)) % 100 assignment
+    in HUGEINT. FNV is computed in ONE CTE column and mix64 applied to
+    that column (inlining fnv into mix64's textual expansion would
+    duplicate it ~100x)."""
+    from .pipelines import webtext as w
+
+    return f"""
+    WITH f AS (SELECT lang, {fnv_expr('url')} AS f
+               FROM read_parquet('{pages_glob}')),
+    s AS (SELECT lang,
+                 CASE WHEN {mix64_scalar('f')} % 100 < {w.VAL_PCT}
+                      THEN 'val' ELSE 'train' END AS split
+          FROM f)
+    SELECT lang, split, CAST(count(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY 1, 2
+    """
+
+
 def dedup_url_keep_latest_sql(pages_glob: str) -> str:
     """Keep-latest twin over the same deterministic two-crawl union:
     the recrawl predicate is the SAME stable FNV-1a (fnv_expr) mod

@@ -958,3 +958,213 @@ def url_snapshot_changes(paths: str | list[str],
 
     return (ds.map_batches(union_and_shard, batch_format="pyarrow")
             .groupby("shard").map_groups(report, batch_format="pandas"))
+
+
+# Deterministic per-host chrome injected into the pages corpus (the
+# fixture-side stand-in for the nav/footer boilerplate an HTML->text
+# extractor leaves behind on real crawls — pure functions of (host,
+# url), so both engines rebuild the identical view):
+#   header (every page):       '<host> | home | about | contact'
+#   footer (urls with fnv1a64(url) % FOOTER_MOD == 0):
+#                              'copyright <host> - all rights reserved'
+BOILERPLATE_HEADER_SUFFIX = " | home | about | contact"
+BOILERPLATE_FOOTER_PRE = "copyright "
+BOILERPLATE_FOOTER_POST = " - all rights reserved"
+FOOTER_MOD = 4
+# a line is boilerplate WITHIN ITS HOST when it appears in at least
+# this many distinct pages of that host (frequency-based chrome
+# detection; small hosts below the threshold keep their chrome)
+BOILERPLATE_MIN_DOCS = 5
+
+
+def remove_boilerplate_lines(paths: str | list[str],
+                             min_docs: int = BOILERPLATE_MIN_DOCS,
+                             n_shards: int = 8) -> ray.data.Dataset:
+    """Host-frequency boilerplate-line removal — the cleanup step real
+    web pipelines run after text extraction: a line occurring in >=
+    `min_docs` DISTINCT pages of the SAME host is site chrome
+    (nav/footer/cookie banner), and every occurrence of it is removed
+    from that host's pages. Lines are compared EXACTLY and only within
+    their host, so a sentence legitimately shared across sites is never
+    touched. -> streaming Dataset of (url, clean_text, n_removed), one
+    row per input page (null text stays null, n_removed 0).
+
+    Input is the deterministic chrome-injected view above (every page
+    gets a host header line, every FOOTER_MOD-th url a host footer) —
+    the fixture's prose lines are unique, so the header/footer are
+    exactly what frequency detection must recover, and hosts with
+    fewer than `min_docs` pages must keep their chrome (both branches
+    fire on the frozen corpus). On a real run the injection disappears
+    and the input is simply the extractor's output.
+
+    Scale shape (dedup_paragraphs weight class): two bounded shuffles —
+    (1) every line ships once to shard(fnv(host, line)), where the
+    distinct-page count per EXACT (host, line) marks each occurrence;
+    (2) marked lines + one sentinel row per page ship to shard(url) and
+    each page reassembles vectorized (lexsort + offsets + Arrow
+    binary_join). No driver state, no broadcast of the boilerplate set
+    (it rides the same shuffle that marks it); per-group payload is
+    bounded by the shard count — size `n_shards` from input bytes on a
+    real corpus (house _shard_count rule).
+
+    Reference analog: none in Home.py; C4 (Raffel 2020 §2.2) drops
+    boilerplate by line-level RULES (c4_line_filter here) — this is the
+    complementary frequency-based detector (CCNet §4.1-style)."""
+    from ..functions.urls import fnv1a64
+
+    ds = ray.data.read_parquet(paths, columns=["url", "text"])
+
+    def _injected(t: pa.Table) -> tuple[pa.Array, pa.Array]:
+        """-> (urls, chrome-injected text) for one batch."""
+        urls = _as_array(t.column("url"))
+        text = _as_array(t.column("text"))
+        host, _ = _url_keep(urls)
+        host = pc.fill_null(host, "")
+        header = pc.binary_join_element_wise(
+            host, BOILERPLATE_HEADER_SUFFIX, "")
+        footer = pc.binary_join_element_wise(
+            BOILERPLATE_FOOTER_PRE, host, BOILERPLATE_FOOTER_POST, "")
+        inj = pc.binary_join_element_wise(header, text, "\n")
+        has_footer = (fnv1a64(urls) % np.uint64(FOOTER_MOD)) == 0
+        with_footer = pc.binary_join_element_wise(inj, footer, "\n")
+        inj = pc.if_else(pa.array(has_footer), with_footer, inj)
+        return urls, _as_array(inj)
+
+    def explode(t: pa.Table) -> pa.Table:
+        urls, inj = _injected(t)
+        host, _ = _url_keep(urls)
+        host = pc.fill_null(host, "")
+        flat, counts, _ = _line_split(inj)
+        row_of = np.repeat(np.arange(len(urls), dtype=np.int64), counts)
+        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        line_idx = np.arange(len(row_of), dtype=np.int64) - starts[row_of]
+        take = pa.array(row_of)
+        host_rep = host.take(take)
+        key = pc.binary_join_element_wise(host_rep, flat, "\x1f")
+        shard = (fnv1a64(_as_array(key)) % np.uint64(n_shards)).astype(np.int64)
+        return pa.table({"shard": pa.array(shard),
+                         "url": urls.take(take),
+                         "host": host_rep,
+                         "line": flat,
+                         "line_idx": pa.array(line_idx)})
+
+    def mark(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        n_docs = g.groupby(["host", "line"], sort=False)["url"].transform(
+            "nunique")
+        return pd.DataFrame({
+            "url": g["url"].to_numpy(dtype=object),
+            "line": g["line"].to_numpy(dtype=object),
+            "line_idx": g["line_idx"].to_numpy().astype("int64"),
+            "keep": (n_docs.to_numpy() < min_docs),
+            "is_null": np.zeros(len(g), dtype=np.int64),
+        })
+
+    marked = (ds.map_batches(explode, batch_format="pyarrow")
+              .groupby("shard").map_groups(mark, batch_format="pandas"))
+
+    def sentinels(t: pa.Table) -> pa.Table:
+        urls = _as_array(t.column("url"))
+        is_null = np.asarray(pc.is_null(t.column("text"))).astype(np.int64)
+        return pa.table({
+            "url": urls,
+            "line": pa.array([""] * len(urls), pa.string()),
+            "line_idx": np.full(len(urls), -1, np.int64),
+            "keep": pa.array(np.zeros(len(urls), bool)),
+            "is_null": pa.array(is_null),
+        })
+
+    both = marked.union(ds.map_batches(sentinels, batch_format="pyarrow"))
+
+    def add_dshard(t: pa.Table) -> pa.Table:
+        sh = (fnv1a64(_as_array(t.column("url")))
+              % np.uint64(n_shards)).astype(np.int64)
+        return t.append_column("dshard", pa.array(sh))
+
+    def reassemble(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        url = g["url"].to_numpy(dtype=object)
+        li = g["line_idx"].to_numpy()
+        line = g["line"].to_numpy(dtype=object)
+        keep = g["keep"].to_numpy(dtype=bool)
+        isn = g["is_null"].to_numpy()
+        order = np.lexsort((li, url))  # per url: sentinel (-1) first
+        url, li, line, keep, isn = (url[order], li[order], line[order],
+                                    keep[order], isn[order])
+        change = np.ones(len(url), dtype=bool)
+        if len(url) > 1:
+            change[1:] = url[1:] != url[:-1]
+        doc_start = np.nonzero(change)[0]
+        uniq = url[doc_start]
+        null_mask = isn[doc_start] == 1  # sentinel sorts first in its doc
+        doc_of = np.cumsum(change) - 1
+        kept = keep & (li >= 0)
+        n_kept = np.bincount(doc_of[kept], minlength=len(uniq)).astype(np.int64)
+        n_rem = np.bincount(doc_of[(li >= 0) & ~keep],
+                            minlength=len(uniq)).astype(np.int64)
+        off = np.zeros(len(uniq) + 1, dtype=np.int32)
+        np.cumsum(n_kept, out=off[1:])
+        joined = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(off, type=pa.int32()),
+                                     pa.array(line[kept].tolist(),
+                                              pa.string())), "\n")
+        clean = joined.to_pandas().astype(object)
+        clean[null_mask] = None
+        return pd.DataFrame({"url": uniq, "clean_text": clean,
+                             "n_removed": n_rem})
+
+    return (both.map_batches(add_dshard, batch_format="pyarrow")
+            .groupby("dshard").map_groups(reassemble, batch_format="pandas"))
+
+
+VAL_PCT = 10  # held-out fraction, percent of pages
+
+
+def train_val_split(paths: str | list[str],
+                    val_pct: int = VAL_PCT) -> "pd.DataFrame":
+    """Deterministic train/validation holdout split report — the last
+    step before a training export: every page lands in 'val' with
+    probability val_pct/100 keyed on mix64(fnv1a64(url)) (replayable
+    across engines, restarts and file layouts — a seeded random split
+    is not), and the report counts pages per (lang, split) so an
+    operator can see at a glance that the holdout is stratified the
+    same way the corpus is. -> pandas DataFrame (lang, split, n_docs);
+    null lang is its own group (SQL semantics).
+
+    Scale shape: one stateless streamed pass, per-batch partial counts
+    (lang x split cardinality), one tiny groupby — the corpus never
+    shuffles and driver state is the final report. Assigning the
+    split COLUMN to every page (rather than counting) is the same
+    pass minus the aggregate.
+
+    Reference analog: none in Home.py (no dataset-split surface)."""
+    import pandas as pd
+    from ray.data.aggregate import Sum as RaySum
+
+    from ..functions.urls import fnv1a64
+    from .docs import _NULL_KEY, _mix64
+
+    ds = ray.data.read_parquet(paths, columns=["url", "lang"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang = pc.fill_null(_as_array(t.column("lang")), _NULL_KEY)
+        u = _mix64(fnv1a64(_as_array(t.column("url"))))
+        split = pa.array(np.where((u % np.uint64(100))
+                                  < np.uint64(val_pct), "val", "train"))
+        key = pc.binary_join_element_wise(lang, split, "\x1f")
+        uniq, cnt = np.unique(np.asarray(key, dtype=object),
+                              return_counts=True)
+        return pa.table({"key": pa.array(uniq.tolist(), pa.string()),
+                         "n_docs": cnt.astype(np.int64)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("key").aggregate(RaySum("n_docs", alias_name="n_docs"))
+           .to_pandas())
+    parts = [k.rsplit("\x1f", 1) for k in agg["key"]]
+    return pd.DataFrame({
+        "lang": [None if p[0] == _NULL_KEY else p[0] for p in parts],
+        "split": [p[1] for p in parts],
+        "n_docs": agg["n_docs"].to_numpy().astype("int64"),
+    })
