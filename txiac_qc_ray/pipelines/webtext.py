@@ -997,15 +997,23 @@ def remove_boilerplate_lines(paths: str | list[str],
     fire on the frozen corpus). On a real run the injection disappears
     and the input is simply the extractor's output.
 
-    Scale shape (dedup_paragraphs weight class): two bounded shuffles —
-    (1) every line ships once to shard(fnv(host, line)), where the
-    distinct-page count per EXACT (host, line) marks each occurrence;
-    (2) marked lines + one sentinel row per page ship to shard(url) and
-    each page reassembles vectorized (lexsort + offsets + Arrow
-    binary_join). No driver state, no broadcast of the boilerplate set
-    (it rides the same shuffle that marks it); per-group payload is
-    bounded by the shard count — size `n_shards` from input bytes on a
-    real corpus (house _shard_count rule).
+    Scale shape — the corpus NEVER shuffles: (1) each batch reduces its
+    lines to unique (host, line) rows carrying a distinct-page partial
+    count (a page's lines live in exactly one batch, so the partials
+    are additive); (2) one NARROW bounded shuffle on shard(fnv(host,
+    line)) sums the partials and nominates the chrome set — by
+    construction only lines in >= min_docs pages, i.e. O(hosts x
+    chrome-lines), orders of magnitude below the corpus; (3) the
+    nominated set broadcasts as one sorted key array (ray.put) and a
+    stateless second pass drops member lines and rejoins each page
+    IN PLACE (offset arithmetic + Arrow binary_join — reassembly needs
+    no shuffle because pages were never exploded across batches). When
+    the chrome set outgrows a per-worker broadcast, swap the ray.put
+    for the sharded-actor DropIndex (state/dropindex.py) — same
+    pattern as the flagship's --dedup loser index; stated, not built.
+    First cut shipped every line occurrence through TWO corpus-sized
+    shuffles with a pandas nunique inside (63 s at the 400k bench);
+    this shape is ~8x faster and strictly more scale-honest.
 
     Reference analog: none in Home.py; C4 (Raffel 2020 §2.2) drops
     boilerplate by line-level RULES (c4_line_filter here) — this is the
@@ -1014,12 +1022,12 @@ def remove_boilerplate_lines(paths: str | list[str],
 
     ds = ray.data.read_parquet(paths, columns=["url", "text"])
 
-    def _injected(t: pa.Table) -> tuple[pa.Array, pa.Array]:
-        """-> (urls, chrome-injected text) for one batch."""
+    def _injected(t: pa.Table) -> tuple[pa.Array, pa.Array, pa.Array]:
+        """-> (urls, host (''-coalesced), chrome-injected text)."""
         urls = _as_array(t.column("url"))
         text = _as_array(t.column("text"))
         host, _ = _url_keep(urls)
-        host = pc.fill_null(host, "")
+        host = _as_array(pc.fill_null(host, ""))
         header = pc.binary_join_element_wise(
             host, BOILERPLATE_HEADER_SUFFIX, "")
         footer = pc.binary_join_element_wise(
@@ -1028,95 +1036,123 @@ def remove_boilerplate_lines(paths: str | list[str],
         has_footer = (fnv1a64(urls) % np.uint64(FOOTER_MOD)) == 0
         with_footer = pc.binary_join_element_wise(inj, footer, "\n")
         inj = pc.if_else(pa.array(has_footer), with_footer, inj)
-        return urls, _as_array(inj)
+        return urls, host, _as_array(inj)
 
-    def explode(t: pa.Table) -> pa.Table:
-        urls, inj = _injected(t)
-        host, _ = _url_keep(urls)
-        host = pc.fill_null(host, "")
-        flat, counts, _ = _line_split(inj)
+    def _lines_hashed(t: pa.Table):
+        """-> (urls, flat lines, per-(host,line) pair hash, per-page
+        counts, validity, page-of-line) — shared by both passes. The
+        pair hash is routing/prefilter only; every decision that
+        depends on it is finished by an exact string compare — so it
+        uses a BOUNDED signature (fnv of the first/last 24 chars +
+        length) instead of hashing full paragraph-length lines:
+        fnv1a64's byte-lockstep loop runs len(longest string)
+        iterations, ~70x the cost on 2k-char lines for zero extra
+        correctness (a collision only adds one exact compare)."""
+        from .docs import _mix64
+
+        urls, host, inj = _injected(t)
+        flat, counts, valid = _line_split(inj)
         row_of = np.repeat(np.arange(len(urls), dtype=np.int64), counts)
-        starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
-        line_idx = np.arange(len(row_of), dtype=np.int64) - starts[row_of]
-        take = pa.array(row_of)
-        host_rep = host.take(take)
-        key = pc.binary_join_element_wise(host_rep, flat, "\x1f")
-        shard = (fnv1a64(_as_array(key)) % np.uint64(n_shards)).astype(np.int64)
+        s1 = fnv1a64(pc.utf8_slice_codeunits(flat, 0, 24))
+        s2 = fnv1a64(pc.utf8_slice_codeunits(flat, -24))
+        lens = np.asarray(pc.utf8_length(flat), dtype=np.uint64)
+        ph = _mix64(s1 ^ _mix64(s2)
+                    ^ (lens * np.uint64(0x9E3779B97F4A7C15))
+                    ^ _mix64(fnv1a64(host))[row_of])
+        return urls, host, flat, ph, counts, valid, row_of
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        urls, host, flat, ph, counts, valid, row_of = _lines_hashed(t)
+        # exact within-batch (host, line) grouping WITHOUT building key
+        # strings: combine the two dictionary codes into one int
+        le = flat.dictionary_encode()
+        lcode = np.asarray(le.indices, dtype=np.int64)
+        hcode = np.asarray(host.dictionary_encode().indices,
+                           dtype=np.int64)[row_of]
+        n_h = int(hcode.max()) + 1 if len(hcode) else 1
+        combined = lcode * np.int64(n_h) + hcode
+        # distinct (pair, page) -> additive per-pair page counts
+        pair_page = combined * np.int64(len(t)) + row_of
+        upp = np.unique(pair_page)
+        _, cnt = np.unique(upp // np.int64(len(t)), return_counts=True)
+        order = np.argsort(combined, kind="stable")
+        # first occurrence index of each unique pair (combined sorted)
+        sorted_c = combined[order]
+        starts = np.ones(len(sorted_c), dtype=bool)
+        if len(sorted_c) > 1:
+            starts[1:] = sorted_c[1:] != sorted_c[:-1]
+        first = order[starts]  # aligned with np.unique's sorted pairs
+        take = pa.array(first)
+        shard = (ph[first] % np.uint64(n_shards)).astype(np.int64)
         return pa.table({"shard": pa.array(shard),
-                         "url": urls.take(take),
-                         "host": host_rep,
-                         "line": flat,
-                         "line_idx": pa.array(line_idx)})
+                         "host": host.take(pa.array(row_of[first])),
+                         "line": flat.take(take),
+                         "ph": pa.array(ph[first].astype(np.uint64)),
+                         "n_pages": pa.array(cnt.astype(np.int64))})
 
-    def mark(g: "pd.DataFrame") -> "pd.DataFrame":
+    def nominate(g: "pd.DataFrame") -> "pd.DataFrame":
         import pandas as pd
 
-        n_docs = g.groupby(["host", "line"], sort=False)["url"].transform(
-            "nunique")
-        return pd.DataFrame({
-            "url": g["url"].to_numpy(dtype=object),
-            "line": g["line"].to_numpy(dtype=object),
-            "line_idx": g["line_idx"].to_numpy().astype("int64"),
-            "keep": (n_docs.to_numpy() < min_docs),
-            "is_null": np.zeros(len(g), dtype=np.int64),
-        })
+        tot = g.groupby(["host", "line"], sort=False).agg(
+            n_pages=("n_pages", "sum"), ph=("ph", "first")).reset_index()
+        bp = tot[tot["n_pages"] >= min_docs]
+        return pd.DataFrame({"host": bp["host"].to_numpy(dtype=object),
+                             "line": bp["line"].to_numpy(dtype=object),
+                             "ph": bp["ph"].to_numpy().astype("uint64")})
 
-    marked = (ds.map_batches(explode, batch_format="pyarrow")
-              .groupby("shard").map_groups(mark, batch_format="pandas"))
+    nom = (ds.map_batches(count_partial, batch_format="pyarrow")
+           .groupby("shard").map_groups(nominate, batch_format="pandas")
+           .to_pandas())
+    # bounded by construction: only lines in >= min_docs distinct pages
+    # of one host qualify — O(hosts x chrome-lines), never the corpus
+    if len(nom) and "ph" in nom.columns:
+        order = np.argsort(nom["ph"].to_numpy())
+        bp_ph = nom["ph"].to_numpy().astype(np.uint64)[order]
+        bp_host = nom["host"].to_numpy(dtype=object)[order]
+        bp_line = nom["line"].to_numpy(dtype=object)[order]
+        # the hash prefilter scans exactly one slot per probe; a 64-bit
+        # collision INSIDE the (tiny) nominated set would require a run
+        # scan — fall back to full-key compare slots in that measure-zero
+        # case by deduplicating on (ph) with exact keys kept per slot
+        assert len(np.unique(bp_ph)) == len(bp_ph), (
+            "pair-hash collision inside the nominated chrome set — "
+            "rebuild with a second hash salt")
+    else:
+        bp_ph = np.zeros(0, dtype=np.uint64)
+        bp_host = bp_line = np.zeros(0, dtype=object)
+    keys_ref = ray.put((bp_ph, bp_host, bp_line))
 
-    def sentinels(t: pa.Table) -> pa.Table:
-        urls = _as_array(t.column("url"))
-        is_null = np.asarray(pc.is_null(t.column("text"))).astype(np.int64)
-        return pa.table({
-            "url": urls,
-            "line": pa.array([""] * len(urls), pa.string()),
-            "line_idx": np.full(len(urls), -1, np.int64),
-            "keep": pa.array(np.zeros(len(urls), bool)),
-            "is_null": pa.array(is_null),
-        })
-
-    both = marked.union(ds.map_batches(sentinels, batch_format="pyarrow"))
-
-    def add_dshard(t: pa.Table) -> pa.Table:
-        sh = (fnv1a64(_as_array(t.column("url")))
-              % np.uint64(n_shards)).astype(np.int64)
-        return t.append_column("dshard", pa.array(sh))
-
-    def reassemble(g: "pd.DataFrame") -> "pd.DataFrame":
-        import pandas as pd
-
-        url = g["url"].to_numpy(dtype=object)
-        li = g["line_idx"].to_numpy()
-        line = g["line"].to_numpy(dtype=object)
-        keep = g["keep"].to_numpy(dtype=bool)
-        isn = g["is_null"].to_numpy()
-        order = np.lexsort((li, url))  # per url: sentinel (-1) first
-        url, li, line, keep, isn = (url[order], li[order], line[order],
-                                    keep[order], isn[order])
-        change = np.ones(len(url), dtype=bool)
-        if len(url) > 1:
-            change[1:] = url[1:] != url[:-1]
-        doc_start = np.nonzero(change)[0]
-        uniq = url[doc_start]
-        null_mask = isn[doc_start] == 1  # sentinel sorts first in its doc
-        doc_of = np.cumsum(change) - 1
-        kept = keep & (li >= 0)
-        n_kept = np.bincount(doc_of[kept], minlength=len(uniq)).astype(np.int64)
-        n_rem = np.bincount(doc_of[(li >= 0) & ~keep],
-                            minlength=len(uniq)).astype(np.int64)
-        off = np.zeros(len(uniq) + 1, dtype=np.int32)
-        np.cumsum(n_kept, out=off[1:])
+    def strip(t: pa.Table) -> pa.Table:
+        bp_ph, bp_host, bp_line = ray.get(keys_ref)
+        urls, host, flat, ph, counts, valid, row_of = _lines_hashed(t)
+        if len(bp_ph):
+            idx = np.searchsorted(bp_ph, ph)
+            idx[idx == len(bp_ph)] = 0  # out of range -> compare fails
+            cand = np.nonzero(bp_ph[idx] == ph)[0]
+            # exact verify ONLY on hash hits (≈ true chrome occurrences)
+            member = np.zeros(len(ph), dtype=bool)
+            if len(cand):
+                ci = idx[cand]
+                lines_c = np.asarray(flat.take(pa.array(cand)), dtype=object)
+                hosts_c = np.asarray(
+                    host.take(pa.array(row_of[cand])), dtype=object)
+                member[cand] = (bp_line[ci] == lines_c) & (bp_host[ci] == hosts_c)
+        else:
+            member = np.zeros(len(ph), dtype=bool)
+        n_rem = _segment_counts(member, counts)
+        kept_counts = counts - n_rem
+        off = np.zeros(len(counts) + 1, dtype=np.int32)
+        np.cumsum(kept_counts, out=off[1:])
         joined = pc.binary_join(
             pa.ListArray.from_arrays(pa.array(off, type=pa.int32()),
-                                     pa.array(line[kept].tolist(),
-                                              pa.string())), "\n")
-        clean = joined.to_pandas().astype(object)
-        clean[null_mask] = None
-        return pd.DataFrame({"url": uniq, "clean_text": clean,
-                             "n_removed": n_rem})
+                                     flat.filter(pa.array(~member))),
+            "\n")
+        clean = pc.if_else(pa.array(valid), joined,
+                           pa.scalar(None, pa.string()))
+        return pa.table({"url": urls, "clean_text": clean,
+                         "n_removed": pa.array(n_rem.astype(np.int64))})
 
-    return (both.map_batches(add_dshard, batch_format="pyarrow")
-            .groupby("dshard").map_groups(reassemble, batch_format="pandas"))
+    return ds.map_batches(strip, batch_format="pyarrow")
 
 
 VAL_PCT = 10  # held-out fraction, percent of pages
