@@ -116,11 +116,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "url_snapshot_changes": _url_snapshot_changes,
         "remove_boilerplate_lines": _remove_boilerplate_lines,
         "train_val_split": _train_val_split,
-        # ---- 29 of the 33 r4-tail queries, rotated back in (item 7) --
-        "decontaminate": D.decontaminate_against,
+        # ---- r5-session-5 NEW ops (in-cap: ADVICE r3 rule; each takes
+        # the slot of a rotated-in row that is driver-green in r4 AND
+        # unmodified in r5 — see the displaced rows' comments below).
+        # per-language data-calibrated Tukey length fences + flags —
+        # takes grouped_variance's slot (driver-green r4 via the local
+        # rotation, unmodified since r3; its exact-variance sibling
+        # grouped_counters stays in-cap)
+        "calibrated_outlier_flags": _calibrated_outlier_flags,
+        # eval-overlap FRACTION decontamination — takes decontaminate's
+        # slot: the new op runs a strict SUPERSET of decontaminate's
+        # path (same eval-set build, same broadcast membership core,
+        # plus per-doc distinct-shingle totals), so one driver row
+        # value-checks both; decontaminate stays swept locally
+        "contamination_fraction": D.contamination_fraction,
+        # ---- 28 of the 33 r4-tail queries, rotated back in (item 7) --
         "deterministic_shuffle": D.deterministic_shuffle,
         "embedding_neardup_lsh": D.embedding_neardup_pairs_lsh,
-        "jsonl_ingest_docs": _jsonl_ingest_docs,
+        # gzip-JSONL training-export sink + read-back — takes
+        # jsonl_ingest_docs's slot: the read-back half drives the SAME
+        # sources/jsonl.py entry point (on sink-written .jsonl.gz
+        # shards, the harder codec path), so one driver row checks the
+        # source contract too; jsonl_ingest_docs stays swept locally
+        "export_chunks_jsonl": D.export_chunks_jsonl,
         "csv_ingest_sections": _csv_ingest_sections,
         # r5-NEW (final session): URL-keyed keep-latest snapshot dedup —
         # takes token_counts' slot (driver-green r1+r3, the longest
@@ -151,7 +169,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tukey_fences + the PMIS-flow thresholds stay value-checked
         # in-cap)
         "neardup_keep_best": D.neardup_keep_best,
-        "grouped_variance": R.grouped_variance,
         "grouped_counters": R.grouped_counters,
         "threshold_flag_two_sided": R.threshold_flag_two_sided,
         # r5-NEW (this session): sliding-window duplicate-substring
@@ -221,6 +238,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": R.stratified_sample,
         "threshold_flag_audit": R.threshold_flag_audit,
         "exact_dedup": D.exact_dedup,  # yielded its slot to dup_window_fraction
+        # yielded to calibrated_outlier_flags (r5-s5): driver-green r4,
+        # unmodified in r5; exact int-cents variance sibling
+        # grouped_counters stays in-cap
+        "grouped_variance": R.grouped_variance,
+        # yielded to contamination_fraction (r5-s5), which drives a
+        # strict superset of this op's eval-set + membership core
+        "decontaminate": D.decontaminate_against,
+        # yielded to export_chunks_jsonl (r5-s5), whose read-back half
+        # drives the same sources/jsonl.py entry point on gzip shards
+        "jsonl_ingest_docs": _jsonl_ingest_docs,
         "weighted_sample": D.weighted_sample,  # yielded to ccnet_ppl_buckets
         "decontaminate_bloom": D.decontaminate_bloom,  # yielded to knn_self_join
         "exact_dedup_rows": D.exact_dedup_rows,  # yielded to minhash_lsh_dedup (r5-modified)
@@ -373,6 +400,12 @@ def _train_val_split(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import train_val_split
 
     return train_val_split(_webtext_dir())
+
+
+def _calibrated_outlier_flags(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import calibrated_outlier_flags
+
+    return calibrated_outlier_flags(_webtext_dir())
 
 
 def _pmis_merged(_sf_dir: str):
@@ -536,6 +569,9 @@ def oracle_sql() -> dict[str, str]:
         "remove_boilerplate_lines": O.remove_boilerplate_lines_sql(pages_glob),
         # deterministic stratified train/val holdout report (r5 s4)
         "train_val_split": O.train_val_split_sql(pages_glob),
+        # per-language Tukey-calibrated length flags (exact dyadic float
+        # parity — see the builder's docstring)
+        "calibrated_outlier_flags": O.calibrated_outlier_flags_sql(pages_glob),
         # host-reputation gate + language-balanced sampling (r5 s3)
         "host_reputation_filter": O.host_reputation_filter_sql(),
         "language_balanced_sample": O.language_balanced_sample_sql(),
@@ -545,6 +581,10 @@ def oracle_sql() -> dict[str, str]:
         # training-prep chunking: shared window-cumsum + generate_series
         # explode (oracles._chunk_explode_sql)
         "chunk_for_training": O.chunk_for_training_sql(),
+        # same spans as chunk_for_training — the query's delta is the
+        # sink -> .jsonl.gz -> source round trip, which must be
+        # value-invisible
+        "export_chunks_jsonl": O.chunk_for_training_sql(),
         # Lee-et-al-style sliding-window duplicate-substring fraction
         "dup_window_fraction": O.dup_window_fraction_sql(),
         # Lee-et-al exact-substring removal (covered-position anti-join)
@@ -640,6 +680,7 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_docs": O.fingerprint_sql(),
         "langid_docs": O.langid_sql(),
         "decontaminate": O.decontaminate_sql(50, 5),
+        "contamination_fraction": O.contamination_fraction_sql(50, 10),
         # bloom variant has no false negatives and exact-verifies every
         # candidate, so it shares the exact op's oracle verbatim
         "decontaminate_bloom": O.decontaminate_sql(50, 5),

@@ -89,9 +89,18 @@ def test_correctness_cap_covers_priority_queries():
     # unmodified since r1/r2, the oldest-green lowest-risk rows on the
     # surface — a brand-new op with zero driver rows wins the slot over
     # them (threshold_flag_audit's two-sided sibling stays in-cap).
+    # r5 session 5 added three new ops which, being NEW, outrank three
+    # r4-tail rows whose code paths the new ops drive as strict
+    # supersets or that have multi-round green streaks:
+    # calibrated_outlier_flags took grouped_variance's slot (r4-green,
+    # unmodified; variance sibling grouped_counters stays in-cap),
+    # contamination_fraction took decontaminate's (it runs the same
+    # eval-set + broadcast-membership core plus per-doc totals), and
+    # export_chunks_jsonl took jsonl_ingest_docs's (its read-back half
+    # drives the same sources/jsonl.py entry point on gzip shards).
     r4_tail = {
-        "decontaminate", "deterministic_shuffle",
-        "embedding_neardup_lsh", "jsonl_ingest_docs", "csv_ingest_sections",
+        "deterministic_shuffle",
+        "embedding_neardup_lsh", "csv_ingest_sections",
         # pmis_yby_flow / pmis_county_summary / pmis_diff_histogram /
         # pmis_yby_district yielded their slots to the four
         # r5-session-4 NEW ops: each reads the FROZEN fixture parquet
@@ -105,7 +114,7 @@ def test_correctness_cap_covers_priority_queries():
         "simhash_neardup_pairs", "dedup_adjacent_tokens",
         "embedding_neardup_pairs", "ann_topk_bruteforce", "ann_topk_lsh",
         "ann_topk_ivf",
-        "grouped_variance", "grouped_counters",
+        "grouped_counters",
         "threshold_flag_two_sided",
         # tolerance_join, quantile_thresholds, and token_counts yielded
         # their slots to rule_bank_funnel / neardup_keep_best /
@@ -117,7 +126,7 @@ def test_correctness_cap_covers_priority_queries():
         # rows outranks them for the final driver run (token_counts'
         # BPE sibling token_counts_bpe stays in-cap over the same read)
     }
-    assert len(r4_tail) == 21
+    assert len(r4_tail) == 18
     priority = r4_tail | {
         # r5-session-3 new ops (ADVICE r3 rule: new ops ride the cap)
         "pii_counts", "quality_classifier",
@@ -128,6 +137,9 @@ def test_correctness_cap_covers_priority_queries():
         "remove_boilerplate_lines", "train_val_split",
         # r5-final-session new ops (same rule: new ops ride the cap)
         "rule_bank_funnel", "neardup_keep_best", "dedup_url_keep_latest",
+        # r5-session-5 new ops (same rule)
+        "calibrated_outlier_flags", "contamination_fraction",
+        "export_chunks_jsonl",
         # permanent anchors
         "qc_label_documents", "pmis_audit_flow", "pmis_counters",
         # r5-modified (DropIndex drop sets; data-sized CC partitions is

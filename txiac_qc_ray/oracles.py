@@ -1630,3 +1630,54 @@ def dedup_url_keep_latest_sql(pages_glob: str) -> str:
     SELECT url, warc_ts, CAST(n AS BIGINT) AS n_snapshots
     FROM r WHERE rk = 1
     """
+
+
+def calibrated_outlier_flags_sql(pages_glob: str) -> str:
+    """Per-language percentile-band length flags twin. Float parity is
+    EXACT by construction, no rounding: with DYADIC quantile positions
+    (1/16, 15/16) over integer n_words every interpolation intermediate
+    is an exactly-representable dyadic rational, so quantile_cont and
+    the histogram-quantile produce bit-identical doubles regardless of
+    evaluation order."""
+    from .pipelines import webtext as w
+
+    return f"""
+    WITH f AS (
+      SELECT url, lang, coalesce(lang, '') AS lang_key,
+             CAST(len(regexp_extract_all(text, '{w.WORD_RE}')) AS BIGINT)
+               AS n_words
+      FROM read_parquet('{pages_glob}') WHERE text IS NOT NULL),
+    q AS (
+      SELECT lang_key, quantile_cont(n_words, {w.CAL_Q_LO!r}) AS lo,
+             quantile_cont(n_words, {w.CAL_Q_HI!r}) AS hi
+      FROM f GROUP BY lang_key)
+    SELECT f.url, f.lang, f.n_words, q.lo, q.hi,
+           (f.n_words < q.lo OR f.n_words > q.hi) AS is_outlier
+    FROM f JOIN q USING (lang_key)
+    """
+
+
+def contamination_fraction_sql(eval_mod: int = 50,
+                               frac_pct: int = 10) -> str:
+    """Eval-overlap-fraction twin: distinct-trigram hit share per
+    non-eval doc (string shingles end to end — value-checks the hash
+    path). frac is one int/int double division in both engines; the
+    label compare is integer cross-multiplied."""
+    return f"""
+    WITH {_SHINGLES},
+    evs AS (SELECT DISTINCT e.sv FROM
+            (SELECT unnest(s) AS sv FROM sh WHERE doc_id % {eval_mod} = 0) e),
+    tr AS (SELECT doc_id, unnest(s) AS sv FROM sh WHERE doc_id % {eval_mod} != 0),
+    tot AS (SELECT doc_id, CAST(coalesce(len(s), 0) AS BIGINT) AS n_shingles
+            FROM sh WHERE doc_id % {eval_mod} != 0),
+    ov AS (SELECT tr.doc_id, CAST(count(*) AS BIGINT) AS n_overlap
+           FROM tr JOIN evs USING (sv) GROUP BY 1)
+    SELECT t.doc_id, t.n_shingles,
+           coalesce(o.n_overlap, 0::BIGINT) AS n_overlap,
+           CASE WHEN t.n_shingles > 0
+                THEN CAST(coalesce(o.n_overlap, 0) AS DOUBLE) / t.n_shingles
+                ELSE 0.0 END AS frac,
+           (100 * coalesce(o.n_overlap, 0) >= {frac_pct} * t.n_shingles
+            AND t.n_shingles > 0) AS contaminated
+    FROM tot t LEFT JOIN ov o USING (doc_id)
+    """

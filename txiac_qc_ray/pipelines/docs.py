@@ -4103,3 +4103,141 @@ def ann_topk_ivf(sf_dir: str, n_queries: int = 4, k: int = 5,
                         ignore_index=True)
 
     return _merge_topk(top, k)
+
+
+CONTAM_FRAC_PCT = 10  # contaminated iff overlap covers >= 10% of shingles
+
+
+def contamination_fraction(sf_dir: str, eval_mod: int = 50,
+                           frac_pct: int = CONTAM_FRAC_PCT
+                           ) -> ray.data.Dataset:
+    """Per-document eval-overlap FRACTION — the graded complement of
+    `decontaminate_against`'s absolute count (published pretraining
+    decontamination labels a doc dirty when eval n-grams cover a
+    FRACTION of it, so a 10k-shingle page with 5 incidental hits
+    survives while a 40-shingle page with the same 5 hits is dropped):
+    for every non-eval doc, the share of its DISTINCT token trigrams
+    that appear anywhere in the eval set (docs with doc_id % eval_mod
+    == 0), plus the keep/drop label at frac >= frac_pct/100. The label
+    compare is INTEGER-exact (100 * n_overlap >= frac_pct * n_shingles)
+    so no float threshold crosses an engine boundary; the emitted
+    `frac` column is one int/int double division, bitwise-identical in
+    both engines. -> (doc_id, n_shingles, n_overlap, frac,
+    contaminated), streaming Dataset.
+
+    Scale shape: identical to decontaminate_against (docs.py:~1384) —
+    the eval shingle set is the tiny side, built in one filtered
+    streamed pass and broadcast via ray.put; the corpus streams through
+    one stateless pass doing sorted searchsorted membership; no shuffle
+    anywhere. The only delta is counting each doc's distinct-shingle
+    total alongside its hits.
+
+    Reference analog: none in Home.py — this is training-data hygiene;
+    the flag-at-data-derived-threshold shape mirrors thre_filter
+    (Home.py:176-183)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def eval_shingles(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.equal(
+            pc.subtract(t["doc_id"],
+                        pc.multiply(pc.divide(t["doc_id"], pa.scalar(eval_mod)),
+                                    pa.scalar(eval_mod))), pa.scalar(0)))
+        h, _ = token_ngram_hashes(t["text"], 3)
+        return pa.table({"h": np.unique(h).astype(np.int64)})
+
+    parts = [np.asarray(b["h"]) for b in
+             ds.map_batches(eval_shingles, batch_format="pyarrow")
+               .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    eval_set = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+    ev_ref = ray.put(eval_set)
+
+    def stage(t: pa.Table) -> pa.Table:
+        ev = ray.get(ev_ref)
+        keep = np.asarray(t["doc_id"]) % eval_mod != 0
+        t = t.filter(pa.array(keep))
+        h, off = token_ngram_hashes(t["text"], 3)
+        h = h.astype(np.int64)
+        n_docs = len(off) - 1
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(off))
+        order = np.lexsort((h, doc_of))
+        d, hh = doc_of[order], h[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
+        d, hh = d[first], hh[first]
+        n_shingles = np.bincount(d, minlength=n_docs).astype(np.int64)
+        hit = np.zeros(len(hh), dtype=bool)
+        if len(ev):
+            idx = np.searchsorted(ev, hh)
+            idx = np.clip(idx, 0, len(ev) - 1)
+            hit = ev[idx] == hh
+        n_overlap = np.bincount(d[hit], minlength=n_docs).astype(np.int64)
+        frac = np.where(n_shingles > 0,
+                        n_overlap / np.maximum(n_shingles, 1), 0.0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_shingles": n_shingles,
+            "n_overlap": n_overlap,
+            "frac": frac,
+            "contaminated": (100 * n_overlap >= frac_pct * n_shingles)
+                            & (n_shingles > 0),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+class _JsonlGzNames:
+    """Filename provider pinning the `.jsonl.gz` suffix so the gzip
+    codec is path-detectable on read (sources/jsonl.py contract)."""
+
+    def get_filename_for_block(self, block, write_uuid, task_index,
+                               block_index):
+        return f"chunks-{task_index:05d}-{block_index:05d}.jsonl.gz"
+
+
+def export_chunks_jsonl(sf_dir: str, out_dir: str | None = None,
+                        context_len: int = 512) -> ray.data.Dataset:
+    """Training-export SINK: pack the corpus into fixed-length chunk
+    spans (chunk_for_training) and write them as gzipped-JSONL shards —
+    the wire format trainer data loaders actually consume — then read
+    the export back through the engine's own JSONL source and return
+    it, so the value check covers the full sink -> bytes -> source
+    round trip, not just the in-memory result. One shard per output
+    block (never one giant file); rerun wipes and rewrites the export
+    directory (deterministic content, so the overwrite is idempotent —
+    for incremental/restartable production exports wrap the write in
+    state/lineage.run_resumable exactly like the flagship's parquet
+    sink). -> streaming Dataset (doc_id, chunk_id, tok_start, tok_end)
+    read from the .jsonl.gz shards.
+
+    Scale shape: the chunk table streams straight from
+    chunk_for_training's bucket groups into per-block gzip writers
+    (Ray's JSON datasink with an arrow gzip output stream — compression
+    happens inside each write task, no extra pass); the read back is
+    the ordinary per-file-parallel gzip JSONL scan. Nothing collects on
+    the driver.
+
+    Reference analog: CSV download sinks (Home.py:320-324) — the same
+    'hand the filtered table to the next tool' step, as a distributed
+    compressed-shard export."""
+    import glob as _glob
+    import os
+    import shutil
+
+    from .relational import typed_empty
+
+    if out_dir is None:
+        tag = f"{abs(hash((os.path.abspath(sf_dir), context_len))):x}"
+        out_dir = f"/tmp/txiac_chunk_export_{tag}"
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.makedirs(out_dir, exist_ok=True)
+    chunk_for_training(sf_dir, context_len).write_json(
+        out_dir, filename_provider=_JsonlGzNames(),
+        arrow_open_stream_args={"compression": "gzip"})
+    shards = sorted(_glob.glob(os.path.join(out_dir, "*.jsonl.gz")))
+    if not shards:  # zero-row corpus: the sink writes no files at all
+        return ray.data.from_pandas(typed_empty(
+            {"doc_id": "int64", "chunk_id": "int64",
+             "tok_start": "int64", "tok_end": "int64"}))
+    from ..sources.jsonl import read_docs_jsonl
+
+    return read_docs_jsonl(shards)

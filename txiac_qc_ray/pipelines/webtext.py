@@ -1204,3 +1204,126 @@ def train_val_split(paths: str | list[str],
         "split": [p[1] for p in parts],
         "n_docs": agg["n_docs"].to_numpy().astype("int64"),
     })
+
+
+# Percentile-calibration band (Home.py:337-345 'Percentile' mode). The
+# reference defaults to 2.5/97.5; these are the nearest DYADIC quantile
+# positions (k/16), which make every interpolation intermediate an
+# exactly-representable dyadic rational — the cross-engine float parity
+# is then exact by construction instead of hedged with rounding. A
+# non-dyadic q works too; round the fences to 4dp on both sides if so.
+CAL_Q_LO = 1.0 / 16.0
+CAL_Q_HI = 15.0 / 16.0
+
+
+def _hist_quantile_cont(vals: np.ndarray, cnts: np.ndarray,
+                        q: float) -> float:
+    """Exact linear-interpolated quantile (numpy 'linear' == DuckDB
+    quantile_cont) from a SORTED value histogram — the O(distinct)
+    scale form of np.percentile over the expanded values."""
+    n = int(cnts.sum())
+    pos = (n - 1) * q
+    lo = int(np.floor(pos))
+    frac = pos - lo
+    cum = np.cumsum(cnts)
+    v_lo = float(vals[np.searchsorted(cum, lo, side="right")])
+    v_hi = float(vals[np.searchsorted(cum, min(lo + 1, n - 1), side="right")])
+    return v_lo + (v_hi - v_lo) * frac
+
+
+def calibrated_outlier_flags(paths: str | list[str],
+                             q_lo: float = CAL_Q_LO,
+                             q_hi: float = CAL_Q_HI) -> ray.data.Dataset:
+    """Per-language DATA-CALIBRATED length-outlier flags — the
+    reference's core move (calibrate thresholds FROM the data, then
+    flag each row against them: the percentile band of Home.py:337-345,
+    its default calibration mode; the Tukey variant is the same
+    machinery with fences q1 -/+ 1.5*IQR and is already driven by the
+    tukey_fences query) applied to the web corpus: the [q_lo, q_hi]
+    n_words band is computed PER LANGUAGE (a fixed 50..100k Gopher band
+    is wrong for a language whose pages run short), then every page is
+    flagged against its own language's band. Null-text pages carry no
+    length and are excluded (SQL join semantics); null lang is its own
+    calibration group.
+    -> (url, lang, n_words, lo, hi, is_outlier), streaming Dataset.
+
+    Scale shape: the corpus never shuffles and the fences are exact —
+    n_words is an INTEGER feature, so each batch reduces to (lang,
+    n_words) histogram partials, a metadata-sized groupby (langs x
+    distinct lengths) sums them, and the exact interpolated quantiles
+    come from the merged histogram (same arithmetic as np.percentile
+    / quantile_cont, O(distinct) not O(corpus)); fences then broadcast
+    (ray.put) and a stateless second pass flags. This is the integer-
+    feature exact twin of the t-digest calibration path
+    (calibrate.sketch_quantiles) — prefer it whenever the feature is
+    discrete; fall back to the sketch for continuous features.
+
+    Reference analog: thre_filter + cal_threshold (Home.py:161-184,
+    337-365) — thresholds from quartiles of the data, keep/drop per
+    row; per-language grouping replaces the reference's per-measure
+    columns."""
+    from ray.data.aggregate import Sum as RaySum
+
+    ds = ray.data.read_parquet(paths, columns=["url", "lang", "text"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = _as_array(t.column("text"))
+        valid = ~np.asarray(pc.is_null(text))
+        lang = np.asarray(pc.fill_null(_as_array(t.column("lang")), ""),
+                          dtype=object)[valid]
+        nw = _count_re(text, WORD_RE)[valid]
+        key = np.char.add(np.char.add(lang.astype(str), "\x1f"),
+                          nw.astype(np.int64).astype(str))
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uniq.tolist(), pa.string()),
+                         "n_docs": cnt.astype(np.int64)})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+           .groupby("key").aggregate(RaySum("n_docs", alias_name="n_docs"))
+           .to_pandas())
+    fences: dict[str, tuple[float, float]] = {}
+    if len(agg) and "key" in agg.columns:
+        parts = [kk.rsplit("\x1f", 1) for kk in agg["key"]]
+        langs = np.array([p[0] for p in parts], dtype=object)
+        vals = np.array([int(p[1]) for p in parts], dtype=np.int64)
+        cnts = agg["n_docs"].to_numpy().astype(np.int64)
+        order = np.lexsort((vals, langs))
+        langs, vals, cnts = langs[order], vals[order], cnts[order]
+        starts = np.ones(len(langs), dtype=bool)
+        starts[1:] = langs[1:] != langs[:-1]
+        bounds = np.append(np.nonzero(starts)[0], len(langs))
+        for i in range(len(bounds) - 1):  # one iteration per LANGUAGE
+            s, e = bounds[i], bounds[i + 1]
+            fences[langs[s]] = (
+                _hist_quantile_cont(vals[s:e], cnts[s:e], q_lo),
+                _hist_quantile_cont(vals[s:e], cnts[s:e], q_hi))
+    f_langs = np.array(sorted(fences), dtype=object)
+    f_lo = np.array([fences[l][0] for l in f_langs], dtype=np.float64)
+    f_hi = np.array([fences[l][1] for l in f_langs], dtype=np.float64)
+    fences_ref = ray.put((f_langs, f_lo, f_hi))
+
+    def flag(t: pa.Table) -> pa.Table:
+        f_langs, f_lo, f_hi = ray.get(fences_ref)
+        text = _as_array(t.column("text"))
+        valid = pa.array(~np.asarray(pc.is_null(text)))
+        t = t.filter(valid)
+        text = _as_array(t.column("text"))
+        lang_key = np.asarray(
+            pc.fill_null(_as_array(t.column("lang")), ""), dtype=object)
+        nw = _count_re(text, WORD_RE)
+        if len(f_langs):
+            idx = np.clip(np.searchsorted(f_langs, lang_key), 0,
+                          len(f_langs) - 1)
+            lo, hi = f_lo[idx], f_hi[idx]
+        else:  # only reachable when every page in the corpus is null-text
+            lo = np.zeros(len(t)); hi = np.zeros(len(t))
+        return pa.table({
+            "url": t.column("url"),
+            "lang": t.column("lang"),
+            "n_words": pa.array(nw.astype(np.int64)),
+            "lo": pa.array(lo),
+            "hi": pa.array(hi),
+            "is_outlier": pa.array((nw < lo) | (nw > hi)),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")
