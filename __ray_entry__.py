@@ -132,7 +132,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "contamination_fraction": D.contamination_fraction,
         # ---- 28 of the 33 r4-tail queries, rotated back in (item 7) --
         "deterministic_shuffle": D.deterministic_shuffle,
-        "embedding_neardup_lsh": D.embedding_neardup_pairs_lsh,
+        # exact-count stratified sampling via a distributed order
+        # statistic — takes embedding_neardup_lsh's slot (r4-driver-
+        # green, unmodified in r5; its exact sibling
+        # embedding_neardup_pairs and the cluster consumer
+        # embedding_neardup_clusters both stay in-cap)
+        "exact_budget_sample": D.exact_budget_sample,
         # gzip-JSONL training-export sink + read-back — takes
         # jsonl_ingest_docs's slot: the read-back half drives the SAME
         # sources/jsonl.py entry point (on sink-written .jsonl.gz
@@ -152,7 +157,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": D.vocab_topk,
         "neardup_clusters": D.neardup_clusters,
         "neardup_clusters_distributed": D.neardup_clusters_distributed,  # r5-modified
-        "simhash_docs": D.simhash_docs,
+        # URL canonicalization + first-capture dedup — takes
+        # simhash_docs's slot (r4-driver-green, unmodified in r5; its
+        # consumer simhash_neardup_pairs stays in-cap and drives the
+        # same signature kernel end to end)
+        "canonical_url_dedup": _canonical_url_dedup,
         "simhash_neardup_pairs": D.simhash_neardup_pairs,
         "dedup_adjacent_tokens": D.dedup_adjacent_tokens,
         "embedding_neardup_pairs": D.embedding_neardup_pairs,
@@ -248,6 +257,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # yielded to export_chunks_jsonl (r5-s5), whose read-back half
         # drives the same sources/jsonl.py entry point on gzip shards
         "jsonl_ingest_docs": _jsonl_ingest_docs,
+        # yielded to exact_budget_sample (r5-s5): driver-green r4,
+        # unmodified in r5; exact + cluster siblings stay in-cap
+        "embedding_neardup_lsh": D.embedding_neardup_pairs_lsh,
+        # yielded to canonical_url_dedup (r5-s5): driver-green r4,
+        # unmodified in r5; its pair consumer stays in-cap
+        "simhash_docs": D.simhash_docs,
         "weighted_sample": D.weighted_sample,  # yielded to ccnet_ppl_buckets
         "decontaminate_bloom": D.decontaminate_bloom,  # yielded to knn_self_join
         "exact_dedup_rows": D.exact_dedup_rows,  # yielded to minhash_lsh_dedup (r5-modified)
@@ -406,6 +421,12 @@ def _calibrated_outlier_flags(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import calibrated_outlier_flags
 
     return calibrated_outlier_flags(_webtext_dir())
+
+
+def _canonical_url_dedup(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import canonical_url_dedup
+
+    return canonical_url_dedup(_webtext_dir())
 
 
 def _pmis_merged(_sf_dir: str):
@@ -572,6 +593,7 @@ def oracle_sql() -> dict[str, str]:
         # per-language Tukey-calibrated length flags (exact dyadic float
         # parity — see the builder's docstring)
         "calibrated_outlier_flags": O.calibrated_outlier_flags_sql(pages_glob),
+        "canonical_url_dedup": O.canonical_url_dedup_sql(pages_glob),
         # host-reputation gate + language-balanced sampling (r5 s3)
         "host_reputation_filter": O.host_reputation_filter_sql(),
         "language_balanced_sample": O.language_balanced_sample_sql(),
@@ -687,6 +709,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_topk": O.vocab_topk_sql(20),
         "tfidf_top_terms": O.tfidf_top_terms_sql(3),
         "deterministic_shuffle": O.deterministic_shuffle_sql(),
+        "exact_budget_sample": O.exact_budget_sample_sql(17),
         "cap_per_host": O.cap_per_host_sql(5),
         "prep_corpus": O.prep_corpus_sql(),
         "prep_to_chunks": O.prep_to_chunks_sql(),

@@ -97,10 +97,14 @@ def test_correctness_cap_covers_priority_queries():
     # contamination_fraction took decontaminate's (it runs the same
     # eval-set + broadcast-membership core plus per-doc totals), and
     # export_chunks_jsonl took jsonl_ingest_docs's (its read-back half
-    # drives the same sources/jsonl.py entry point on gzip shards).
+    # drives the same sources/jsonl.py entry point on gzip shards),
+    # exact_budget_sample took embedding_neardup_lsh's (exact + cluster
+    # siblings stay in-cap), and canonical_url_dedup took simhash_docs's
+    # (its pair consumer simhash_neardup_pairs stays in-cap and drives
+    # the same signature kernel).
     r4_tail = {
         "deterministic_shuffle",
-        "embedding_neardup_lsh", "csv_ingest_sections",
+        "csv_ingest_sections",
         # pmis_yby_flow / pmis_county_summary / pmis_diff_histogram /
         # pmis_yby_district yielded their slots to the four
         # r5-session-4 NEW ops: each reads the FROZEN fixture parquet
@@ -110,7 +114,7 @@ def test_correctness_cap_covers_priority_queries():
         # a brand-new op with zero driver rows outranks them
         "quality_stats",
         "fingerprint_docs", "langid_docs", "vocab_topk", "neardup_clusters",
-        "neardup_clusters_distributed", "simhash_docs",
+        "neardup_clusters_distributed",
         "simhash_neardup_pairs", "dedup_adjacent_tokens",
         "embedding_neardup_pairs", "ann_topk_bruteforce", "ann_topk_lsh",
         "ann_topk_ivf",
@@ -126,7 +130,7 @@ def test_correctness_cap_covers_priority_queries():
         # rows outranks them for the final driver run (token_counts'
         # BPE sibling token_counts_bpe stays in-cap over the same read)
     }
-    assert len(r4_tail) == 18
+    assert len(r4_tail) == 16
     priority = r4_tail | {
         # r5-session-3 new ops (ADVICE r3 rule: new ops ride the cap)
         "pii_counts", "quality_classifier",
@@ -139,7 +143,8 @@ def test_correctness_cap_covers_priority_queries():
         "rule_bank_funnel", "neardup_keep_best", "dedup_url_keep_latest",
         # r5-session-5 new ops (same rule)
         "calibrated_outlier_flags", "contamination_fraction",
-        "export_chunks_jsonl",
+        "export_chunks_jsonl", "exact_budget_sample",
+        "canonical_url_dedup",
         # permanent anchors
         "qc_label_documents", "pmis_audit_flow", "pmis_counters",
         # r5-modified (DropIndex drop sets; data-sized CC partitions is

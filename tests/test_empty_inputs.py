@@ -69,7 +69,8 @@ def test_every_query_survives_empty_tables(ray_session, empty_dir):
                             "rule_bank_funnel", "dedup_url_keep_latest",
                             "url_snapshot_changes",
                             "remove_boilerplate_lines", "train_val_split",
-                            "calibrated_outlier_flags")):
+                            "calibrated_outlier_flags",
+                            "canonical_url_dedup")):
             continue
         exempt = name in MAY_BE_NONEMPTY
         try:

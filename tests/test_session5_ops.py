@@ -92,3 +92,78 @@ def test_export_chunks_jsonl_round_trip(ray_session, tmp_path):
     assert len(glob.glob(os.path.join(out_dir, "*.jsonl.gz"))) == n_before
     a2 = back2[cols].sort_values(cols, ignore_index=True)
     pd.testing.assert_frame_equal(a2, b)
+
+
+def test_exact_budget_sample_hits_allocation_exactly(ray_session):
+    """Row counts must equal the largest-remainder allocation computed
+    independently here, per source and in total — exactly, not in
+    expectation."""
+    import duckdb
+
+    from txiac_qc_ray.pipelines.docs import exact_budget_sample
+
+    pct = 17
+    out = exact_budget_sample(SF, pct=pct).to_pandas()
+    n_s = duckdb.sql(
+        f"SELECT source, count(*) AS n FROM '{SF}/documents.parquet' "
+        "GROUP BY source ORDER BY source").df()
+    total = int(n_s["n"].sum())
+    k0 = (n_s["n"] * pct // 100).to_numpy()
+    rem = (n_s["n"] * pct % 100).to_numpy()
+    R = total * pct // 100 - k0.sum()
+    order = np.lexsort((n_s["source"].to_numpy(dtype=object), -rem))
+    k = k0.copy()
+    k[order[:R]] += 1
+    assert len(out) == total * pct // 100
+    got = out.groupby("source").size()
+    for src, kk in zip(n_s["source"], k):
+        assert got.get(src, 0) == kk, src
+    # replayability: a second run keeps the same doc ids
+    out2 = exact_budget_sample(SF, pct=pct).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_exact_budget_sample_degenerate_pcts(ray_session):
+    from txiac_qc_ray.pipelines.docs import exact_budget_sample
+
+    assert len(exact_budget_sample(SF, pct=0).to_pandas()) == 0
+    import duckdb
+
+    n = duckdb.sql(
+        f"SELECT count(*) FROM '{SF}/documents.parquet'").fetchone()[0]
+    assert len(exact_budget_sample(SF, pct=100).to_pandas()) == n
+
+
+def test_canonical_url_dedup_shard_invariance_and_semantics(ray_session):
+    """The shard count must not change the answer; every decorated
+    recapture must merge back to its base (n_captures == 2 exactly for
+    fnv%3 urls) and the kept capture must be the ORIGINAL (earliest)."""
+    from txiac_qc_ray.functions.urls import fnv1a64
+    from txiac_qc_ray.pipelines.webtext import DECOR_MOD, canonical_url_dedup
+    from txiac_qc_ray.sources.pages import default_pages_dir
+
+    import pyarrow as pa
+
+    d = default_pages_dir(2000)
+    a = canonical_url_dedup(d, n_shards=3).to_pandas()
+    b = canonical_url_dedup(d, n_shards=8).to_pandas()
+    cols = list(a.columns)
+    pd.testing.assert_frame_equal(
+        a.sort_values(cols, ignore_index=True),
+        b.sort_values(cols, ignore_index=True))
+    # canonical urls == the raw crawl's urls, each exactly once
+    import glob as g
+
+    import pyarrow.parquet as pq
+
+    raw = pa.concat_tables([pq.read_table(f, columns=["url", "warc_ts"])
+                            for f in sorted(g.glob(d + "/*.parquet"))])
+    urls = raw["url"].to_pandas()
+    assert sorted(a["url"]) == sorted(urls)
+    h = fnv1a64(pa.array(urls))
+    expected_n = np.where(h % np.uint64(DECOR_MOD) == 0, 2, 1)
+    m = a.set_index("url")
+    assert (m.loc[urls, "n_captures"].to_numpy() == expected_n).all()
+    # earliest capture wins: first_ts is always the raw crawl's ts
+    assert (m.loc[urls, "first_ts"].to_numpy()
+            == raw["warc_ts"].to_pandas().to_numpy()).all()

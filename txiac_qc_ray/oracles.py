@@ -1681,3 +1681,66 @@ def contamination_fraction_sql(eval_mod: int = 50,
             AND t.n_shingles > 0) AS contaminated
     FROM tot t LEFT JOIN ov o USING (doc_id)
     """
+
+
+def exact_budget_sample_sql(pct: int = 17) -> str:
+    """Exact-count stratified sample twin: the same largest-remainder
+    allocation (integer arithmetic end to end) and the same splitmix64
+    within-source order recomputed as a row_number rank."""
+    mix = mix64_scalar("CAST(doc_id AS HUGEINT)")
+    return f"""
+    WITH d AS (SELECT doc_id, lang, source, {mix} AS u FROM documents),
+    c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_s
+          FROM d GROUP BY source),
+    alloc0 AS (SELECT source, n_s, n_s * {pct} // 100 AS k0,
+                      n_s * {pct} % 100 AS rem FROM c),
+    consts AS (SELECT (SELECT sum(n_s) FROM c) * {pct} // 100
+                      - (SELECT sum(k0) FROM alloc0) AS leftover),
+    ordered AS (SELECT *, row_number() OVER
+                  (ORDER BY rem DESC, source ASC NULLS LAST) AS rr
+                FROM alloc0),
+    alloc AS (SELECT source,
+                     k0 + CASE WHEN rr <= (SELECT leftover FROM consts)
+                               THEN 1 ELSE 0 END AS k
+              FROM ordered),
+    r AS (SELECT doc_id, lang, source,
+                 row_number() OVER (PARTITION BY source ORDER BY u) AS rk
+          FROM d)
+    SELECT r.doc_id, r.lang, r.source
+    FROM r JOIN alloc ON r.source IS NOT DISTINCT FROM alloc.source
+    WHERE r.rk <= alloc.k
+    """
+
+
+def canonical_url_dedup_sql(pages_glob: str) -> str:
+    """Canonical-url first-capture twin over the same deterministic
+    decorated-recapture union: the decoration predicate is the SAME
+    stable FNV-1a mod DECOR_MOD (utm vs fragment variant picked by
+    (h // DECOR_MOD) % 2), the canonicalizer the SAME RE2 chain
+    (fragment strip, utm_* param strip, dangling-separator tidy) via
+    regexp_replace(..., 'g')."""
+    from .pipelines import webtext as w
+
+    canon = (f"regexp_replace(regexp_replace(regexp_replace(url, "
+             f"'{w.CANON_FRAG_RE}', ''), "
+             f"'{w.CANON_UTM_RE}', '', 'g'), "
+             f"'{w.CANON_DANGLING_RE}', '')")
+    return f"""
+    WITH base AS (SELECT url, warc_ts FROM read_parquet('{pages_glob}')),
+    marked AS (SELECT url, warc_ts, {fnv_expr('url')} AS h FROM base),
+    re AS (SELECT url || CASE WHEN (h // {w.DECOR_MOD}) % 2 = 0
+                              THEN '{w.DECOR_UTM_SUFFIX}'
+                              ELSE '{w.DECOR_FRAG_SUFFIX}' END AS url,
+                  warc_ts + INTERVAL 1 DAY AS warc_ts
+           FROM marked WHERE h % {w.DECOR_MOD} = 0),
+    u AS (SELECT url, warc_ts FROM base
+          UNION ALL SELECT url, warc_ts FROM re),
+    c AS (SELECT {canon} AS url, warc_ts FROM u),
+    r AS (SELECT url, warc_ts,
+                 row_number() OVER (PARTITION BY url
+                                    ORDER BY warc_ts ASC) AS rk,
+                 count(*) OVER (PARTITION BY url) AS n
+          FROM c)
+    SELECT url, warc_ts AS first_ts, CAST(n AS BIGINT) AS n_captures
+    FROM r WHERE rk = 1
+    """

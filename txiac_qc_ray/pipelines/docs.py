@@ -4241,3 +4241,146 @@ def export_chunks_jsonl(sf_dir: str, out_dir: str | None = None,
     from ..sources.jsonl import read_docs_jsonl
 
     return read_docs_jsonl(shards)
+
+
+EXACT_SAMPLE_PCT = 17  # non-divisor default so largest-remainder fires
+
+
+def exact_budget_sample(sf_dir: str,
+                        pct: int = EXACT_SAMPLE_PCT) -> ray.data.Dataset:
+    """EXACT-count stratified sample: keep exactly K = floor(total *
+    pct/100) documents, allocated across sources by largest remainder
+    (k0_s = floor(n_s*pct/100); the R = K - sum(k0) leftover slots go
+    to the sources with the largest n_s*pct mod 100, ties by source
+    ascending, nulls last) — the allocation every probabilistic sampler
+    (hash_sample / token_balanced_mixture) only hits in expectation.
+    Within a source the kept docs are the k_s with the SMALLEST
+    mix64(doc_id) (splitmix64 is a bijection on uint64, so ranks are
+    strict and replayable across engines/restarts/layouts).
+    -> (doc_id, lang, source) of the kept docs, streaming Dataset.
+
+    Scale shape — a distributed ORDER STATISTIC, not a sort: the k_s-th
+    smallest key per source is found with (1) a (source x 2^b)-bucket
+    count pass over the key's top b bits (metadata-sized groupby;
+    bucket order == key order), whose per-source cumsum locates the
+    bucket holding rank k_s, then (2) one filtered pass collecting ONLY
+    that bucket's keys per source (~n_s/2^b rows, b sized from the
+    corpus like _shard_count) to read off the exact threshold; (3) the
+    final pass is a stateless broadcast-threshold filter. Driver state:
+    sources x buckets ints + one bucket of keys per source. The corpus
+    never shuffles and is never sorted.
+
+    Reference analog: none in Home.py (no sampling surface); the
+    calibrate-then-filter shape is thre_filter's (Home.py:161-184) with
+    the threshold an order statistic instead of a percentile."""
+    n_bits = max(8, int(np.ceil(np.log2(_shard_count(sf_dir, "documents")))))
+    shift = np.uint64(64 - n_bits)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "source"])
+
+    def _keys(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        src = np.asarray(pc.fill_null(t["source"], _NULL_KEY), dtype=object)
+        u = _mix64(np.asarray(t["doc_id"]).astype(np.uint64))
+        return src, u
+
+    # pass 1+2 fused: per-(source, bucket) counts — the source totals
+    # are the bucket marginals, so ONE metadata-sized groupby feeds
+    # both the allocation and the order-statistic bucket search
+    def bucket_partial(t: pa.Table) -> pa.Table:
+        src, u = _keys(t)
+        b = (u >> shift).astype(np.int64)
+        key = np.char.add(np.char.add(src.astype(str), "\x1f"),
+                          b.astype(str))
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"key": pa.array(uniq.tolist(), pa.string()),
+                         "n": cnt.astype(np.int64)})
+
+    agg = (ds.map_batches(bucket_partial, batch_format="pyarrow")
+           .groupby("key").aggregate(RaySum("n", alias_name="n"))
+           .to_pandas())
+    if len(agg) == 0 or "key" not in agg.columns:
+        from .relational import typed_empty
+
+        return ray.data.from_pandas(typed_empty(
+            {"doc_id": "int64", "lang": "object", "source": "object"}))
+
+    parts = [k.rsplit("\x1f", 1) for k in agg["key"]]
+    g_src = np.array([p[0] for p in parts], dtype=object)
+    g_bkt = np.array([int(p[1]) for p in parts], dtype=np.int64)
+    g_cnt = agg["n"].to_numpy().astype(np.int64)
+    order = np.lexsort((g_bkt, g_src))
+    g_src, g_bkt, g_cnt = g_src[order], g_bkt[order], g_cnt[order]
+    starts = np.ones(len(g_src), dtype=bool)
+    starts[1:] = g_src[1:] != g_src[:-1]
+    bounds = np.append(np.nonzero(starts)[0], len(g_src))
+    srcs = g_src[starts]
+    n_s = np.add.reduceat(g_cnt, bounds[:-1])
+
+    # largest-remainder allocation (integer-exact end to end)
+    total = int(n_s.sum())
+    K = total * pct // 100
+    k0 = n_s * pct // 100
+    rem = n_s * pct % 100
+    R = int(K - k0.sum())
+    is_null = np.array([s == _NULL_KEY for s in srcs])
+    # rem DESC, source ASC, nulls last — lexsort minor-to-major keys
+    pick = np.lexsort((srcs, is_null, -rem))
+    k_s = k0.copy()
+    k_s[pick[:R]] += 1
+
+    # locate the bucket holding rank k_s per source, then pull exactly
+    # that bucket's keys to read off the threshold
+    want: dict[str, tuple[int, int]] = {}  # src -> (bucket, rank_within)
+    thresh: dict[str, int] = {}  # src -> inclusive uint64 threshold
+    for i in range(len(srcs)):  # one iteration per SOURCE (tiny)
+        ks = int(k_s[i])
+        if ks <= 0:
+            continue
+        if ks >= int(n_s[i]):
+            thresh[srcs[i]] = int(0xFFFFFFFFFFFFFFFF)
+            continue
+        s, e = bounds[i], bounds[i + 1]
+        cum = np.cumsum(g_cnt[s:e])
+        j = int(np.searchsorted(cum, ks))
+        before = int(cum[j - 1]) if j else 0
+        want[srcs[i]] = (int(g_bkt[s + j]), ks - before)
+
+    if want:
+        w_src = np.array(sorted(want), dtype=object)
+        w_bkt = np.array([want[s][0] for s in w_src], dtype=np.int64)
+        want_ref = ray.put((w_src, w_bkt))
+
+        def bucket_keys(t: pa.Table) -> pa.Table:
+            w_src, w_bkt = ray.get(want_ref)
+            src, u = _keys(t)
+            b = (u >> shift).astype(np.int64)
+            idx = np.clip(np.searchsorted(w_src, src), 0, len(w_src) - 1)
+            hit = (w_src[idx] == src) & (w_bkt[idx] == b)
+            return pa.table({
+                "source": pa.array(src[hit].tolist(), pa.string()),
+                "u": pa.array(u[hit].astype(np.uint64))})
+
+        kb = (ds.map_batches(bucket_keys, batch_format="pyarrow")
+              .to_pandas())
+        for s, (bkt, r) in want.items():
+            us = np.sort(kb.loc[kb["source"] == s, "u"]
+                         .to_numpy().astype(np.uint64))
+            thresh[s] = int(us[r - 1])
+
+    t_src = np.array(sorted(thresh), dtype=object)
+    t_u = np.array([thresh[s] for s in t_src], dtype=np.uint64)
+    thresh_ref = ray.put((t_src, t_u))
+
+    def keep(t: pa.Table) -> pa.Table:
+        t_src, t_u = ray.get(thresh_ref)
+        src, u = _keys(t)
+        if len(t_src):
+            idx = np.clip(np.searchsorted(t_src, src), 0, len(t_src) - 1)
+            m = (t_src[idx] == src) & (u <= t_u[idx])
+        else:
+            m = np.zeros(len(t), dtype=bool)
+        t = t.filter(pa.array(m))
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "source": t["source"]})
+
+    return ds.map_batches(keep, batch_format="pyarrow")

@@ -1327,3 +1327,85 @@ def calibrated_outlier_flags(paths: str | list[str],
         })
 
     return ds.map_batches(flag, batch_format="pyarrow")
+
+
+# Deterministic decorated-recapture view: urls with fnv1a64(url) %
+# DECOR_MOD == 0 were ALSO captured one day later through a decorated
+# link — a tracking-parameter variant or a fragment variant, picked by
+# (h // DECOR_MOD) % 2. Link decoration is why raw-url dedup undercounts
+# recaptures on a real crawl.
+DECOR_MOD = 3
+DECOR_UTM_SUFFIX = "?utm_source=feed&utm_campaign=x"
+DECOR_FRAG_SUFFIX = "#frag"
+# the canonicalizer's RE2 constants (the SQL twin embeds the SAME):
+# strip the fragment, drop utm_* query params, tidy the dangling sep
+CANON_FRAG_RE = r"#.*$"
+CANON_UTM_RE = r"utm_[^&]*(&|$)"
+CANON_DANGLING_RE = r"[?&]$"
+
+
+def canonical_url_dedup(paths: str | list[str],
+                        n_shards: int = 8) -> ray.data.Dataset:
+    """URL CANONICALIZATION + first-capture dedup — the step before
+    url-keyed snapshot dedup on a real crawl: the same page is reached
+    via tracking-decorated and fragment-decorated links, so raw-url
+    grouping splits its capture history. Canonical form here: strip the
+    fragment, strip utm_* query params, drop the dangling separator
+    (scheme/host case and default-port normalization live in _url_keep
+    — this op composes after it on a real pipeline). Keep the EARLIEST
+    capture per canonical url plus the capture count.
+    -> streaming Dataset (url, first_ts, n_captures), one row per
+    distinct canonical url; url is the canonical form.
+
+    Input is the deterministic decorated-recapture view above (the
+    dedup_url_keep_latest union-view pattern: on a real run the union
+    is read_parquet over both crawls' shards and the decoration is the
+    crawler's own). Scale shape: the canonicalizer is a stateless
+    vectorized RE2 chain; then ONE bounded shuffle keyed on a
+    canonical-url-hash shard picks min-ts + count vectorized per group
+    — the north_rule partitioning key, no driver state; size n_shards
+    from input bytes (house _shard_count rule).
+
+    Reference analog: the reference joins rows on a compound natural
+    key after normalizing it (Home.py:128-132); canonicalization is
+    the web-corpus form of making the natural key actually natural."""
+    from ..functions.urls import fnv1a64
+
+    ds = ray.data.read_parquet(paths, columns=["url", "warc_ts"])
+
+    def union_canon_shard(t: pa.Table) -> pa.Table:
+        urls = _as_array(t.column("url"))
+        h = fnv1a64(urls)
+        ts = np.asarray(pc.cast(_as_array(t.column("warc_ts")), pa.int64()))
+        re_mask = (h % np.uint64(DECOR_MOD)) == 0
+        utm = ((h // np.uint64(DECOR_MOD)) % np.uint64(2)) == 0
+        dec = pc.binary_join_element_wise(
+            urls, pa.array(np.where(utm, DECOR_UTM_SUFFIX,
+                                    DECOR_FRAG_SUFFIX)), "")
+        raw = pa.concat_arrays([urls, _as_array(dec).filter(pa.array(re_mask))])
+        out_ts = np.concatenate([ts, ts[re_mask] + RECRAWL_SHIFT_US])
+        canon = pc.replace_substring_regex(
+            pc.replace_substring_regex(
+                pc.replace_substring_regex(raw, CANON_FRAG_RE, ""),
+                CANON_UTM_RE, ""),
+            CANON_DANGLING_RE, "")
+        shard = (fnv1a64(_as_array(canon))
+                 % np.uint64(n_shards)).astype(np.int64)
+        return pa.table({"url": canon, "ts_us": pa.array(out_ts, pa.int64()),
+                         "shard": pa.array(shard)})
+
+    def earliest(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        g = g.sort_values(["url", "ts_us"], ascending=[True, True],
+                          ignore_index=True)
+        counts = g.groupby("url", sort=False).size().to_numpy()
+        win = g.drop_duplicates("url", keep="first")
+        return pd.DataFrame({
+            "url": win["url"].to_numpy(),
+            "first_ts": pd.to_datetime(win["ts_us"].to_numpy(), unit="us"),
+            "n_captures": counts.astype("int64"),
+        })
+
+    return (ds.map_batches(union_canon_shard, batch_format="pyarrow")
+            .groupby("shard").map_groups(earliest, batch_format="pandas"))
