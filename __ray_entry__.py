@@ -153,7 +153,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_url_keep_latest": _dedup_url_keep_latest,
         "quality_stats": D.quality_stats_docs,
         "fingerprint_docs": D.fingerprint_docs,
-        "langid_docs": D.langid_docs,
+        # train-then-score n-gram fluency gate — takes langid_docs's
+        # slot (driver-green r4, unmodified in r5; the frozen
+        # LangIdModel + tokenizer it shares stay driven in-cap by
+        # ccnet_ppl_buckets)
+        "ngram_fluency": D.ngram_fluency,
         "vocab_topk": D.vocab_topk,
         "neardup_clusters": D.neardup_clusters,
         "neardup_clusters_distributed": D.neardup_clusters_distributed,  # r5-modified
@@ -263,6 +267,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # yielded to canonical_url_dedup (r5-s5): driver-green r4,
         # unmodified in r5; its pair consumer stays in-cap
         "simhash_docs": D.simhash_docs,
+        # yielded to ngram_fluency (r5-s5): driver-green r4,
+        # unmodified in r5; langid core driven in-cap by ccnet buckets
+        "langid_docs": D.langid_docs,
         "weighted_sample": D.weighted_sample,  # yielded to ccnet_ppl_buckets
         "decontaminate_bloom": D.decontaminate_bloom,  # yielded to knn_self_join
         "exact_dedup_rows": D.exact_dedup_rows,  # yielded to minhash_lsh_dedup (r5-modified)
@@ -703,6 +710,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_docs": O.langid_sql(),
         "decontaminate": O.decontaminate_sql(50, 5),
         "contamination_fraction": O.contamination_fraction_sql(50, 10),
+        "ngram_fluency": O.ngram_fluency_sql(2, 3, 40),
         # bloom variant has no false negatives and exact-verifies every
         # candidate, so it shares the exact op's oracle verbatim
         "decontaminate_bloom": O.decontaminate_sql(50, 5),

@@ -101,7 +101,9 @@ def test_correctness_cap_covers_priority_queries():
     # exact_budget_sample took embedding_neardup_lsh's (exact + cluster
     # siblings stay in-cap), and canonical_url_dedup took simhash_docs's
     # (its pair consumer simhash_neardup_pairs stays in-cap and drives
-    # the same signature kernel).
+    # the same signature kernel); ngram_fluency took langid_docs's (the
+    # frozen LangIdModel + tokenizer stay driven in-cap by
+    # ccnet_ppl_buckets).
     r4_tail = {
         "deterministic_shuffle",
         "csv_ingest_sections",
@@ -113,7 +115,7 @@ def test_correctness_cap_covers_priority_queries():
         # calibrate + flag cores with the two in-cap PMIS anchors —
         # a brand-new op with zero driver rows outranks them
         "quality_stats",
-        "fingerprint_docs", "langid_docs", "vocab_topk", "neardup_clusters",
+        "fingerprint_docs", "vocab_topk", "neardup_clusters",
         "neardup_clusters_distributed",
         "simhash_neardup_pairs", "dedup_adjacent_tokens",
         "embedding_neardup_pairs", "ann_topk_bruteforce", "ann_topk_lsh",
@@ -130,7 +132,7 @@ def test_correctness_cap_covers_priority_queries():
         # rows outranks them for the final driver run (token_counts'
         # BPE sibling token_counts_bpe stays in-cap over the same read)
     }
-    assert len(r4_tail) == 16
+    assert len(r4_tail) == 15
     priority = r4_tail | {
         # r5-session-3 new ops (ADVICE r3 rule: new ops ride the cap)
         "pii_counts", "quality_classifier",
@@ -144,7 +146,7 @@ def test_correctness_cap_covers_priority_queries():
         # r5-session-5 new ops (same rule)
         "calibrated_outlier_flags", "contamination_fraction",
         "export_chunks_jsonl", "exact_budget_sample",
-        "canonical_url_dedup",
+        "canonical_url_dedup", "ngram_fluency",
         # permanent anchors
         "qc_label_documents", "pmis_audit_flow", "pmis_counters",
         # r5-modified (DropIndex drop sets; data-sized CC partitions is

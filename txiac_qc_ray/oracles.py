@@ -1744,3 +1744,41 @@ def canonical_url_dedup_sql(pages_glob: str) -> str:
     SELECT url, warc_ts AS first_ts, CAST(n AS BIGINT) AS n_captures
     FROM r WHERE rk = 1
     """
+
+
+def ngram_fluency_sql(train_mod: int = 2, n: int = 3,
+                      pct: int = 40) -> str:
+    """n-gram-fluency twin: the table is fit as distinct STRING n-grams
+    of the training split (value-checks the hash path end to end);
+    scoring counts position-level occurrences (no list_distinct — every
+    repeated known transition counts). frac is one int/int double
+    division; the label is integer cross-multiplied."""
+    join = " || ' ' || ".join(f"lst[i+{j}]" if j else "lst[i]"
+                              for j in range(n))
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS lst
+      FROM documents),
+    bg AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(lst)-{n-1}, 0)),
+                            i -> {join}) AS b
+      FROM toks),
+    train AS (SELECT DISTINCT t.bv FROM
+              (SELECT unnest(b) AS bv FROM bg
+               WHERE doc_id % {train_mod} = 0) t),
+    held AS (SELECT doc_id, unnest(b) AS bv FROM bg
+             WHERE doc_id % {train_mod} != 0),
+    tot AS (SELECT doc_id, CAST(coalesce(len(b), 0) AS BIGINT) AS n_ngrams
+            FROM bg WHERE doc_id % {train_mod} != 0),
+    hits AS (SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_known
+             FROM held h JOIN train USING (bv) GROUP BY 1)
+    SELECT t.doc_id, t.n_ngrams,
+           coalesce(k.n_known, 0::BIGINT) AS n_known,
+           CASE WHEN t.n_ngrams > 0
+                THEN CAST(coalesce(k.n_known, 0) AS DOUBLE) / t.n_ngrams
+                ELSE 0.0 END AS frac,
+           (100 * coalesce(k.n_known, 0) >= {pct} * t.n_ngrams
+            AND t.n_ngrams > 0) AS fluent
+    FROM tot t LEFT JOIN hits k USING (doc_id)
+    """

@@ -4384,3 +4384,76 @@ def exact_budget_sample(sf_dir: str,
                          "source": t["source"]})
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+FLUENCY_PCT = 40  # fluent iff known-transition occurrences >= 40%
+
+
+def ngram_fluency(sf_dir: str, train_mod: int = 2, n: int = 3,
+                  pct: int = FLUENCY_PCT) -> ray.data.Dataset:
+    """TRAIN-then-SCORE fluency gate — the CCNet shape with the model
+    FIT inside the pipeline instead of frozen: fit a token n-gram transition table on
+    the training split (doc_id % train_mod == 0), then score every
+    held-out doc by the share of its token n-gram OCCURRENCES (n=3 default: bigrams saturate
+    near 100% coverage on a Zipf vocabulary — measured, not assumed —
+    while trigram coverage spreads the population)
+    found in the table (a doc whose transitions the corpus has never
+    seen reads as disfluent/garbled next to its peers — the crude
+    integer-exact stand-in for LM perplexity), plus the keep label at
+    frac >= pct/100 by integer cross-multiply.
+    -> (doc_id, n_ngrams, n_known, frac, fluent), streaming Dataset
+    over the held-out docs.
+
+    Scale shape: the FIT is one filtered streamed pass reducing the
+    training split to its distinct n-gram-hash set (bounded by distinct
+    transition TYPES — vocabulary^n worst case, Zipf-concentrated in
+    practice), broadcast once via ray.put; scoring is one stateless
+    pass of sorted searchsorted membership over position-level hashes.
+    When the type set outgrows a worker broadcast, swap the broadcast
+    for decontaminate_bloom's constant-size bitmap + sharded exact
+    verify — same contract, stated. Unlike decontaminate_against the
+    score counts OCCURRENCES (every position), not distinct types:
+    repeated known transitions are evidence of fluency, not redundancy.
+
+    Reference analog: calibrate-from-data + per-row flag
+    (Home.py:337-365, 176-183) with the calibration artifact a fitted
+    TABLE rather than a scalar threshold."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def train_table(t: pa.Table) -> pa.Table:
+        keep = np.asarray(t["doc_id"]) % train_mod == 0
+        t = t.filter(pa.array(keep))
+        h, _ = token_ngram_hashes(t["text"], n)
+        return pa.table({"h": np.unique(h).astype(np.int64)})
+
+    parts = [np.asarray(b["h"]) for b in
+             ds.map_batches(train_table, batch_format="pyarrow")
+               .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    table = np.unique(np.concatenate(parts)) if parts else np.zeros(0, np.int64)
+    table_ref = ray.put(table)
+
+    def score(t: pa.Table) -> pa.Table:
+        bg = ray.get(table_ref)
+        keep = np.asarray(t["doc_id"]) % train_mod != 0
+        t = t.filter(pa.array(keep))
+        h, off = token_ngram_hashes(t["text"], n)
+        h = h.astype(np.int64)
+        n_docs = len(off) - 1
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), np.diff(off))
+        hit = np.zeros(len(h), dtype=bool)
+        if len(bg):
+            idx = np.clip(np.searchsorted(bg, h), 0, len(bg) - 1)
+            hit = bg[idx] == h
+        n_bigrams = np.diff(off).astype(np.int64)
+        n_known = np.bincount(doc_of[hit], minlength=n_docs).astype(np.int64)
+        frac = np.where(n_bigrams > 0,
+                        n_known / np.maximum(n_bigrams, 1), 0.0)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_ngrams": n_bigrams,
+            "n_known": n_known,
+            "frac": frac,
+            "fluent": (100 * n_known >= pct * n_bigrams) & (n_bigrams > 0),
+        })
+
+    return ds.map_batches(score, batch_format="pyarrow")
