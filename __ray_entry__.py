@@ -117,12 +117,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "remove_boilerplate_lines": _remove_boilerplate_lines,
         "train_val_split": _train_val_split,
         # ---- r5-session-5 NEW ops (in-cap: ADVICE r3 rule; each takes
-        # the slot of a rotated-in row that is driver-green in r4 AND
-        # unmodified in r5 — see the displaced rows' comments below).
-        # per-language data-calibrated Tukey length fences + flags —
-        # takes grouped_variance's slot (driver-green r4 via the local
-        # rotation, unmodified since r3; its exact-variance sibling
-        # grouped_counters stays in-cap)
+        # the slot of a rotated-in r4-TAIL row — driver-green in r3 (and
+        # mostly r2), locally swept every round since, unmodified in r5;
+        # a brand-new op with zero driver rows outranks them for the
+        # final driver run. See each displaced row's comment below.
+        # per-language data-calibrated percentile-band flags — takes
+        # grouped_variance's slot (driver-green r2+r3; its
+        # exact-variance sibling grouped_counters stays in-cap)
         "calibrated_outlier_flags": _calibrated_outlier_flags,
         # eval-overlap FRACTION decontamination — takes decontaminate's
         # slot: the new op runs a strict SUPERSET of decontaminate's
@@ -133,8 +134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- 28 of the 33 r4-tail queries, rotated back in (item 7) --
         "deterministic_shuffle": D.deterministic_shuffle,
         # exact-count stratified sampling via a distributed order
-        # statistic — takes embedding_neardup_lsh's slot (r4-driver-
-        # green, unmodified in r5; its exact sibling
+        # statistic — takes embedding_neardup_lsh's slot (driver-green
+        # r2+r3, unmodified in r5; its exact sibling
         # embedding_neardup_pairs and the cluster consumer
         # embedding_neardup_clusters both stay in-cap)
         "exact_budget_sample": D.exact_budget_sample,
@@ -154,7 +155,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_stats": D.quality_stats_docs,
         "fingerprint_docs": D.fingerprint_docs,
         # train-then-score n-gram fluency gate — takes langid_docs's
-        # slot (driver-green r4, unmodified in r5; the frozen
+        # slot (driver-green r3, unmodified in r5; the frozen
         # LangIdModel + tokenizer it shares stay driven in-cap by
         # ccnet_ppl_buckets)
         "ngram_fluency": D.ngram_fluency,
@@ -162,9 +163,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": D.neardup_clusters,
         "neardup_clusters_distributed": D.neardup_clusters_distributed,  # r5-modified
         # URL canonicalization + first-capture dedup — takes
-        # simhash_docs's slot (r4-driver-green, unmodified in r5; its
-        # consumer simhash_neardup_pairs stays in-cap and drives the
-        # same signature kernel end to end)
+        # simhash_docs's slot (driver-green r2+r3, unmodified in r5;
+        # its consumer simhash_neardup_pairs stays in-cap and drives
+        # the same signature kernel end to end)
         "canonical_url_dedup": _canonical_url_dedup,
         "simhash_neardup_pairs": D.simhash_neardup_pairs,
         "dedup_adjacent_tokens": D.dedup_adjacent_tokens,
@@ -251,9 +252,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": R.stratified_sample,
         "threshold_flag_audit": R.threshold_flag_audit,
         "exact_dedup": D.exact_dedup,  # yielded its slot to dup_window_fraction
-        # yielded to calibrated_outlier_flags (r5-s5): driver-green r4,
-        # unmodified in r5; exact int-cents variance sibling
-        # grouped_counters stays in-cap
+        # yielded to calibrated_outlier_flags (r5-s5): driver-green
+        # r2+r3, locally swept since, unmodified in r5; exact int-cents
+        # variance sibling grouped_counters stays in-cap
         "grouped_variance": R.grouped_variance,
         # yielded to contamination_fraction (r5-s5), which drives a
         # strict superset of this op's eval-set + membership core
@@ -261,13 +262,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # yielded to export_chunks_jsonl (r5-s5), whose read-back half
         # drives the same sources/jsonl.py entry point on gzip shards
         "jsonl_ingest_docs": _jsonl_ingest_docs,
-        # yielded to exact_budget_sample (r5-s5): driver-green r4,
+        # yielded to exact_budget_sample (r5-s5): driver-green r2+r3,
         # unmodified in r5; exact + cluster siblings stay in-cap
         "embedding_neardup_lsh": D.embedding_neardup_pairs_lsh,
-        # yielded to canonical_url_dedup (r5-s5): driver-green r4,
+        # yielded to canonical_url_dedup (r5-s5): driver-green r2+r3,
         # unmodified in r5; its pair consumer stays in-cap
         "simhash_docs": D.simhash_docs,
-        # yielded to ngram_fluency (r5-s5): driver-green r4,
+        # yielded to ngram_fluency (r5-s5): driver-green r3,
         # unmodified in r5; langid core driven in-cap by ccnet buckets
         "langid_docs": D.langid_docs,
         "weighted_sample": D.weighted_sample,  # yielded to ccnet_ppl_buckets

@@ -197,6 +197,17 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
          lambda _sf: WT.url_snapshot_changes(corpus)),
         ("remove_boilerplate_lines",
          lambda _sf: WT.remove_boilerplate_lines(corpus)),
+        # r5 session 5: calibration/decontamination/fluency gates, the
+        # exact sampler, the url canonicalizer (pages corpus) and the
+        # gzip-JSONL export sink (documents)
+        ("calibrated_outlier_flags",
+         lambda _sf: WT.calibrated_outlier_flags(corpus)),
+        ("canonical_url_dedup",
+         lambda _sf: WT.canonical_url_dedup(corpus)),
+        ("contamination_fraction", D.contamination_fraction),
+        ("ngram_fluency", D.ngram_fluency),
+        ("exact_budget_sample", D.exact_budget_sample),
+        ("export_chunks_jsonl", D.export_chunks_jsonl),
     ]
 
 

@@ -73,9 +73,12 @@ def test_correctness_cap_covers_priority_queries():
     (knn_self_join_ivf == knn_self_join) may ride the tail — the
     driver's value check transfers through the pin, and the local sweep
     still runs it against the same SQL twin. The rotated-out tail is
-    exactly the set that is BOTH unmodified in r5 AND driver-green in
-    CORRECTNESS_r04. A future reorder silently dropping one of these
-    from the record should fail here, not in the next VERDICT."""
+    unmodified-in-r5 rows with recorded driver-green rounds (r4 for the
+    original rotation, r2/r3 for the six r4-tail rows the session-5 new
+    ops displaced — a brand-new op with zero driver rows outranks a row
+    that already has green driver records). A future reorder silently
+    dropping one of these from the record should fail here, not in the
+    next VERDICT."""
     import __ray_entry__ as E
 
     keys = list(E.queries())
@@ -89,11 +92,12 @@ def test_correctness_cap_covers_priority_queries():
     # unmodified since r1/r2, the oldest-green lowest-risk rows on the
     # surface — a brand-new op with zero driver rows wins the slot over
     # them (threshold_flag_audit's two-sided sibling stays in-cap).
-    # r5 session 5 added three new ops which, being NEW, outrank three
-    # r4-tail rows whose code paths the new ops drive as strict
-    # supersets or that have multi-round green streaks:
-    # calibrated_outlier_flags took grouped_variance's slot (r4-green,
-    # unmodified; variance sibling grouped_counters stays in-cap),
+    # r5 session 5 added six new ops which, being NEW, outrank six
+    # r4-tail rows (driver-green r3 and mostly r2, locally swept every
+    # round since, unmodified in r5) whose code paths the new ops drive
+    # as strict supersets or whose siblings stay in-cap:
+    # calibrated_outlier_flags took grouped_variance's slot (variance
+    # sibling grouped_counters stays in-cap),
     # contamination_fraction took decontaminate's (it runs the same
     # eval-set + broadcast-membership core plus per-doc totals), and
     # export_chunks_jsonl took jsonl_ingest_docs's (its read-back half
