@@ -152,7 +152,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified since r1 whose BPE sibling token_counts_bpe is
         # in-cap and value-checks the same read path)
         "dedup_url_keep_latest": _dedup_url_keep_latest,
-        "quality_stats": D.quality_stats_docs,
+        # ingestion-side html metadata enrichment — takes
+        # quality_stats's slot (driver-green r2+r3, unmodified in r5, a
+        # trivial stateless scan whose textstats kernels the in-cap
+        # flagship drives through its features stage)
+        "extract_page_metadata": _extract_page_metadata,
         "fingerprint_docs": D.fingerprint_docs,
         # train-then-score n-gram fluency gate — takes langid_docs's
         # slot (driver-green r3, unmodified in r5; the frozen
@@ -271,6 +275,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # yielded to ngram_fluency (r5-s5): driver-green r3,
         # unmodified in r5; langid core driven in-cap by ccnet buckets
         "langid_docs": D.langid_docs,
+        # yielded to extract_page_metadata (r5-s5): driver-green r2+r3,
+        # unmodified in r5; textstats kernels driven in-cap by the
+        # flagship's features stage
+        "quality_stats": D.quality_stats_docs,
         "weighted_sample": D.weighted_sample,  # yielded to ccnet_ppl_buckets
         "decontaminate_bloom": D.decontaminate_bloom,  # yielded to knn_self_join
         "exact_dedup_rows": D.exact_dedup_rows,  # yielded to minhash_lsh_dedup (r5-modified)
@@ -435,6 +443,12 @@ def _canonical_url_dedup(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import canonical_url_dedup
 
     return canonical_url_dedup(_webtext_dir())
+
+
+def _extract_page_metadata(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import extract_page_metadata
+
+    return extract_page_metadata(_webtext_dir())
 
 
 def _pmis_merged(_sf_dir: str):
@@ -602,6 +616,7 @@ def oracle_sql() -> dict[str, str]:
         # parity — see the builder's docstring)
         "calibrated_outlier_flags": O.calibrated_outlier_flags_sql(pages_glob),
         "canonical_url_dedup": O.canonical_url_dedup_sql(pages_glob),
+        "extract_page_metadata": O.extract_page_metadata_sql(pages_glob),
         # host-reputation gate + language-balanced sampling (r5 s3)
         "host_reputation_filter": O.host_reputation_filter_sql(),
         "language_balanced_sample": O.language_balanced_sample_sql(),

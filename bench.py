@@ -208,6 +208,8 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("ngram_fluency", D.ngram_fluency),
         ("exact_budget_sample", D.exact_budget_sample),
         ("export_chunks_jsonl", D.export_chunks_jsonl),
+        ("extract_page_metadata",
+         lambda _sf: WT.extract_page_metadata(corpus)),
     ]
 
 

@@ -107,7 +107,9 @@ def test_correctness_cap_covers_priority_queries():
     # (its pair consumer simhash_neardup_pairs stays in-cap and drives
     # the same signature kernel); ngram_fluency took langid_docs's (the
     # frozen LangIdModel + tokenizer stay driven in-cap by
-    # ccnet_ppl_buckets).
+    # ccnet_ppl_buckets); extract_page_metadata took quality_stats's
+    # (its textstats kernels stay driven in-cap by the flagship's
+    # features stage).
     r4_tail = {
         "deterministic_shuffle",
         "csv_ingest_sections",
@@ -118,7 +120,6 @@ def test_correctness_cap_covers_priority_queries():
         # unmodified since r2, and shares its tolerance-join +
         # calibrate + flag cores with the two in-cap PMIS anchors —
         # a brand-new op with zero driver rows outranks them
-        "quality_stats",
         "fingerprint_docs", "vocab_topk", "neardup_clusters",
         "neardup_clusters_distributed",
         "simhash_neardup_pairs", "dedup_adjacent_tokens",
@@ -136,7 +137,7 @@ def test_correctness_cap_covers_priority_queries():
         # rows outranks them for the final driver run (token_counts'
         # BPE sibling token_counts_bpe stays in-cap over the same read)
     }
-    assert len(r4_tail) == 15
+    assert len(r4_tail) == 14
     priority = r4_tail | {
         # r5-session-3 new ops (ADVICE r3 rule: new ops ride the cap)
         "pii_counts", "quality_classifier",
@@ -151,6 +152,7 @@ def test_correctness_cap_covers_priority_queries():
         "calibrated_outlier_flags", "contamination_fraction",
         "export_chunks_jsonl", "exact_budget_sample",
         "canonical_url_dedup", "ngram_fluency",
+        "extract_page_metadata",
         # permanent anchors
         "qc_label_documents", "pmis_audit_flow", "pmis_counters",
         # r5-modified (DropIndex drop sets; data-sized CC partitions is

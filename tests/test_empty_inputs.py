@@ -70,7 +70,8 @@ def test_every_query_survives_empty_tables(ray_session, empty_dir):
                             "url_snapshot_changes",
                             "remove_boilerplate_lines", "train_val_split",
                             "calibrated_outlier_flags",
-                            "canonical_url_dedup")):
+                            "canonical_url_dedup",
+                            "extract_page_metadata")):
             continue
         exempt = name in MAY_BE_NONEMPTY
         try:

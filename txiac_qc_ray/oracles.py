@@ -1782,3 +1782,23 @@ def ngram_fluency_sql(train_mod: int = 2, n: int = 3,
             AND t.n_ngrams > 0) AS fluent
     FROM tot t LEFT JOIN hits k USING (doc_id)
     """
+
+
+def extract_page_metadata_sql(pages_glob: str) -> str:
+    """Page-metadata twin: the SAME RE2 constants via regexp_extract
+    (guarded to NULL-on-no-match — DuckDB's bare regexp_extract returns
+    '' there), len(regexp_extract_all) for the link count, octet_length
+    for the raw size."""
+    from .pipelines import webtext as w
+
+    return f"""
+    SELECT url,
+           CASE WHEN regexp_matches(CAST(html AS VARCHAR), '{w.TITLE_RE}')
+                THEN regexp_extract(CAST(html AS VARCHAR), '{w.TITLE_RE}', 1)
+                ELSE NULL END AS title,
+           CAST(coalesce(len(regexp_extract_all(
+                CAST(html AS VARCHAR), '{w.LINK_RE}')), 0) AS BIGINT)
+             AS n_links,
+           CAST(coalesce(octet_length(html), 0) AS BIGINT) AS html_bytes
+    FROM read_parquet('{pages_glob}')
+    """

@@ -1409,3 +1409,43 @@ def canonical_url_dedup(paths: str | list[str],
 
     return (ds.map_batches(union_canon_shard, batch_format="pyarrow")
             .groupby("shard").map_groups(earliest, batch_format="pandas"))
+
+
+# Metadata RE2 constants (the SQL twin embeds the SAME strings)
+TITLE_RE = r"<title>([^<]*)</title>"
+LINK_RE = r"<a href="
+
+
+def extract_page_metadata(paths: str | list[str]) -> ray.data.Dataset:
+    """Ingestion-side page-metadata enrichment — the structured fields a
+    crawl index keeps NEXT TO the extracted text: first <title> capture
+    (null when absent, not ''), anchor-link count (a connectivity
+    signal URL-level filters consume), and raw html byte size (the
+    storage/truncation audit column). The flagship's extract stage
+    drops html as early as possible by design; this op is the one place
+    the engine reads html for anything but text. -> streaming Dataset
+    (url, title, n_links, html_bytes).
+
+    Scale shape: one stateless vectorized pass — three RE2/byte kernels
+    over the html column, no shuffle, no driver state; the html column
+    never leaves the read task (map_batches fuses with the scan).
+
+    Reference analog: data_load's derived-on-ingest columns
+    (Home.py:98-106 — parse timestamps, compute section length at read
+    time): enrichment belongs at the ingest boundary, not downstream."""
+    ds = ray.data.read_parquet(paths, columns=["url", "html"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        html = pc.cast(_as_array(t.column("html")), pa.string())
+        title = pc.struct_field(
+            pc.extract_regex(html, TITLE_RE.replace("([^<]*)",
+                                                    "(?P<t>[^<]*)")), "t")
+        n_links = _count_re(html, LINK_RE)
+        nbytes = pc.fill_null(
+            pc.cast(pc.binary_length(_as_array(t.column("html"))),
+                    pa.int64()), 0)
+        return pa.table({"url": t.column("url"), "title": title,
+                         "n_links": pa.array(n_links.astype(np.int64)),
+                         "html_bytes": nbytes})
+
+    return ds.map_batches(stage, batch_format="pyarrow")
