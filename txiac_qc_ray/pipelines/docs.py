@@ -2602,7 +2602,9 @@ def weighted_sample(sf_dir: str, full_weight_chars: int = 2000) -> ray.data.Data
     return ds.map_batches(stage, batch_format="pyarrow")
 
 
-_NULL_KEY = "\x00null\x00"  # shuffle/lookup stand-in for a null group key
+_NULL_KEY = "\x1enull\x1e"  # shuffle/lookup stand-in for a null group key
+# (NUL-free: see relational._NULL_KEY — pandas object-string hashing
+# merges keys at an embedded "\x00"; pinned by tests/test_nul_sentinel.py)
 # (SQL GROUP BY / PARTITION BY treat NULL as one group); output rows keep
 # their real null value — only the internal key carries the sentinel
 
@@ -3061,7 +3063,7 @@ def cap_per_host(sf_dir: str, k: int = 5) -> pd.DataFrame:
     the shuffle carries <= k rows per (source, batch), never the
     corpus. -> (doc_id, source, lang, n_chars) sorted by doc_id."""
     ds = _read(sf_dir, "documents", ["doc_id", "source", "lang", "n_chars"])
-    _NULL_HOST = "\x00null\x00"  # shuffle-key stand-in: a null source is
+    _NULL_HOST = "\x1enull\x1e"  # shuffle-key stand-in: a null source is
     # its own host group (SQL PARTITION BY semantics); output rows keep
     # their real null `source`, only the key column carries the sentinel
 

@@ -433,9 +433,15 @@ def grouped_mean_by_priority(sf_dir: str) -> pd.DataFrame:
 
 # ---- streaming analog: tumbling window aggregate (SURVEY.md §2.8) --------
 
-_NULL_KEY = "\x00null\x00"  # string-key stand-in for a NULL group key;
+_NULL_KEY = "\x1enull\x1e"  # string-key stand-in for a NULL group key;
 # restored to None after the final groupby so null-keyed rows aggregate
-# like SQL's NULL group instead of crashing the object-key np.unique
+# like SQL's NULL group instead of crashing the object-key np.unique.
+# NUL-free on purpose: pandas 2.2's object-string hashtable (groupby /
+# drop_duplicates / merge) compares keys C-string-style, so any two
+# composite keys sharing a prefix up to an embedded "\x00" MERGE —
+# pinned by tests/test_nul_sentinel.py; Ray's Arrow hash shuffle and
+# numpy sort/searchsorted are unaffected, but a sentinel no pandas op
+# can ever mis-hash removes the whole hazard class
 
 _NULL_USER = np.iinfo(np.int64).min  # int64 stand-in for a NULL user_id
 # in distinct_count_users: keeps the row's event_type group alive while
