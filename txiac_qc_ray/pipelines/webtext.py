@@ -1170,17 +1170,20 @@ def train_val_split(paths: str | list[str],
     null lang is its own group (SQL semantics).
 
     Scale shape: one stateless streamed pass, per-batch partial counts
-    (lang x split cardinality), one tiny groupby — the corpus never
-    shuffles and driver state is the final report. Assigning the
-    split COLUMN to every page (rather than counting) is the same
-    pass minus the aggregate.
+    (lang x split cardinality), folded on the driver by a streaming
+    O(distinct) merge — the corpus never shuffles and driver state is
+    the final report. (First shipped with a groupby finish: Ray's hash
+    shuffle cost ~5.7 s of pure task scheduling to move 3k partial
+    rows at the 400k bench — stream_reduce_counts replaced it, 6.2 ->
+    ~1.7 s.) Assigning the split COLUMN to every page (rather than
+    counting) is the same pass minus the aggregate.
 
     Reference analog: none in Home.py (no dataset-split surface)."""
     import pandas as pd
-    from ray.data.aggregate import Sum as RaySum
 
     from ..functions.urls import fnv1a64
     from .docs import _NULL_KEY, _mix64
+    from .relational import stream_reduce_counts
 
     ds = ray.data.read_parquet(paths, columns=["url", "lang"])
 
@@ -1195,9 +1198,9 @@ def train_val_split(paths: str | list[str],
         return pa.table({"key": pa.array(uniq.tolist(), pa.string()),
                          "n_docs": cnt.astype(np.int64)})
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("key").aggregate(RaySum("n_docs", alias_name="n_docs"))
-           .to_pandas())
+    agg = stream_reduce_counts(
+        ds.map_batches(partial, batch_format="pyarrow"),
+        ["key"], ["n_docs"])
     parts = [k.rsplit("\x1f", 1) for k in agg["key"]]
     return pd.DataFrame({
         "lang": [None if p[0] == _NULL_KEY else p[0] for p in parts],
@@ -1262,30 +1265,44 @@ def calibrated_outlier_flags(paths: str | list[str],
     337-365) — thresholds from quartiles of the data, keep/drop per
     row; per-language grouping replaces the reference's per-measure
     columns."""
-    from ray.data.aggregate import Sum as RaySum
+    from .relational import stream_reduce_counts
 
     ds = ray.data.read_parquet(paths, columns=["url", "lang", "text"])
 
-    def partial(t: pa.Table) -> pa.Table:
+    # ONE text scan: reduce each page to (url, lang, n_words) int/short
+    # rows, materialized once (~50 B/doc — the chunk-packer precedent:
+    # o(corpus-bytes), two consumers) so calibration and flagging never
+    # re-run the RE2 pass over the text
+    def feat(t: pa.Table) -> pa.Table:
         text = _as_array(t.column("text"))
-        valid = ~np.asarray(pc.is_null(text))
-        lang = np.asarray(pc.fill_null(_as_array(t.column("lang")), ""),
-                          dtype=object)[valid]
-        nw = _count_re(text, WORD_RE)[valid]
-        key = np.char.add(np.char.add(lang.astype(str), "\x1f"),
-                          nw.astype(np.int64).astype(str))
-        uniq, cnt = np.unique(key, return_counts=True)
-        return pa.table({"key": pa.array(uniq.tolist(), pa.string()),
+        valid = pa.array(~np.asarray(pc.is_null(text)))
+        t = t.filter(valid)
+        nw = _count_re(_as_array(t.column("text")), WORD_RE)
+        return pa.table({"url": t.column("url"), "lang": t.column("lang"),
+                         "n_words": pa.array(nw.astype(np.int64))})
+
+    fm = ds.map_batches(feat, batch_format="pyarrow").materialize()
+
+    def partial(t: pa.Table) -> pa.Table:
+        lang_d = _as_array(pc.fill_null(_as_array(t.column("lang")),
+                                        "")).dictionary_encode()
+        code = np.asarray(lang_d.indices, dtype=np.int64)
+        nw = np.asarray(t["n_words"], dtype=np.int64)
+        # one int key per (lang, n_words) pair — no string building
+        span = np.int64(nw.max()) + 1 if len(nw) else np.int64(1)
+        uniq, cnt = np.unique(code * span + nw, return_counts=True)
+        lang_out = lang_d.dictionary.take(pa.array(uniq // span))
+        return pa.table({"lang": lang_out,
+                         "n_words": pa.array((uniq % span).astype(np.int64)),
                          "n_docs": cnt.astype(np.int64)})
 
-    agg = (ds.map_batches(partial, batch_format="pyarrow")
-           .groupby("key").aggregate(RaySum("n_docs", alias_name="n_docs"))
-           .to_pandas())
+    agg = stream_reduce_counts(
+        fm.map_batches(partial, batch_format="pyarrow"),
+        ["lang", "n_words"], ["n_docs"])
     fences: dict[str, tuple[float, float]] = {}
-    if len(agg) and "key" in agg.columns:
-        parts = [kk.rsplit("\x1f", 1) for kk in agg["key"]]
-        langs = np.array([p[0] for p in parts], dtype=object)
-        vals = np.array([int(p[1]) for p in parts], dtype=np.int64)
+    if len(agg):
+        langs = agg["lang"].to_numpy(dtype=object)
+        vals = agg["n_words"].to_numpy().astype(np.int64)
         cnts = agg["n_docs"].to_numpy().astype(np.int64)
         order = np.lexsort((vals, langs))
         langs, vals, cnts = langs[order], vals[order], cnts[order]
@@ -1304,13 +1321,9 @@ def calibrated_outlier_flags(paths: str | list[str],
 
     def flag(t: pa.Table) -> pa.Table:
         f_langs, f_lo, f_hi = ray.get(fences_ref)
-        text = _as_array(t.column("text"))
-        valid = pa.array(~np.asarray(pc.is_null(text)))
-        t = t.filter(valid)
-        text = _as_array(t.column("text"))
         lang_key = np.asarray(
             pc.fill_null(_as_array(t.column("lang")), ""), dtype=object)
-        nw = _count_re(text, WORD_RE)
+        nw = np.asarray(t["n_words"], dtype=np.int64)
         if len(f_langs):
             idx = np.clip(np.searchsorted(f_langs, lang_key), 0,
                           len(f_langs) - 1)
@@ -1320,13 +1333,13 @@ def calibrated_outlier_flags(paths: str | list[str],
         return pa.table({
             "url": t.column("url"),
             "lang": t.column("lang"),
-            "n_words": pa.array(nw.astype(np.int64)),
+            "n_words": t.column("n_words"),
             "lo": pa.array(lo),
             "hi": pa.array(hi),
             "is_outlier": pa.array((nw < lo) | (nw > hi)),
         })
 
-    return ds.map_batches(flag, batch_format="pyarrow")
+    return fm.map_batches(flag, batch_format="pyarrow")
 
 
 # Deterministic decorated-recapture view: urls with fnv1a64(url) %
