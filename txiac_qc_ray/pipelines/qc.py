@@ -110,7 +110,8 @@ def qc_pipeline_from_parquet(paths: str | list[str], cfg: PipelineConfig | None 
 
 
 def _pages_shard_count(paths: str | list[str],
-                       target_bytes: int = 1 << 30) -> int:
+                       target_bytes: int = 1 << 30,
+                       floor: int = 64) -> int:
     """Bounded-shard count for shuffles over a pages corpus, sized from
     Parquet footers (same contract as docs._shard_count, but over an
     arbitrary file/dir/list input instead of an sf_dir table)."""
@@ -130,7 +131,7 @@ def _pages_shard_count(paths: str | list[str],
         md = _pq.ParquetFile(f).metadata
         total += sum(md.row_group(i).total_byte_size
                      for i in range(md.num_row_groups))
-    return int(max(64, -(-total // max(1, target_bytes))))
+    return int(max(floor, -(-total // max(1, target_bytes))))
 
 
 def page_row_keys(url_col, ts_col):

@@ -828,7 +828,7 @@ RECRAWL_SHIFT_US = 86_400_000_000  # exactly INTERVAL 1 DAY at us precision
 
 
 def dedup_url_keep_latest(paths: str | list[str],
-                          n_shards: int = 8) -> ray.data.Dataset:
+                          n_shards: int | None = None) -> ray.data.Dataset:
     """URL-keyed keep-latest snapshot dedup — the first step of every
     incremental-crawl pipeline: when the same url appears in multiple
     crawl snapshots, keep only the NEWEST capture (max warc_ts) and
@@ -855,6 +855,18 @@ def dedup_url_keep_latest(paths: str | list[str],
     from ..functions.urls import fnv1a64
 
     ds = ray.data.read_parquet(paths, columns=["url", "warc_ts"])
+    if n_shards is None:
+        # shard count from input bytes (house rule): the old fixed 8
+        # capped the shuffle finish at 8-way parallelism on a 32-CPU box
+        from .qc import _pages_shard_count
+
+        # floor 8, not 64: these shuffles carry text/urls, and at
+        # bench scale extra partitions cost more in exchange scheduling
+        # + object-store churn than they buy in group parallelism
+        # (measured at the 400k bench, quiet-box canary: 8 beats 16
+        # beats 64 on every op here); at real scale the bytes/1GiB
+        # term dominates the floor and per-group payload stays bounded
+        n_shards = _pages_shard_count(paths, floor=8)
 
     def union_and_shard(t: pa.Table) -> pa.Table:
         urls = _as_array(t.column("url"))
@@ -894,7 +906,7 @@ CHANGE_SUFFIX = " [updated]"
 
 
 def url_snapshot_changes(paths: str | list[str],
-                         n_shards: int = 8) -> ray.data.Dataset:
+                         n_shards: int | None = None) -> ray.data.Dataset:
     """Cross-snapshot CONTENT-change detection — the incremental-crawl
     report that tells a refresh scheduler which pages actually changed
     between crawls: per url, the snapshot count and whether any two
@@ -923,6 +935,18 @@ def url_snapshot_changes(paths: str | list[str],
     from ..functions.urls import fnv1a64
 
     ds = ray.data.read_parquet(paths, columns=["url", "text"])
+    if n_shards is None:
+        # shard count from input bytes (house rule): the old fixed 8
+        # capped the shuffle finish at 8-way parallelism on a 32-CPU box
+        from .qc import _pages_shard_count
+
+        # floor 8, not 64: these shuffles carry text/urls, and at
+        # bench scale extra partitions cost more in exchange scheduling
+        # + object-store churn than they buy in group parallelism
+        # (measured at the 400k bench, quiet-box canary: 8 beats 16
+        # beats 64 on every op here); at real scale the bytes/1GiB
+        # term dominates the floor and per-group payload stays bounded
+        n_shards = _pages_shard_count(paths, floor=8)
 
     def union_and_shard(t: pa.Table) -> pa.Table:
         urls = _as_array(t.column("url"))
@@ -979,7 +1003,7 @@ BOILERPLATE_MIN_DOCS = 5
 
 def remove_boilerplate_lines(paths: str | list[str],
                              min_docs: int = BOILERPLATE_MIN_DOCS,
-                             n_shards: int = 8) -> ray.data.Dataset:
+                             n_shards: int | None = None) -> ray.data.Dataset:
     """Host-frequency boilerplate-line removal — the cleanup step real
     web pipelines run after text extraction: a line occurring in >=
     `min_docs` DISTINCT pages of the SAME host is site chrome
@@ -1021,6 +1045,18 @@ def remove_boilerplate_lines(paths: str | list[str],
     from ..functions.urls import fnv1a64
 
     ds = ray.data.read_parquet(paths, columns=["url", "text"])
+    if n_shards is None:
+        # shard count from input bytes (house rule): the old fixed 8
+        # capped the shuffle finish at 8-way parallelism on a 32-CPU box
+        from .qc import _pages_shard_count
+
+        # floor 8, not 64: these shuffles carry text/urls, and at
+        # bench scale extra partitions cost more in exchange scheduling
+        # + object-store churn than they buy in group parallelism
+        # (measured at the 400k bench, quiet-box canary: 8 beats 16
+        # beats 64 on every op here); at real scale the bytes/1GiB
+        # term dominates the floor and per-group payload stays bounded
+        n_shards = _pages_shard_count(paths, floor=8)
 
     def _injected(t: pa.Table) -> tuple[pa.Array, pa.Array, pa.Array]:
         """-> (urls, host (''-coalesced), chrome-injected text)."""
@@ -1358,7 +1394,7 @@ CANON_DANGLING_RE = r"[?&]$"
 
 
 def canonical_url_dedup(paths: str | list[str],
-                        n_shards: int = 8) -> ray.data.Dataset:
+                        n_shards: int | None = None) -> ray.data.Dataset:
     """URL CANONICALIZATION + first-capture dedup — the step before
     url-keyed snapshot dedup on a real crawl: the same page is reached
     via tracking-decorated and fragment-decorated links, so raw-url
@@ -1385,6 +1421,18 @@ def canonical_url_dedup(paths: str | list[str],
     from ..functions.urls import fnv1a64
 
     ds = ray.data.read_parquet(paths, columns=["url", "warc_ts"])
+    if n_shards is None:
+        # shard count from input bytes (house rule): the old fixed 8
+        # capped the shuffle finish at 8-way parallelism on a 32-CPU box
+        from .qc import _pages_shard_count
+
+        # floor 8, not 64: these shuffles carry text/urls, and at
+        # bench scale extra partitions cost more in exchange scheduling
+        # + object-store churn than they buy in group parallelism
+        # (measured at the 400k bench, quiet-box canary: 8 beats 16
+        # beats 64 on every op here); at real scale the bytes/1GiB
+        # term dominates the floor and per-group payload stays bounded
+        n_shards = _pages_shard_count(paths, floor=8)
 
     def union_canon_shard(t: pa.Table) -> pa.Table:
         urls = _as_array(t.column("url"))
