@@ -172,7 +172,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the same signature kernel end to end)
         "canonical_url_dedup": _canonical_url_dedup,
         "simhash_neardup_pairs": D.simhash_neardup_pairs,
-        "dedup_adjacent_tokens": D.dedup_adjacent_tokens,
+        # most-duplicated-passages audit report — takes
+        # dedup_adjacent_tokens's slot (driver-green r2+r3, unmodified
+        # in r5, a trivial stateless scan; the window machinery this op
+        # drives end to end stays in-cap via dup_window_fraction and
+        # remove_dup_windows)
+        "top_dup_windows": D.top_dup_windows,
         "embedding_neardup_pairs": D.embedding_neardup_pairs,
         "ann_topk_bruteforce": D.ann_topk_bruteforce,
         "ann_topk_lsh": D.ann_topk_lsh,
@@ -279,6 +284,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified in r5; textstats kernels driven in-cap by the
         # flagship's features stage
         "quality_stats": D.quality_stats_docs,
+        # yielded to top_dup_windows (r5-s5): driver-green r2+r3,
+        # unmodified in r5; tokenize kernels driven in-cap throughout
+        "dedup_adjacent_tokens": D.dedup_adjacent_tokens,
         "weighted_sample": D.weighted_sample,  # yielded to ccnet_ppl_buckets
         "decontaminate_bloom": D.decontaminate_bloom,  # yielded to knn_self_join
         "exact_dedup_rows": D.exact_dedup_rows,  # yielded to minhash_lsh_dedup (r5-modified)
@@ -632,6 +640,7 @@ def oracle_sql() -> dict[str, str]:
         "export_chunks_jsonl": O.chunk_for_training_sql(),
         # Lee-et-al-style sliding-window duplicate-substring fraction
         "dup_window_fraction": O.dup_window_fraction_sql(),
+        "top_dup_windows": O.top_dup_windows_sql(),
         # Lee-et-al exact-substring removal (covered-position anti-join)
         "remove_dup_windows": O.remove_dup_windows_sql(),
         # CCNet-style per-language perplexity buckets (frozen integer

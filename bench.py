@@ -210,6 +210,7 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("export_chunks_jsonl", D.export_chunks_jsonl),
         ("extract_page_metadata",
          lambda _sf: WT.extract_page_metadata(corpus)),
+        ("top_dup_windows", D.top_dup_windows),
     ]
 
 

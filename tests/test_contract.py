@@ -109,7 +109,9 @@ def test_correctness_cap_covers_priority_queries():
     # frozen LangIdModel + tokenizer stay driven in-cap by
     # ccnet_ppl_buckets); extract_page_metadata took quality_stats's
     # (its textstats kernels stay driven in-cap by the flagship's
-    # features stage).
+    # features stage); top_dup_windows took dedup_adjacent_tokens's
+    # (the window machinery it drives stays in-cap via
+    # dup_window_fraction and remove_dup_windows).
     r4_tail = {
         "deterministic_shuffle",
         "csv_ingest_sections",
@@ -122,7 +124,7 @@ def test_correctness_cap_covers_priority_queries():
         # a brand-new op with zero driver rows outranks them
         "fingerprint_docs", "vocab_topk", "neardup_clusters",
         "neardup_clusters_distributed",
-        "simhash_neardup_pairs", "dedup_adjacent_tokens",
+        "simhash_neardup_pairs",
         "embedding_neardup_pairs", "ann_topk_bruteforce", "ann_topk_lsh",
         "ann_topk_ivf",
         "grouped_counters",
@@ -137,7 +139,7 @@ def test_correctness_cap_covers_priority_queries():
         # rows outranks them for the final driver run (token_counts'
         # BPE sibling token_counts_bpe stays in-cap over the same read)
     }
-    assert len(r4_tail) == 14
+    assert len(r4_tail) == 13
     priority = r4_tail | {
         # r5-session-3 new ops (ADVICE r3 rule: new ops ride the cap)
         "pii_counts", "quality_classifier",
@@ -152,7 +154,7 @@ def test_correctness_cap_covers_priority_queries():
         "calibrated_outlier_flags", "contamination_fraction",
         "export_chunks_jsonl", "exact_budget_sample",
         "canonical_url_dedup", "ngram_fluency",
-        "extract_page_metadata",
+        "extract_page_metadata", "top_dup_windows",
         # permanent anchors
         "qc_label_documents", "pmis_audit_flow", "pmis_counters",
         # r5-modified (DropIndex drop sets; data-sized CC partitions is

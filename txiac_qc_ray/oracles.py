@@ -1802,3 +1802,25 @@ def extract_page_metadata_sql(pages_glob: str) -> str:
            CAST(coalesce(octet_length(html), 0) AS BIGINT) AS html_bytes
     FROM read_parquet('{pages_glob}')
     """
+
+
+def top_dup_windows_sql(window_tokens: int = 8, k: int = 20) -> str:
+    """Top-duplicated-windows twin: the dup_window_fraction window CTEs,
+    grouped by window text, total-ordered (n_occurrences DESC, n_docs
+    DESC, wtext ASC) so the k-boundary is deterministic."""
+    w1 = window_tokens - 1
+    return rf"""
+    WITH tl AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+      FROM documents),
+    win AS (
+      SELECT doc_id, array_to_string(ts[i:i+{w1}], ' ') AS wtext
+      FROM tl CROSS JOIN
+           unnest(generate_series(1, coalesce(len(ts), 0) - {w1})) AS u(i)),
+    stats AS (
+      SELECT wtext, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_occurrences
+      FROM win GROUP BY wtext HAVING count(DISTINCT doc_id) >= 2)
+    SELECT wtext, n_docs, n_occurrences FROM stats
+    ORDER BY n_occurrences DESC, n_docs DESC, wtext LIMIT {k}
+    """

@@ -4459,3 +4459,70 @@ def ngram_fluency(sf_dir: str, train_mod: int = 2, n: int = 3,
         })
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def top_dup_windows(sf_dir: str, window_tokens: int = DUP_WINDOW_TOKENS,
+                    k: int = 20, n_shards: int | None = None
+                    ) -> pd.DataFrame:
+    """Corpus-audit REPORT: the k most-duplicated W-token sliding
+    windows (the concrete passages behind dup_window_fraction's per-doc
+    statistic — what a data engineer reads to decide whether the
+    duplication is license boilerplate, chrome the extractor missed, or
+    genuinely popular text). Per shared window text: n_docs = distinct
+    documents carrying it, n_occurrences = total positions corpus-wide;
+    top-k by (n_occurrences DESC, n_docs DESC, wtext ASC) — a total
+    order, so the k-boundary is deterministic in both engines.
+    -> pandas DataFrame (wtext, n_docs, n_occurrences), k rows.
+
+    Scale shape: reuses the dup-window machinery end to end — the
+    shared-hash DropIndex nominates, only index-hitting windows ship
+    text to the bounded shard groupby (_candidate_window_rows), each
+    shard owns its window texts outright (same text -> same hash ->
+    same shard) so per-shard exact stats are final, and only k rows
+    per shard reach the driver.
+
+    Reference analog: the outlier-distribution summary blocks
+    (Home.py:444-904) — the 'show me WHAT tripped the rule' report."""
+    W = int(window_tokens)
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    _N = n_shards or _shard_count(sf_dir, "documents")
+    idx = _shared_window_index(ds, W, _N, sf_dir)
+    spec = {"wtext": "object", "n_docs": "int64", "n_occurrences": "int64"}
+    if idx.size() == 0:  # clean corpus: nothing shared anywhere
+        return typed_empty(spec)
+
+    def cand_windows(t: pa.Table) -> pa.Table:
+        return _candidate_window_rows(t, W, _N, idx)
+
+    def shard_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if "wtext" not in g.columns or not len(g):
+            return typed_empty(spec)
+        w = g["wtext"].to_numpy(dtype=object)
+        d = g["doc_id"].to_numpy()
+        order = np.lexsort((d, w))
+        w, d = w[order], d[order]
+        neww = np.ones(len(w), dtype=bool)
+        newd = np.ones(len(w), dtype=bool)
+        if len(w) > 1:
+            neww[1:] = w[1:] != w[:-1]
+            newd[1:] = neww[1:] | (d[1:] != d[:-1])
+        run_id = np.cumsum(neww) - 1
+        n_docs = np.bincount(run_id[newd]).astype(np.int64)
+        n_occ = np.bincount(run_id).astype(np.int64)
+        texts = w[neww]
+        shared = n_docs >= 2
+        out = pd.DataFrame({"wtext": texts[shared],
+                            "n_docs": n_docs[shared],
+                            "n_occurrences": n_occ[shared]})
+        return (out.sort_values(["n_occurrences", "n_docs", "wtext"],
+                                ascending=[False, False, True],
+                                ignore_index=True).head(k))
+
+    parts = (ds.map_batches(cand_windows, batch_format="pyarrow")
+             .groupby("shard").map_groups(shard_topk,
+                                          batch_format="pandas")
+             .to_pandas())
+    parts = ensure_columns(parts, spec)
+    return (parts.sort_values(["n_occurrences", "n_docs", "wtext"],
+                              ascending=[False, False, True],
+                              ignore_index=True).head(k))
