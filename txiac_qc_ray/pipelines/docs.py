@@ -4228,7 +4228,13 @@ def export_chunks_jsonl(sf_dir: str, out_dir: str | None = None,
     from .relational import typed_empty
 
     if out_dir is None:
-        tag = f"{abs(hash((os.path.abspath(sf_dir), context_len))):x}"
+        import hashlib
+
+        # stable digest, NOT hash(): str hashing is salted per process,
+        # so hash() would scatter one export across /tmp dirs per run
+        tag = hashlib.md5(
+            f"{os.path.abspath(sf_dir)}|{context_len}".encode()
+        ).hexdigest()[:16]
         out_dir = f"/tmp/txiac_chunk_export_{tag}"
     shutil.rmtree(out_dir, ignore_errors=True)
     os.makedirs(out_dir, exist_ok=True)
