@@ -73,13 +73,24 @@ def run_bench() -> dict:
 
     # three timed passes, best-of (this VM's wall time varies up to ~40%
     # across minutes; the best pass is the steady-state number a long
-    # job sustains when the box is quiet)
-    qc_sec = float("inf")
+    # job sustains when the box is quiet). If the three passes spread
+    # more than 1.8x the window is degraded (final-round capture saw
+    # 7.0 -> 19.8 s on identical passes) — spend up to two extra passes
+    # hunting for a calmer moment before recording.
+    walls = []
     for _ in range(3):
         shutil.rmtree(out_dir, ignore_errors=True)
         t0 = time.time()
         build_qc_pipeline(read_pages(corpus, num_blocks=n_blocks), cfg).write_parquet(out_dir)
-        qc_sec = min(qc_sec, time.time() - t0)
+        walls.append(time.time() - t0)
+    extra = 0
+    while extra < 2 and max(walls) > 1.8 * min(walls):
+        shutil.rmtree(out_dir, ignore_errors=True)
+        t0 = time.time()
+        build_qc_pipeline(read_pages(corpus, num_blocks=n_blocks), cfg).write_parquet(out_dir)
+        walls.append(time.time() - t0)
+        extra += 1
+    qc_sec = min(walls)
 
     queries = {}
     if not os.environ.get("GRAFT_SKIP_QUERIES"):
