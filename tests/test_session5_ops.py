@@ -182,3 +182,18 @@ def test_ngram_fluency_discriminates_and_is_split_exact(ray_session):
     assert ((out["frac"] >= 0) & (out["frac"] <= 1)).all()
     # occurrences, not types: n_known never exceeds position count
     assert (out["n_known"] <= out["n_ngrams"]).all()
+
+
+def test_top_dup_windows_shard_invariance_and_order(ray_session):
+    """The shard count must not change the report; the k-boundary order
+    is total (n_occurrences DESC, n_docs DESC, wtext ASC); every row is
+    genuinely shared (n_docs >= 2, n_occurrences >= n_docs)."""
+    from txiac_qc_ray.pipelines.docs import top_dup_windows
+
+    a = top_dup_windows(SF, k=10, n_shards=32)
+    b = top_dup_windows(SF, k=10, n_shards=128)
+    pd.testing.assert_frame_equal(a, b)
+    assert (a["n_docs"] >= 2).all()
+    assert (a["n_occurrences"] >= a["n_docs"]).all()
+    key = list(zip(-a["n_occurrences"], -a["n_docs"], a["wtext"]))
+    assert key == sorted(key)
