@@ -278,9 +278,9 @@ def neardup_loser_rowkeys_ds(paths: str | list[str],
     n_shards = _pages_shard_count(paths)
 
     def pages_as_docs() -> ray.data.Dataset:
-        def adapt(t: pa.Table) -> pa.Table:
-            from ..functions import textstats as ts
+        from ..functions import textstats as ts  # driver-side: adapt runs on workers
 
+        def adapt(t: pa.Table) -> pa.Table:
             t = t.filter(pc.is_valid(t.column("text")))
             texts = t.column("text")
             if isinstance(texts, pa.ChunkedArray):

@@ -1044,6 +1044,8 @@ def remove_boilerplate_lines(paths: str | list[str],
     complementary frequency-based detector (CCNet §4.1-style)."""
     from ..functions.urls import fnv1a64
 
+    from .docs import _mix64  # driver-side: _lines_hashed runs on workers
+
     ds = ray.data.read_parquet(paths, columns=["url", "text"])
     if n_shards is None:
         # shard count from input bytes (house rule): the old fixed 8
@@ -1084,8 +1086,6 @@ def remove_boilerplate_lines(paths: str | list[str],
         fnv1a64's byte-lockstep loop runs len(longest string)
         iterations, ~70x the cost on 2k-char lines for zero extra
         correctness (a collision only adds one exact compare)."""
-        from .docs import _mix64
-
         urls, host, inj = _injected(t)
         flat, counts, valid = _line_split(inj)
         row_of = np.repeat(np.arange(len(urls), dtype=np.int64), counts)

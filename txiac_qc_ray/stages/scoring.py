@@ -84,6 +84,15 @@ def make_qc_batch(rules: tuple[RuleSpec, ...] = DEFAULT_RULES,
 
     `rule_banks` mirrors PipelineConfig.rule_banks: the caller passes the
     bank-extended rule tuple (cfg.effective_rules()) alongside it."""
+    # resolved at BUILD time (driver side) and captured by the closure:
+    # a runtime `from ..pipelines...` import inside qc_batch would run
+    # on the WORKER, which cannot import the package when the driver
+    # loaded the repo via a sys.path hack (driver contract); cloudpickle
+    # by-value registration ships function OBJECTS, not import machinery
+    if rule_banks:
+        from ..pipelines.webtext import bank_features_batch
+    else:
+        bank_features_batch = None
 
     def qc_batch(batch: pa.Table) -> pa.Table:
         langid, lm, scrub = _models()
@@ -105,8 +114,6 @@ def make_qc_batch(rules: tuple[RuleSpec, ...] = DEFAULT_RULES,
             batch = mark_dup_losers(batch, neardup_rowkeys_ref,
                                     column="is_neardup_loser")
         if rule_banks:
-            from ..pipelines.webtext import bank_features_batch
-
             # share the stage's single tokenization with the banks
             batch = bank_features_batch(batch, rule_banks, tv=tv)
         batch = apply_rules(batch, rules)

@@ -32,9 +32,21 @@ _BLOOM_SALTS = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F))
 
 
 def _mix64(x: np.ndarray) -> np.ndarray:
-    from ..pipelines.docs import _mix64 as m  # frozen shared 64-bit mixer
-
-    return m(x)
+    """splitmix64 finalizer — INLINED copy of pipelines.docs._mix64
+    (identity pinned by tests/test_dropindex_worker_import.py). It must
+    not be a worker-side lazy import: this function runs INSIDE
+    map_batches tasks, and when the driver imported the repo via a
+    sys.path hack (the driver contract) workers cannot `import
+    txiac_qc_ray` at call time — cloudpickle by-value registration
+    covers the already-loaded function objects, not a fresh module
+    import executed on the worker."""
+    x = x.astype(np.uint64)
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x
 
 
 @ray.remote
