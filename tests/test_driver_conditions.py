@@ -40,10 +40,12 @@ _SCRIPT = textwrap.dedent("""
     spec.loader.exec_module(m)
     q = m.queries()
     sf = "/root/testdata/sf0.001"
-    # DropIndex-routed ops (the actor path that broke) + the boilerplate
-    # op whose batch fn lazily imported the mixer
+    # DropIndex-routed ops (the actor path that broke), the boilerplate
+    # op whose batch fn lazily imported the mixer, and the BPE ops whose
+    # worker-side tokenizer lazily imported the frozen merge table
     for name in ("top_dup_windows", "dup_window_fraction",
-                 "remove_boilerplate_lines", "prep_corpus"):
+                 "remove_boilerplate_lines", "prep_corpus",
+                 "token_counts_bpe", "chunk_for_training_bpe"):
         res = q[name](sf)
         n = res.count() if hasattr(res, "count") and hasattr(
             res, "iter_batches") else len(res)
@@ -55,6 +57,27 @@ _SCRIPT = textwrap.dedent("""
     cfg = PipelineConfig(stage_mode="tasks", rule_banks=("c4",))
     n = build_qc_pipeline(read_pages(default_pages_dir(500)), cfg).count()
     print("flagship+banks rows", n, flush=True)
+    # the --dedup launch flow (worker-side page_row_keys) + the
+    # resumable sink's lineage metrics pass (worker-side fnv1a64)
+    from txiac_qc_ray.pipelines.qc import (PAGES_READ_COLUMNS,
+                                           exact_dup_loser_rowkeys)
+    from txiac_qc_ray.state.lineage import run_resumable
+    corpus = default_pages_dir(500)
+    keys_ref = ray.put(exact_dup_loser_rowkeys(corpus))
+    cfg2 = PipelineConfig(stage_mode="tasks", dup_rowkeys_ref=keys_ref)
+    import shutil
+    out = "/tmp/driver_cond_out"; shutil.rmtree(out, ignore_errors=True)
+    s = run_resumable(corpus, out,
+                      lambda ds: build_qc_pipeline(ds, cfg2),
+                      files_per_partition=1,
+                      read_columns=PAGES_READ_COLUMNS)
+    print("dedup+resumable rows", s["rows"], flush=True)
+    # DropIndex mixer identity: the inlined copy == pipelines.docs._mix64
+    import numpy as np
+    from txiac_qc_ray.pipelines.docs import _mix64 as mix_docs
+    from txiac_qc_ray.state.dropindex import _mix64 as mix_idx
+    probe = np.arange(1000, dtype=np.uint64) * np.uint64(2654435761)
+    assert (mix_docs(probe.copy()) == mix_idx(probe.copy())).all()
     ray.shutdown()
     print("DRIVER-CONDITIONS-OK", flush=True)
 """)

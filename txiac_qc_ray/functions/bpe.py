@@ -39,6 +39,7 @@ import numpy as np
 import pyarrow as pa
 
 from . import textstats as ts
+from ..data.bpe_merges import MERGES
 
 N_MERGES = 128
 _WORD_RE = re.compile(r"[a-z]+")
@@ -98,8 +99,7 @@ def bpe_apply_reference(word: str, merges) -> list[str]:
 # ---- frozen merges --------------------------------------------------------
 
 def frozen_merges() -> tuple[tuple[str, str], ...]:
-    from ..data.bpe_merges import MERGES
-
+    # module-level binding (worker-side callers; driver-contract safety)
     return MERGES
 
 

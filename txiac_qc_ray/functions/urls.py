@@ -57,3 +57,18 @@ def fnv1a64(strings: pa.ChunkedArray | pa.Array) -> np.ndarray:
 def url_bucket(urls: pa.ChunkedArray | pa.Array, n_buckets: int) -> np.ndarray:
     """Partition id in [0, n_buckets) from the stable url hash."""
     return (fnv1a64(urls) % np.uint64(n_buckets)).astype(np.int64)
+
+
+def page_row_keys(url_col, ts_col) -> np.ndarray:
+    """uint64 row-identity key for the flagship's --dedup drop set:
+    fnv1a64 of url + NUL + warc_ts (microseconds). Distinguishes
+    recrawls of the same url at different timestamps; rows identical in
+    BOTH url and warc_ts are indistinguishable by key and are therefore
+    never put in the drop set (see qc.exact_dup_loser_rowkeys) —
+    under-drop, never annihilation of every copy. Lives here (not in
+    pipelines.qc) so worker-side callers bind it at module level — a
+    runtime relative import inside a batch fn breaks under the driver
+    contract (see tests/test_driver_conditions.py)."""
+    url_s = pc.fill_null(url_col, "")
+    ts_s = pc.fill_null(pc.cast(pc.cast(ts_col, pa.int64()), pa.string()), "")
+    return fnv1a64(pc.binary_join_element_wise(url_s, ts_s, "\x00"))

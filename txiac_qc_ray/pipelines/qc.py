@@ -134,20 +134,9 @@ def _pages_shard_count(paths: str | list[str],
     return int(max(floor, -(-total // max(1, target_bytes))))
 
 
-def page_row_keys(url_col, ts_col):
-    """uint64 row-identity key for the --dedup drop set: fnv1a64 of
-    url + NUL + warc_ts (microseconds). Distinguishes recrawls of the
-    same url at different timestamps; rows identical in BOTH url and
-    warc_ts are indistinguishable by key and are therefore never put in
-    the drop set (see exact_dup_loser_rowkeys) — under-drop, never
-    annihilation of every copy."""
-    import pyarrow.compute as pc
-
-    url_s = pc.fill_null(url_col, "")
-    ts_s = pc.fill_null(pc.cast(pc.cast(ts_col, pa.int64()), pa.string()), "")
-    from ..functions.urls import fnv1a64
-
-    return fnv1a64(pc.binary_join_element_wise(url_s, ts_s, "\x00"))
+# moved to functions.urls so worker-side callers bind it at module
+# level (driver-contract import safety); re-exported for callers/tests
+from ..functions.urls import page_row_keys  # noqa: E402,F401
 
 
 def exact_dup_loser_rowkeys_ds(paths: str | list[str],

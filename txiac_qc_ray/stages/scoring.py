@@ -21,7 +21,7 @@ import pyarrow as pa
 
 from ..config import DEFAULT_RULES, RuleSpec
 from ..functions import textstats as ts
-from ..functions.urls import host_of_urls
+from ..functions.urls import host_of_urls, page_row_keys
 from .extract import extract_batch
 from .features import compute_features
 from .langid import LangIdModel
@@ -57,8 +57,6 @@ def mark_dup_losers(batch: pa.Table, dup_rowkeys_ref,
     keys live sharded across actors, the batch probes a 512 KiB bloom
     and pays an actor round trip only for candidates)."""
     import ray
-
-    from ..pipelines.qc import page_row_keys
 
     uh = page_row_keys(batch.column("url"), batch.column("warc_ts"))
     # discriminate on ray.ObjectRef, NOT on the DropIndex class: the

@@ -33,7 +33,7 @@ _BLOOM_SALTS = (np.uint64(0x9E3779B97F4A7C15), np.uint64(0xC2B2AE3D27D4EB4F))
 
 def _mix64(x: np.ndarray) -> np.ndarray:
     """splitmix64 finalizer — INLINED copy of pipelines.docs._mix64
-    (identity pinned by tests/test_dropindex_worker_import.py). It must
+    (identity pinned by tests/test_driver_conditions.py). It must
     not be a worker-side lazy import: this function runs INSIDE
     map_batches tasks, and when the driver imported the repo via a
     sys.path hack (the driver contract) workers cannot `import

@@ -43,6 +43,8 @@ import pyarrow.compute as pc
 
 import ray.data
 
+from ..functions.urls import fnv1a64
+
 
 def list_input_files(input_dir: str) -> list[str]:
     return sorted(
@@ -62,8 +64,6 @@ def _partition_metrics(batch: pa.Table) -> pa.Table:
     if isinstance(keep_col, pa.ChunkedArray):
         keep_col = keep_col.combine_chunks()
     keep = np.asarray(pc.fill_null(keep_col, False))
-    from ..functions.urls import fnv1a64
-
     h = fnv1a64(batch.column("url"))
     mix = h ^ np.where(keep, np.uint64(0x9E3779B97F4A7C15), np.uint64(0))
     # XOR-fold: order-independent content hash over (url, keep)
