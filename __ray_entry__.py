@@ -132,7 +132,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value-checks both; decontaminate stays swept locally
         "contamination_fraction": D.contamination_fraction,
         # ---- 28 of the 33 r4-tail queries, rotated back in (item 7) --
-        "deterministic_shuffle": D.deterministic_shuffle,
+        # r5-NEW (final session): per-source unigram TV divergence —
+        # takes deterministic_shuffle's slot (driver-green r2+r3,
+        # unmodified in r5; the mix64-uniform kernel it drives stays
+        # in-cap via exact_budget_sample and language_balanced_sample)
+        "source_divergence_tv": D.source_divergence_tv,
         # exact-count stratified sampling via a distributed order
         # statistic — takes embedding_neardup_lsh's slot (driver-green
         # r2+r3, unmodified in r5; its exact sibling
@@ -157,7 +161,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trivial stateless scan whose textstats kernels the in-cap
         # flagship drives through its features stage)
         "extract_page_metadata": _extract_page_metadata,
-        "fingerprint_docs": D.fingerprint_docs,
+        # r5-NEW (final session): cross-source shared-shingle matrix —
+        # takes fingerprint_docs's slot (driver-green r2+r3, unmodified
+        # in r5, a trivial stateless scan; its fnv/mix hash kernels stay
+        # in-cap via simhash_neardup_pairs and dup_window_fraction)
+        "source_overlap_matrix": D.source_overlap_matrix,
         # train-then-score n-gram fluency gate — takes langid_docs's
         # slot (driver-green r3, unmodified in r5; the frozen
         # LangIdModel + tokenizer it shares stay driven in-cap by
@@ -246,6 +254,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tolerance-join + calibrate + flag cores with the two in-cap
         # PMIS anchors (pmis_audit_flow, pmis_counters); the local
         # sweep still value-checks all four against the same SQL twins
+        # yielded to source_divergence_tv / source_overlap_matrix
+        # (r5-final): both driver-green r2+r3, locally swept every
+        # round since, unmodified in r5; their kernels stay in-cap
+        # (mix64 uniforms via exact_budget_sample; fnv/mix hashing via
+        # simhash_neardup_pairs + dup_window_fraction)
+        "deterministic_shuffle": D.deterministic_shuffle,
+        "fingerprint_docs": D.fingerprint_docs,
         "pmis_yby_flow": _pmis_yby_flow,
         "pmis_county_summary": _pmis_county_summary,
         "pmis_diff_histogram": _pmis_diff_histogram,
@@ -661,6 +676,11 @@ def oracle_sql() -> dict[str, str]:
         # HUGEINT SQL) and its end-to-end ANN composition
         "embed_docs": O.embed_docs_sql(),
         "ann_topk_from_text": O.ann_topk_from_text_sql(),
+        # cross-source audits: integer-cleared TV (one BIGINT->DOUBLE
+        # division, the TV-not-KL float-parity rule) and the hash-free
+        # shared-shingle self-join
+        "source_divergence_tv": O.source_divergence_tv_sql(),
+        "source_overlap_matrix": O.source_overlap_matrix_sql(),
         # quality-proportional importance sampling: the same splitmix64
         # uniform and int/const weight division recomputed in SQL
         "weighted_sample": f"""

@@ -113,7 +113,6 @@ def test_correctness_cap_covers_priority_queries():
     # (the window machinery it drives stays in-cap via
     # dup_window_fraction and remove_dup_windows).
     r4_tail = {
-        "deterministic_shuffle",
         "csv_ingest_sections",
         # pmis_yby_flow / pmis_county_summary / pmis_diff_histogram /
         # pmis_yby_district yielded their slots to the four
@@ -122,7 +121,14 @@ def test_correctness_cap_covers_priority_queries():
         # unmodified since r2, and shares its tolerance-join +
         # calibrate + flag cores with the two in-cap PMIS anchors —
         # a brand-new op with zero driver rows outranks them
-        "fingerprint_docs", "vocab_topk", "neardup_clusters",
+        # deterministic_shuffle and fingerprint_docs yielded their
+        # slots to source_divergence_tv / source_overlap_matrix in the
+        # final session: both driver-green r2+r3, locally swept every
+        # round since, unmodified in r5, and their kernels stay in-cap
+        # (mix64 uniforms via exact_budget_sample +
+        # language_balanced_sample; fnv/mix hashing via
+        # simhash_neardup_pairs + dup_window_fraction)
+        "vocab_topk", "neardup_clusters",
         "neardup_clusters_distributed",
         "simhash_neardup_pairs",
         "embedding_neardup_pairs", "ann_topk_bruteforce", "ann_topk_lsh",
@@ -139,7 +145,7 @@ def test_correctness_cap_covers_priority_queries():
         # rows outranks them for the final driver run (token_counts'
         # BPE sibling token_counts_bpe stays in-cap over the same read)
     }
-    assert len(r4_tail) == 13
+    assert len(r4_tail) == 11
     priority = r4_tail | {
         # r5-session-3 new ops (ADVICE r3 rule: new ops ride the cap)
         "pii_counts", "quality_classifier",
@@ -150,6 +156,7 @@ def test_correctness_cap_covers_priority_queries():
         "remove_boilerplate_lines", "train_val_split",
         # r5-final-session new ops (same rule: new ops ride the cap)
         "rule_bank_funnel", "neardup_keep_best", "dedup_url_keep_latest",
+        "source_divergence_tv", "source_overlap_matrix",
         # r5-session-5 new ops (same rule)
         "calibrated_outlier_flags", "contamination_fraction",
         "export_chunks_jsonl", "exact_budget_sample",

@@ -1,0 +1,86 @@
+"""Round-5 final-session ops: per-source TV divergence and the
+cross-source shared-shingle matrix — each checked against an
+independent pure-Python reference (not the DuckDB twin: the sweep
+already runs that), plus the shard-invariance property the overlap
+op's bounded-shuffle shape relies on."""
+
+import re
+from collections import Counter
+from fractions import Fraction
+
+import pandas as pd
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+_TOK = re.compile(r"[a-z]+")
+
+
+def _toks(text):
+    return _TOK.findall((text or "").lower())
+
+
+def test_source_divergence_tv_matches_python_reference(ray_session):
+    from txiac_qc_ray.pipelines.docs import source_divergence_tv
+
+    df = pq.read_table(SF + "/documents.parquet",
+                       columns=["source", "text"]).to_pandas()
+    per_src: dict[str, Counter] = {}
+    for s, t in zip(df["source"], df["text"]):
+        per_src.setdefault(s, Counter()).update(_toks(t))
+    corpus = Counter()
+    for c in per_src.values():
+        corpus.update(c)
+    n_total = sum(corpus.values())
+    got = source_divergence_tv(SF)
+    assert list(got.columns) == ["source", "n_tokens", "tv"]
+    assert list(got["source"]) == sorted(k for k, c in per_src.items()
+                                         if sum(c.values()) > 0)
+    for _, row in got.iterrows():
+        c = per_src[row["source"]]
+        n_s = sum(c.values())
+        assert row["n_tokens"] == n_s
+        # integer-cleared numerator over the FULL corpus vocabulary
+        # (Python ints: arbitrary precision), then the same single
+        # int->double division the operator performs
+        num = sum(abs(c.get(tok, 0) * n_total - ctot * n_s)
+                  for tok, ctot in corpus.items())
+        assert row["tv"] == float(num) / float(2 * n_s * n_total), \
+            row["source"]
+        # and it IS the rational TV value, independently via Fraction
+        tv = sum(abs(Fraction(c.get(tok, 0), n_s) - Fraction(ctot, n_total))
+                 for tok, ctot in corpus.items()) / 2
+        assert abs(row["tv"] - float(tv)) < 1e-12
+        assert 0.0 <= row["tv"] <= 1.0
+
+
+def test_source_overlap_matrix_matches_python_reference(ray_session):
+    from txiac_qc_ray.pipelines.docs import source_overlap_matrix
+
+    df = pq.read_table(SF + "/documents.parquet",
+                       columns=["source", "text"]).to_pandas()
+    sets: dict[str, set] = {}
+    for s, t in zip(df["source"], df["text"]):
+        toks = _toks(t)
+        sets.setdefault(s, set()).update(
+            " ".join(toks[i:i + 3]) for i in range(len(toks) - 2))
+    srcs = sorted(sets)
+    exp = []
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1:]:
+            n = len(sets[a] & sets[b])
+            if n:
+                exp.append((a, b, n))
+    exp_df = pd.DataFrame(exp, columns=["source_a", "source_b", "n_shared"])
+    got = source_overlap_matrix(SF)
+    pd.testing.assert_frame_equal(
+        got.reset_index(drop=True), exp_df, check_dtype=False)
+
+
+def test_source_overlap_matrix_shard_invariant(ray_session):
+    """The (shard = hash % S) split is exact: per-shard pair counts are
+    shingle-additive, so the result cannot depend on S."""
+    from txiac_qc_ray.pipelines.docs import source_overlap_matrix
+
+    a = source_overlap_matrix(SF, n_shards=3)
+    b = source_overlap_matrix(SF, n_shards=16)
+    pd.testing.assert_frame_equal(a, b)

@@ -1824,3 +1824,51 @@ def top_dup_windows_sql(window_tokens: int = 8, k: int = 20) -> str:
     SELECT wtext, n_docs, n_occurrences FROM stats
     ORDER BY n_occurrences DESC, n_docs DESC, wtext LIMIT {k}
     """
+
+
+def source_divergence_tv_sql() -> str:
+    """Per-source unigram total-variation twin: same integer-cleared
+    numerator (present-token |c*N - C_t*N_s| sum + absent-token mass
+    N_s*(N - sum of present C_t)), one BIGINT->DOUBLE cast pair and one
+    division — bit-identical to the numpy side (the TV-not-KL house
+    float-parity rule: libm ln() differs across engines, integer
+    ratios do not)."""
+    return """
+    WITH toks AS (
+      SELECT source, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents),
+    c AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS cnt
+          FROM toks GROUP BY 1, 2),
+    ct AS (SELECT tok, CAST(sum(cnt) AS BIGINT) AS ctot FROM c GROUP BY 1),
+    ns AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_tokens
+           FROM c GROUP BY 1),
+    tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS ntot FROM c),
+    pres AS (
+      SELECT c.source,
+             CAST(sum(abs(c.cnt * tot.ntot - ct.ctot * ns.n_tokens))
+                  AS BIGINT) AS sabs,
+             CAST(sum(ct.ctot) AS BIGINT) AS sctot
+      FROM c JOIN ct USING (tok) JOIN ns ON ns.source = c.source
+      CROSS JOIN tot GROUP BY 1)
+    SELECT ns.source, ns.n_tokens,
+           CAST(p.sabs + ns.n_tokens * (tot.ntot - p.sctot) AS DOUBLE)
+           / CAST(2 * ns.n_tokens * tot.ntot AS DOUBLE) AS tv
+    FROM ns JOIN pres p USING (source) CROSS JOIN tot
+    ORDER BY ns.source
+    """
+
+
+def source_overlap_matrix_sql() -> str:
+    """Cross-source shared-shingle matrix twin: hash-free — DISTINCT
+    (source, shingle-text) rows self-joined on the shingle with
+    source_a < source_b (the Ray side counts distinct shared HASHES;
+    1:1 up to the documented fnv collision bound)."""
+    return f"""
+    WITH {_SHINGLES},
+    ss AS (SELECT DISTINCT source, sv
+           FROM (SELECT source, unnest(s) AS sv FROM sh))
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(count(*) AS BIGINT) AS n_shared
+    FROM ss a JOIN ss b ON a.sv = b.sv AND a.source < b.source
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """

@@ -23,7 +23,8 @@ from ray.data.aggregate import Sum as RaySum
 
 from ..functions import textstats as ts
 from ..functions.urls import fnv1a64
-from .relational import ensure_columns, round_half_away, typed_empty, _read
+from .relational import (ensure_columns, round_half_away,
+                         stream_reduce_counts, typed_empty, _read)
 
 
 # ---- shard-count sizing (bounded-cardinality shuffle keys) ---------------
@@ -4532,3 +4533,224 @@ def top_dup_windows(sf_dir: str, window_tokens: int = DUP_WINDOW_TOKENS,
     return (parts.sort_values(["n_occurrences", "n_docs", "wtext"],
                               ascending=[False, False, True],
                               ignore_index=True).head(k))
+
+
+# ---- cross-source corpus audits (round-5 final session) ------------------
+
+
+def source_divergence_tv(sf_dir: str) -> pd.DataFrame:
+    """Per-source total-variation distance between the source's unigram
+    token distribution and the whole-corpus distribution — the
+    data-mixing drift signal: a source whose vocabulary usage diverges
+    from the corpus mix is the one to re-weight or re-inspect before
+    training (the corpus-level twin of the reference's per-group
+    outlier summaries, Home.py:215-270).
+
+        TV(s) = 1/2 * sum_t |p_s(t) - q(t)|,  p_s = c_st/N_s, q = C_t/N
+
+    FLOAT-PARITY DESIGN (house rule): KL needs ln(), and libm log
+    implementations differ across engines, so KL is not
+    bit-value-checkable. TV is: clearing denominators gives the
+    INTEGER numerator
+
+        num_s = sum_{t in s} |c_st*N - C_t*N_s| + N_s*(N - sum_{t in s} C_t)
+
+    (the second term is the absent-token mass: |0*N - C_t*N_s| summed
+    over tokens the source never uses), and tv = num_s / (2*N_s*N) is
+    ONE int->double conversion pair + ONE correctly-rounded division —
+    bit-identical in numpy and DuckDB.
+
+    Scale shape: per-batch (source, tok) partial counts
+    (dictionary-encode + np.unique) -> ONE combined-key groupby-sum
+    whose width is the (source x vocabulary) table — vocabulary-class,
+    not corpus-class (the vocab_topk bound) -> token totals C_t via a
+    second vocabulary-sized groupby -> token-keyed hash join sized from
+    the data -> per-batch integer partial sums -> an S-row driver fold
+    (stream_reduce_counts; Python-int accumulation, so the driver-side
+    sum never overflows). Broadcast state: the {source: N_s} dict and
+    N — S+1 integers in the task closure.
+
+    int64 envelope (worker-side partials): each term |c*N - C_t*N_s|
+    <= N_s*N < N^2, exact in int64 while N < 3.0e9 corpus tokens; a
+    100 TB run shards the corpus (per-snapshot / per-epoch partitions)
+    or moves the partial term sums to 128-bit — the DuckDB twin's
+    HUGEINT arithmetic keeps exactness either way. Sources with zero
+    tokens carry no distribution and are excluded (both engines derive
+    the source list from the token table).
+
+    -> pandas DataFrame (source, n_tokens, tv), one row per source,
+    source asc."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    spec = {"source": "object", "n_tokens": "int64", "tv": "float64"}
+    SEP = "\x1f"  # unit separator: sources/tokens never contain it
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        tv = ts.tokenize(t["text"])
+        if tv.ids is None or len(tv.flat) == 0:
+            return pa.table({"key": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        src = (t["source"].combine_chunks()
+               if isinstance(t["source"], pa.ChunkedArray) else t["source"])
+        enc = pc.dictionary_encode(pc.fill_null(src, ""))
+        sids = np.asarray(enc.indices).astype(np.int64)
+        s_of = sids[np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                              np.diff(tv.offsets))]
+        nv = np.int64(len(tv.dictionary))
+        combo = s_of * nv + tv.ids
+        uniq, cnt = np.unique(combo, return_counts=True)
+        key = pc.binary_join_element_wise(
+            enc.dictionary.take(pa.array(uniq // nv)).cast(pa.string()),
+            tv.dictionary.take(pa.array(uniq % nv)), SEP)
+        return pa.table({"key": key, "cnt": cnt.astype(np.int64)})
+
+    def split_key(t: pa.Table) -> pa.Table:
+        parts = pc.split_pattern(t["key"], pattern=SEP, max_splits=1)
+        return pa.table({"source": pc.list_element(parts, 0),
+                         "tok": pc.list_element(parts, 1),
+                         "cnt": t["cnt"]})
+
+    st = (ds.map_batches(count_partials, batch_format="pyarrow")
+          .groupby("key").aggregate(RaySum("cnt", alias_name="cnt"))
+          .map_batches(split_key, batch_format="pyarrow")
+          .materialize())  # three consumers: C_t, N_s, the join
+    n_rows = st.count()
+    if n_rows == 0:  # empty/all-null corpus: no distributions to compare
+        return typed_empty(spec)
+
+    def ns_partials(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(t["source"].combine_chunks()
+                                   if isinstance(t["source"], pa.ChunkedArray)
+                                   else t["source"])
+        ids = np.asarray(enc.indices, dtype=np.int64)
+        n = np.bincount(ids, weights=np.asarray(t["cnt"], dtype=np.float64),
+                        minlength=len(enc.dictionary))
+        # weights force float64; per-batch partials stay < 2^53 exact
+        return pa.table({"source": enc.dictionary,
+                         "n": n.astype(np.int64)})
+
+    ns_df = stream_reduce_counts(
+        st.map_batches(ns_partials, batch_format="pyarrow"),
+        ["source"], ["n"])
+    nmap = {s: int(n) for s, n in zip(ns_df["source"], ns_df["n"])}
+    N = sum(nmap.values())
+
+    ct = st.groupby("tok").aggregate(RaySum("cnt", alias_name="ctot"))
+    n_shards = _shard_count(sf_dir, "documents")
+    num_parts = max(1, min(max(8, n_shards // 8), n_rows // 8192))
+    joined = st.join(ct, join_type="inner", on=["tok"],
+                     num_partitions=num_parts)
+
+    def term_partials(t: pa.Table) -> pa.Table:
+        enc = pc.dictionary_encode(t["source"].combine_chunks()
+                                   if isinstance(t["source"], pa.ChunkedArray)
+                                   else t["source"])
+        ids = np.asarray(enc.indices, dtype=np.int64)
+        srcs = enc.dictionary.to_pylist()  # S-sized, not row-sized
+        ns_arr = np.array([nmap[s] for s in srcs], dtype=np.int64)[ids]
+        c = np.asarray(t["cnt"], dtype=np.int64)
+        ctot = np.asarray(t["ctot"], dtype=np.int64)
+        term = np.abs(c * np.int64(N) - ctot * ns_arr)
+        sabs = np.zeros(len(srcs), dtype=np.int64)
+        sctot = np.zeros(len(srcs), dtype=np.int64)
+        for k in range(len(srcs)):  # S iterations, vectorized masks
+            m = ids == k
+            sabs[k] = term[m].sum()
+            sctot[k] = ctot[m].sum()
+        return pa.table({"source": enc.dictionary.cast(pa.string()),
+                         "sabs": sabs, "sctot": sctot})
+
+    folded = stream_reduce_counts(
+        joined.map_batches(term_partials, batch_format="pyarrow"),
+        ["source"], ["sabs", "sctot"])
+    rows = []
+    for s, sabs, sctot in zip(folded["source"], folded["sabs"],
+                              folded["sctot"]):
+        n_s = nmap[s]  # Python ints: exact at any scale on the driver
+        num = int(sabs) + n_s * (N - int(sctot))
+        rows.append((s, n_s, float(num) / float(2 * n_s * N)))
+    out = pd.DataFrame(rows, columns=["source", "n_tokens", "tv"])
+    out = ensure_columns(out, spec)
+    return out.sort_values("source", ignore_index=True)
+
+
+def source_overlap_matrix(sf_dir: str,
+                          n_shards: int | None = None) -> pd.DataFrame:
+    """Cross-source contamination audit: for every source pair (a < b),
+    the number of DISTINCT 3-token shingles that occur in both sources
+    — the corpus-level view of where boilerplate / syndicated text /
+    eval leakage crosses source boundaries (decontaminate_against is
+    the doc-level act; this is the matrix a data engineer reads first
+    to decide WHICH pairs need it).
+
+    Scale shape: per-batch distinct (source, shingle-hash) rows keyed
+    by hash shard (bounded-cardinality house shuffle: same shingle ->
+    same shard, so per-shard stats are final) -> per-shard cross-batch
+    dedupe (lexsort) + the shared _run_pair_indices expansion over
+    shingle runs (a run holds the distinct sources carrying one
+    shingle, <= S entries, so pair work per shingle is <= S(S-1)/2,
+    never doc-quadratic) -> S^2-row partial counts -> driver fold
+    (stream_reduce_counts). No corpus-sized driver state; the only
+    all-to-all carries (shard, hash, source) ints, never text.
+
+    Hashes vs the SQL twin's shingle STRINGS: fnv1a64+mix64 of the
+    token trigram is 1:1 with the trigram text up to hash collisions
+    (~d^2/2^65 for d distinct shingles — immaterial below ~10^8
+    shingles per shard; the same accepted bound as the minhash twin).
+
+    -> pandas DataFrame (source_a, source_b, n_shared), pairs with
+    n_shared >= 1 only, sorted (source_a, source_b) — bytewise string
+    order, matching DuckDB's '<' on the ASCII fixtures."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    S = n_shards or _shard_count(sf_dir, "documents")
+    spec = {"source_a": "object", "source_b": "object", "n_shared": "int64"}
+
+    def cand(t: pa.Table) -> pa.Table:
+        h, off = token_ngram_hashes(t["text"].combine_chunks()
+                                    if isinstance(t["text"], pa.ChunkedArray)
+                                    else t["text"], 3)
+        src = (t["source"].combine_chunks()
+               if isinstance(t["source"], pa.ChunkedArray) else t["source"])
+        enc = pc.dictionary_encode(pc.fill_null(src, ""))
+        sids = np.asarray(enc.indices).astype(np.int64)
+        s_of = sids[np.repeat(np.arange(t.num_rows, dtype=np.int64),
+                              np.diff(off))]
+        order = np.lexsort((s_of, h))
+        h2, s2 = h[order], s_of[order]
+        keep = np.ones(len(h2), dtype=bool)
+        keep[1:] = (h2[1:] != h2[:-1]) | (s2[1:] != s2[:-1])
+        h2, s2 = h2[keep], s2[keep]
+        return pa.table({
+            "shard": (h2 % np.uint64(S)).astype(np.int64),
+            "h": h2.astype(np.int64),
+            "source": enc.dictionary.take(pa.array(s2)).cast(pa.string()),
+        })
+
+    _EMPTY = pd.DataFrame({c: pd.Series([], dtype=d)
+                           for c, d in spec.items()})
+
+    def shard_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        h = g["h"].to_numpy()
+        src, s_code = np.unique(g["source"].to_numpy(), return_inverse=True)
+        order = np.lexsort((s_code, h))
+        h2, s2 = h[order], s_code[order]
+        keep = np.ones(len(h2), dtype=bool)  # cross-batch dedupe
+        keep[1:] = (h2[1:] != h2[:-1]) | (s2[1:] != s2[:-1])
+        h2, s2 = h2[keep], s2[keep]
+        pi, pj = _run_pair_indices(h2)
+        if len(pi) == 0:
+            return _EMPTY
+        # within a run sources are distinct ascending, so a < b always
+        nS = np.int64(len(src))
+        key = s2[pi] * nS + s2[pj]
+        uk, cnt = np.unique(key, return_counts=True)
+        return pd.DataFrame({"source_a": src[uk // nS],
+                             "source_b": src[uk % nS],
+                             "n_shared": cnt.astype(np.int64)})
+
+    parts = (ds.map_batches(cand, batch_format="pyarrow")
+             .groupby("shard").map_groups(shard_pairs,
+                                          batch_format="pandas"))
+    out = ensure_columns(
+        stream_reduce_counts(parts, ["source_a", "source_b"], ["n_shared"]),
+        spec)
+    return out.sort_values(["source_a", "source_b"], ignore_index=True)
