@@ -172,7 +172,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ccnet_ppl_buckets)
         "ngram_fluency": D.ngram_fluency,
         "vocab_topk": D.vocab_topk,
-        "neardup_clusters": D.neardup_clusters,
+        # r5-NEW (final session): weighted-fair-queueing training-order
+        # interleave — takes neardup_clusters's slot (driver-green
+        # r2+r3, unmodified in r5; its distributed sibling
+        # neardup_clusters_distributed stays in-cap and is pytest-pinned
+        # label-equal to the driver union-find on the fixtures)
+        "interleave_sources": D.interleave_sources,
         "neardup_clusters_distributed": D.neardup_clusters_distributed,  # r5-modified
         # URL canonicalization + first-capture dedup — takes
         # simhash_docs's slot (driver-green r2+r3, unmodified in r5;
@@ -261,6 +266,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # simhash_neardup_pairs + dup_window_fraction)
         "deterministic_shuffle": D.deterministic_shuffle,
         "fingerprint_docs": D.fingerprint_docs,
+        # yielded to interleave_sources (r5-final): driver-green r2+r3,
+        # unmodified in r5; neardup_clusters_distributed stays in-cap,
+        # pytest-pinned label-equal to this driver union-find
+        "neardup_clusters": D.neardup_clusters,
         "pmis_yby_flow": _pmis_yby_flow,
         "pmis_county_summary": _pmis_county_summary,
         "pmis_diff_histogram": _pmis_diff_histogram,
@@ -681,6 +690,9 @@ def oracle_sql() -> dict[str, str]:
         # shared-shingle self-join
         "source_divergence_tv": O.source_divergence_tv_sql(),
         "source_overlap_matrix": O.source_overlap_matrix_sql(),
+        # weighted-fair-queueing interleave: the twin pays the global
+        # ORDER BY whose closed form the Ray side computes instead
+        "interleave_sources": O.interleave_sources_sql(),
         # quality-proportional importance sampling: the same splitmix64
         # uniform and int/const weight division recomputed in SQL
         "weighted_sample": f"""

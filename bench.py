@@ -225,6 +225,7 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         # r5 final session: cross-source audits (documents)
         ("source_divergence_tv", D.source_divergence_tv),
         ("source_overlap_matrix", D.source_overlap_matrix),
+        ("interleave_sources", D.interleave_sources),
     ]
 
 

@@ -128,7 +128,11 @@ def test_correctness_cap_covers_priority_queries():
         # (mix64 uniforms via exact_budget_sample +
         # language_balanced_sample; fnv/mix hashing via
         # simhash_neardup_pairs + dup_window_fraction)
-        "vocab_topk", "neardup_clusters",
+        # neardup_clusters yielded its slot to interleave_sources
+        # (r5-final): driver-green r2+r3, unmodified in r5, and
+        # neardup_clusters_distributed stays in-cap, pytest-pinned
+        # label-equal to the driver union-find on the fixtures
+        "vocab_topk",
         "neardup_clusters_distributed",
         "simhash_neardup_pairs",
         "embedding_neardup_pairs", "ann_topk_bruteforce", "ann_topk_lsh",
@@ -145,7 +149,7 @@ def test_correctness_cap_covers_priority_queries():
         # rows outranks them for the final driver run (token_counts'
         # BPE sibling token_counts_bpe stays in-cap over the same read)
     }
-    assert len(r4_tail) == 11
+    assert len(r4_tail) == 10
     priority = r4_tail | {
         # r5-session-3 new ops (ADVICE r3 rule: new ops ride the cap)
         "pii_counts", "quality_classifier",
@@ -157,6 +161,7 @@ def test_correctness_cap_covers_priority_queries():
         # r5-final-session new ops (same rule: new ops ride the cap)
         "rule_bank_funnel", "neardup_keep_best", "dedup_url_keep_latest",
         "source_divergence_tv", "source_overlap_matrix",
+        "interleave_sources",
         # r5-session-5 new ops (same rule)
         "calibrated_outlier_flags", "contamination_fraction",
         "export_chunks_jsonl", "exact_budget_sample",
@@ -224,3 +229,5 @@ def test_corpus_sized_ops_return_streaming_datasets(ray_session):
     pages = default_pages_dir(2000)
     assert isinstance(WT.url_snapshot_changes(pages), ray.data.Dataset)
     assert isinstance(WT.remove_boilerplate_lines(pages), ray.data.Dataset)
+    # r5-final-session op keeps the same boundary
+    assert isinstance(D.interleave_sources(sf), ray.data.Dataset)

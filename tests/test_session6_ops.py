@@ -84,3 +84,54 @@ def test_source_overlap_matrix_shard_invariant(ray_session):
     a = source_overlap_matrix(SF, n_shards=3)
     b = source_overlap_matrix(SF, n_shards=16)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_interleave_sources_closed_form_matches_naive_sort(ray_session):
+    """The closed-form global rank == the naive ORDER BY (key, source)
+    position, and the result is a permutation of 1..N."""
+    import numpy as np
+
+    from txiac_qc_ray.functions.urls import fnv1a64
+    from txiac_qc_ray.pipelines.docs import interleave_sources
+    import pyarrow as pa
+
+    got = interleave_sources(SF).to_pandas().sort_values(
+        "position", ignore_index=True)
+    df = pq.read_table(SF + "/documents.parquet",
+                       columns=["doc_id", "source"]).to_pandas()
+    # naive reference: rank within source by doc_id, key = rn * step,
+    # global sort by (key, source)
+    df = df.sort_values(["source", "doc_id"], ignore_index=True)
+    df["rn"] = df.groupby("source").cumcount() + 1
+    wt = 1 + (fnv1a64(pa.array(df["source"], pa.string()))
+              % np.uint64(3)).astype(np.int64)
+    df["key"] = df["rn"] * (6 // wt)
+    df = df.sort_values(["key", "source"], ignore_index=True)
+    df["position"] = np.arange(1, len(df) + 1)
+    exp = df[["position", "doc_id", "source"]]
+    pd.testing.assert_frame_equal(got, exp.reset_index(drop=True),
+                                  check_dtype=False)
+    assert sorted(got["position"]) == list(range(1, len(got) + 1))
+
+
+def test_interleave_sources_prefix_fairness(ray_session):
+    """Weighted fair queueing's defining property: in every prefix,
+    each source's share tracks its weight within one schedule round."""
+    import numpy as np
+    import pyarrow as pa
+
+    from txiac_qc_ray.functions.urls import fnv1a64
+    from txiac_qc_ray.pipelines.docs import interleave_sources
+
+    got = interleave_sources(SF).to_pandas().sort_values(
+        "position", ignore_index=True)
+    srcs = sorted(got["source"].unique())
+    wt = dict(zip(srcs, 1 + (fnv1a64(pa.array(srcs, pa.string()))
+                             % np.uint64(3)).astype(np.int64)))
+    W = sum(wt.values())
+    head = got.head(len(got) // 2)  # no source exhausts in this prefix
+    for s in srcs:
+        seen = int((head["source"] == s).sum())
+        expect = len(head) * wt[s] / W
+        # within one full round of the schedule (W slots)
+        assert abs(seen - expect) <= wt[s] + 1, (s, seen, expect)

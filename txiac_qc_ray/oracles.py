@@ -1872,3 +1872,26 @@ def source_overlap_matrix_sql() -> str:
     FROM ss a JOIN ss b ON a.sv = b.sv AND a.source < b.source
     GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def interleave_sources_sql() -> str:
+    """Weighted-fair-queueing interleave twin: the virtual-time key
+    rn * (6 / w) computed with the SAME fnv-derived weights, globally
+    ordered by row_number() OVER (ORDER BY key, source) — the naive
+    global sort whose closed-form the Ray side evaluates instead."""
+    return f"""
+    WITH w AS (SELECT source,
+                      CAST(6 // (1 + {fnv_expr('source')} % 3) AS BIGINT)
+                        AS step
+               FROM (SELECT DISTINCT source FROM documents)),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY doc_id) AS rn
+          FROM documents),
+    k AS (SELECT r.doc_id, r.source, r.rn * w.step AS key
+          FROM r JOIN w USING (source))
+    SELECT CAST(row_number() OVER (ORDER BY key, source) AS BIGINT)
+             AS position,
+           doc_id, source
+    FROM k ORDER BY position
+    """

