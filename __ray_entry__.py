@@ -193,7 +193,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_dup_windows": D.top_dup_windows,
         "embedding_neardup_pairs": D.embedding_neardup_pairs,
         "ann_topk_bruteforce": D.ann_topk_bruteforce,
-        "ann_topk_lsh": D.ann_topk_lsh,
+        # r5-NEW (final session): signup->purchase conversion funnel —
+        # takes ann_topk_lsh's slot (driver-green r2+r3, unmodified in
+        # r5; the exact ANN siblings bruteforce/ivf/ivf_indexed and the
+        # end-to-end ann_topk_from_text all stay in-cap, and the LSH
+        # path's recall is pytest-pinned against brute force)
+        "funnel_conversion": W.funnel_conversion,
         "ann_topk_ivf": D.ann_topk_ivf,
         # r5-NEW (final session): per-rule first-fail funnel counters —
         # takes tolerance_join's slot (driver-green r1+r2+r3, the
@@ -270,6 +275,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified in r5; neardup_clusters_distributed stays in-cap,
         # pytest-pinned label-equal to this driver union-find
         "neardup_clusters": D.neardup_clusters,
+        # yielded to funnel_conversion (r5-final): driver-green r2+r3,
+        # unmodified in r5; exact ANN siblings stay in-cap and the LSH
+        # recall is pytest-pinned against brute force
+        "ann_topk_lsh": D.ann_topk_lsh,
         "pmis_yby_flow": _pmis_yby_flow,
         "pmis_county_summary": _pmis_county_summary,
         "pmis_diff_histogram": _pmis_diff_histogram,
@@ -693,6 +702,8 @@ def oracle_sql() -> dict[str, str]:
         # weighted-fair-queueing interleave: the twin pays the global
         # ORDER BY whose closed form the Ray side computes instead
         "interleave_sources": O.interleave_sources_sql(),
+        # conversion funnel: min-ts-per-user + strictly-later EXISTS
+        "funnel_conversion": O.funnel_conversion_sql(),
         # quality-proportional importance sampling: the same splitmix64
         # uniform and int/const weight division recomputed in SQL
         "weighted_sample": f"""

@@ -226,6 +226,7 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("source_divergence_tv", D.source_divergence_tv),
         ("source_overlap_matrix", D.source_overlap_matrix),
         ("interleave_sources", D.interleave_sources),
+        ("funnel_conversion", W.funnel_conversion),
     ]
 
 

@@ -132,10 +132,14 @@ def test_correctness_cap_covers_priority_queries():
         # (r5-final): driver-green r2+r3, unmodified in r5, and
         # neardup_clusters_distributed stays in-cap, pytest-pinned
         # label-equal to the driver union-find on the fixtures
+        # ann_topk_lsh yielded its slot to funnel_conversion
+        # (r5-final): driver-green r2+r3, unmodified in r5; the exact
+        # ANN siblings stay in-cap and the LSH recall is pytest-pinned
+        # against brute force
         "vocab_topk",
         "neardup_clusters_distributed",
         "simhash_neardup_pairs",
-        "embedding_neardup_pairs", "ann_topk_bruteforce", "ann_topk_lsh",
+        "embedding_neardup_pairs", "ann_topk_bruteforce",
         "ann_topk_ivf",
         "grouped_counters",
         "threshold_flag_two_sided",
@@ -149,7 +153,7 @@ def test_correctness_cap_covers_priority_queries():
         # rows outranks them for the final driver run (token_counts'
         # BPE sibling token_counts_bpe stays in-cap over the same read)
     }
-    assert len(r4_tail) == 10
+    assert len(r4_tail) == 9
     priority = r4_tail | {
         # r5-session-3 new ops (ADVICE r3 rule: new ops ride the cap)
         "pii_counts", "quality_classifier",
@@ -161,7 +165,7 @@ def test_correctness_cap_covers_priority_queries():
         # r5-final-session new ops (same rule: new ops ride the cap)
         "rule_bank_funnel", "neardup_keep_best", "dedup_url_keep_latest",
         "source_divergence_tv", "source_overlap_matrix",
-        "interleave_sources",
+        "interleave_sources", "funnel_conversion",
         # r5-session-5 new ops (same rule)
         "calibrated_outlier_flags", "contamination_fraction",
         "export_chunks_jsonl", "exact_budget_sample",

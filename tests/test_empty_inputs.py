@@ -50,7 +50,7 @@ def _row_count(out) -> int:
 # loop instead: they never read the sf_dir tables.
 MAY_BE_NONEMPTY = frozenset({
     "semi_join_agg", "anti_join_agg", "row_count",
-    "quantile_thresholds", "tukey_fences",
+    "quantile_thresholds", "tukey_fences", "funnel_conversion",
 })
 
 

@@ -135,3 +135,25 @@ def test_interleave_sources_prefix_fairness(ray_session):
         expect = len(head) * wt[s] / W
         # within one full round of the schedule (W slots)
         assert abs(seen - expect) <= wt[s] + 1, (s, seen, expect)
+
+
+def test_funnel_conversion_matches_python_reference(ray_session):
+    from txiac_qc_ray.pipelines.windows import funnel_conversion
+
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["user_id", "ts", "event_type"]).to_pandas()
+    su = (ev[ev["event_type"] == "signup"]
+          .groupby("user_id")["ts"].min())
+    conv = 0
+    for u, mts in su.items():
+        m = ev[(ev["user_id"] == u) & (ev["event_type"] == "purchase")]
+        if (m["ts"] > mts).any():
+            conv += 1
+    got = funnel_conversion("/root/testdata/sf0.001")
+    assert got.shape == (1, 3)
+    assert int(got["n_users"][0]) == ev["user_id"].nunique()
+    assert int(got["n_signed_up"][0]) == len(su)
+    assert int(got["n_converted"][0]) == conv
+    # the funnel is a funnel: monotone non-increasing stages
+    assert (got["n_users"][0] >= got["n_signed_up"][0]
+            >= got["n_converted"][0] >= 0)

@@ -1895,3 +1895,22 @@ def interleave_sources_sql() -> str:
            doc_id, source
     FROM k ORDER BY position
     """
+
+
+def funnel_conversion_sql(first_stage: str = "signup",
+                          second_stage: str = "purchase") -> str:
+    """Conversion-funnel twin: first-stage min(ts) per user, EXISTS a
+    strictly-later second-stage event; all three counters exact BIGINT
+    (coalesce guards the empty-funnel NULL scalar)."""
+    return f"""
+    WITH su AS (SELECT user_id, min(ts) AS mts FROM events
+                WHERE event_type = '{first_stage}' GROUP BY 1),
+    conv AS (SELECT count(DISTINCT e.user_id) AS c
+             FROM events e JOIN su USING (user_id)
+             WHERE e.event_type = '{second_stage}' AND e.ts > su.mts)
+    SELECT CAST((SELECT count(DISTINCT user_id) FROM events) AS BIGINT)
+             AS n_users,
+           CAST((SELECT count(*) FROM su) AS BIGINT) AS n_signed_up,
+           CAST(coalesce((SELECT c FROM conv), 0) AS BIGINT)
+             AS n_converted
+    """

@@ -35,8 +35,10 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
+from ray.data.aggregate import Min
 
 from .relational import _read, round_half_away
 
@@ -632,3 +634,85 @@ def rolling_time_sum_cents(sf_dir: str, window_hours: int = 6,
     return (ds.map_batches(explode, batch_format="pyarrow")
             .groupby(["user_id", "bucket"])
             .map_groups(per_group, batch_format="pandas"))
+
+
+def funnel_conversion(sf_dir: str, first_stage: str = "signup",
+                      second_stage: str = "purchase") -> pd.DataFrame:
+    """Conversion-funnel analytics over the events log: how many
+    distinct users exist, how many produced a `first_stage` event, and
+    how many of those produced a `second_stage` event STRICTLY AFTER
+    their first `first_stage` (order matters: a purchase before signup
+    is not a conversion). -> ONE row (n_users, n_signed_up,
+    n_converted) of exact int64 counts.
+
+    Scale shape: ONE pass emits per-batch per-user partials carrying
+    BOTH the any-event marker and the (nullable) min first-stage ts,
+    so a single user-keyed groupby MIN yields the whole per-user state
+    — a data-sized Dataset, materialized once and reused for all three
+    counters plus the join side (the tiny-partials lesson: every extra
+    `.count()` on a lazy chain re-executes it). The second-stage rows
+    hash-join against the null-filtered signup table (partitions sized
+    from the data), a stateless ts > min_ts filter keeps qualifying
+    conversions, and a distinct-user groupby reduces to a metadata
+    count. The only driver state is the three counters; per-user event
+    history is never assembled anywhere (no per-user group ever holds
+    more than its per-batch rows — hot users stay safe)."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def user_partials(t: pa.Table) -> pa.Table:
+        """One row per user per batch: min first-stage ts (null when
+        the user has no first-stage event in this batch)."""
+        uid = np.asarray(t["user_id"])
+        if len(uid) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "mts": pa.array([], pa.int64())})
+        eq = pc.fill_null(pc.equal(t["event_type"], first_stage), False)
+        mask = np.asarray(eq.combine_chunks()
+                          if isinstance(eq, pa.ChunkedArray) else eq)
+        ts = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, ~mask, uid))  # per user: stage rows
+        u2, t2, m2 = uid[order], ts[order], mask[order]  # first, ts asc
+        firsts = np.ones(len(u2), dtype=bool)
+        firsts[1:] = u2[1:] != u2[:-1]
+        return pa.table({"user_id": u2[firsts],
+                         "mts": pa.array(t2[firsts], mask=~m2[firsts])})
+
+    su_all = (ds.map_batches(user_partials, batch_format="pyarrow")
+              .groupby("user_id").aggregate(Min("mts", alias_name="mts"))
+              .materialize())  # per-user table: four consumers below
+    n_users = int(su_all.count())
+
+    def drop_null_mts(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t["mts"]))
+
+    su = su_all.map_batches(drop_null_mts, batch_format="pyarrow")
+    n_signed_up = int(su.count())  # cheap: filters materialized blocks
+    if n_signed_up == 0:  # empty join side crashes Ray's hash shuffle
+        return pd.DataFrame({"n_users": [np.int64(n_users)],
+                             "n_signed_up": [np.int64(0)],
+                             "n_converted": [np.int64(0)]})
+
+    def second_rows(t: pa.Table) -> pa.Table:
+        eq = pc.fill_null(pc.equal(t["event_type"], second_stage), False)
+        mask = np.asarray(eq.combine_chunks()
+                          if isinstance(eq, pa.ChunkedArray) else eq)
+        return pa.table({
+            "user_id": np.asarray(t["user_id"])[mask],
+            "ts_us": np.asarray(t["ts"])[mask].astype("datetime64[us]"
+                                                      ).astype(np.int64)})
+
+    purchases = ds.map_batches(second_rows, batch_format="pyarrow")
+    num_parts = max(1, min(32, n_signed_up // 8192 + 1))
+    joined = purchases.join(su, join_type="inner", on=["user_id"],
+                            num_partitions=num_parts)
+
+    def converted_partials(t: pa.Table) -> pa.Table:
+        ok = np.asarray(t["ts_us"]) > np.asarray(t["mts"])
+        return pa.table({"user_id": np.unique(np.asarray(t["user_id"])[ok])})
+
+    n_converted = int(joined.map_batches(converted_partials,
+                                         batch_format="pyarrow")
+                      .groupby("user_id").count().count())
+    return pd.DataFrame({"n_users": [np.int64(n_users)],
+                         "n_signed_up": [np.int64(n_signed_up)],
+                         "n_converted": [np.int64(n_converted)]})
