@@ -199,7 +199,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # end-to-end ann_topk_from_text all stay in-cap, and the LSH
         # path's recall is pytest-pinned against brute force)
         "funnel_conversion": W.funnel_conversion,
-        "ann_topk_ivf": D.ann_topk_ivf,
+        # r5-NEW (final session): cohort retention triangle — takes
+        # ann_topk_ivf's slot (driver-green r2+r3, unmodified in r5;
+        # exact by construction and pytest-pinned equal to the in-cap
+        # ann_topk_bruteforce; the partitioned-index variant
+        # ann_topk_ivf_indexed carries the family's r4 driver green)
+        "retention_cohorts": W.retention_cohorts,
         # r5-NEW (final session): per-rule first-fail funnel counters —
         # takes tolerance_join's slot (driver-green r1+r2+r3, the
         # longest green streak on the surface, unmodified since r2)
@@ -279,6 +284,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified in r5; exact ANN siblings stay in-cap and the LSH
         # recall is pytest-pinned against brute force
         "ann_topk_lsh": D.ann_topk_lsh,
+        # yielded to retention_cohorts (r5-final): driver-green r2+r3,
+        # unmodified in r5; exact by construction, pytest-pinned equal
+        # to the in-cap ann_topk_bruteforce
+        "ann_topk_ivf": D.ann_topk_ivf,
         "pmis_yby_flow": _pmis_yby_flow,
         "pmis_county_summary": _pmis_county_summary,
         "pmis_diff_histogram": _pmis_diff_histogram,
@@ -704,6 +713,9 @@ def oracle_sql() -> dict[str, str]:
         "interleave_sources": O.interleave_sources_sql(),
         # conversion funnel: min-ts-per-user + strictly-later EXISTS
         "funnel_conversion": O.funnel_conversion_sql(),
+        # retention triangle: epoch-week integer cohorts, distinct
+        # (user, week) activity, plain counts
+        "retention_cohorts": O.retention_cohorts_sql(),
         # quality-proportional importance sampling: the same splitmix64
         # uniform and int/const weight division recomputed in SQL
         "weighted_sample": f"""

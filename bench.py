@@ -227,6 +227,7 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("source_overlap_matrix", D.source_overlap_matrix),
         ("interleave_sources", D.interleave_sources),
         ("funnel_conversion", W.funnel_conversion),
+        ("retention_cohorts", W.retention_cohorts),
     ]
 
 

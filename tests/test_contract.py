@@ -139,8 +139,11 @@ def test_correctness_cap_covers_priority_queries():
         "vocab_topk",
         "neardup_clusters_distributed",
         "simhash_neardup_pairs",
+        # ann_topk_ivf yielded its slot to retention_cohorts
+        # (r5-final): driver-green r2+r3, unmodified in r5; exact by
+        # construction and pytest-pinned equal to the in-cap
+        # ann_topk_bruteforce
         "embedding_neardup_pairs", "ann_topk_bruteforce",
-        "ann_topk_ivf",
         "grouped_counters",
         "threshold_flag_two_sided",
         # tolerance_join, quantile_thresholds, and token_counts yielded
@@ -153,7 +156,7 @@ def test_correctness_cap_covers_priority_queries():
         # rows outranks them for the final driver run (token_counts'
         # BPE sibling token_counts_bpe stays in-cap over the same read)
     }
-    assert len(r4_tail) == 9
+    assert len(r4_tail) == 8
     priority = r4_tail | {
         # r5-session-3 new ops (ADVICE r3 rule: new ops ride the cap)
         "pii_counts", "quality_classifier",
@@ -165,7 +168,7 @@ def test_correctness_cap_covers_priority_queries():
         # r5-final-session new ops (same rule: new ops ride the cap)
         "rule_bank_funnel", "neardup_keep_best", "dedup_url_keep_latest",
         "source_divergence_tv", "source_overlap_matrix",
-        "interleave_sources", "funnel_conversion",
+        "interleave_sources", "funnel_conversion", "retention_cohorts",
         # r5-session-5 new ops (same rule)
         "calibrated_outlier_flags", "contamination_fraction",
         "export_chunks_jsonl", "exact_budget_sample",

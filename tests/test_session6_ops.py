@@ -157,3 +157,29 @@ def test_funnel_conversion_matches_python_reference(ray_session):
     # the funnel is a funnel: monotone non-increasing stages
     assert (got["n_users"][0] >= got["n_signed_up"][0]
             >= got["n_converted"][0] >= 0)
+
+
+def test_retention_cohorts_matches_python_reference(ray_session):
+    from txiac_qc_ray.pipelines.windows import retention_cohorts
+
+    WEEK = 604_800_000_000
+    ev = pq.read_table("/root/testdata/sf0.001/events.parquet",
+                       columns=["user_id", "ts", "event_type"]).to_pandas()
+    ev["us"] = ev["ts"].astype("datetime64[us]").astype("int64")
+    su = (ev[ev["event_type"] == "signup"].groupby("user_id")["us"].min()
+          // WEEK)
+    act = set(zip(ev["user_id"], ev["us"] // WEEK))
+    from collections import Counter
+    exp = Counter()
+    for u, aw in act:
+        if u in su.index and aw >= su[u]:
+            exp[(int(su[u]), int(aw - su[u]))] += 1
+    got = retention_cohorts("/root/testdata/sf0.001")
+    assert list(got.columns) == ["cohort_week", "weeks_since",
+                                 "n_active_users"]
+    got_map = {(int(r.cohort_week), int(r.weeks_since)):
+               int(r.n_active_users) for r in got.itertuples()}
+    assert got_map == dict(exp)
+    # week-0 of each cohort includes the signup event itself
+    for cw in {k[0] for k in got_map}:
+        assert got_map.get((cw, 0), 0) >= 1

@@ -1914,3 +1914,24 @@ def funnel_conversion_sql(first_stage: str = "signup",
            CAST(coalesce((SELECT c FROM conv), 0) AS BIGINT)
              AS n_converted
     """
+
+
+def retention_cohorts_sql(stage: str = "signup") -> str:
+    """Retention-triangle twin: epoch-week cohorts from min(stage ts)
+    per user, distinct (user, activity-week) pairs, plain counts —
+    identical integer week arithmetic (epoch_us // one week)."""
+    return f"""
+    WITH su AS (SELECT user_id, min(ts) AS mts FROM events
+                WHERE event_type = '{stage}' GROUP BY 1),
+    act AS (SELECT DISTINCT user_id,
+                   epoch_us(ts) // 604800000000 AS aw
+            FROM events),
+    sel AS (SELECT a.user_id,
+                   epoch_us(su.mts) // 604800000000 AS cw, a.aw
+            FROM act a JOIN su USING (user_id))
+    SELECT CAST(cw AS BIGINT) AS cohort_week,
+           CAST(aw - cw AS BIGINT) AS weeks_since,
+           CAST(count(*) AS BIGINT) AS n_active_users
+    FROM sel WHERE aw >= cw
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """

@@ -40,7 +40,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Min
 
-from .relational import _read, round_half_away
+from .relational import (_read, ensure_columns, round_half_away,
+                         stream_reduce_counts)
 
 _US_PER_HOUR = 3_600_000_000
 
@@ -636,6 +637,37 @@ def rolling_time_sum_cents(sf_dir: str, window_hours: int = 6,
             .map_groups(per_group, batch_format="pandas"))
 
 
+def _user_stage_mins(ds: "ray.data.Dataset", stage: str
+                     ) -> "ray.data.Dataset":
+    """Per-user min `stage`-event timestamp as a MATERIALIZED Dataset
+    (user_id, mts int64-us, null when the user never fires the stage) —
+    one row per distinct user. Shared by funnel_conversion and
+    retention_cohorts: per-batch per-user partials (one lexsort putting
+    each user's stage rows first, ts asc), one user-keyed groupby MIN
+    (Arrow null-ignoring), materialized because every consumer re-reads
+    it (counts, null filters, join sides)."""
+
+    def user_partials(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"])
+        if len(uid) == 0:
+            return pa.table({"user_id": pa.array([], pa.int64()),
+                             "mts": pa.array([], pa.int64())})
+        eq = pc.fill_null(pc.equal(t["event_type"], stage), False)
+        mask = np.asarray(eq.combine_chunks()
+                          if isinstance(eq, pa.ChunkedArray) else eq)
+        ts = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
+        order = np.lexsort((ts, ~mask, uid))  # per user: stage rows
+        u2, t2, m2 = uid[order], ts[order], mask[order]  # first, ts asc
+        firsts = np.ones(len(u2), dtype=bool)
+        firsts[1:] = u2[1:] != u2[:-1]
+        return pa.table({"user_id": u2[firsts],
+                         "mts": pa.array(t2[firsts], mask=~m2[firsts])})
+
+    return (ds.map_batches(user_partials, batch_format="pyarrow")
+            .groupby("user_id").aggregate(Min("mts", alias_name="mts"))
+            .materialize())
+
+
 def funnel_conversion(sf_dir: str, first_stage: str = "signup",
                       second_stage: str = "purchase") -> pd.DataFrame:
     """Conversion-funnel analytics over the events log: how many
@@ -658,28 +690,7 @@ def funnel_conversion(sf_dir: str, first_stage: str = "signup",
     history is never assembled anywhere (no per-user group ever holds
     more than its per-batch rows — hot users stay safe)."""
     ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
-
-    def user_partials(t: pa.Table) -> pa.Table:
-        """One row per user per batch: min first-stage ts (null when
-        the user has no first-stage event in this batch)."""
-        uid = np.asarray(t["user_id"])
-        if len(uid) == 0:
-            return pa.table({"user_id": pa.array([], pa.int64()),
-                             "mts": pa.array([], pa.int64())})
-        eq = pc.fill_null(pc.equal(t["event_type"], first_stage), False)
-        mask = np.asarray(eq.combine_chunks()
-                          if isinstance(eq, pa.ChunkedArray) else eq)
-        ts = np.asarray(t["ts"]).astype("datetime64[us]").astype(np.int64)
-        order = np.lexsort((ts, ~mask, uid))  # per user: stage rows
-        u2, t2, m2 = uid[order], ts[order], mask[order]  # first, ts asc
-        firsts = np.ones(len(u2), dtype=bool)
-        firsts[1:] = u2[1:] != u2[:-1]
-        return pa.table({"user_id": u2[firsts],
-                         "mts": pa.array(t2[firsts], mask=~m2[firsts])})
-
-    su_all = (ds.map_batches(user_partials, batch_format="pyarrow")
-              .groupby("user_id").aggregate(Min("mts", alias_name="mts"))
-              .materialize())  # per-user table: four consumers below
+    su_all = _user_stage_mins(ds, first_stage)  # four consumers below
     n_users = int(su_all.count())
 
     def drop_null_mts(t: pa.Table) -> pa.Table:
@@ -716,3 +727,74 @@ def funnel_conversion(sf_dir: str, first_stage: str = "signup",
     return pd.DataFrame({"n_users": [np.int64(n_users)],
                          "n_signed_up": [np.int64(n_signed_up)],
                          "n_converted": [np.int64(n_converted)]})
+
+
+_US_PER_WEEK = 604_800_000_000
+
+
+def retention_cohorts(sf_dir: str, stage: str = "signup") -> pd.DataFrame:
+    """Cohort-retention analytics: group users by their signup week
+    (epoch-week of their first `stage` event) and count, for each
+    cohort and each weeks-since-signup offset, the distinct users with
+    ANY activity that week — the retention triangle every product/data
+    team reads next to the funnel. -> (cohort_week, weeks_since,
+    n_active_users) exact int64 rows, sorted, weeks_since >= 0.
+
+    Scale shape: the shared per-user first-stage MIN table (see
+    _user_stage_mins — user-cardinality, materialized, never on the
+    driver) joined by the distinct (user, activity-week) rows: per
+    batch each (user, week) pair collapses to one row (combined-key
+    np.unique), a combined-key groupby makes them globally distinct,
+    the hash join attaches the user's cohort, and because rows are now
+    distinct per (user, week) the cohort counts are plain SUMs of
+    per-batch partials — an O(cohorts x weeks) driver fold. Weeks are
+    integer epoch-week buckets (ts_us // 1 week), identical arithmetic
+    in the SQL twin's epoch_us // constant."""
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    su = _user_stage_mins(ds, stage).map_batches(
+        lambda t: t.filter(pc.is_valid(t["mts"])), batch_format="pyarrow")
+    n_signed = su.count()
+    spec = {"cohort_week": "int64", "weeks_since": "int64",
+            "n_active_users": "int64"}
+    if n_signed == 0:
+        return pd.DataFrame({c: pd.Series([], dtype=d)
+                             for c, d in spec.items()})
+
+    def act_partials(t: pa.Table) -> pa.Table:
+        uid = np.asarray(t["user_id"])
+        week = (np.asarray(t["ts"]).astype("datetime64[us]")
+                .astype(np.int64) // _US_PER_WEEK)
+        key = uid * np.int64(1 << 20) + week  # epoch-weeks < 2^20
+        uniq = np.unique(key)
+        return pa.table({"ukey": uniq})
+
+    act = (ds.map_batches(act_partials, batch_format="pyarrow")
+           .groupby("ukey").count()
+           .map_batches(lambda t: pa.table({
+               "user_id": np.asarray(t["ukey"]) // (1 << 20),
+               "aweek": np.asarray(t["ukey"]) % (1 << 20)}),
+               batch_format="pyarrow"))
+
+    num_parts = max(1, min(32, n_signed // 8192 + 1))
+    joined = act.join(su, join_type="inner", on=["user_id"],
+                      num_partitions=num_parts)
+
+    def cohort_partials(t: pa.Table) -> pa.Table:
+        cw = np.asarray(t["mts"]) // _US_PER_WEEK
+        aw = np.asarray(t["aweek"])
+        keep = aw >= cw
+        cw, aw = cw[keep], aw[keep]
+        # rows are globally distinct per (user, week): plain count
+        key = cw * np.int64(1 << 20) + (aw - cw)
+        uniq, cnt = np.unique(key, return_counts=True)
+        return pa.table({"cohort_week": uniq // (1 << 20),
+                         "weeks_since": uniq % (1 << 20),
+                         "n_active_users": cnt.astype(np.int64)})
+
+    out = ensure_columns(
+        stream_reduce_counts(
+            joined.map_batches(cohort_partials, batch_format="pyarrow"),
+            ["cohort_week", "weeks_since"], ["n_active_users"]),
+        spec)
+    return out.sort_values(["cohort_week", "weeks_since"],
+                           ignore_index=True)
