@@ -107,7 +107,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_balanced_sample": D.language_balanced_sample,
         # (5th r5-s3 op) within-doc duplicate-line removal — takes
         # threshold_flag_audit's slot (driver-green r1-r3, unmodified
-        # since r1; its sibling threshold_flag_two_sided stays in-cap)
+        # since r1; the threshold-flagger core stays driven in-cap by
+        # the flagship's golden compare — its sibling
+        # threshold_flag_two_sided later yielded too, in session 6)
         "dedup_lines_within_doc": _dedup_lines_within_doc,
         # ---- r5-session-4 NEW ops (in-cap: ADVICE r3 rule). They take
         # the slots of four r4-driver-green rows unmodified in r5 (see
@@ -122,8 +124,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # a brand-new op with zero driver rows outranks them for the
         # final driver run. See each displaced row's comment below.
         # per-language data-calibrated percentile-band flags — takes
-        # grouped_variance's slot (driver-green r2+r3; its
-        # exact-variance sibling grouped_counters stays in-cap)
+        # grouped_variance's slot (driver-green r2+r3; the variance /
+        # counters kernels stay value-checked in-cap by the
+        # pmis_counters anchor — grouped_counters itself yielded its
+        # slot in session 6)
         "calibrated_outlier_flags": _calibrated_outlier_flags,
         # eval-overlap FRACTION decontamination — takes decontaminate's
         # slot: the new op runs a strict SUPERSET of decontaminate's
@@ -215,8 +219,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tukey_fences + the PMIS-flow thresholds stay value-checked
         # in-cap)
         "neardup_keep_best": D.neardup_keep_best,
-        "grouped_counters": R.grouped_counters,
-        "threshold_flag_two_sided": R.threshold_flag_two_sided,
+        # r5-NEW (session 6): decorated-anchor outlink extraction ->
+        # host-level edge list — takes grouped_counters' slot
+        # (driver-green r1-r3, unmodified since r2; the fused counters
+        # core stays value-checked in-cap every round by the
+        # pmis_counters anchor's 8-dimension compare)
+        "extract_links": _extract_links,
+        # r5-NEW (session 6): integer fixed-point host PageRank over
+        # the extracted link graph — takes threshold_flag_two_sided's
+        # slot (driver-green r1-r3, unmodified since r1; the threshold
+        # flagger core is the flagship's entire rule stage, driven
+        # in-cap every round by qc_label_documents' golden compare)
+        "host_pagerank": _host_pagerank,
         # r5-NEW (this session): sliding-window duplicate-substring
         # fraction (Lee et al. 2021 signal) — takes exact_dedup's spare
         # slot (r4-driver-green, unmodified in r5; exact_dedup_rows
@@ -302,10 +316,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "union_all_summaries": R.union_all_summaries,
         "stratified_sample": R.stratified_sample,
         "threshold_flag_audit": R.threshold_flag_audit,
+        # yielded to extract_links (r5-s6): driver-green r1-r3, locally
+        # swept since, unmodified since r2; the fused counters core
+        # stays in-cap via the pmis_counters anchor
+        "grouped_counters": R.grouped_counters,
+        # yielded to host_pagerank (r5-s6): driver-green r1-r3,
+        # unmodified since r1; the threshold-flagger core is the
+        # flagship rule stage, driven in-cap by qc_label_documents
+        "threshold_flag_two_sided": R.threshold_flag_two_sided,
         "exact_dedup": D.exact_dedup,  # yielded its slot to dup_window_fraction
         # yielded to calibrated_outlier_flags (r5-s5): driver-green
-        # r2+r3, locally swept since, unmodified in r5; exact int-cents
-        # variance sibling grouped_counters stays in-cap
+        # r2+r3, locally swept since, unmodified in r5; the int-cents
+        # variance/counters kernels stay in-cap via pmis_counters
         "grouped_variance": R.grouped_variance,
         # yielded to contamination_fraction (r5-s5), which drives a
         # strict superset of this op's eval-set + membership core
@@ -501,6 +523,18 @@ def _extract_page_metadata(_sf_dir: str):
     return extract_page_metadata(_webtext_dir())
 
 
+def _extract_links(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import extract_links
+
+    return extract_links(_webtext_dir())
+
+
+def _host_pagerank(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import host_pagerank
+
+    return host_pagerank(_webtext_dir())
+
+
 def _pmis_merged(_sf_dir: str):
     """Tolerance-join of the FROZEN two-cycle fixture (the same parquet
     bytes the DuckDB oracle reads; scripts/freeze_pmis_fixture.py)."""
@@ -667,6 +701,11 @@ def oracle_sql() -> dict[str, str]:
         "calibrated_outlier_flags": O.calibrated_outlier_flags_sql(pages_glob),
         "canonical_url_dedup": O.canonical_url_dedup_sql(pages_glob),
         "extract_page_metadata": O.extract_page_metadata_sql(pages_glob),
+        # link-graph family (r5-s6): decorated-anchor edge extraction +
+        # the unrolled integer fixed-point PageRank twin (same HUGEINT
+        # fnv/splitmix constants, same floor arithmetic — oracles.py)
+        "extract_links": O.extract_links_sql(pages_glob),
+        "host_pagerank": O.host_pagerank_sql(pages_glob),
         # host-reputation gate + language-balanced sampling (r5 s3)
         "host_reputation_filter": O.host_reputation_filter_sql(),
         "language_balanced_sample": O.language_balanced_sample_sql(),

@@ -144,8 +144,15 @@ def test_correctness_cap_covers_priority_queries():
         # construction and pytest-pinned equal to the in-cap
         # ann_topk_bruteforce
         "embedding_neardup_pairs", "ann_topk_bruteforce",
-        "grouped_counters",
-        "threshold_flag_two_sided",
+        # grouped_counters and threshold_flag_two_sided yielded their
+        # slots to extract_links / host_pagerank in session 6: both are
+        # driver-green r1-r3 (three consecutive recorded rounds) and
+        # unmodified since r1/r2, and their kernels stay value-checked
+        # in-cap every round — the fused counters core by the
+        # pmis_counters anchor (8 dimensions), the threshold-flagger
+        # core by qc_label_documents' frozen-golden compare (the
+        # flagship's entire rule stage) — so a brand-new op with zero
+        # driver rows outranks them for the final driver run
         # tolerance_join, quantile_thresholds, and token_counts yielded
         # their slots to rule_bank_funnel / neardup_keep_best /
         # dedup_url_keep_latest in the final session: all are
@@ -156,7 +163,7 @@ def test_correctness_cap_covers_priority_queries():
         # rows outranks them for the final driver run (token_counts'
         # BPE sibling token_counts_bpe stays in-cap over the same read)
     }
-    assert len(r4_tail) == 8
+    assert len(r4_tail) == 6
     priority = r4_tail | {
         # r5-session-3 new ops (ADVICE r3 rule: new ops ride the cap)
         "pii_counts", "quality_classifier",
@@ -169,6 +176,8 @@ def test_correctness_cap_covers_priority_queries():
         "rule_bank_funnel", "neardup_keep_best", "dedup_url_keep_latest",
         "source_divergence_tv", "source_overlap_matrix",
         "interleave_sources", "funnel_conversion", "retention_cohorts",
+        # r5-session-6 new ops (same rule: new ops ride the cap)
+        "extract_links", "host_pagerank",
         # r5-session-5 new ops (same rule)
         "calibrated_outlier_flags", "contamination_fraction",
         "export_chunks_jsonl", "exact_budget_sample",

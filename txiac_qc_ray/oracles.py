@@ -1935,3 +1935,95 @@ def retention_cohorts_sql(stage: str = "signup") -> str:
     FROM sel WHERE aw >= cw
     GROUP BY 1, 2 ORDER BY 1, 2
     """
+
+
+def _link_edges_ctes(pages_glob: str) -> str:
+    """CTE block ending in `edges` (src_host, dst_host, n_links): the
+    decorated-outlink view + anchor extraction re-expressed in SQL —
+    the SAME fnv1a64 / splitmix64 HUGEINT arithmetic picks k = 1 + h %
+    LINK_OUT_MOD appended anchors per page (the j-th pointing at host
+    mix64(h + j + LINK_SALT) % LINK_HOST_SPACE), then the decorated
+    bytes are genuinely parsed: regexp_extract_all over the anchor
+    opener, relative hrefs resolved against the page's own host."""
+    from .pipelines import webtext as w
+
+    hs = (f"list_transform(generate_series(0, CAST(h % {w.LINK_OUT_MOD} "
+          f"AS BIGINT)), j -> (h + j) % {M64})")
+    anchor = (f"'<a href=\"https://host' || "
+              f"lpad(CAST(ml[i] % {w.LINK_HOST_SPACE} AS VARCHAR), 3, '0')"
+              f" || '.example/o/' || CAST(i-1 AS VARCHAR) || '\">r</a>'")
+    return f"""
+    base AS (
+      -- decode(), not CAST(html AS VARCHAR): the cast renders quotes
+      -- and newlines as \\x22 / \\x0A escapes, silently hiding every
+      -- <a href="..."> from the regex
+      SELECT url, decode(html) AS hs, {fnv_expr('url')} AS h
+      FROM read_parquet('{pages_glob}') WHERE html IS NOT NULL),
+    deco AS (
+      SELECT url, hs, {mixed_list(hs, w.LINK_SALT)} AS ml FROM base),
+    anch AS (
+      SELECT url, hs || array_to_string(
+        list_transform(generate_series(1, len(ml)), i -> {anchor}),
+        '') AS dec
+      FROM deco),
+    hrefs AS (
+      SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS src_host,
+             unnest(regexp_extract_all(dec, '{w.LINK_HREF_RE}', 1)) AS href
+      FROM anch),
+    resolved AS (
+      SELECT src_host,
+             CASE WHEN href LIKE '/%' THEN src_host
+                  ELSE regexp_extract(href, '{w.LINK_ABS_HOST_RE}', 1)
+             END AS dst_host
+      FROM hrefs),
+    edges AS (
+      SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+      FROM resolved
+      WHERE dst_host IS NOT NULL AND dst_host != ''
+      GROUP BY 1, 2)"""
+
+
+def extract_links_sql(pages_glob: str) -> str:
+    """Outlink-extraction twin: the decorated-anchor edge CTEs verbatim."""
+    return f"""
+    WITH {_link_edges_ctes(pages_glob)}
+    SELECT src_host, dst_host, n_links FROM edges
+    """
+
+
+def host_pagerank_sql(pages_glob: str, n_iter: int = 3) -> str:
+    """Host-PageRank twin: the SAME integer fixed-point damped power
+    iteration, unrolled as one CTE pair per iteration over the edge
+    CTEs — per-edge floor((rank * w) / outw) contributions summed per
+    destination, then rank <- BASE + (85 * inflow) // 100. All HUGEINT
+    floor arithmetic, so every intermediate matches the engine's int64
+    numpy bit for bit (values stay far below 2^63 by SCALE choice);
+    dangling-host mass is dropped on both sides."""
+    from .pipelines import webtext as w
+
+    iters = []
+    for k in range(1, n_iter + 1):
+        iters.append(f"""
+    c{k} AS (
+      SELECT e.dst_host AS host,
+             sum((r.rank * e.n_links::HUGEINT) // o.outw) AS s
+      FROM ce e JOIN r{k - 1} r ON r.host = e.src_host
+                JOIN ow o ON o.host = e.src_host
+      GROUP BY 1),
+    r{k} AS (
+      SELECT n.host,
+             ({w.PAGERANK_BASE}::HUGEINT
+              + ({w.PAGERANK_DAMP_NUM} * coalesce(c.s, 0))
+                // {w.PAGERANK_DAMP_DEN}) AS rank
+      FROM nodes n LEFT JOIN c{k} c USING (host))""")
+    return f"""
+    WITH {_link_edges_ctes(pages_glob)},
+    ce AS (SELECT * FROM edges WHERE src_host <> dst_host),
+    nodes AS (SELECT src_host AS host FROM ce
+              UNION SELECT dst_host FROM ce),
+    ow AS (SELECT src_host AS host, sum(n_links)::HUGEINT AS outw
+           FROM ce GROUP BY 1),
+    r0 AS (SELECT host, {w.PAGERANK_SCALE}::HUGEINT AS rank FROM nodes),
+    {','.join(iters)}
+    SELECT host, CAST(rank AS BIGINT) AS rank FROM r{n_iter}
+    """

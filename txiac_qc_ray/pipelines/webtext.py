@@ -41,10 +41,13 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+import ray
 import ray.data
 
 from ..functions.textstats import _SYMBOL_CLASS
+from ..functions.urls import fnv1a64, host_of_urls
 from ..stages.scrub import SCRUB_PATTERNS, scrub_texts
+from .docs import _mix64
 
 # ---- shared RE2 patterns (the SQL twins embed the SAME strings) --------
 WORD_RE = r"\S+"
@@ -1510,3 +1513,265 @@ def extract_page_metadata(paths: str | list[str]) -> ray.data.Dataset:
                          "html_bytes": nbytes})
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+# ---- link graph: outlink extraction + host-level PageRank ---------------
+# Deterministic decorated-outlink view (the canonical_url_dedup
+# union-view pattern: on a real crawl the anchors are the pages' own;
+# the fixture's nav anchors are all same-host, so cross-host anchors
+# are APPENDED as a pure function of fnv1a64(url) — k = 1 + h %
+# LINK_OUT_MOD anchors, the j-th pointing at host
+# mix64(h + j + LINK_SALT) % LINK_HOST_SPACE). Both engines construct
+# the SAME decorated bytes and then genuinely parse them, so the
+# extraction path (split on the anchor opener, capture to the closing
+# quote, resolve relative hrefs against the source host) is what the
+# value check exercises.
+LINK_OUT_MOD = 3
+LINK_HOST_SPACE = 100            # fixture host space: host000..host099
+LINK_SALT = 2870177450012600261  # frozen odd 64-bit constant
+LINK_HREF_OPEN = '<a href="'     # literal split pattern (both engines)
+LINK_HREF_RE = r'<a href="([^"]*)"'   # the DuckDB twin's capture form
+LINK_ABS_HOST_RE = r"^https?://([^/?#]+)"
+
+# anchor-tag lookup tables: _LINK_TAGS[j][d] is the j-th decorated
+# anchor pointing at host d — built once at import (300 short strings)
+_LINK_TAGS = [
+    np.array([f'<a href="https://host{d:03d}.example/o/{j}">r</a>'
+              for d in range(LINK_HOST_SPACE)], dtype=object)
+    for j in range(LINK_OUT_MOD)
+]
+
+PAGERANK_SCALE = 10**9           # integer fixed-point rank units
+PAGERANK_DAMP_NUM, PAGERANK_DAMP_DEN = 85, 100
+PAGERANK_BASE = ((PAGERANK_DAMP_DEN - PAGERANK_DAMP_NUM)
+                 * PAGERANK_SCALE) // PAGERANK_DAMP_DEN
+
+
+def extract_links(paths: str | list[str],
+                  n_shards: int | None = None) -> ray.data.Dataset:
+    """Outlink EXTRACTION over the decorated-anchor view — the edge-list
+    builder for host-graph quality signals (link-based host ranking is
+    a published URL-level quality input for crawl filtering, e.g.
+    Common Crawl's host-level centrality ranks). Parses every
+    `<a href="...">` from the html bytes, resolves relative hrefs
+    against the page's own host, and aggregates to host-level edges.
+    -> streaming Dataset (src_host, dst_host, n_links), one row per
+    ordered host pair (self-edges from the nav anchors included — the
+    centrality consumer filters them).
+
+    Scale shape: one stateless vectorized pass (literal split ->
+    list-offset flatten -> RE2 capture -> dictionary-encoded per-batch
+    pair counts; the html column never leaves the read task), then ONE
+    bounded shuffle of pre-aggregated (src, dst, partial-count) rows
+    keyed on a pair-hash shard — partials are host-pair-sized, never
+    corpus-sized; no driver state.
+
+    Reference analog: the reference derives join keys from compound
+    natural columns at load (Home.py:98-106); here the natural key
+    (the link graph) is parsed out of the raw payload at ingest."""
+    ds = ray.data.read_parquet(paths, columns=["url", "html"])
+    if n_shards is None:
+        from .qc import _pages_shard_count
+
+        n_shards = _pages_shard_count(paths, floor=8)
+
+    def edge_partials(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("html")))
+        if len(t) == 0:
+            return pa.table({"src_host": pa.array([], pa.string()),
+                             "dst_host": pa.array([], pa.string()),
+                             "w": pa.array([], pa.int64()),
+                             "shard": pa.array([], pa.int64())})
+        urls = _as_array(t.column("url"))
+        html = pc.cast(_as_array(t.column("html")), pa.string())
+        h = fnv1a64(urls)
+        k = 1 + (h % np.uint64(LINK_OUT_MOD)).astype(np.int64)
+        dec = html
+        for j in range(LINK_OUT_MOD):
+            dst_j = (_mix64(h + np.uint64(LINK_SALT + j))
+                     % np.uint64(LINK_HOST_SPACE)).astype(np.int64)
+            tag = np.where(j < k, _LINK_TAGS[j][dst_j], "")
+            dec = pc.binary_join_element_wise(
+                dec, pa.array(tag, pa.string()), "")
+        pieces = pc.list_slice(pc.split_pattern(dec, LINK_HREF_OPEN), 1)
+        parents = np.asarray(pc.list_parent_indices(pieces))
+        flat = pc.list_flatten(pieces)
+        href = pc.struct_field(
+            pc.extract_regex(flat, r'^(?P<h>[^"]*)"'), "h")
+        src_host = host_of_urls(urls)
+        src_flat = pc.take(src_host, pa.array(parents, pa.int64()))
+        abs_host = pc.struct_field(
+            pc.extract_regex(href, LINK_ABS_HOST_RE.replace(
+                "([^/?#]+)", "(?P<host>[^/?#]+)")), "host")
+        dst_host = pc.if_else(pc.starts_with(href, "/"), src_flat, abs_host)
+        # \x1f pair separator (NUL would trip pandas' string hashing —
+        # see the null-group sentinel note); drop unresolvable hrefs
+        key = pc.binary_join_element_wise(src_flat, dst_host, "\x1f")
+        key = pc.drop_null(key)
+        d = pc.dictionary_encode(key)
+        codes = np.asarray(d.indices)
+        vocab = d.dictionary
+        cnt = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+        parts = pc.split_pattern(vocab, "\x1f")
+        return pa.table({
+            "src_host": pc.list_element(parts, 0),
+            "dst_host": pc.list_element(parts, 1),
+            "w": pa.array(cnt),
+            "shard": pa.array((fnv1a64(vocab) % np.uint64(n_shards))
+                              .astype(np.int64)),
+        })
+
+    def finish(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        s = (g.groupby(["src_host", "dst_host"], sort=False)["w"].sum()
+             .reset_index())
+        return pd.DataFrame({"src_host": s["src_host"],
+                             "dst_host": s["dst_host"],
+                             "n_links": s["w"].astype("int64")})
+
+    return (ds.map_batches(edge_partials, batch_format="pyarrow")
+            .groupby("shard").map_groups(finish, batch_format="pandas"))
+
+
+@ray.remote(num_cpus=1)
+def _pagerank_single_task(src: np.ndarray, dst: np.ndarray,
+                          w: np.ndarray, n_iter: int) -> pa.Table:
+    """Integer fixed-point damped PageRank for a ONE-PARTITION-sized
+    edge list inside a single Ray task (the _cc_labels_single_task fast
+    path shape): nodes = hosts present in the edge list, r_0 = SCALE,
+    each iteration r <- BASE + (85 * sum_in floor(r_src * w / outw_src))
+    // 100. Every step is an integer floor, so the result is exactly
+    reproducible in any engine (the DuckDB twin unrolls the same
+    iterations); dangling-node mass is dropped (documented — the twin
+    does the same). Identical to the distributed rounds (pytest-pinned)."""
+    hosts = np.unique(np.concatenate([src, dst]))
+    si = np.searchsorted(hosts, src)
+    di = np.searchsorted(hosts, dst)
+    outw = np.zeros(len(hosts), dtype=np.int64)
+    np.add.at(outw, si, w)
+    r = np.full(len(hosts), PAGERANK_SCALE, dtype=np.int64)
+    for _ in range(n_iter):
+        contrib = (r[si] * w) // outw[si]
+        acc = np.zeros(len(hosts), dtype=np.int64)
+        np.add.at(acc, di, contrib)
+        r = PAGERANK_BASE + (PAGERANK_DAMP_NUM * acc) // PAGERANK_DAMP_DEN
+    return pa.table({"host": pa.array(hosts, pa.string()),
+                     "rank": pa.array(r, pa.int64())})
+
+
+def host_pagerank(paths: str | list[str], n_iter: int = 3,
+                  single_task_max_rows: int = 2_000_000
+                  ) -> ray.data.Dataset:
+    """Host-level PageRank over the extracted link graph — the
+    centrality score URL-level quality filters consume (a host linked
+    by many well-linked hosts is likelier to carry quality text; the
+    host-rank percentile becomes a keep/weight signal next to the
+    rule banks). Self-edges (intra-host nav links) are excluded, the
+    standard host-graph convention. -> Dataset (host, rank) where rank
+    is the integer fixed-point score after `n_iter` damped iterations
+    (r_0 = PAGERANK_SCALE; r <- BASE + 85% of floor-divided in-flow;
+    all-integer arithmetic, so both engines agree bit for bit).
+
+    Scale shape: the edge list is host-pair-sized (already aggregated
+    by extract_links). Small graphs collapse into ONE Ray task
+    (vectorized searchsorted/add.at iterations — the
+    _cc_labels_single_task precedent; each distributed round costs 3+
+    cluster barriers, which dominates wall time until the rank table
+    outgrows a worker). Beyond `single_task_max_rows` edges the
+    iterations run distributed, the _cc_min_label_ds shape: per round
+    one hash join (ranks to edges on src_host, partitions sized from
+    the data) + one bounded groupby-sum over (dst, contrib) partials —
+    payload O(edges + hosts) int rows per round, never corpus-sized,
+    no driver state. Dangling hosts lose their mass (documented; the
+    SQL twin drops it identically).
+
+    Reference analog: the reference's calibrate-threshold-from-data
+    move (Home.py:337-365) — a data-derived per-entity score consumed
+    downstream as a filter input."""
+    from ray.data.aggregate import Sum as RaySum
+
+    edges = extract_links(paths)
+
+    def drop_self(t: pa.Table) -> pa.Table:
+        return t.filter(pc.invert(pc.equal(t.column("src_host"),
+                                           t.column("dst_host"))))
+
+    edges = edges.map_batches(drop_self, batch_format="pyarrow").materialize()
+    n_edges = edges.count()
+    if n_edges == 0:
+        return ray.data.from_arrow(pa.table({
+            "host": pa.array([], pa.string()),
+            "rank": pa.array([], pa.int64())}))
+    if n_edges <= single_task_max_rows:
+        pdf = edges.to_pandas()
+        ref = _pagerank_single_task.remote(
+            pdf["src_host"].to_numpy(dtype=object),
+            pdf["dst_host"].to_numpy(dtype=object),
+            pdf["n_links"].to_numpy(dtype=np.int64), n_iter)
+        return ray.data.from_arrow_refs([ref])
+
+    from .docs import _cc_num_partitions
+
+    def rename(frm: str, to: str):
+        def _r(t: pa.Table) -> pa.Table:
+            return t.rename_columns(
+                [to if c == frm else c for c in t.column_names])
+        return _r
+
+    srcs = (edges.select_columns(["src_host"])
+            .map_batches(rename("src_host", "host"), batch_format="pyarrow"))
+    dsts = (edges.select_columns(["dst_host"])
+            .map_batches(rename("dst_host", "host"), batch_format="pyarrow"))
+    from ray.data.aggregate import Count
+
+    nodes = (srcs.union(dsts).groupby("host")
+             .aggregate(Count(alias_name="c")).select_columns(["host"])
+             .materialize())
+    n_nodes = nodes.count()
+    n_parts = _cc_num_partitions(n_edges, n_nodes)
+    outw = (edges.groupby("src_host")
+            .aggregate(RaySum("n_links", alias_name="outw")))
+    edges2 = edges.join(outw, join_type="inner", on=["src_host"],
+                        num_partitions=n_parts).materialize()
+
+    def init_rank(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_host": t.column("host"),
+            "rank": pa.array(np.full(len(t), PAGERANK_SCALE, np.int64))})
+
+    ranks = nodes.map_batches(init_rank, batch_format="pyarrow").materialize()
+
+    def contrib(t: pa.Table) -> pa.Table:
+        r = np.asarray(t.column("rank"), dtype=np.int64)
+        w = np.asarray(t.column("n_links"), dtype=np.int64)
+        o = np.asarray(t.column("outw"), dtype=np.int64)
+        return pa.table({"host": t.column("dst_host"),
+                         "c": pa.array((r * w) // o)})
+
+    def zero_c(t: pa.Table) -> pa.Table:
+        return pa.table({"host": t.column("host"),
+                         "c": pa.array(np.zeros(len(t), np.int64))})
+
+    def damp(t: pa.Table) -> pa.Table:
+        s = np.asarray(t.column("s"), dtype=np.int64)
+        return pa.table({
+            "src_host": t.column("host"),
+            "rank": pa.array(PAGERANK_BASE
+                             + (PAGERANK_DAMP_NUM * s)
+                             // PAGERANK_DAMP_DEN)})
+
+    for _ in range(n_iter):
+        prop = (edges2.join(ranks, join_type="inner", on=["src_host"],
+                            num_partitions=n_parts)
+                .map_batches(contrib, batch_format="pyarrow"))
+        base0 = nodes.map_batches(zero_c, batch_format="pyarrow")
+        # barrier between join output and groupby (Ray 2.49 — see the
+        # _cc_min_label_ds note); materialize: ranks feed the next
+        # round's join and Datasets are lazy plans
+        cand = base0.union(prop).repartition(n_parts)
+        ranks = (cand.groupby("host").aggregate(RaySum("c", alias_name="s"))
+                 .map_batches(damp, batch_format="pyarrow").materialize())
+
+    return ranks.map_batches(rename("src_host", "host"),
+                             batch_format="pyarrow")
