@@ -175,7 +175,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # LangIdModel + tokenizer it shares stay driven in-cap by
         # ccnet_ppl_buckets)
         "ngram_fluency": D.ngram_fluency,
-        "vocab_topk": D.vocab_topk,
+        # r5-NEW (session 6): PageRank-percentile page gate — takes
+        # vocab_topk's slot (driver-green r1-r3, unmodified in r5; its
+        # CMS scale twin is pytest-pinned equal, and the [a-z]+
+        # tokenize + int-count-partial kernels stay driven in-cap by
+        # ccnet_ppl_buckets over the same read)
+        "host_rank_filter": _host_rank_filter,
         # r5-NEW (final session): weighted-fair-queueing training-order
         # interleave — takes neardup_clusters's slot (driver-green
         # r2+r3, unmodified in r5; its distributed sibling
@@ -320,6 +325,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # swept since, unmodified since r2; the fused counters core
         # stays in-cap via the pmis_counters anchor
         "grouped_counters": R.grouped_counters,
+        # yielded to host_rank_filter (r5-s6): driver-green r1-r3,
+        # unmodified in r5; CMS twin pytest-pinned equal, tokenize +
+        # count kernels stay in-cap via ccnet_ppl_buckets
+        "vocab_topk": D.vocab_topk,
         # yielded to host_pagerank (r5-s6): driver-green r1-r3,
         # unmodified since r1; the threshold-flagger core is the
         # flagship rule stage, driven in-cap by qc_label_documents
@@ -535,6 +544,12 @@ def _host_pagerank(_sf_dir: str):
     return host_pagerank(_webtext_dir())
 
 
+def _host_rank_filter(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import host_rank_filter
+
+    return host_rank_filter(_webtext_dir())
+
+
 def _pmis_merged(_sf_dir: str):
     """Tolerance-join of the FROZEN two-cycle fixture (the same parquet
     bytes the DuckDB oracle reads; scripts/freeze_pmis_fixture.py)."""
@@ -706,6 +721,7 @@ def oracle_sql() -> dict[str, str]:
         # fnv/splitmix constants, same floor arithmetic — oracles.py)
         "extract_links": O.extract_links_sql(pages_glob),
         "host_pagerank": O.host_pagerank_sql(pages_glob),
+        "host_rank_filter": O.host_rank_filter_sql(pages_glob),
         # host-reputation gate + language-balanced sampling (r5 s3)
         "host_reputation_filter": O.host_reputation_filter_sql(),
         "language_balanced_sample": O.language_balanced_sample_sql(),

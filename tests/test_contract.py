@@ -136,7 +136,10 @@ def test_correctness_cap_covers_priority_queries():
         # (r5-final): driver-green r2+r3, unmodified in r5; the exact
         # ANN siblings stay in-cap and the LSH recall is pytest-pinned
         # against brute force
-        "vocab_topk",
+        # vocab_topk yielded its slot to host_rank_filter in session 6:
+        # driver-green r1-r3, unmodified in r5, its CMS scale twin
+        # pytest-pinned equal to the exact path, and the tokenize +
+        # int-count kernels stay driven in-cap by ccnet_ppl_buckets
         "neardup_clusters_distributed",
         "simhash_neardup_pairs",
         # ann_topk_ivf yielded its slot to retention_cohorts
@@ -163,7 +166,7 @@ def test_correctness_cap_covers_priority_queries():
         # rows outranks them for the final driver run (token_counts'
         # BPE sibling token_counts_bpe stays in-cap over the same read)
     }
-    assert len(r4_tail) == 6
+    assert len(r4_tail) == 5
     priority = r4_tail | {
         # r5-session-3 new ops (ADVICE r3 rule: new ops ride the cap)
         "pii_counts", "quality_classifier",
@@ -177,7 +180,7 @@ def test_correctness_cap_covers_priority_queries():
         "source_divergence_tv", "source_overlap_matrix",
         "interleave_sources", "funnel_conversion", "retention_cohorts",
         # r5-session-6 new ops (same rule: new ops ride the cap)
-        "extract_links", "host_pagerank",
+        "extract_links", "host_pagerank", "host_rank_filter",
         # r5-session-5 new ops (same rule)
         "calibrated_outlier_flags", "contamination_fraction",
         "export_chunks_jsonl", "exact_budget_sample",

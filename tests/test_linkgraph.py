@@ -39,8 +39,6 @@ def _mix(x: int) -> int:
 
 
 def _reference_edges(pages_dir: str) -> Counter:
-    t = pq.read_table(pages_dir + "/part-00000.parquet",
-                      columns=["url", "html"])
     import glob as g
     tabs = [pq.read_table(f, columns=["url", "html"])
             for f in sorted(g.glob(pages_dir + "/part-*.parquet"))]
@@ -127,3 +125,22 @@ def test_host_pagerank_fast_path_equals_distributed_rounds(ray_session):
             .sort_values("host", ignore_index=True))
     dist["rank"] = dist["rank"].astype("int64")
     assert fast.equals(dist)
+
+
+def test_host_rank_filter_matches_python_reference(ray_session):
+    from txiac_qc_ray.pipelines.webtext import host_rank_filter
+
+    d = default_pages_dir(2000)
+    got = host_rank_filter(d, pct=25).to_pandas()
+    ranks = _reference_pagerank(_reference_edges(d))
+    rk_sorted = sorted(ranks.values())
+    thr = rk_sorted[(25 * len(rk_sorted) + 99) // 100 - 1]
+    assert len(got) == 2000            # every page labeled, kept or not
+    for host, rank, keep in zip(got["host"], got["rank"], got["keep"]):
+        if host in ranks:
+            assert rank == ranks[host]
+            assert keep == (rank >= thr)
+        else:
+            assert rank == 0 and not keep
+    # the gate must actually discriminate on the fixture
+    assert 0.0 < got["keep"].mean() < 1.0

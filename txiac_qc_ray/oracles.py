@@ -2027,3 +2027,31 @@ def host_pagerank_sql(pages_glob: str, n_iter: int = 3) -> str:
     {','.join(iters)}
     SELECT host, CAST(rank AS BIGINT) AS rank FROM r{n_iter}
     """
+
+
+def host_rank_filter_sql(pages_glob: str, pct: int = 25,
+                         n_iter: int = 3) -> str:
+    """Rank-gate twin: the host_pagerank CTEs + the ceil(pct*n/100)-th
+    smallest-rank order statistic (integer arithmetic, row_number — no
+    interpolation) + a LEFT JOIN of every page's host against the rank
+    table, coalesced to rank 0 / keep false for unranked hosts."""
+    pr = host_pagerank_sql(pages_glob, n_iter=n_iter)
+    # reuse the full pagerank statement as a subquery (it is already a
+    # single WITH ... SELECT): DuckDB allows WITH r AS (<stmt>) nesting
+    return f"""
+    WITH ranks AS ({pr}),
+    thr AS (
+      SELECT rank AS t FROM
+        (SELECT rank, row_number() OVER (ORDER BY rank) AS rn,
+                count(*) OVER () AS n
+         FROM ranks)
+      WHERE rn = greatest(({pct} * n + 99) // 100, 1)),
+    pages AS (
+      SELECT url, regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host
+      FROM read_parquet('{pages_glob}'))
+    SELECT p.url, p.host,
+           coalesce(r.rank, 0::BIGINT) AS rank,
+           (r.rank IS NOT NULL
+            AND r.rank >= (SELECT t FROM thr)) AS keep
+    FROM pages p LEFT JOIN ranks r ON r.host = p.host
+    """

@@ -1775,3 +1775,61 @@ def host_pagerank(paths: str | list[str], n_iter: int = 3,
 
     return ranks.map_batches(rename("src_host", "host"),
                              batch_format="pyarrow")
+
+
+def host_rank_filter(paths: str | list[str], pct: int = 25,
+                     n_iter: int = 3) -> ray.data.Dataset:
+    """Link-centrality GATE — the step that turns host_pagerank into a
+    page-level keep decision (the published Common-Crawl-style use:
+    drop pages from the least-linked hosts wholesale, before per-doc
+    rules run). Keep a page iff its host's rank clears the pct-th
+    percentile ORDER STATISTIC of all host ranks (ceil(pct*n/100)-th
+    smallest, 1-indexed — the house ccnet recipe: no quantile
+    interpolation, tie runs stay atomic across engines). Hosts absent
+    from the rank table (every page null-html, so no outlinks) get
+    rank 0 / keep false on both sides — never a nullable int column
+    (the pandas Int64 driver-compare trap).
+    -> streaming Dataset (url, host, rank, keep) over every page.
+
+    Scale shape: the rank table is HOST-cardinality (the
+    host_reputation_filter precedent: O(hosts) on the driver is the
+    size of the result a consumer holds anyway), broadcast once via
+    ray.put; the corpus itself streams through one stateless
+    searchsorted labeling pass — no shuffle beyond the edge build
+    inside host_pagerank.
+
+    Reference analog: calibrate-threshold-from-data + flag
+    (Home.py:337-365, 176-183) lifted to the host granularity."""
+    ranks_pd = host_pagerank(paths, n_iter=n_iter).to_pandas()
+    hosts = np.asarray(ranks_pd["host"], dtype=object)
+    rk = ranks_pd["rank"].to_numpy(dtype=np.int64)
+    order = np.argsort(hosts)
+    hosts, rk = hosts[order], rk[order]
+    if len(rk):
+        k = (pct * len(rk) + 99) // 100  # ceil, integer arithmetic
+        thr = int(np.sort(rk)[max(k - 1, 0)])
+    else:
+        thr = 0
+    ref = ray.put((hosts, rk))
+
+    def label(t: pa.Table) -> pa.Table:
+        hs, rv = ray.get(ref)
+        urls = _as_array(t.column("url"))
+        host = host_of_urls(urls)
+        ho = np.asarray(pc.fill_null(host, ""), dtype=object)
+        if len(hs):
+            idx = np.clip(np.searchsorted(hs, ho), 0, len(hs) - 1)
+            found = hs[idx] == ho
+            rank = np.where(found, rv[idx], np.int64(0))
+        else:
+            found = np.zeros(len(t), dtype=bool)
+            rank = np.zeros(len(t), dtype=np.int64)
+        return pa.table({
+            "url": urls,
+            "host": host,
+            "rank": pa.array(rank, pa.int64()),
+            "keep": pa.array(found & (rank >= thr)),
+        })
+
+    ds = ray.data.read_parquet(paths, columns=["url"])
+    return ds.map_batches(label, batch_format="pyarrow")
