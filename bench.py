@@ -222,6 +222,10 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("extract_page_metadata",
          lambda _sf: WT.extract_page_metadata(corpus)),
         ("top_dup_windows", D.top_dup_windows),
+        # r5 session 6: link-graph family (pages corpus)
+        ("extract_links", lambda _sf: WT.extract_links(corpus)),
+        ("host_pagerank", lambda _sf: WT.host_pagerank(corpus)),
+        ("host_rank_filter", lambda _sf: WT.host_rank_filter(corpus)),
         # r5 final session: cross-source audits (documents)
         ("source_divergence_tv", D.source_divergence_tv),
         ("source_overlap_matrix", D.source_overlap_matrix),

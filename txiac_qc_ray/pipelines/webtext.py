@@ -1586,13 +1586,16 @@ def extract_links(paths: str | list[str],
         html = pc.cast(_as_array(t.column("html")), pa.string())
         h = fnv1a64(urls)
         k = 1 + (h % np.uint64(LINK_OUT_MOD)).astype(np.int64)
-        dec = html
+        # one variadic join (single output pass) instead of chained
+        # two-arg joins — the html column is the big payload and each
+        # chained join re-copies it
+        tags = []
         for j in range(LINK_OUT_MOD):
             dst_j = (_mix64(h + np.uint64(LINK_SALT + j))
                      % np.uint64(LINK_HOST_SPACE)).astype(np.int64)
-            tag = np.where(j < k, _LINK_TAGS[j][dst_j], "")
-            dec = pc.binary_join_element_wise(
-                dec, pa.array(tag, pa.string()), "")
+            tags.append(pa.array(np.where(j < k, _LINK_TAGS[j][dst_j], ""),
+                                 pa.string()))
+        dec = pc.binary_join_element_wise(html, *tags, "")
         pieces = pc.list_slice(pc.split_pattern(dec, LINK_HREF_OPEN), 1)
         parents = np.asarray(pc.list_parent_indices(pieces))
         flat = pc.list_flatten(pieces)
