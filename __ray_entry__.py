@@ -187,7 +187,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # neardup_clusters_distributed stays in-cap and is pytest-pinned
         # label-equal to the driver union-find on the fixtures)
         "interleave_sources": D.interleave_sources,
-        "neardup_clusters_distributed": D.neardup_clusters_distributed,  # r5-modified
+        # r5-NEW (session 6): mutual-strong-link host clusters — takes
+        # neardup_clusters_distributed's slot (driver-green r2-r4,
+        # locally swept since; host_components drives the SAME shared
+        # CC core — docs._cc_min_label_ds, the r5-modified path —
+        # in-cap, and neardup_clusters_distributed stays pytest-pinned
+        # label-equal to the driver union-find on the fixtures)
+        "host_components": _host_components,
         # URL canonicalization + first-capture dedup — takes
         # simhash_docs's slot (driver-green r2+r3, unmodified in r5;
         # its consumer simhash_neardup_pairs stays in-cap and drives
@@ -329,6 +335,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified in r5; CMS twin pytest-pinned equal, tokenize +
         # count kernels stay in-cap via ccnet_ppl_buckets
         "vocab_topk": D.vocab_topk,
+        # yielded to host_components (r5-s6): driver-green r2-r4; the
+        # shared CC core (_cc_min_label_ds, the r5-modified path) is
+        # driven in-cap by host_components, and this op stays
+        # pytest-pinned label-equal to the driver union-find
+        "neardup_clusters_distributed": D.neardup_clusters_distributed,
         # yielded to host_pagerank (r5-s6): driver-green r1-r3,
         # unmodified since r1; the threshold-flagger core is the
         # flagship rule stage, driven in-cap by qc_label_documents
@@ -550,6 +561,12 @@ def _host_rank_filter(_sf_dir: str):
     return host_rank_filter(_webtext_dir())
 
 
+def _host_components(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import host_components
+
+    return host_components(_webtext_dir())
+
+
 def _pmis_merged(_sf_dir: str):
     """Tolerance-join of the FROZEN two-cycle fixture (the same parquet
     bytes the DuckDB oracle reads; scripts/freeze_pmis_fixture.py)."""
@@ -722,6 +739,7 @@ def oracle_sql() -> dict[str, str]:
         "extract_links": O.extract_links_sql(pages_glob),
         "host_pagerank": O.host_pagerank_sql(pages_glob),
         "host_rank_filter": O.host_rank_filter_sql(pages_glob),
+        "host_components": O.host_components_sql(pages_glob),
         # host-reputation gate + language-balanced sampling (r5 s3)
         "host_reputation_filter": O.host_reputation_filter_sql(),
         "language_balanced_sample": O.language_balanced_sample_sql(),

@@ -226,6 +226,7 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("extract_links", lambda _sf: WT.extract_links(corpus)),
         ("host_pagerank", lambda _sf: WT.host_pagerank(corpus)),
         ("host_rank_filter", lambda _sf: WT.host_rank_filter(corpus)),
+        ("host_components", lambda _sf: WT.host_components(corpus)),
         # r5 final session: cross-source audits (documents)
         ("source_divergence_tv", D.source_divergence_tv),
         ("source_overlap_matrix", D.source_overlap_matrix),

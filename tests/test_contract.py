@@ -140,7 +140,11 @@ def test_correctness_cap_covers_priority_queries():
         # driver-green r1-r3, unmodified in r5, its CMS scale twin
         # pytest-pinned equal to the exact path, and the tokenize +
         # int-count kernels stay driven in-cap by ccnet_ppl_buckets
-        "neardup_clusters_distributed",
+        # neardup_clusters_distributed yielded its slot to
+        # host_components in session 6: driver-green r2-r4, and the
+        # shared CC core (_cc_min_label_ds, the r5-modified path) is
+        # driven in-cap by host_components itself; the op stays
+        # pytest-pinned label-equal to the driver union-find
         "simhash_neardup_pairs",
         # ann_topk_ivf yielded its slot to retention_cohorts
         # (r5-final): driver-green r2+r3, unmodified in r5; exact by
@@ -166,7 +170,7 @@ def test_correctness_cap_covers_priority_queries():
         # rows outranks them for the final driver run (token_counts'
         # BPE sibling token_counts_bpe stays in-cap over the same read)
     }
-    assert len(r4_tail) == 5
+    assert len(r4_tail) == 4
     priority = r4_tail | {
         # r5-session-3 new ops (ADVICE r3 rule: new ops ride the cap)
         "pii_counts", "quality_classifier",
@@ -181,6 +185,7 @@ def test_correctness_cap_covers_priority_queries():
         "interleave_sources", "funnel_conversion", "retention_cohorts",
         # r5-session-6 new ops (same rule: new ops ride the cap)
         "extract_links", "host_pagerank", "host_rank_filter",
+        "host_components",
         # r5-session-5 new ops (same rule)
         "calibrated_outlier_flags", "contamination_fraction",
         "export_chunks_jsonl", "exact_budget_sample",

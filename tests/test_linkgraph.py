@@ -144,3 +144,39 @@ def test_host_rank_filter_matches_python_reference(ray_session):
             assert rank == 0 and not keep
     # the gate must actually discriminate on the fixture
     assert 0.0 < got["keep"].mean() < 1.0
+
+
+def test_host_components_matches_python_reference(ray_session):
+    from txiac_qc_ray.pipelines.webtext import host_components
+
+    d = default_pages_dir(2000)
+    got = host_components(d, min_links=2).to_pandas()
+    # python reference: reciprocal strong pairs + union-find
+    edges = _reference_edges(d)
+    strong = {(s, dd) for (s, dd), w in edges.items() if s != dd and w >= 2}
+    rec = {(s, dd) for (s, dd) in strong if (dd, s) in strong and s < dd}
+    parent: dict = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, dd in rec:
+        ra, rb = find(s), find(dd)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {h: find(h) for h in parent}
+    # normalize to component-min label
+    mins: dict = {}
+    for h, c in comp.items():
+        mins.setdefault(find(c), []).append(h)
+    label = {h: min(mins[find(h)]) for h in comp}
+    assert len(got) == len(label)
+    for h, c in zip(got["host"], got["component"]):
+        assert label[h] == c, (h, c, label[h])
+    # the reciprocity restriction must actually discriminate: several
+    # components, not one hub-connected blob over every host
+    assert got["component"].nunique() >= 2
+    assert len(got) < 100

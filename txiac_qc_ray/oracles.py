@@ -2055,3 +2055,28 @@ def host_rank_filter_sql(pages_glob: str, pct: int = 25,
             AND r.rank >= (SELECT t FROM thr)) AS keep
     FROM pages p LEFT JOIN ranks r ON r.host = p.host
     """
+
+
+def host_components_sql(pages_glob: str, min_links: int = 2) -> str:
+    """Mutual-strong-link host-components twin: the link-edge CTEs, a
+    reciprocity self-join (both directions >= min_links on their own),
+    then the recursive min-label walk the near-dup cluster twins use,
+    with the component id as the lexicographically smallest host (min
+    over VARCHAR — the engine's sorted-unique int mapping preserves
+    exactly this order)."""
+    return f"""
+    WITH RECURSIVE {_link_edges_ctes(pages_glob)},
+    ce AS (SELECT src_host, dst_host, n_links FROM edges
+           WHERE src_host <> dst_host AND n_links >= {min_links}),
+    rec AS (SELECT a.src_host AS s, a.dst_host AS d
+            FROM ce a JOIN ce b ON a.src_host = b.dst_host
+                              AND a.dst_host = b.src_host
+            WHERE a.src_host < a.dst_host),
+    ue AS (SELECT s AS src, d AS dst FROM rec
+           UNION ALL SELECT d, s FROM rec),
+    walk(node, label) AS (
+      SELECT DISTINCT src, src FROM ue
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN ue e ON e.src = w.node)
+    SELECT node AS host, min(label) AS component FROM walk GROUP BY node
+    """

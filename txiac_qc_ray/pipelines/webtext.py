@@ -1836,3 +1836,87 @@ def host_rank_filter(paths: str | list[str], pct: int = 25,
 
     ds = ray.data.read_parquet(paths, columns=["url"])
     return ds.map_batches(label, batch_format="pyarrow")
+
+
+def host_components(paths: str | list[str],
+                    min_links: int = 2) -> ray.data.Dataset:
+    """MUTUAL-STRONG-LINK host clusters — weakly-connected components
+    of the host graph restricted to RECIPROCAL edges (each direction
+    carrying >= min_links anchors on its own): the mirror-farm /
+    site-network detector a crawl audit runs before per-host caps, so
+    one cap (cap_per_host, host_rank_filter) can treat a whole mirror
+    cluster as one site. Mutuality is the discriminator — a Zipf hub
+    host links OUT to everyone, but only genuine site networks link
+    each other strongly BOTH ways (directional thresholds collapse the
+    fixture to one hub-connected component; reciprocal ones yield real
+    clusters). Component id = the lexicographically smallest host in
+    the component (strings sort identically in both engines). Only
+    hosts on at least one mutual edge appear — isolated hosts are
+    their own trivial cluster and are omitted, the walk convention the
+    near-dup family uses. -> Dataset (host, component).
+
+    Scale shape: reuses the near-dup CC machinery end to end — the
+    edge table is host-pair-sized (already aggregated by
+    extract_links, far below corpus scale; the same bounded collect
+    the minhash candidate path takes), reciprocity is one vectorized
+    unordered-pair group count over that table, hosts map to dense int
+    ids through ONE sorted-unique array (sorted ids preserve
+    lexicographic order, so the component MIN maps back exactly), and
+    labels come from docs._cc_min_label_ds: single-task vectorized
+    fixpoint under the 2M-row bound, distributed min-label rounds with
+    data-sized partitions beyond it.
+
+    Reference analog: the reference's groupby-over-a-derived-key
+    summaries (Home.py:215-270) — here the derived key is itself
+    computed by a fixpoint over the link graph."""
+    import pandas as pd
+
+    from .docs import _cc_min_label_ds
+
+    def strong(t: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.invert(pc.equal(t.column("src_host"), t.column("dst_host"))),
+            pc.greater_equal(t.column("n_links"), min_links))
+        return t.filter(keep)
+
+    pairs = (extract_links(paths)
+             .map_batches(strong, batch_format="pyarrow").to_pandas())
+    empty = ray.data.from_arrow(pa.table({
+        "host": pa.array([], pa.string()),
+        "component": pa.array([], pa.string())}))
+    if len(pairs) == 0:
+        return empty
+    # reciprocal = the unordered pair appears twice (each direction is
+    # a single grouped row, both already >= min_links after `strong`)
+    s = pairs["src_host"].to_numpy(dtype=object)
+    d = pairs["dst_host"].to_numpy(dtype=object)
+    swap = s > d
+    lo, hi = np.where(swap, d, s), np.where(swap, s, d)
+    both = (pd.DataFrame({"lo": lo, "hi": hi})
+            .groupby(["lo", "hi"], sort=False).size())
+    both = both[both == 2].reset_index()
+    if len(both) == 0:
+        return empty
+    src = both["lo"].to_numpy(dtype=object)
+    dst = both["hi"].to_numpy(dtype=object)
+    hosts = np.unique(np.concatenate([src, dst]))  # sorted unique
+    import pandas as pd
+
+    edges_pd = pd.DataFrame({
+        "src": np.concatenate([np.searchsorted(hosts, src),
+                               np.searchsorted(hosts, dst)]).astype(np.int64),
+        "dst": np.concatenate([np.searchsorted(hosts, dst),
+                               np.searchsorted(hosts, src)]).astype(np.int64),
+    })
+    labels, _ = _cc_min_label_ds(edges_pd)
+    hosts_ref = ray.put(hosts)
+
+    def to_hosts(t: pa.Table) -> pa.Table:
+        hs = ray.get(hosts_ref)
+        node = np.asarray(t.column("node"), dtype=np.int64)
+        label = np.asarray(t.column("label"), dtype=np.int64)
+        return pa.table({
+            "host": pa.array(hs[node], pa.string()),
+            "component": pa.array(hs[label], pa.string())})
+
+    return labels.map_batches(to_hosts, batch_format="pyarrow")
