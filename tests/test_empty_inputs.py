@@ -71,7 +71,9 @@ def test_every_query_survives_empty_tables(ray_session, empty_dir):
                             "remove_boilerplate_lines", "train_val_split",
                             "calibrated_outlier_flags",
                             "canonical_url_dedup",
-                            "extract_page_metadata")):
+                            "extract_page_metadata",
+                            "extract_links", "host_pagerank",
+                            "host_rank_filter", "host_components")):
             continue
         exempt = name in MAY_BE_NONEMPTY
         try:

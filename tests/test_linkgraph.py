@@ -180,3 +180,22 @@ def test_host_components_matches_python_reference(ray_session):
     # components, not one hub-connected blob over every host
     assert got["component"].nunique() >= 2
     assert len(got) < 100
+
+
+def test_link_ops_survive_empty_pages(ray_session, tmp_path):
+    import pyarrow.parquet as pq2
+
+    from txiac_qc_ray.pipelines.webtext import (extract_links,
+                                                host_components,
+                                                host_pagerank,
+                                                host_rank_filter)
+    from txiac_qc_ray.sources.pages import PAGES_SCHEMA
+
+    d = str(tmp_path / "empty_pages")
+    import os
+    os.makedirs(d, exist_ok=True)
+    pq2.write_table(PAGES_SCHEMA.empty_table(),
+                    os.path.join(d, "part-00000.parquet"))
+    for fn in (extract_links, host_pagerank, host_rank_filter,
+               host_components):
+        assert fn(d).count() == 0, fn.__name__

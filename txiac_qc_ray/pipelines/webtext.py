@@ -1803,7 +1803,12 @@ def host_rank_filter(paths: str | list[str], pct: int = 25,
 
     Reference analog: calibrate-threshold-from-data + flag
     (Home.py:337-365, 176-183) lifted to the host granularity."""
-    ranks_pd = host_pagerank(paths, n_iter=n_iter).to_pandas()
+    from .relational import ensure_columns
+
+    # empty-corpus collect loses the schema (zero-column frame gotcha)
+    ranks_pd = ensure_columns(
+        host_pagerank(paths, n_iter=n_iter).to_pandas(),
+        {"host": "object", "rank": "int64"})
     hosts = np.asarray(ranks_pd["host"], dtype=object)
     rk = ranks_pd["rank"].to_numpy(dtype=np.int64)
     order = np.argsort(hosts)
