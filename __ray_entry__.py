@@ -206,8 +206,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # drives end to end stays in-cap via dup_window_fraction and
         # remove_dup_windows)
         "top_dup_windows": D.top_dup_windows,
-        "embedding_neardup_pairs": D.embedding_neardup_pairs,
-        "ann_topk_bruteforce": D.ann_topk_bruteforce,
+        # r5-NEW (session 7): lexical-diversity gate (unique-word /
+        # hapax fractions) — takes embedding_neardup_pairs' slot
+        # (driver-green r2+r3, unmodified in r5; the in-cap
+        # embedding_neardup_clusters RUNS the pairs path end to end as
+        # its candidate source, so the kernel keeps a driver row)
+        "lexical_diversity": _lexical_diversity,
+        # r5-NEW (session 7): sentence-shape readability gate — takes
+        # ann_topk_bruteforce's slot (driver-green r2+r3, unmodified in
+        # r5; the brute-force cosine partial-topk kernel stays driven
+        # in-cap by ann_topk_from_text, and knn_self_join is the in-cap
+        # all-pairs exact sibling)
+        "readability_scores": _readability_scores,
         # r5-NEW (final session): signup->purchase conversion funnel —
         # takes ann_topk_lsh's slot (driver-green r2+r3, unmodified in
         # r5; the exact ANN siblings bruteforce/ivf/ivf_indexed and the
@@ -313,6 +323,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified in r5; exact by construction, pytest-pinned equal
         # to the in-cap ann_topk_bruteforce
         "ann_topk_ivf": D.ann_topk_ivf,
+        # yielded to lexical_diversity / readability_scores (r5-s7):
+        # both driver-green r2+r3, unmodified in r5; the pairs path is
+        # run end to end in-cap by embedding_neardup_clusters, and the
+        # brute-force cosine kernel stays in-cap via ann_topk_from_text
+        # and knn_self_join
+        "embedding_neardup_pairs": D.embedding_neardup_pairs,
+        "ann_topk_bruteforce": D.ann_topk_bruteforce,
         "pmis_yby_flow": _pmis_yby_flow,
         "pmis_county_summary": _pmis_county_summary,
         "pmis_diff_histogram": _pmis_diff_histogram,
@@ -481,6 +498,18 @@ def _pii_counts(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import pii_counts
 
     return pii_counts(_webtext_dir())
+
+
+def _lexical_diversity(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import lexical_diversity
+
+    return lexical_diversity(_webtext_dir())
+
+
+def _readability_scores(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import readability_scores
+
+    return readability_scores(_webtext_dir())
 
 
 def _quality_classifier(_sf_dir: str):
@@ -716,6 +745,10 @@ def oracle_sql() -> dict[str, str]:
         # classifier (r5 session 3) — same RE2 constants both engines
         "pii_counts": O.pii_counts_sql(pages_glob),
         "quality_classifier": O.quality_classifier_sql(pages_glob),
+        # lexical-diversity + readability gates (r5 s7) — same token /
+        # sentence specs, integer cross-multiplied keep rules
+        "lexical_diversity": O.lexical_diversity_sql(pages_glob),
+        "readability_scores": O.readability_scores_sql(pages_glob),
         # within-doc duplicate-line removal (r5 s3)
         "dedup_lines_within_doc": O.dedup_lines_within_doc_sql(pages_glob),
         "rule_bank_funnel": O.rule_bank_funnel_sql(pages_glob),

@@ -150,7 +150,12 @@ def test_correctness_cap_covers_priority_queries():
         # (r5-final): driver-green r2+r3, unmodified in r5; exact by
         # construction and pytest-pinned equal to the in-cap
         # ann_topk_bruteforce
-        "embedding_neardup_pairs", "ann_topk_bruteforce",
+        # embedding_neardup_pairs / ann_topk_bruteforce yielded their
+        # slots to lexical_diversity / readability_scores in session 7:
+        # both driver-green r2+r3, unmodified in r5; the pairs path is
+        # run end to end in-cap by embedding_neardup_clusters (its
+        # candidate source), and the brute-force cosine partial-topk
+        # kernel stays in-cap via ann_topk_from_text and knn_self_join
         # grouped_counters and threshold_flag_two_sided yielded their
         # slots to extract_links / host_pagerank in session 6: both are
         # driver-green r1-r3 (three consecutive recorded rounds) and
@@ -170,7 +175,7 @@ def test_correctness_cap_covers_priority_queries():
         # rows outranks them for the final driver run (token_counts'
         # BPE sibling token_counts_bpe stays in-cap over the same read)
     }
-    assert len(r4_tail) == 4
+    assert len(r4_tail) == 2
     priority = r4_tail | {
         # r5-session-3 new ops (ADVICE r3 rule: new ops ride the cap)
         "pii_counts", "quality_classifier",
@@ -186,6 +191,8 @@ def test_correctness_cap_covers_priority_queries():
         # r5-session-6 new ops (same rule: new ops ride the cap)
         "extract_links", "host_pagerank", "host_rank_filter",
         "host_components",
+        # r5-session-7 new ops (same rule)
+        "lexical_diversity", "readability_scores",
         # r5-session-5 new ops (same rule)
         "calibrated_outlier_flags", "contamination_fraction",
         "export_chunks_jsonl", "exact_budget_sample",

@@ -73,7 +73,8 @@ def test_every_query_survives_empty_tables(ray_session, empty_dir):
                             "canonical_url_dedup",
                             "extract_page_metadata",
                             "extract_links", "host_pagerank",
-                            "host_rank_filter", "host_components")):
+                            "host_rank_filter", "host_components",
+                            "lexical_diversity", "readability_scores")):
             continue
         exempt = name in MAY_BE_NONEMPTY
         try:

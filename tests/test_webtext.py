@@ -485,3 +485,79 @@ def test_dedup_url_keep_latest_semantics(ray_session):
     orc = duckdb.connect().execute(
         dedup_url_keep_latest_sql(d + "/part-*.parquet")).df()
     pd.testing.assert_frame_equal(normalize(mine), normalize(orc))
+
+
+def test_lexical_diversity_twin_and_semantics(ray_session, corpus_dir):
+    glob = corpus_dir + "/*.parquet"
+    mine = _twin_equal(W.lexical_diversity(corpus_dir),
+                       O.lexical_diversity_sql(glob))
+    by = mine.set_index("url")
+    # u9 = an 8-word phrase repeated 10x: TTR 8/80 = 0.1 < 0.2 -> drop
+    assert by.loc["u9", "n_tokens"] == 80
+    assert by.loc["u9", "n_distinct"] == 8
+    assert by.loc["u9", "n_hapax"] == 0
+    assert by.loc["u9", "ttr"] == 0.1
+    assert by.loc["u9", "keep"] == False  # noqa: E712
+    # u1: 13 tokens, all unique -> TTR 1.0, all hapax, keep
+    assert by.loc["u1", "n_tokens"] == 13
+    assert by.loc["u1", "n_distinct"] == 13
+    assert by.loc["u1", "n_hapax"] == 13
+    assert by.loc["u1", "keep"] == True  # noqa: E712
+    # null / empty / whitespace text: zero tokens, NULL ratios, drop
+    for u in ("u5", "u6", "u7"):
+        assert by.loc[u, "n_tokens"] == 0
+        assert np.isnan(by.loc[u, "ttr"])
+        assert by.loc[u, "keep"] == False  # noqa: E712
+
+
+def test_readability_scores_twin_and_semantics(ray_session, corpus_dir):
+    glob = corpus_dir + "/*.parquet"
+    mine = _twin_equal(W.readability_scores(corpus_dir),
+                       O.readability_scores_sql(glob))
+    by = mine.set_index("url")
+    # u9: 80 whitespace words, ONE terminal run -> 80 wps > 40 -> drop
+    assert by.loc["u9", "n_words"] == 80
+    assert by.loc["u9", "n_sentences"] == 1
+    assert by.loc["u9", "words_per_sentence"] == 80.0
+    assert by.loc["u9", "keep"] == False  # noqa: E712
+    # u8: "..." is a run counting ONE sentence end, and the unicode
+    # ellipsis "…" is not ASCII terminal punctuation at all —
+    # lines: 3 bullets (.) + plain. + "off..." -> 5 runs
+    assert by.loc["u8", "n_sentences"] == 5
+    # null / empty: no sentences -> NULL ratio, drop
+    for u in ("u5", "u6", "u7"):
+        assert by.loc[u, "n_sentences"] == 0
+        assert np.isnan(by.loc[u, "words_per_sentence"])
+        assert by.loc[u, "keep"] == False  # noqa: E712
+    # the clean prose doc keeps
+    assert by.loc["u0", "keep"] == True  # noqa: E712
+
+
+def test_lexical_readability_fixture_twin(ray_session):
+    """Driver-fixture equality + discriminating flag rates (the gate
+    must FIRE on the repetition class, not just hash-match)."""
+    from txiac_qc_ray.sources.pages import default_pages_dir
+
+    d = default_pages_dir(2000)
+    glob = d + "/part-*.parquet"
+    lex = _twin_equal(W.lexical_diversity(d), O.lexical_diversity_sql(glob))
+    rd = _twin_equal(W.readability_scores(d), O.readability_scores_sql(glob))
+    for df in (lex, rd):
+        rate = df["keep"].mean()
+        assert 0.85 < rate < 0.97, rate
+
+
+def test_lexical_readability_empty_pages(ray_session, tmp_path):
+    """Empty-partition contract for the two s7 gates: typed empty out."""
+    d = str(tmp_path)
+    t = pa.table({"url": pa.array([], type=pa.string()),
+                  "text": pa.array([], type=pa.string())})
+    pq.write_table(t, os.path.join(d, "part-00000.parquet"))
+    for fn in (W.lexical_diversity, W.readability_scores):
+        ds = fn(d)
+        # Ray 2.49 to_pandas() drops columns on ANY empty dataset; the
+        # typed contract lives in the Dataset schema (non-None only
+        # because the ops seed it through the zero-row guard).
+        names = ds.schema().names
+        assert "url" in names and "keep" in names
+        assert len(ds.to_pandas()) == 0

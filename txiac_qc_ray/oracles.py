@@ -1223,6 +1223,69 @@ def quality_classifier_sql(pages_glob: str) -> str:
     """
 
 
+def lexical_diversity_sql(pages_glob: str) -> str:
+    """Lexical-diversity twin: the SAME [a-z]+ lowercased tokenization
+    (unnest + per-(url, tok) counts), integer distinct/hapax counts,
+    single int/int float64 divisions for the ratios, and the identical
+    integer cross-multiplied keep gate — bit-exact by construction.
+    Zero-token docs never reach the aggregate, so the spine left-join
+    coalesces their counts to 0 / ratios to NULL / keep to false."""
+    from .pipelines import webtext as w
+
+    return f"""
+    WITH p AS (
+      SELECT url, text FROM read_parquet('{pages_glob}')),
+    t AS (
+      SELECT url, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM p),
+    c AS (SELECT url, tok, count(*) AS cnt FROM t GROUP BY url, tok),
+    a AS (SELECT url, sum(cnt) AS n_tokens, count(*) AS n_distinct,
+                 sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS n_hapax
+          FROM c GROUP BY url)
+    SELECT p.url,
+           CAST(coalesce(a.n_tokens, 0) AS BIGINT) AS n_tokens,
+           CAST(coalesce(a.n_distinct, 0) AS BIGINT) AS n_distinct,
+           CAST(coalesce(a.n_hapax, 0) AS BIGINT) AS n_hapax,
+           CASE WHEN a.n_tokens > 0
+                THEN a.n_distinct * 1.0 / a.n_tokens END AS ttr,
+           CASE WHEN a.n_tokens > 0
+                THEN a.n_hapax * 1.0 / a.n_tokens END AS hapax_frac,
+           coalesce(a.n_tokens > 0
+                    AND {w.LEX_MIN_TTR_DEN} * a.n_distinct
+                        >= {w.LEX_MIN_TTR_NUM} * a.n_tokens,
+                    FALSE) AS keep
+    FROM p LEFT JOIN a USING (url)
+    """
+
+
+def readability_scores_sql(pages_glob: str) -> str:
+    """Readability twin: the SAME WORD_RE / SENTENCE_RUN_RE constants
+    counted with len(regexp_extract_all(...)), the same integer
+    cross-multiplied two-sided gate, and one int/int float64 division
+    for words_per_sentence — bit-exact by construction."""
+    from .pipelines import webtext as w
+
+    return f"""
+    WITH c AS (
+      SELECT url,
+             coalesce(len(regexp_extract_all(text, '{w.WORD_RE}')), 0)
+               AS n_words,
+             coalesce(len(regexp_extract_all(text, '{w.SENTENCE_RUN_RE}')), 0)
+               AS n_sentences,
+             text IS NOT NULL AS valid
+      FROM read_parquet('{pages_glob}'))
+    SELECT url,
+           CAST(n_words AS BIGINT) AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CASE WHEN n_sentences > 0
+                THEN n_words * 1.0 / n_sentences END AS words_per_sentence,
+           valid AND n_sentences > 0
+             AND n_words >= {w.READ_MIN_WPS} * n_sentences
+             AND n_words <= {w.READ_MAX_WPS} * n_sentences AS keep
+    FROM c
+    """
+
+
 def c4_line_filter_sql(pages_glob: str) -> str:
     from .pipelines import webtext as w
 

@@ -44,7 +44,7 @@ import pyarrow.compute as pc
 import ray
 import ray.data
 
-from ..functions.textstats import _SYMBOL_CLASS
+from ..functions.textstats import _SYMBOL_CLASS, tokenize
 from ..functions.urls import fnv1a64, host_of_urls
 from ..stages.scrub import SCRUB_PATTERNS, scrub_texts
 from .docs import _mix64
@@ -57,6 +57,18 @@ C4_JAVASCRIPT_RE = r"(?i)javascript"
 C4_LOREM_RE = r"(?i)lorem ipsum"
 C4_MIN_SENTENCES = 5
 SENTENCE_RE = r"[.!?]"
+# A sentence END for the readability gate is a maximal run of terminal
+# punctuation ("..." / "?!" end ONE sentence, not three) — a different
+# spec from C4's per-character SENTENCE_RE, hence a separate constant.
+SENTENCE_RUN_RE = r"[.!?]+"
+# Readability bounds: mean words-per-sentence outside [READ_MIN_WPS,
+# READ_MAX_WPS] marks fragment lists (nav chrome, tag soup) on the low
+# end and unpunctuated run-ons (the repetition class) on the high end.
+READ_MIN_WPS, READ_MAX_WPS = 3, 40
+# Lexical-diversity gate: keep iff distinct-token fraction (type-token
+# ratio) >= LEX_MIN_TTR_NUM/LEX_MIN_TTR_DEN — cross-multiplied in
+# integers so both engines compare exactly.
+LEX_MIN_TTR_NUM, LEX_MIN_TTR_DEN = 1, 5
 # the C4 bad-word list IS the scrub bank's frozen toxicity pattern —
 # reference the same constant so they can never drift apart
 BADWORD_RE = next(p for n, p, _ in SCRUB_PATTERNS if n == "toxicity")
@@ -695,6 +707,120 @@ def dedup_lines_within_doc(paths: str | list[str]) -> ray.data.Dataset:
         })
 
     return _read_pages_text(paths).map_batches(stage, batch_format="pyarrow")
+
+
+def lexical_diversity(paths: str | list[str]) -> ray.data.Dataset:
+    """Per-page lexical-diversity audit — the unique-word quality signal
+    (MassiveText/DCLM-family pipelines gate on "fraction of unique
+    words"; a page whose vocabulary is a tiny fraction of its length is
+    boilerplate or keyword stuffing even when every Gopher ratio
+    passes): over the `[a-z]+` tokens of the lowercased text, emit
+    n_tokens, n_distinct, n_hapax (tokens occurring exactly once in the
+    doc), ttr = n_distinct/n_tokens (type-token ratio), hapax_frac =
+    n_hapax/n_tokens, and keep iff n_tokens > 0 and
+    LEX_MIN_TTR_DEN * n_distinct >= LEX_MIN_TTR_NUM * n_tokens (integer
+    cross-multiply — no float in the gate). Zero-token / null text ->
+    NULL ratios, keep false. On the fixture the gate isolates the
+    high-repetition class (TTR bottoms at ~0.05 there vs a 0.49
+    corpus median) — the flag RATE was checked, not just the hash.
+
+    Vectorized: one tokenize per batch (the shared dictionary-encoding
+    kernel), ONE (doc, token-id) lexsort; distinct counts are the run
+    starts and hapax counts the length-1 runs, both via bincount.
+    Stateless single pass, no shuffle, no driver state — a pure map at
+    100 TB. Ratios are single int/int float64 divisions, so the DuckDB
+    twin (unnest + per-(url, tok) counts) is bit-identical.
+
+    Reference analog: none (Home.py has no text ops); north_rule's
+    heuristic-quality bank, diversity axis."""
+    def stage(t: pa.Table) -> pa.Table:
+        text = _as_array(t.column("text"))
+        tv = tokenize(text)
+        n_docs = len(t)
+        n_tok = np.diff(tv.offsets).astype(np.int64)
+        n_distinct = np.zeros(n_docs, dtype=np.int64)
+        n_hapax = np.zeros(n_docs, dtype=np.int64)
+        if tv.ids is not None and len(tv.flat):
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), n_tok)
+            order = np.lexsort((tv.ids, doc_of))
+            d2, i2 = doc_of[order], tv.ids[order]
+            first = np.ones(len(d2), dtype=bool)
+            first[1:] = (d2[1:] != d2[:-1]) | (i2[1:] != i2[:-1])
+            starts = np.flatnonzero(first)
+            run_len = np.diff(np.append(starts, len(d2)))
+            n_distinct = np.bincount(d2[starts],
+                                     minlength=n_docs).astype(np.int64)
+            hap = starts[run_len == 1]
+            n_hapax = np.bincount(d2[hap], minlength=n_docs).astype(np.int64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ttr = np.where(n_tok > 0, n_distinct / n_tok, np.nan)
+            hapax_frac = np.where(n_tok > 0, n_hapax / n_tok, np.nan)
+        keep = (n_tok > 0) & (LEX_MIN_TTR_DEN * n_distinct
+                              >= LEX_MIN_TTR_NUM * n_tok)
+        null_ratio = n_tok == 0
+        return pa.table({
+            "url": t["url"],
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+            "n_distinct": pa.array(n_distinct, type=pa.int64()),
+            "n_hapax": pa.array(n_hapax, type=pa.int64()),
+            "ttr": pa.array(ttr, type=pa.float64(), mask=null_ratio),
+            "hapax_frac": pa.array(hapax_frac, type=pa.float64(),
+                                   mask=null_ratio),
+            "keep": pa.array(keep),
+        })
+
+    ds = _read_pages_text(paths)
+    if ds.count() == 0:  # metadata-only on a fresh parquet read
+        return ray.data.from_arrow(stage(pa.table({
+            "url": pa.array([], type=pa.string()),
+            "text": pa.array([], type=pa.string())})))
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def readability_scores(paths: str | list[str]) -> ray.data.Dataset:
+    """Per-page sentence-shape readability gate: n_words (WORD_RE
+    whitespace tokens), n_sentences (maximal terminal-punctuation runs,
+    SENTENCE_RUN_RE — "?!" ends ONE sentence), words_per_sentence =
+    n_words/n_sentences, and keep iff n_sentences > 0 and
+    READ_MIN_WPS * n_sentences <= n_words <= READ_MAX_WPS * n_sentences
+    (integer cross-multiplies). Unpunctuated run-ons (the repetition
+    class lands near 124 words/sentence on the fixture vs a corpus
+    median of ~21) fail high; fragment lists fail low; null text ->
+    NULL ratio, keep false.
+
+    One stateless vectorized pass (two RE2 count kernels + one int/int
+    float64 division), no shuffle, no driver state — a pure map at
+    100 TB. The DuckDB twin counts the SAME pattern constants with
+    len(regexp_extract_all(...)), so every value is bit-identical.
+
+    Reference analog: Home.py's per-measure threshold flags (H:176-183)
+    as a two-sided ratio gate; north_rule's heuristic-quality bank,
+    fluency axis (the non-model sibling of ngram_fluency)."""
+    def stage(t: pa.Table) -> pa.Table:
+        text = _as_array(t.column("text"))
+        valid = np.asarray(pc.is_valid(text))
+        n_words = _count_re(text, WORD_RE)
+        n_sent = _count_re(text, SENTENCE_RUN_RE)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            wps = np.where(n_sent > 0, n_words / n_sent, np.nan)
+        keep = (valid & (n_sent > 0)
+                & (n_words >= READ_MIN_WPS * n_sent)
+                & (n_words <= READ_MAX_WPS * n_sent))
+        return pa.table({
+            "url": t["url"],
+            "n_words": pa.array(n_words, type=pa.int64()),
+            "n_sentences": pa.array(n_sent, type=pa.int64()),
+            "words_per_sentence": pa.array(wps, type=pa.float64(),
+                                           mask=n_sent == 0),
+            "keep": pa.array(keep),
+        })
+
+    ds = _read_pages_text(paths)
+    if ds.count() == 0:  # metadata-only on a fresh parquet read
+        return ray.data.from_arrow(stage(pa.table({
+            "url": pa.array([], type=pa.string()),
+            "text": pa.array([], type=pa.string())})))
+    return ds.map_batches(stage, batch_format="pyarrow")
 
 
 def _classifier_stats(text: pa.Array) -> tuple[np.ndarray, np.ndarray,
