@@ -153,7 +153,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shards, the harder codec path), so one driver row checks the
         # source contract too; jsonl_ingest_docs stays swept locally
         "export_chunks_jsonl": D.export_chunks_jsonl,
-        "csv_ingest_sections": _csv_ingest_sections,
+        # r5-NEW (session 8): extraction-yield gate (text/html byte
+        # ratio, the boilerplate-density signal) — takes
+        # csv_ingest_sections' slot (driver-green r3, unmodified since
+        # r2; its read_csv + strptime ingest kernel stays pinned by
+        # test_cli/test_pmis_round2 and value-checked by the local
+        # sweep — a brand-new op with zero driver rows outranks it)
+        "extraction_yield": _extraction_yield,
         # r5-NEW (final session): URL-keyed keep-latest snapshot dedup —
         # takes token_counts' slot (driver-green r1+r3, the longest
         # streak among the rotated-in tail, a trivial stateless scan
@@ -258,12 +264,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stays in-cap and shares its hash/verify core)
         "dup_window_fraction": D.dup_window_fraction,
         # ---- r4-green heavyweights kept in-cap (spare slots) ---------
-        # r5-MODIFIED (vectorized LSH bucket pair sweep via
-        # _run_pair_indices — minhash_lsh_dedup re-enters the cap in
-        # exact_dedup_rows' spare slot: exact_dedup_rows is
-        # r4-driver-green, unmodified in r5, and shares its shard/loser
-        # core with the in-cap prep_corpus/prep_to_chunks chain)
-        "minhash_lsh_dedup": D.minhash_lsh_candidates,
+        # r5-NEW (session 8): normalized exact dedup over the perturbed-
+        # recapture view — takes minhash_lsh_dedup's slot: that row
+        # carries the STRONGEST driver record on the surface (green
+        # r1-r4, four consecutive recorded rounds), and its entire
+        # r5-modified candidate path (shingle -> minhash -> band ->
+        # bucket -> _run_pair_indices -> verify,
+        # minhash_candidate_pairs_ds) keeps driver rows in-cap through
+        # prep_corpus / prep_to_chunks / neardup_keep_best, which run
+        # the same generator end to end; only its winners/losers
+        # assembly is unique, unmodified in r5 and locally swept.
+        "dedup_normalized": _dedup_normalized,
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
         # r5-NEW (this session): Lee-et-al exact-substring REMOVAL —
         # takes dedup_paragraphs' spare slot (r4-driver-green,
@@ -294,6 +305,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---------------- 50-row cap ends here -------------------------
         # tail: unmodified in r5 AND driver-green in CORRECTNESS_r04
         # (still swept locally by scripts/check_oracle.py every round)
+        # yielded to extraction_yield (r5-s8): driver-green r3,
+        # unmodified since r2; read_csv + strptime stay pytest-pinned
+        # (test_cli, test_pmis_round2) and locally swept
+        "csv_ingest_sections": _csv_ingest_sections,
+        # yielded to dedup_normalized (r5-s8): driver-green r1-r4 (the
+        # strongest record on the surface); its r5-modified candidate
+        # generator keeps driver rows in-cap via prep_corpus /
+        # prep_to_chunks / neardup_keep_best (same path end to end)
+        "minhash_lsh_dedup": D.minhash_lsh_candidates,
         # The four remaining PMIS flows yielded their slots to the four
         # r5-session-4 NEW ops (token_balanced_mixture /
         # url_snapshot_changes / remove_boilerplate_lines /
@@ -510,6 +530,18 @@ def _readability_scores(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import readability_scores
 
     return readability_scores(_webtext_dir())
+
+
+def _extraction_yield(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import extraction_yield
+
+    return extraction_yield(_webtext_dir())
+
+
+def _dedup_normalized(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import dedup_normalized
+
+    return dedup_normalized(_webtext_dir())
 
 
 def _quality_classifier(_sf_dir: str):
@@ -749,6 +781,8 @@ def oracle_sql() -> dict[str, str]:
         # sentence specs, integer cross-multiplied keep rules
         "lexical_diversity": O.lexical_diversity_sql(pages_glob),
         "readability_scores": O.readability_scores_sql(pages_glob),
+        "extraction_yield": O.extraction_yield_sql(pages_glob),
+        "dedup_normalized": O.dedup_normalized_sql(pages_glob),
         # within-doc duplicate-line removal (r5 s3)
         "dedup_lines_within_doc": O.dedup_lines_within_doc_sql(pages_glob),
         "rule_bank_funnel": O.rule_bank_funnel_sql(pages_glob),

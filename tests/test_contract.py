@@ -113,7 +113,11 @@ def test_correctness_cap_covers_priority_queries():
     # (the window machinery it drives stays in-cap via
     # dup_window_fraction and remove_dup_windows).
     r4_tail = {
-        "csv_ingest_sections",
+        # csv_ingest_sections yielded its slot to extraction_yield in
+        # session 8: driver-green r3, unmodified since r2, its
+        # read_csv + strptime kernel pytest-pinned (test_cli,
+        # test_pmis_round2) and locally swept — a brand-new op with
+        # zero driver rows outranks it
         # pmis_yby_flow / pmis_county_summary / pmis_diff_histogram /
         # pmis_yby_district yielded their slots to the four
         # r5-session-4 NEW ops: each reads the FROZEN fixture parquet
@@ -175,7 +179,7 @@ def test_correctness_cap_covers_priority_queries():
         # rows outranks them for the final driver run (token_counts'
         # BPE sibling token_counts_bpe stays in-cap over the same read)
     }
-    assert len(r4_tail) == 2
+    assert len(r4_tail) == 1
     priority = r4_tail | {
         # r5-session-3 new ops (ADVICE r3 rule: new ops ride the cap)
         "pii_counts", "quality_classifier",
@@ -210,12 +214,16 @@ def test_correctness_cap_covers_priority_queries():
         "embedding_neardup_clusters", "remove_dup_windows",
         # r5-modified (Arrow-native partial top-k)
         "topk_per_group",
-        # r5-modified (vectorized LSH bucket pair sweep: the shared
-        # _run_pair_indices expansion replaced the per-bucket
-        # triu_indices loops in minhash/simhash/embedding-LSH; the
-        # simhash + embedding queries were already in-cap via the r4
-        # tail, minhash_lsh_dedup re-entered in exact_dedup_rows' slot)
-        "minhash_lsh_dedup",
+        # (minhash_lsh_dedup — r5-modified via the shared
+        # _run_pair_indices sweep — yielded its slot to dedup_normalized
+        # in session 8: it holds driver-green r1-r4, the strongest
+        # record on the surface, and its entire modified candidate path
+        # keeps driver rows in-cap through prep_corpus / prep_to_chunks
+        # / neardup_keep_best, which run minhash_candidate_pairs_ds end
+        # to end; only the unmodified winners/losers assembly rides the
+        # local sweep)
+        # r5-session-8 new ops (same rule: new ops ride the cap)
+        "extraction_yield", "dedup_normalized",
     }
     missing = priority - first50
     assert not missing, f"priority queries past the 50-row cap: {missing}"

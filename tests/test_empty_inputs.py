@@ -74,7 +74,8 @@ def test_every_query_survives_empty_tables(ray_session, empty_dir):
                             "extract_page_metadata",
                             "extract_links", "host_pagerank",
                             "host_rank_filter", "host_components",
-                            "lexical_diversity", "readability_scores")):
+                            "lexical_diversity", "readability_scores",
+                            "extraction_yield", "dedup_normalized")):
             continue
         exempt = name in MAY_BE_NONEMPTY
         try:

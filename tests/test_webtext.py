@@ -561,3 +561,105 @@ def test_lexical_readability_empty_pages(ray_session, tmp_path):
         names = ds.schema().names
         assert "url" in names and "keep" in names
         assert len(ds.to_pandas()) == 0
+
+
+def test_extraction_yield_twin_and_semantics(ray_session, tmp_path):
+    d = str(tmp_path)
+    t = pa.table({
+        "url": pa.array(["a", "b", "c", "d", "e", "f"]),
+        "html": pa.array([b"<html>abcdefghij</html>",
+                          b"<x>hello world this is content</x>",
+                          None, None, b"<p></p>", b""],
+                         type=pa.binary()),
+        "text": pa.array(["abcdefghij",
+                          "hello world this is content",
+                          None, "abc", "", "x"], type=pa.string()),
+    })
+    pq.write_table(t, os.path.join(d, "part-00000.parquet"))
+    mine = _twin_equal(W.extraction_yield(d),
+                       O.extraction_yield_sql(d + "/*.parquet"))
+    by = mine.set_index("url")
+    # chrome-heavy: 2*10 < 23 -> drop, ratio = 10/23 exactly
+    assert by.loc["a", "keep"] == False  # noqa: E712
+    assert by.loc["a", "yield_ratio"] == 10 / 23
+    # content-heavy: 2*28 >= 35 -> keep
+    assert by.loc["b", "keep"] == True  # noqa: E712
+    assert by.loc["b", "text_bytes"] == 27 and by.loc["b", "html_bytes"] == 34
+    # null text + null html -> NULL bytes/ratio, drop
+    assert np.isnan(by.loc["c", "yield_ratio"])
+    assert by.loc["c", "keep"] == False  # noqa: E712
+    # text without html -> NULL html side, drop
+    assert by.loc["d", "text_bytes"] == 3
+    assert np.isnan(by.loc["d", "yield_ratio"])
+    assert by.loc["d", "keep"] == False  # noqa: E712
+    # empty text over non-empty html -> ratio 0.0, drop
+    assert by.loc["e", "yield_ratio"] == 0.0
+    assert by.loc["e", "keep"] == False  # noqa: E712
+    # EMPTY html -> no defined ratio (never divide by zero), drop
+    assert np.isnan(by.loc["f", "yield_ratio"])
+    assert by.loc["f", "keep"] == False  # noqa: E712
+
+
+def test_dedup_normalized_twin_and_semantics(ray_session, tmp_path):
+    from txiac_qc_ray.functions.urls import fnv1a64
+
+    d = str(tmp_path)
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+    urls = ["https://t.example/a", "https://t.example/b",
+            "https://t.example/c", "https://t.example/d",
+            "https://t.example/e"]
+    # precondition: only /c is recaptured by the decorated view
+    mods = (fnv1a64(pa.array(urls)) % np.uint64(W.NORMDUP_MOD)).tolist()
+    assert mods == [2, 3, 0, 1, 2]
+    t = pa.table({
+        "url": pa.array(urls),
+        "warc_ts": pa.array([t0, t0 + pd.Timedelta(hours=1), t0, t0, t0],
+                            type=pa.timestamp("us")),
+        # /a and /b normalize to the same "hello world"; /d is null;
+        # /e normalizes to empty (punct/whitespace only)
+        "text": pa.array(["Hello,  World!", "hello world",
+                          "Unique page text.", None, "  !!! ??? "],
+                         type=pa.string()),
+    })
+    pq.write_table(t, os.path.join(d, "part-00000.parquet"))
+    mine = _twin_equal(W.dedup_normalized(d),
+                       O.dedup_normalized_sql(d + "/*.parquet"))
+    assert len(mine) == 2  # null + normalizes-to-empty are out of scope
+    by = mine.set_index("url")
+    # byte-unequal, normalized-equal pair collapses; earliest capture wins
+    assert by.loc["https://t.example/a", "n_variants"] == 2
+    assert "https://t.example/b" not in by.index
+    # /c's perturbed recapture (uppercase reflow, +1 day) joins its group
+    assert by.loc["https://t.example/c", "n_variants"] == 2
+    assert by.loc["https://t.example/c", "first_ts"] == t0
+
+
+def test_extraction_yield_dedup_normalized_fixture_twin(ray_session):
+    """Driver-fixture equality + discriminating rates (the yield gate
+    must FIRE on the short/empty/chrome class; the normalized dedup
+    must actually COLLAPSE the reflowed recaptures)."""
+    from txiac_qc_ray.sources.pages import default_pages_dir
+
+    d = default_pages_dir(2000)
+    glob = d + "/part-*.parquet"
+    ey = _twin_equal(W.extraction_yield(d), O.extraction_yield_sql(glob))
+    rate = ey["keep"].mean()
+    assert 0.8 < rate < 0.97, rate
+    dn = _twin_equal(W.dedup_normalized(d), O.dedup_normalized_sql(glob))
+    multi = (dn["n_variants"] > 1).sum()
+    # ~1/NORMDUP_MOD of textful pages gain a reflowed recapture; every
+    # one must land in a multi-variant group
+    assert multi > 300, multi
+    assert dn["n_variants"].sum() > len(dn)
+
+
+def test_extraction_yield_dedup_normalized_empty_pages(ray_session, tmp_path):
+    d = str(tmp_path)
+    t = pa.table({"url": pa.array([], type=pa.string()),
+                  "warc_ts": pa.array([], type=pa.timestamp("us")),
+                  "html": pa.array([], type=pa.binary()),
+                  "text": pa.array([], type=pa.string())})
+    pq.write_table(t, os.path.join(d, "part-00000.parquet"))
+    ds = W.extraction_yield(d)
+    assert "keep" in ds.schema().names and len(ds.to_pandas()) == 0
+    assert len(W.dedup_normalized(d).to_pandas()) == 0

@@ -2143,3 +2143,58 @@ def host_components_sql(pages_glob: str, min_links: int = 2) -> str:
       SELECT e.dst, w.label FROM walk w JOIN ue e ON e.src = w.node)
     SELECT node AS host, min(label) AS component FROM walk GROUP BY node
     """
+
+
+def extraction_yield_sql(pages_glob: str) -> str:
+    """Extraction-yield twin: strlen(text) is BYTE length in DuckDB and
+    octet_length over the html BLOB the raw byte count — the same two
+    integers pyarrow's binary_length kernels produce, so the single
+    int/int double division is bit-identical. The keep gate embeds the
+    SAME YIELD_NUM/YIELD_DEN integer cross-multiply."""
+    from .pipelines import webtext as w
+
+    ok = "(text IS NOT NULL AND html IS NOT NULL AND octet_length(html) > 0)"
+    return f"""
+    SELECT url,
+           CAST(strlen(text) AS BIGINT) AS text_bytes,
+           CAST(octet_length(html) AS BIGINT) AS html_bytes,
+           CASE WHEN {ok}
+                THEN CAST(strlen(text) AS DOUBLE) / octet_length(html)
+           END AS yield_ratio,
+           ({ok} AND {w.YIELD_DEN} * strlen(text)
+                     >= {w.YIELD_NUM} * octet_length(html)) AS keep
+    FROM read_parquet('{pages_glob}')
+    """
+
+
+def dedup_normalized_sql(pages_glob: str) -> str:
+    """Normalized-exact-dedup twin over the same deterministic
+    perturbed-recapture union: the recapture predicate is the SAME
+    stable FNV-1a mod NORMDUP_MOD, the reflow the SAME
+    uppercase/doubled-space/suffix construction, and the normalization
+    the SAME lower -> collapse NORM_COLLAPSE_RE -> trim chain."""
+    from .pipelines import webtext as w
+
+    norm = (f"trim(regexp_replace(lower(text), "
+            f"'{w.NORM_COLLAPSE_RE}', ' ', 'g'))")
+    return f"""
+    WITH base AS (SELECT url, warc_ts, text FROM read_parquet('{pages_glob}')
+                  WHERE text IS NOT NULL),
+    marked AS (SELECT url, warc_ts, text, {fnv_expr('url')} AS h FROM base),
+    re AS (SELECT url || '{w.NORMDUP_URL_SUFFIX}' AS url,
+                  warc_ts + INTERVAL 1 DAY AS warc_ts,
+                  replace(upper(text), ' ', '  ')
+                    || '{w.NORMDUP_TEXT_SUFFIX}' AS text
+           FROM marked WHERE h % {w.NORMDUP_MOD} = 0),
+    u AS (SELECT url, warc_ts, text FROM base
+          UNION ALL SELECT url, warc_ts, text FROM re),
+    n AS (SELECT url, warc_ts, {norm} AS norm FROM u),
+    f AS (SELECT * FROM n WHERE norm != ''),
+    r AS (SELECT url, warc_ts,
+                 row_number() OVER (PARTITION BY norm
+                                    ORDER BY warc_ts ASC, url ASC) AS rk,
+                 count(*) OVER (PARTITION BY norm) AS cnt
+          FROM f)
+    SELECT url, warc_ts AS first_ts, CAST(cnt AS BIGINT) AS n_variants
+    FROM r WHERE rk = 1
+    """

@@ -2051,3 +2051,167 @@ def host_components(paths: str | list[str],
             "component": pa.array(hs[label], pa.string())})
 
     return labels.map_batches(to_hosts, batch_format="pyarrow")
+
+
+# ---- extraction-yield gate + normalized exact dedup ---------------------
+# Extraction yield (text bytes / html bytes): the boilerplate-density
+# signal content extractors publish (jusText/trafilatura-family tooling
+# reports "extraction ratio"; a page whose cleaned text is a small
+# fraction of its markup is chrome, tag soup, or an extraction failure
+# even when every word-level gate passes). Keep iff
+# YIELD_DEN * text_bytes >= YIELD_NUM * html_bytes (integer
+# cross-multiply — no float in the gate).
+YIELD_NUM, YIELD_DEN = 1, 2
+
+# Normalized exact dedup: the normalization spec (BOTH engines embed the
+# same constants) is lower -> collapse every non-alphanumeric run to one
+# space -> trim. RefinedWeb-family pipelines dedup on exactly this kind
+# of normalized text so that case/punctuation/whitespace edits don't
+# defeat exact dedup.
+NORM_COLLAPSE_RE = r"[^a-z0-9]+"
+# Deterministic perturbed-recapture view (the canonical_url_dedup
+# union-view pattern): pages with fnv1a64(url) % NORMDUP_MOD == 0 were
+# ALSO captured a day later at a distinct url with the text reflowed —
+# uppercased with doubled spaces and trailing punctuation — i.e. a
+# normalized-equal, byte-UNEQUAL variant. Byte-exact dedup misses every
+# one of them; this op must not.
+NORMDUP_MOD = 4
+NORMDUP_URL_SUFFIX = "?amp=1"
+NORMDUP_TEXT_SUFFIX = "  !!"
+
+
+def extraction_yield(paths: str | list[str]) -> ray.data.Dataset:
+    """Per-page extraction-yield gate -> (url, text_bytes, html_bytes,
+    yield_ratio, keep): text_bytes / html_bytes as the boilerplate-
+    density signal, keep iff both payloads are present, html is
+    non-empty, and YIELD_DEN * text_bytes >= YIELD_NUM * html_bytes.
+    Null text or null html -> NULL byte count on that side, NULL ratio,
+    keep false; empty html -> NULL ratio, keep false. yield_ratio is a
+    single int/int float64 division, so the DuckDB twin (strlen /
+    octet_length over the same bytes) is bit-identical.
+
+    Scale shape: one stateless vectorized pass (two byte-length
+    kernels), no shuffle, no driver state — a pure map at 100 TB; the
+    html column never leaves the read task (map_batches fuses with the
+    scan).
+
+    Reference analog: Home.py's derived-on-load ratio columns
+    (H:98-106) as a keep gate; north_rule's heuristic-quality bank,
+    extraction-health axis."""
+    ds = ray.data.read_parquet(paths, columns=["url", "html", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        text = _as_array(t.column("text"))
+        html = _as_array(t.column("html"))
+        tb = pc.cast(pc.binary_length(text), pa.int64())   # null-preserving
+        hb = pc.cast(pc.binary_length(html), pa.int64())
+        tb_np = np.asarray(pc.fill_null(tb, -1))
+        hb_np = np.asarray(pc.fill_null(hb, -1))
+        ok = (tb_np >= 0) & (hb_np > 0)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ratio = np.where(ok, tb_np / np.where(hb_np > 0, hb_np, 1),
+                             np.nan)
+        keep = ok & (YIELD_DEN * tb_np >= YIELD_NUM * hb_np)
+        return pa.table({
+            "url": t["url"],
+            "text_bytes": tb,
+            "html_bytes": hb,
+            "yield_ratio": pa.array(ratio, type=pa.float64(), mask=~ok),
+            "keep": pa.array(keep),
+        })
+
+    if ds.count() == 0:  # metadata-only on a fresh parquet read
+        return ray.data.from_arrow(stage(pa.table({
+            "url": pa.array([], type=pa.string()),
+            "html": pa.array([], type=pa.binary()),
+            "text": pa.array([], type=pa.string())})))
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def _normalize_text(text: pa.Array) -> pa.Array:
+    """The frozen normalization chain (lower -> collapse non-alnum runs
+    to one space -> trim); the SQL twin is
+    trim(regexp_replace(lower(text), NORM_COLLAPSE_RE, ' ', 'g'))."""
+    return pc.utf8_trim(
+        pc.replace_substring_regex(pc.utf8_lower(text),
+                                   NORM_COLLAPSE_RE, " "), " ")
+
+
+def dedup_normalized(paths: str | list[str],
+                     n_shards: int | None = None) -> ray.data.Dataset:
+    """Normalized exact dedup over the perturbed-recapture view ->
+    streaming Dataset (url, first_ts, n_variants): one row per distinct
+    NORMALIZED text, carrying the url of its earliest capture (ties by
+    url asc) and the variant count. Case/whitespace/punctuation edits
+    (the recapture view's uppercase-reflow variants) collapse into one
+    group here while byte-exact dedup sees distinct texts. Null-text
+    and normalizes-to-empty pages are out of scope (dropped — dedup is
+    defined over textful pages).
+
+    Scale shape: pages map to (norm-hash shard, url, ts, norm) rows in
+    one vectorized pass; ONE bounded shuffle keyed on
+    fnv1a64(norm) % n_shards (shards sized from input footer bytes,
+    floor 8 — the house crawl-op rule) groups normalized-equal texts;
+    the winner pick and count are a per-group lexsort. No driver state;
+    group payload is bounded by the shard count, never a whole-corpus
+    collect.
+
+    Reference analog: exact_dedup's winner-per-group shape (SURVEY §2
+    dedup family) with a normalization key; RefinedWeb-style
+    normalize-then-hash dedup (published pipeline step)."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(paths, columns=["url", "warc_ts", "text"])
+    if n_shards is None:
+        from .qc import _pages_shard_count
+
+        n_shards = _pages_shard_count(paths, floor=8)
+
+    def union_norm_shard(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("text")))
+        if len(t) == 0:
+            return pa.table({"url": pa.array([], pa.string()),
+                             "ts_us": pa.array([], pa.int64()),
+                             "norm": pa.array([], pa.string()),
+                             "shard": pa.array([], pa.int64())})
+        urls = _as_array(t.column("url"))
+        text = _as_array(t.column("text"))
+        ts = np.asarray(pc.cast(_as_array(t.column("warc_ts")), pa.int64()))
+        h = fnv1a64(urls)
+        re_mask = (h % np.uint64(NORMDUP_MOD)) == 0
+        # recapture variant: distinct url, +1 day, reflowed text
+        # (uppercase, doubled spaces, trailing punctuation) — byte-
+        # unequal, normalized-equal by construction
+        dec_url = pc.binary_join_element_wise(
+            urls, pa.scalar(NORMDUP_URL_SUFFIX), "")
+        dec_text = pc.binary_join_element_wise(
+            pc.replace_substring(pc.utf8_upper(text), " ", "  "),
+            pa.scalar(NORMDUP_TEXT_SUFFIX), "")
+        all_urls = pa.concat_arrays(
+            [urls, _as_array(dec_url).filter(pa.array(re_mask))])
+        all_text = pa.concat_arrays(
+            [text, _as_array(dec_text).filter(pa.array(re_mask))])
+        all_ts = np.concatenate([ts, ts[re_mask] + RECRAWL_SHIFT_US])
+        norm = _normalize_text(all_text)
+        nonempty = np.asarray(pc.not_equal(norm, ""))
+        sel = pa.array(nonempty)
+        norm = norm.filter(sel)
+        shard = (fnv1a64(_as_array(norm))
+                 % np.uint64(n_shards)).astype(np.int64)
+        return pa.table({"url": all_urls.filter(sel),
+                         "ts_us": pa.array(all_ts[nonempty], pa.int64()),
+                         "norm": norm,
+                         "shard": pa.array(shard)})
+
+    def earliest(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["norm", "ts_us", "url"], ignore_index=True)
+        counts = g.groupby("norm", sort=False).size().to_numpy()
+        win = g.drop_duplicates("norm", keep="first")
+        return pd.DataFrame({
+            "url": win["url"].to_numpy(),
+            "first_ts": pd.to_datetime(win["ts_us"].to_numpy(), unit="us"),
+            "n_variants": counts.astype("int64"),
+        })
+
+    return (ds.map_batches(union_norm_shard, batch_format="pyarrow")
+            .groupby("shard").map_groups(earliest, batch_format="pandas"))
