@@ -227,6 +227,12 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("host_pagerank", lambda _sf: WT.host_pagerank(corpus)),
         ("host_rank_filter", lambda _sf: WT.host_rank_filter(corpus)),
         ("host_components", lambda _sf: WT.host_components(corpus)),
+        # r5 session 7: lexical/readability gates (pages corpus)
+        ("lexical_diversity", lambda _sf: WT.lexical_diversity(corpus)),
+        ("readability_scores", lambda _sf: WT.readability_scores(corpus)),
+        # r5 session 8: extraction-yield gate + normalized dedup (pages)
+        ("extraction_yield", lambda _sf: WT.extraction_yield(corpus)),
+        ("dedup_normalized", lambda _sf: WT.dedup_normalized(corpus)),
         # r5 final session: cross-source audits (documents)
         ("source_divergence_tv", D.source_divergence_tv),
         ("source_overlap_matrix", D.source_overlap_matrix),
