@@ -224,6 +224,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-cap by ann_topk_from_text, and knn_self_join is the in-cap
         # all-pairs exact sibling)
         "readability_scores": _readability_scores,
+        # r5-NEW (session 8): declared-vs-predicted language confusion
+        # matrix — takes ngram_jaccard_pairs' slot (driver-green r1-r4,
+        # four consecutive recorded rounds; its r5 modification is
+        # exactly the shared _run_pair_indices sweep, which keeps
+        # driver rows in-cap via prep_corpus / prep_to_chunks /
+        # neardup_keep_best + simhash_neardup_pairs — the same argument
+        # as minhash_lsh_dedup's displacement; its unique df-cap
+        # shard/partial kernels are unmodified since r3, locally swept,
+        # and pinned by the n_shards-invariance pytest)
+        "lang_confusion": _lang_confusion,
         # r5-NEW (final session): signup->purchase conversion funnel —
         # takes ann_topk_lsh's slot (driver-green r2+r3, unmodified in
         # r5; the exact ANN siblings bruteforce/ivf/ivf_indexed and the
@@ -275,7 +285,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the same generator end to end; only its winners/losers
         # assembly is unique, unmodified in r5 and locally swept.
         "dedup_normalized": _dedup_normalized,
-        "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
         # r5-NEW (this session): Lee-et-al exact-substring REMOVAL —
         # takes dedup_paragraphs' spare slot (r4-driver-green,
         # unmodified in r5; shares the window index/verify core with
@@ -314,6 +323,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # generator keeps driver rows in-cap via prep_corpus /
         # prep_to_chunks / neardup_keep_best (same path end to end)
         "minhash_lsh_dedup": D.minhash_lsh_candidates,
+        # yielded to lang_confusion (r5-s8): driver-green r1-r4; its r5
+        # modification (the shared _run_pair_indices sweep) stays in-cap
+        # via the prep chain + simhash_neardup_pairs, its unique df-cap
+        # shard kernels are unmodified since r3 and n_shards-invariance
+        # pytest-pinned
+        "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
         # The four remaining PMIS flows yielded their slots to the four
         # r5-session-4 NEW ops (token_balanced_mixture /
         # url_snapshot_changes / remove_boilerplate_lines /
@@ -530,6 +545,12 @@ def _readability_scores(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import readability_scores
 
     return readability_scores(_webtext_dir())
+
+
+def _lang_confusion(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import lang_confusion
+
+    return lang_confusion(_webtext_dir())
 
 
 def _extraction_yield(_sf_dir: str):
@@ -783,6 +804,7 @@ def oracle_sql() -> dict[str, str]:
         "readability_scores": O.readability_scores_sql(pages_glob),
         "extraction_yield": O.extraction_yield_sql(pages_glob),
         "dedup_normalized": O.dedup_normalized_sql(pages_glob),
+        "lang_confusion": O.lang_confusion_sql(pages_glob),
         # within-doc duplicate-line removal (r5 s3)
         "dedup_lines_within_doc": O.dedup_lines_within_doc_sql(pages_glob),
         "rule_bank_funnel": O.rule_bank_funnel_sql(pages_glob),

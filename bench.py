@@ -233,6 +233,7 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         # r5 session 8: extraction-yield gate + normalized dedup (pages)
         ("extraction_yield", lambda _sf: WT.extraction_yield(corpus)),
         ("dedup_normalized", lambda _sf: WT.dedup_normalized(corpus)),
+        ("lang_confusion", lambda _sf: WT.lang_confusion(corpus)),
         # r5 final session: cross-source audits (documents)
         ("source_divergence_tv", D.source_divergence_tv),
         ("source_overlap_matrix", D.source_overlap_matrix),

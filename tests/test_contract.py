@@ -222,8 +222,14 @@ def test_correctness_cap_covers_priority_queries():
         # / neardup_keep_best, which run minhash_candidate_pairs_ds end
         # to end; only the unmodified winners/losers assembly rides the
         # local sweep)
+        # (ngram_jaccard_pairs — r5-modified via the same shared sweep —
+        # yielded its slot to lang_confusion in session 8 on the
+        # identical argument: driver-green r1-r4, shared kernel in-cap
+        # via the prep chain + simhash_neardup_pairs, unique df-cap
+        # shard kernels unmodified since r3 and n_shards-invariance
+        # pytest-pinned)
         # r5-session-8 new ops (same rule: new ops ride the cap)
-        "extraction_yield", "dedup_normalized",
+        "extraction_yield", "dedup_normalized", "lang_confusion",
     }
     missing = priority - first50
     assert not missing, f"priority queries past the 50-row cap: {missing}"

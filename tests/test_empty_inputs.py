@@ -75,7 +75,8 @@ def test_every_query_survives_empty_tables(ray_session, empty_dir):
                             "extract_links", "host_pagerank",
                             "host_rank_filter", "host_components",
                             "lexical_diversity", "readability_scores",
-                            "extraction_yield", "dedup_normalized")):
+                            "extraction_yield", "dedup_normalized",
+                            "lang_confusion")):
             continue
         exempt = name in MAY_BE_NONEMPTY
         try:

@@ -663,3 +663,62 @@ def test_extraction_yield_dedup_normalized_empty_pages(ray_session, tmp_path):
     ds = W.extraction_yield(d)
     assert "keep" in ds.schema().names and len(ds.to_pandas()) == 0
     assert len(W.dedup_normalized(d).to_pandas()) == 0
+
+
+def test_lang_confusion_twin_and_semantics(ray_session, tmp_path):
+    d = str(tmp_path)
+    en = ("the quick brown fox jumps over the lazy dog and the cat "
+          "with all of that and this have been there") * 3
+    de = ("der schnelle braune fuchs springt und der hund und die "
+          "katze sind auch da mit dem und das ist ein") * 3
+    t = pa.table({
+        "url": pa.array([f"u{i}" for i in range(6)]),
+        "text": pa.array([en, en, de, en, None, "   "], type=pa.string()),
+        # u1 declares de over english text (the planted-mislabel case);
+        # u4 null text, u5 tokenless text, u3 null declared lang
+        "lang": pa.array(["en", "de", "de", None, "en", "en"],
+                         type=pa.string()),
+    })
+    pq.write_table(t, os.path.join(d, "part-00000.parquet"))
+    mine = W.lang_confusion(d)
+    orc = duckdb.connect().execute(O.lang_confusion_sql(d + "/*.parquet")).df()
+    pd.testing.assert_frame_equal(normalize(mine), normalize(orc))
+    cells = {(r.lang_declared, r.lang_pred): r.n_pages
+             for r in mine.itertuples()}
+    assert cells[("en", "en")] == 1
+    assert cells[("de", "en")] == 1      # the planted mislabel fires
+    assert cells[("de", "de")] == 1
+    assert cells[(None, "en")] == 1      # null declared is a real cell
+    assert cells[("en", None)] == 1      # null text -> NULL prediction
+    assert cells[("en", "und")] == 1     # tokenless text -> 'und'
+    assert mine["n_pages"].sum() == 6
+
+
+def test_lang_confusion_fixture_twin(ray_session):
+    """Driver-fixture equality + the audit must actually FIND the
+    fixture's ~2% planted declared-lang mislabels."""
+    from txiac_qc_ray.sources.pages import default_pages_dir
+
+    d = default_pages_dir(2000)
+    mine = W.lang_confusion(d)
+    orc = duckdb.connect().execute(
+        O.lang_confusion_sql(d + "/part-*.parquet")).df()
+    pd.testing.assert_frame_equal(normalize(mine), normalize(orc))
+    off_diag = mine[(mine["lang_declared"].notna())
+                    & (mine["lang_pred"].notna())
+                    & (mine["lang_pred"] != "und")
+                    & (mine["lang_declared"] != mine["lang_pred"])]
+    assert off_diag["n_pages"].sum() > 20  # the planted mislabels
+    total = mine["n_pages"].sum()
+    assert total == 2000
+
+
+def test_lang_confusion_empty_pages(ray_session, tmp_path):
+    d = str(tmp_path)
+    t = pa.table({"url": pa.array([], type=pa.string()),
+                  "text": pa.array([], type=pa.string()),
+                  "lang": pa.array([], type=pa.string())})
+    pq.write_table(t, os.path.join(d, "part-00000.parquet"))
+    out = W.lang_confusion(d)
+    assert list(out.columns) == ["lang_declared", "lang_pred", "n_pages"]
+    assert len(out) == 0

@@ -1012,10 +1012,12 @@ def csv_ingest_sql(path_csv: str) -> str:
     """
 
 
-def _langid_pred_ctes() -> str:
+def _langid_pred_ctes(src: str = "documents") -> str:
     """CTE chain ending in `langpred(doc_id, lang_pred)` — the frozen
-    vocab-profile classifier re-expressed in SQL, shared by langid_sql
-    and ccnet_ppl_buckets_sql (one spec, two uses). Null text -> NULL
+    vocab-profile classifier re-expressed in SQL, shared by langid_sql,
+    ccnet_ppl_buckets_sql and lang_confusion_sql (one spec, three uses).
+    `src` is any relation exposing (doc_id, text) — callers over the
+    pages corpus alias url AS doc_id in a prior CTE. Null text -> NULL
     lang (the engine's LangIdModel returns None there; tokenless but
     non-null text -> 'und')."""
     from .config import LANGID_LANGS, LANGID_MIN_SCORE, LANGID_UNKNOWN
@@ -1032,7 +1034,7 @@ def _langid_pred_ctes() -> str:
     lang_order(lang, ord) AS (VALUES {ord_rows}),
     tok AS (
       SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
-      FROM documents
+      FROM {src}
     ),
     ntok AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id),
     hits AS (
@@ -1056,7 +1058,7 @@ def _langid_pred_ctes() -> str:
              CASE WHEN d.text IS NULL THEN NULL
                   WHEN b.score IS NULL OR b.score < {LANGID_MIN_SCORE}
                   THEN '{LANGID_UNKNOWN}' ELSE b.lang END AS lang_pred
-      FROM documents d
+      FROM {src} d
       LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
     )"""
 
@@ -2197,4 +2199,21 @@ def dedup_normalized_sql(pages_glob: str) -> str:
           FROM f)
     SELECT url, warc_ts AS first_ts, CAST(cnt AS BIGINT) AS n_variants
     FROM r WHERE rk = 1
+    """
+
+
+def lang_confusion_sql(pages_glob: str) -> str:
+    """Declared-vs-predicted language confusion-matrix twin: the SAME
+    frozen vocab-profile classifier CTEs (_langid_pred_ctes) over the
+    pages corpus (url aliased as doc_id), grouped on the raw pair —
+    NULL declared langs and NULL predictions (null text) are real
+    matrix cells, not dropped rows."""
+    return f"""
+    WITH pages AS (SELECT url AS doc_id, text, lang
+                   FROM read_parquet('{pages_glob}')),
+    {_langid_pred_ctes(src="pages")}
+    SELECT p.lang AS lang_declared, lp.lang_pred,
+           CAST(count(*) AS BIGINT) AS n_pages
+    FROM pages p JOIN langpred lp USING (doc_id)
+    GROUP BY 1, 2
     """

@@ -2215,3 +2215,60 @@ def dedup_normalized(paths: str | list[str],
 
     return (ds.map_batches(union_norm_shard, batch_format="pyarrow")
             .groupby("shard").map_groups(earliest, batch_format="pandas"))
+
+
+def lang_confusion(paths: str | list[str]) -> "pd.DataFrame":
+    """Declared-vs-predicted language agreement audit -> confusion
+    matrix (lang_declared, lang_pred, n_pages) — the crawl-metadata
+    validation step: a page's self-declared language header is wrong
+    often enough (the fixture plants ~2% mislabels by construction)
+    that production pipelines trust the model and AUDIT the metadata.
+    NULL declared langs and NULL predictions (null text) are real
+    matrix cells. The output is the language-pair-sized artifact a
+    100 TB run ships to its metrics store, not a per-page table.
+
+    Scale shape: the frozen LangIdModel predicts per batch (built once
+    per worker process — the langid_batch cache pattern), each batch
+    reduces to (declared, pred, n) partials, and the language-pair-
+    sized partial stream folds on the driver via stream_reduce_counts
+    (the house rule for metadata-sized finishes: a hash shuffle over
+    hundreds of tiny partial blocks costs seconds of pure scheduling).
+    The corpus never shuffles.
+
+    Reference analog: the reference's grouped count summaries
+    (Home.py:215-270) with a model-predicted grouping key; north_rule's
+    langid stage, audit axis."""
+    import pandas as pd
+
+    from ..stages.langid import LangIdModel
+    from .relational import stream_reduce_counts
+
+    ds = ray.data.read_parquet(paths, columns=["text", "lang"])
+
+    _cache: list = []
+
+    def partials(t: pa.Table) -> pa.Table:
+        if not _cache:  # one frozen model per worker process
+            _cache.append(LangIdModel())
+        preds, _ = _cache[0].predict(_as_array(t.column("text")))
+        decl = _as_array(t.column("lang")).to_numpy(zero_copy_only=False)
+        pairs = (pd.DataFrame({"lang_declared": decl, "lang_pred": preds})
+                 .groupby(["lang_declared", "lang_pred"], dropna=False,
+                          sort=False).size().reset_index(name="n_pages"))
+        return pa.table({
+            "lang_declared": pa.array(
+                [None if pd.isna(v) else v
+                 for v in pairs["lang_declared"]], pa.string()),
+            "lang_pred": pa.array(
+                [None if pd.isna(v) else v
+                 for v in pairs["lang_pred"]], pa.string()),
+            "n_pages": pa.array(pairs["n_pages"].to_numpy(), pa.int64()),
+        })
+
+    out = stream_reduce_counts(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["lang_declared", "lang_pred"], ["n_pages"])
+    out["n_pages"] = out["n_pages"].astype("int64")
+    return (out.sort_values(["lang_declared", "lang_pred"],
+                            na_position="last", ignore_index=True)
+            [["lang_declared", "lang_pred", "n_pages"]])
