@@ -329,6 +329,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shard kernels are unmodified since r3 and n_shards-invariance
         # pytest-pinned
         "ngram_jaccard_pairs": D.ngram_jaccard_pairs,
+        # r5-NEW (session 8) riding the tail under the STATED exception
+        # (contract test docstring; knn_self_join_ivf precedent): each
+        # is pytest-pinned BYTE-EQUAL to a rollup of an IN-CAP query's
+        # output, so the driver's value check transfers through the pin
+        # — pii_density_by_host == rollup(pii_counts) (in-cap),
+        # crawl_drift == rollup(extraction_yield.text_bytes × warc_ts
+        # bucket) (in-cap); both are also swept against their own SQL
+        # twins every round
+        "pii_density_by_host": _pii_density_by_host,
+        "crawl_drift": _crawl_drift,
         # The four remaining PMIS flows yielded their slots to the four
         # r5-session-4 NEW ops (token_balanced_mixture /
         # url_snapshot_changes / remove_boilerplate_lines /
@@ -551,6 +561,18 @@ def _lang_confusion(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import lang_confusion
 
     return lang_confusion(_webtext_dir())
+
+
+def _pii_density_by_host(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import pii_density_by_host
+
+    return pii_density_by_host(_webtext_dir())
+
+
+def _crawl_drift(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import crawl_drift
+
+    return crawl_drift(_webtext_dir())
 
 
 def _extraction_yield(_sf_dir: str):
@@ -805,6 +827,8 @@ def oracle_sql() -> dict[str, str]:
         "extraction_yield": O.extraction_yield_sql(pages_glob),
         "dedup_normalized": O.dedup_normalized_sql(pages_glob),
         "lang_confusion": O.lang_confusion_sql(pages_glob),
+        "pii_density_by_host": O.pii_density_by_host_sql(pages_glob),
+        "crawl_drift": O.crawl_drift_sql(pages_glob),
         # within-doc duplicate-line removal (r5 s3)
         "dedup_lines_within_doc": O.dedup_lines_within_doc_sql(pages_glob),
         "rule_bank_funnel": O.rule_bank_funnel_sql(pages_glob),

@@ -234,6 +234,9 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("extraction_yield", lambda _sf: WT.extraction_yield(corpus)),
         ("dedup_normalized", lambda _sf: WT.dedup_normalized(corpus)),
         ("lang_confusion", lambda _sf: WT.lang_confusion(corpus)),
+        ("pii_density_by_host",
+         lambda _sf: WT.pii_density_by_host(corpus)),
+        ("crawl_drift", lambda _sf: WT.crawl_drift(corpus)),
         # r5 final session: cross-source audits (documents)
         ("source_divergence_tv", D.source_divergence_tv),
         ("source_overlap_matrix", D.source_overlap_matrix),

@@ -76,7 +76,8 @@ def test_every_query_survives_empty_tables(ray_session, empty_dir):
                             "host_rank_filter", "host_components",
                             "lexical_diversity", "readability_scores",
                             "extraction_yield", "dedup_normalized",
-                            "lang_confusion")):
+                            "lang_confusion", "pii_density_by_host",
+                            "crawl_drift")):
             continue
         exempt = name in MAY_BE_NONEMPTY
         try:

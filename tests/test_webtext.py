@@ -722,3 +722,88 @@ def test_lang_confusion_empty_pages(ray_session, tmp_path):
     out = W.lang_confusion(d)
     assert list(out.columns) == ["lang_declared", "lang_pred", "n_pages"]
     assert len(out) == 0
+
+
+def test_pii_density_by_host_twin_and_pin(ray_session):
+    """Fixture twin equality + the TRANSFER PIN: the rollup must be
+    byte-equal to aggregating the in-cap pii_counts output by host —
+    the driver's pii_counts value check then covers this op through
+    the pin (the knn_self_join_ivf tail-exception pattern)."""
+    from txiac_qc_ray.functions.urls import host_of_urls
+    from txiac_qc_ray.sources.pages import default_pages_dir
+
+    d = default_pages_dir(2000)
+    mine = W.pii_density_by_host(d)
+    orc = duckdb.connect().execute(
+        O.pii_density_by_host_sql(d + "/part-*.parquet")).df()
+    pd.testing.assert_frame_equal(normalize(mine), normalize(orc))
+    # transfer pin: rollup of pii_counts' per-page rows, recomputed the
+    # same way (int sums, int/int double divisions)
+    pc_df = W.pii_counts(d).to_pandas()
+    host = host_of_urls(pa.array(pc_df["url"].tolist(),
+                                 type=pa.string())).to_pandas()
+    roll = (pd.DataFrame({
+                "host": host,
+                "n_pages": 1,
+                "n_pages_with_pii": pc_df["has_pii"].astype("int64"),
+                "n_pii_total": pc_df["n_pii_total"].astype("int64")})
+            .groupby("host", dropna=False).sum().reset_index()
+            .sort_values("host", na_position="last", ignore_index=True))
+    n = roll["n_pages"].to_numpy().astype("float64")
+    roll["pii_rate"] = roll["n_pages_with_pii"].to_numpy() / n
+    roll["pii_per_page"] = roll["n_pii_total"].to_numpy() / n
+    for c in ("n_pages", "n_pages_with_pii", "n_pii_total"):
+        roll[c] = roll[c].astype("int64")
+    pd.testing.assert_frame_equal(normalize(mine), normalize(roll))
+    # the rollup must single out the PII-heavy hosts (rate fires)
+    assert mine["n_pii_total"].sum() > 50
+    assert (mine["pii_rate"] > 0).any() and (mine["pii_rate"] == 0).any()
+
+
+def test_crawl_drift_twin_and_pin(ray_session):
+    """Fixture twin equality + the TRANSFER PIN vs the in-cap
+    extraction_yield: bucketing its per-page text_bytes by the
+    warc_ts hour must reproduce crawl_drift byte-for-byte."""
+    import pyarrow.parquet as _pq
+    from txiac_qc_ray.sources.pages import default_pages_dir
+
+    d = default_pages_dir(2000)
+    mine = W.crawl_drift(d)
+    orc = duckdb.connect().execute(
+        O.crawl_drift_sql(d + "/part-*.parquet")).df()
+    pd.testing.assert_frame_equal(normalize(mine), normalize(orc))
+    # transfer pin
+    ey = W.extraction_yield(d).to_pandas()[["url", "text_bytes"]]
+    raw = _pq.read_table(d, columns=["url", "warc_ts"]).to_pandas()
+    j = raw.merge(ey, on="url")
+    ts_us = (j["warc_ts"].to_numpy().astype("datetime64[us]")
+             .astype("int64"))
+    j["bucket_hour"] = ts_us // 3_600_000_000
+    roll = (pd.DataFrame({
+                "bucket_hour": j["bucket_hour"],
+                "n_pages": 1,
+                "n_text": j["text_bytes"].notna().astype("int64"),
+                "total_text_bytes":
+                    j["text_bytes"].fillna(0).astype("int64")})
+            .groupby("bucket_hour").sum().reset_index()
+            .sort_values("bucket_hour", ignore_index=True))
+    nt = roll["n_text"].to_numpy().astype("float64")
+    roll["mean_text_bytes"] = np.where(
+        nt > 0, roll["total_text_bytes"].to_numpy() / nt, np.nan)
+    for c in ("bucket_hour", "n_pages", "n_text", "total_text_bytes"):
+        roll[c] = roll[c].astype("int64")
+    pd.testing.assert_frame_equal(normalize(mine), normalize(roll))
+    # the report has multiple buckets and a stable page total
+    assert len(mine) >= 2 and mine["n_pages"].sum() == 2000
+
+
+def test_pii_density_crawl_drift_empty_pages(ray_session, tmp_path):
+    d = str(tmp_path)
+    t = pa.table({"url": pa.array([], type=pa.string()),
+                  "warc_ts": pa.array([], type=pa.timestamp("us")),
+                  "text": pa.array([], type=pa.string())})
+    pq.write_table(t, os.path.join(d, "part-00000.parquet"))
+    out = W.pii_density_by_host(d)
+    assert len(out) == 0 and "pii_rate" in out.columns
+    out = W.crawl_drift(d)
+    assert len(out) == 0 and "mean_text_bytes" in out.columns

@@ -2217,3 +2217,52 @@ def lang_confusion_sql(pages_glob: str) -> str:
     FROM pages p JOIN langpred lp USING (doc_id)
     GROUP BY 1, 2
     """
+
+
+def pii_density_by_host_sql(pages_glob: str) -> str:
+    """Host-level PII-density twin: the SAME frozen scrub-pattern count
+    expressions as pii_counts_sql, grouped on the simple host capture
+    (the audit's host key is functions.urls.host_of_urls — the raw
+    ^scheme://host extract, NOT url_host_filter's normalized form);
+    rates are int/int double divisions."""
+    from .stages.scrub import SCRUB_PATTERNS
+
+    total = " + ".join(
+        f"coalesce(len(regexp_extract_all(text, '{pat}')), 0)"
+        for _name, pat, _repl in SCRUB_PATTERNS)
+    return f"""
+    WITH c AS (
+      SELECT nullif(regexp_extract(url, '^[a-z]+://([^/]+)', 1), '') AS host,
+             {total} AS n_pii
+      FROM read_parquet('{pages_glob}'))
+    SELECT host,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(count(*) FILTER (WHERE n_pii > 0) AS BIGINT)
+             AS n_pages_with_pii,
+           CAST(sum(n_pii) AS BIGINT) AS n_pii_total,
+           CAST(count(*) FILTER (WHERE n_pii > 0) AS DOUBLE) / count(*)
+             AS pii_rate,
+           CAST(sum(n_pii) AS DOUBLE) / count(*) AS pii_per_page
+    FROM c GROUP BY host
+    """
+
+
+def crawl_drift_sql(pages_glob: str) -> str:
+    """Capture-hour drift-report twin: the bucket is an integer floor
+    division of the epoch-microsecond timestamp (epoch_us // 3.6e9 —
+    the same int the engine computes from the cast Arrow column); byte
+    lengths via strlen (bytes in DuckDB); the mean is one int/int
+    double division, NULL for textless buckets."""
+    return f"""
+    WITH b AS (SELECT epoch_us(warc_ts) // 3600000000 AS bucket_hour, text
+               FROM read_parquet('{pages_glob}'))
+    SELECT bucket_hour,
+           CAST(count(*) AS BIGINT) AS n_pages,
+           CAST(count(text) AS BIGINT) AS n_text,
+           CAST(coalesce(sum(strlen(text)), 0) AS BIGINT)
+             AS total_text_bytes,
+           CASE WHEN count(text) > 0
+                THEN CAST(sum(strlen(text)) AS DOUBLE) / count(text)
+           END AS mean_text_bytes
+    FROM b GROUP BY bucket_hour
+    """

@@ -590,31 +590,43 @@ def pii_counts(paths: str | list[str]) -> ray.data.Dataset:
 
     Reference analog: none (the reference neither scrubs nor audits);
     north_rule's PII bank, reporting side."""
-    from ..stages.scrub import _CANDIDATE_RE
-
     def stage(t: pa.Table) -> pa.Table:
         text = _as_array(t.column("text"))
-        n = len(t)
         cols: dict = {"url": t["url"]}
-        # scrub's candidate prefilter: every pattern requires a digit,
-        # '@' or a lexicon word, so ONE cheap scan finds the rows the 5
-        # counting passes must touch; non-candidates count 0 by
-        # construction (byte-identical to scanning every row)
-        cand = np.asarray(pc.fill_null(
-            pc.match_substring_regex(text, _CANDIDATE_RE), False))
-        sub = text.filter(pa.array(cand))
-        total = np.zeros(n, dtype=np.int64)
-        for name, pat, _repl in SCRUB_PATTERNS:
-            c = np.zeros(n, dtype=np.int64)
-            if len(sub):
-                c[cand] = _count_re(sub, pat)
-            cols[f"n_{name}"] = pa.array(c, type=pa.int64())
-            total += c
+        counts, total = _pii_match_counts(text)
+        for name, _pat, _repl in SCRUB_PATTERNS:
+            cols[f"n_{name}"] = pa.array(counts[name], type=pa.int64())
         cols["n_pii_total"] = pa.array(total, type=pa.int64())
         cols["has_pii"] = pa.array(total > 0)
         return pa.table(cols)
 
     return _read_pages_text(paths).map_batches(stage, batch_format="pyarrow")
+
+
+def _pii_match_counts(text: pa.Array) -> tuple[dict, np.ndarray]:
+    """Per-row non-overlapping match counts for every frozen scrub
+    pattern -> ({name: int64 ndarray}, total) — the ONE counting kernel
+    behind pii_counts and pii_density_by_host (shared so the audit and
+    its host rollup can never drift apart). Scrub's candidate prefilter
+    applies: every pattern requires a digit, '@' or a lexicon word, so
+    ONE cheap scan finds the rows the 5 counting passes must touch;
+    non-candidates count 0 by construction (byte-identical to scanning
+    every row). Null text -> 0 everywhere."""
+    from ..stages.scrub import _CANDIDATE_RE
+
+    n = len(text)
+    cand = np.asarray(pc.fill_null(
+        pc.match_substring_regex(text, _CANDIDATE_RE), False))
+    sub = text.filter(pa.array(cand))
+    counts: dict = {}
+    total = np.zeros(n, dtype=np.int64)
+    for name, pat, _repl in SCRUB_PATTERNS:
+        c = np.zeros(n, dtype=np.int64)
+        if len(sub):
+            c[cand] = _count_re(sub, pat)
+        counts[name] = c
+        total += c
+    return counts, total
 
 
 # Frozen integer weight vector for the linear quality classifier —
@@ -2272,3 +2284,120 @@ def lang_confusion(paths: str | list[str]) -> "pd.DataFrame":
     return (out.sort_values(["lang_declared", "lang_pred"],
                             na_position="last", ignore_index=True)
             [["lang_declared", "lang_pred", "n_pages"]])
+
+
+def pii_density_by_host(paths: str | list[str]) -> "pd.DataFrame":
+    """Host-level PII density rollup -> (host, n_pages,
+    n_pages_with_pii, n_pii_total, pii_rate, pii_per_page) — the
+    scrub-policy targeting artifact: a compliance review doesn't act on
+    400k per-page counters, it acts on "which DOMAINS leak PII and how
+    hard", then tightens the scrub (or drops the host) there. NULL /
+    unparsable-url pages roll up under a NULL host row.
+
+    Scale shape: the SAME counting kernel as pii_counts
+    (_pii_match_counts — shared so audit and rollup can never drift),
+    reduced per batch to host-keyed integer partials, folded on the
+    driver via stream_reduce_counts (host-cardinality output; the house
+    rule for metadata-sized finishes). The corpus never shuffles.
+    pii_rate / pii_per_page are single int/int float64 divisions —
+    bit-identical in the DuckDB twin.
+
+    Reference analog: the reference's grouped outlier counters per
+    district (Home.py:444-904) — counts of flagged rows per grouping
+    key; north_rule's scrub bank, metrics side."""
+    import pandas as pd
+
+    from .relational import stream_reduce_counts
+
+    ds = ray.data.read_parquet(paths, columns=["url", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        text = _as_array(t.column("text"))
+        _counts, total = _pii_match_counts(text)
+        host = host_of_urls(_as_array(t.column("url")))
+        g = (pd.DataFrame({
+                "host": host.to_numpy(zero_copy_only=False),
+                "n_pages": np.ones(len(t), dtype=np.int64),
+                "n_pages_with_pii": (total > 0).astype(np.int64),
+                "n_pii_total": total})
+             .groupby("host", dropna=False, sort=False).sum().reset_index())
+        return pa.table({
+            "host": pa.array([None if pd.isna(v) else v
+                              for v in g["host"]], pa.string()),
+            "n_pages": pa.array(g["n_pages"].to_numpy(), pa.int64()),
+            "n_pages_with_pii": pa.array(
+                g["n_pages_with_pii"].to_numpy(), pa.int64()),
+            "n_pii_total": pa.array(g["n_pii_total"].to_numpy(), pa.int64()),
+        })
+
+    out = stream_reduce_counts(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["host"], ["n_pages", "n_pages_with_pii", "n_pii_total"])
+    for c in ("n_pages", "n_pages_with_pii", "n_pii_total"):
+        out[c] = out[c].astype("int64")
+    n = out["n_pages"].to_numpy().astype(np.float64)
+    out["pii_rate"] = out["n_pages_with_pii"].to_numpy() / n
+    out["pii_per_page"] = out["n_pii_total"].to_numpy() / n
+    return (out.sort_values("host", na_position="last", ignore_index=True)
+            [["host", "n_pages", "n_pages_with_pii", "n_pii_total",
+              "pii_rate", "pii_per_page"]])
+
+
+def crawl_drift(paths: str | list[str]) -> "pd.DataFrame":
+    """Temporal corpus-drift report -> one row per capture-hour bucket
+    (bucket_hour = epoch-us // 3.6e9): n_pages, n_text (non-null),
+    total_text_bytes, mean_text_bytes — the monitoring table a
+    continuous-crawl pipeline charts to catch ingest regressions
+    (a collapsing mean length or a null-text spike in one capture
+    window flags a broken extractor or a source outage long before any
+    per-page gate does). mean is NULL for a bucket with no textful
+    pages.
+
+    Scale shape: per-batch integer partials keyed on the int bucket,
+    folded on the driver via stream_reduce_counts (bucket-cardinality
+    output — hours, not pages); the corpus never shuffles. The mean is
+    one int/int float64 division, bit-identical in the twin.
+
+    Reference analog: the reference's year-by-year district summaries
+    (Home.py:215-270) — the same report keyed on capture time instead
+    of fiscal year."""
+    import pandas as pd
+
+    from .relational import stream_reduce_counts
+
+    ds = ray.data.read_parquet(paths, columns=["warc_ts", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(_as_array(t.column("warc_ts")), pa.int64()))
+        bucket = ts // 3_600_000_000
+        text = _as_array(t.column("text"))
+        valid = np.asarray(pc.is_valid(text)).astype(np.int64)
+        nbytes = np.asarray(pc.fill_null(
+            pc.cast(pc.binary_length(text), pa.int64()), 0))
+        g = (pd.DataFrame({"bucket_hour": bucket,
+                           "n_pages": np.ones(len(t), dtype=np.int64),
+                           "n_text": valid,
+                           "total_text_bytes": nbytes})
+             .groupby("bucket_hour", sort=False).sum().reset_index())
+        return pa.table({
+            "bucket_hour": pa.array(g["bucket_hour"].to_numpy(), pa.int64()),
+            "n_pages": pa.array(g["n_pages"].to_numpy(), pa.int64()),
+            "n_text": pa.array(g["n_text"].to_numpy(), pa.int64()),
+            "total_text_bytes": pa.array(
+                g["total_text_bytes"].to_numpy(), pa.int64()),
+        })
+
+    out = stream_reduce_counts(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        ["bucket_hour"], ["n_pages", "n_text", "total_text_bytes"])
+    for c in ("bucket_hour", "n_pages", "n_text", "total_text_bytes"):
+        out[c] = out[c].astype("int64")
+    n_text = out["n_text"].to_numpy().astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        mean = np.where(n_text > 0,
+                        out["total_text_bytes"].to_numpy() / n_text, np.nan)
+    out["mean_text_bytes"] = mean
+    out.loc[out["n_text"] == 0, "mean_text_bytes"] = np.nan
+    return (out.sort_values("bucket_hour", ignore_index=True)
+            [["bucket_hour", "n_pages", "n_text", "total_text_bytes",
+              "mean_text_bytes"]])
