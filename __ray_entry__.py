@@ -339,6 +339,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # twins every round
         "pii_density_by_host": _pii_density_by_host,
         "crawl_drift": _crawl_drift,
+        # dedup_normalized_rows (same exception): the in-cap report
+        # dedup_normalized's (url, n_variants) is reconstructed
+        # byte-equal from this op's (keep, norm_hash) in the pin test
+        "dedup_normalized_rows": _dedup_normalized_rows,
         # The four remaining PMIS flows yielded their slots to the four
         # r5-session-4 NEW ops (token_balanced_mixture /
         # url_snapshot_changes / remove_boilerplate_lines /
@@ -561,6 +565,12 @@ def _lang_confusion(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import lang_confusion
 
     return lang_confusion(_webtext_dir())
+
+
+def _dedup_normalized_rows(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import dedup_normalized_rows
+
+    return dedup_normalized_rows(_webtext_dir())
 
 
 def _pii_density_by_host(_sf_dir: str):
@@ -829,6 +839,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_confusion": O.lang_confusion_sql(pages_glob),
         "pii_density_by_host": O.pii_density_by_host_sql(pages_glob),
         "crawl_drift": O.crawl_drift_sql(pages_glob),
+        "dedup_normalized_rows": O.dedup_normalized_rows_sql(pages_glob),
         # within-doc duplicate-line removal (r5 s3)
         "dedup_lines_within_doc": O.dedup_lines_within_doc_sql(pages_glob),
         "rule_bank_funnel": O.rule_bank_funnel_sql(pages_glob),

@@ -237,6 +237,8 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("pii_density_by_host",
          lambda _sf: WT.pii_density_by_host(corpus)),
         ("crawl_drift", lambda _sf: WT.crawl_drift(corpus)),
+        ("dedup_normalized_rows",
+         lambda _sf: WT.dedup_normalized_rows(corpus)),
         # r5 final session: cross-source audits (documents)
         ("source_divergence_tv", D.source_divergence_tv),
         ("source_overlap_matrix", D.source_overlap_matrix),

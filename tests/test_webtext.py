@@ -807,3 +807,29 @@ def test_pii_density_crawl_drift_empty_pages(ray_session, tmp_path):
     assert len(out) == 0 and "pii_rate" in out.columns
     out = W.crawl_drift(d)
     assert len(out) == 0 and "mean_text_bytes" in out.columns
+
+
+def test_dedup_normalized_rows_twin_and_pin(ray_session):
+    """Fixture twin equality + the TRANSFER PIN: the in-cap report
+    dedup_normalized's (url, n_variants) must be reconstructible
+    BYTE-EQUAL from this op's (keep, norm_hash) — winners are the
+    keep=true in-scope rows, group sizes the norm_hash counts."""
+    from txiac_qc_ray.sources.pages import default_pages_dir
+
+    d = default_pages_dir(2000)
+    rows = W.dedup_normalized_rows(d).to_pandas()
+    orc = duckdb.connect().execute(
+        O.dedup_normalized_rows_sql(d + "/part-*.parquet")).df()
+    pd.testing.assert_frame_equal(normalize(rows), normalize(orc))
+    rep = W.dedup_normalized(d).to_pandas()
+    ins = rows[rows["norm_hash"].notna()]
+    sizes = ins.groupby("norm_hash").size()
+    winners = ins[ins["keep"]].copy()
+    winners["n_variants"] = winners["norm_hash"].map(sizes).astype("int64")
+    rec = winners[["url", "n_variants"]].sort_values("url",
+                                                     ignore_index=True)
+    exp = rep[["url", "n_variants"]].sort_values("url", ignore_index=True)
+    pd.testing.assert_frame_equal(rec, exp)
+    # loser totals agree and out-of-scope rows never drop
+    assert int((~rows["keep"]).sum()) == int((rep["n_variants"] - 1).sum())
+    assert rows.loc[rows["norm_hash"].isna(), "keep"].all()

@@ -2266,3 +2266,37 @@ def crawl_drift_sql(pages_glob: str) -> str:
            END AS mean_text_bytes
     FROM b GROUP BY bucket_hour
     """
+
+
+def dedup_normalized_rows_sql(pages_glob: str) -> str:
+    """Per-page label twin of dedup_normalized_sql: same decorated
+    union + normalization; keep = NOT(in-scope AND non-first capture);
+    out-of-scope rows (null text / empty norm) keep TRUE."""
+    from .pipelines import webtext as w
+
+    norm = (f"trim(regexp_replace(lower(text), "
+            f"'{w.NORM_COLLAPSE_RE}', ' ', 'g'))")
+    return f"""
+    WITH base AS (SELECT url, warc_ts, text FROM read_parquet('{pages_glob}')),
+    marked AS (SELECT url, warc_ts, text, {fnv_expr('url')} AS h FROM base
+               WHERE text IS NOT NULL),
+    re AS (SELECT url || '{w.NORMDUP_URL_SUFFIX}' AS url,
+                  warc_ts + INTERVAL 1 DAY AS warc_ts,
+                  replace(upper(text), ' ', '  ')
+                    || '{w.NORMDUP_TEXT_SUFFIX}' AS text
+           FROM marked WHERE h % {w.NORMDUP_MOD} = 0),
+    u AS (SELECT url, warc_ts, text FROM base
+          UNION ALL SELECT url, warc_ts, text FROM re),
+    n AS (SELECT url, warc_ts,
+                 CASE WHEN text IS NULL THEN NULL ELSE {norm} END AS norm
+          FROM u),
+    r AS (SELECT url, norm,
+                 row_number() OVER (PARTITION BY norm
+                                    ORDER BY warc_ts ASC, url ASC) AS rk
+          FROM n WHERE norm IS NOT NULL AND norm != '')
+    SELECT n.url,
+           coalesce(NOT (r.rk > 1), TRUE) AS keep,
+           CASE WHEN r.url IS NOT NULL
+                THEN {hex16(fnv_expr('r.norm'))} END AS norm_hash
+    FROM n LEFT JOIN r ON n.url = r.url
+    """

@@ -47,6 +47,7 @@ import ray.data
 from ..functions.textstats import _SYMBOL_CLASS, tokenize
 from ..functions.urls import fnv1a64, host_of_urls
 from ..stages.scrub import SCRUB_PATTERNS, scrub_texts
+from .docs import _hex16 as _hex16_str
 from .docs import _mix64
 
 # ---- shared RE2 patterns (the SQL twins embed the SAME strings) --------
@@ -1184,7 +1185,6 @@ def remove_boilerplate_lines(paths: str | list[str],
     boilerplate by line-level RULES (c4_line_filter here) — this is the
     complementary frequency-based detector (CCNet §4.1-style)."""
     from ..functions.urls import fnv1a64
-
     from .docs import _mix64  # driver-side: _lines_hashed runs on workers
 
     ds = ray.data.read_parquet(paths, columns=["url", "text"])
@@ -2401,3 +2401,81 @@ def crawl_drift(paths: str | list[str]) -> "pd.DataFrame":
     return (out.sort_values("bucket_hour", ignore_index=True)
             [["bucket_hour", "n_pages", "n_text", "total_text_bytes",
               "mean_text_bytes"]])
+
+
+def dedup_normalized_rows(paths: str | list[str],
+                          n_shards: int | None = None) -> ray.data.Dataset:
+    """Per-page label form of `dedup_normalized` -> streaming Dataset
+    (url, keep): keep=false iff the page is a NON-earliest capture of
+    its normalized-text group over the same perturbed-recapture union
+    view (ties by url asc) — the transform a prep chain consumes, where
+    `dedup_normalized` is the report (the exact_dedup /
+    exact_dedup_rows duality). Out-of-dedup-scope rows (null text, or
+    text that normalizes to empty) keep=true: dedup never drops them;
+    the null/quality gates do.
+
+    Scale shape: out-of-scope rows take a shuffle-free label pass and
+    UNION with the in-scope stream, which pays the same single bounded
+    norm-hash shard shuffle as the report; per-group labeling is one
+    lexsort + first-occurrence mask. Output is view-row-sized and
+    streams; no driver state."""
+    import pandas as pd
+
+    ds = ray.data.read_parquet(paths, columns=["url", "warc_ts", "text"])
+    if n_shards is None:
+        from .qc import _pages_shard_count
+
+        n_shards = _pages_shard_count(paths, floor=8)
+
+    def split_scope(t: pa.Table, want_in_scope: bool) -> pa.Table:
+        urls = _as_array(t.column("url"))
+        text = _as_array(t.column("text"))
+        ts = np.asarray(pc.cast(_as_array(t.column("warc_ts")), pa.int64()))
+        valid = np.asarray(pc.is_valid(text))
+        h = fnv1a64(urls)
+        re_mask = ((h % np.uint64(NORMDUP_MOD)) == 0) & valid
+        dec_url = pc.binary_join_element_wise(
+            urls, pa.scalar(NORMDUP_URL_SUFFIX), "")
+        dec_text = pc.binary_join_element_wise(
+            pc.replace_substring(pc.utf8_upper(pc.fill_null(text, "")),
+                                 " ", "  "),
+            pa.scalar(NORMDUP_TEXT_SUFFIX), "")
+        all_urls = pa.concat_arrays(
+            [urls, _as_array(dec_url).filter(pa.array(re_mask))])
+        all_text = pa.concat_arrays(
+            [pc.fill_null(text, ""),
+             _as_array(dec_text).filter(pa.array(re_mask))])
+        all_ts = np.concatenate([ts, ts[re_mask] + RECRAWL_SHIFT_US])
+        all_valid = np.concatenate(
+            [valid, np.ones(int(re_mask.sum()), dtype=bool)])
+        norm = _normalize_text(all_text)
+        in_scope = all_valid & (np.asarray(pc.not_equal(norm, "")))
+        sel = pa.array(in_scope if want_in_scope else ~in_scope)
+        if not want_in_scope:
+            n_out = int((~in_scope).sum())
+            return pa.table({"url": all_urls.filter(sel),
+                             "keep": pa.array(np.ones(n_out, bool)),
+                             "norm_hash": pa.nulls(n_out, pa.string())})
+        norm = norm.filter(sel)
+        nh = fnv1a64(_as_array(norm))
+        shard = (nh % np.uint64(n_shards)).astype(np.int64)
+        return pa.table({"url": all_urls.filter(sel),
+                         "ts_us": pa.array(all_ts[in_scope], pa.int64()),
+                         "norm": norm,
+                         "norm_hash": _hex16_str(nh),
+                         "shard": pa.array(shard)})
+
+    def label(g: "pd.DataFrame") -> "pd.DataFrame":
+        g = g.sort_values(["norm", "ts_us", "url"], ignore_index=True)
+        first = np.ones(len(g), dtype=bool)
+        nv = g["norm"].to_numpy()
+        first[1:] = nv[1:] != nv[:-1]
+        return pd.DataFrame({"url": g["url"].to_numpy(), "keep": first,
+                             "norm_hash": g["norm_hash"].to_numpy()})
+
+    out_scope = ds.map_batches(
+        lambda t: split_scope(t, False), batch_format="pyarrow")
+    labeled = (ds.map_batches(lambda t: split_scope(t, True),
+                              batch_format="pyarrow")
+               .groupby("shard").map_groups(label, batch_format="pandas"))
+    return labeled.union(out_scope)
