@@ -290,15 +290,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified in r5; shares the window index/verify core with
         # the in-cap dup_window_fraction)
         "remove_dup_windows": D.remove_dup_windows,
-        # r5-NEW (this session): all-pairs top-k cosine self-join — takes
-        # decontaminate_bloom's spare slot (r4-driver-green, unmodified
-        # in r5; its exact sibling `decontaminate` stays in-cap above)
-        "knn_self_join": D.knn_self_join,
-        # r5-NEW (this session): embedding-cosine near-dup clusters —
-        # takes minhash_lsh_dedup's spare slot (r4-driver-green,
-        # unmodified in r5; its pair source embedding_neardup_pairs and
-        # the minhash cluster twin neardup_clusters stay in-cap above)
-        "embedding_neardup_clusters": D.embedding_neardup_clusters,
+        # r5-NEW (session 9): integer fixed-point k-means over the
+        # embeddings table — takes knn_self_join's slot (r5-s2, zero
+        # driver rows either way; knn_self_join's broadcast cosine
+        # top-k kernel — partial top-k + the (sim desc, nid asc) tie
+        # rule — stays driven in-cap end to end by ann_topk_from_text,
+        # and knn_self_join_ivf's tail pin now transfers from the
+        # local sweep instead of a driver row)
+        "embedding_kmeans": D.embedding_kmeans,
+        # r5-NEW (session 9): SemDeDup — semantic dedup within k-means
+        # clusters (Abbas et al. 2023) — takes
+        # embedding_neardup_clusters' slot (r5-s2, zero driver rows
+        # either way; its two kernels both stay driven in-cap: the
+        # cosine-threshold pair compare by semdedup itself + the ann
+        # family, and the shared CC core end to end by
+        # host_components)
+        "semdedup": D.semdedup,
         # r5-NEW (this session): CCNet-style per-language perplexity
         # buckets — takes weighted_sample's spare slot (r4-driver-green
         # + builder sf0.1 re-check, unmodified in r5)
@@ -372,11 +379,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified in r5; exact by construction, pytest-pinned equal
         # to the in-cap ann_topk_bruteforce
         "ann_topk_ivf": D.ann_topk_ivf,
+        # yielded to embedding_kmeans (r5-s9): r5-s2 op with zero
+        # driver rows; its broadcast cosine top-k kernel stays in-cap
+        # via ann_topk_from_text, and the tail pin knn_self_join_ivf ==
+        # knn_self_join still value-transfers through the local sweep
+        "knn_self_join": D.knn_self_join,
+        # yielded to semdedup (r5-s9): r5-s2 op with zero driver rows;
+        # the cosine-pair kernel stays in-cap (semdedup's within-
+        # cluster threshold compare + the ann family) and the shared
+        # CC core runs end to end in-cap via host_components
+        "embedding_neardup_clusters": D.embedding_neardup_clusters,
         # yielded to lexical_diversity / readability_scores (r5-s7):
         # both driver-green r2+r3, unmodified in r5; the pairs path is
-        # run end to end in-cap by embedding_neardup_clusters, and the
+        # run end to end by embedding_neardup_clusters, and the
         # brute-force cosine kernel stays in-cap via ann_topk_from_text
-        # and knn_self_join
         "embedding_neardup_pairs": D.embedding_neardup_pairs,
         "ann_topk_bruteforce": D.ann_topk_bruteforce,
         "pmis_yby_flow": _pmis_yby_flow,
@@ -891,6 +907,11 @@ def oracle_sql() -> dict[str, str]:
         "knn_self_join_ivf": O.knn_self_join_sql(),
         # embedding-cosine near-dup clusters (recursive min-label walk)
         "embedding_neardup_clusters": O.embedding_neardup_clusters_sql(),
+        # integer fixed-point k-means: the same Lloyd rounds unrolled
+        # as CTE pairs (host_pagerank precedent); SemDeDup adds the
+        # same-cluster lower-id NOT EXISTS with the exact int cosine
+        "embedding_kmeans": O.embedding_kmeans_sql(),
+        "semdedup": O.semdedup_sql(),
         # frozen-BPE subword family: the merge table applied as staged
         # nested REPLACEs over a fully-delimited symbol string (one
         # spec, two engines — functions.bpe.bpe_ntok_ctes)

@@ -210,8 +210,18 @@ def test_correctness_cap_covers_priority_queries():
         # r5-new
         "token_counts_bpe", "chunk_for_training_bpe",
         "embed_docs", "ann_topk_from_text",
-        "dup_window_fraction", "ccnet_ppl_buckets", "knn_self_join",
-        "embedding_neardup_clusters", "remove_dup_windows",
+        "dup_window_fraction", "ccnet_ppl_buckets", "remove_dup_windows",
+        # (knn_self_join / embedding_neardup_clusters — both r5-s2 ops
+        # with zero driver rows either way — yielded their slots to the
+        # session-9 new ops embedding_kmeans / semdedup: the broadcast
+        # cosine top-k kernel stays driven in-cap end to end by
+        # ann_topk_from_text, the cosine-threshold pair compare by
+        # semdedup itself plus the ann family, and the shared CC core
+        # by host_components; both displaced ops stay in the local
+        # sweep against their own SQL twins, and knn_self_join_ivf's
+        # byte-equal pin still value-transfers through that sweep)
+        # r5-session-9 new ops (same rule: new ops ride the cap)
+        "embedding_kmeans", "semdedup",
         # r5-modified (Arrow-native partial top-k)
         "topk_per_group",
         # (minhash_lsh_dedup — r5-modified via the shared

@@ -2300,3 +2300,102 @@ def dedup_normalized_rows_sql(pages_glob: str) -> str:
                 THEN {hex16(fnv_expr('r.norm'))} END AS norm_hash
     FROM n LEFT JOIN r ON n.url = r.url
     """
+
+
+def _kmeans_ctes(k: int | None = None, iters: int | None = None) -> str:
+    """Shared CTE block for the integer fixed-point k-means twins: the
+    SAME quantization (floor(x * 2^20) — an exact power-of-two scale),
+    init (k smallest vec_ids), assignment (min int64 squared L2, ties
+    to the lowest cid via row_number) and centroid update (truncating
+    `//` division; DuckDB truncates toward zero, which the engine
+    mirrors with sign(s)*(|s|//n)) as pipelines.docs._kmeans_fit, one
+    CTE pair per Lloyd round (the host_pagerank unrolling precedent).
+    asg{iters+1} holds the final assignment under the updated
+    centroids."""
+    from .pipelines import docs as d
+
+    k = d.KMEANS_K if k is None else k
+    iters = d.KMEANS_ITERS if iters is None else iters
+    parts = [f"""
+    q AS (
+      SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(floor(x * {float(d.KMEANS_SCALE)}) AS BIGINT)) AS q
+      FROM embeddings WHERE embedding IS NOT NULL),
+    c0 AS (
+      SELECT rn - 1 AS cid, q AS c FROM
+        (SELECT vec_id, q, row_number() OVER (ORDER BY vec_id) AS rn FROM q)
+      WHERE rn <= {k}),
+    qd AS (
+      SELECT vec_id, unnest(q) AS val, generate_subscripts(q, 1) AS d
+      FROM q)"""]
+    for i in range(1, iters + 2):
+        parts.append(f"""
+    d{i} AS (
+      SELECT v.vec_id, c.cid,
+             list_sum(list_transform(list_zip(v.q, c.c),
+                      p -> (p[1]-p[2])*(p[1]-p[2]))) AS dist
+      FROM q v CROSS JOIN c{i-1} c),
+    asg{i} AS (
+      SELECT vec_id, cid, dist FROM (
+        SELECT vec_id, cid, dist,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d{i}) WHERE rn = 1)""")
+        if i <= iters:
+            parts.append(f"""
+    u{i} AS (
+      SELECT a.cid, u.d, sum(u.val) AS s, count(*) AS n
+      FROM asg{i} a JOIN qd u USING (vec_id)
+      GROUP BY 1, 2),
+    nc{i} AS (
+      SELECT cid, list(CAST(s // n AS BIGINT) ORDER BY d) AS c
+      FROM u{i} GROUP BY cid),
+    c{i} AS (
+      SELECT p.cid, coalesce(nn.c, p.c) AS c
+      FROM c{i-1} p LEFT JOIN nc{i} nn USING (cid))""")
+    return ",".join(parts)
+
+
+def embedding_kmeans_sql(k: int | None = None, iters: int | None = None) -> str:
+    """Integer k-means twin: final assignment + exact int64 squared
+    distance after the unrolled Lloyd rounds."""
+    from .pipelines import docs as d
+
+    iters = d.KMEANS_ITERS if iters is None else iters
+    return f"""
+    WITH {_kmeans_ctes(k, iters)}
+    SELECT vec_id, cid AS cluster_id, CAST(dist AS BIGINT) AS dist
+    FROM asg{iters + 1}
+    """
+
+
+def semdedup_sql(threshold: float | None = None, k: int | None = None,
+                 iters: int | None = None) -> str:
+    """SemDeDup twin: k-means CTEs + a correlated NOT EXISTS over
+    same-cluster lower-id neighbors. The cosine is the engine's exact
+    recipe — integer dot / sqrt(double(na) * double(nb)) — so the
+    threshold compare sees bit-identical doubles; zero-norm vectors are
+    excluded from matching on both sides (always kept)."""
+    from .pipelines import docs as d
+
+    threshold = (d.SEMDEDUP_SIM_THRESHOLD if threshold is None
+                 else threshold)
+    iters = d.KMEANS_ITERS if iters is None else iters
+    return f"""
+    WITH {_kmeans_ctes(k, iters)},
+    qa AS (
+      SELECT a.vec_id, a.cid, v.q,
+             list_sum(list_transform(v.q, x -> x*x)) AS na
+      FROM asg{iters + 1} a JOIN q v USING (vec_id))
+    SELECT a.vec_id, a.cid AS cluster_id,
+           NOT EXISTS (
+             SELECT 1 FROM qa b
+             WHERE b.cid = a.cid AND b.vec_id < a.vec_id
+               AND a.na > 0 AND b.na > 0
+               AND CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                        p -> p[1]*p[2])) AS DOUBLE)
+                   / sqrt(CAST(a.na AS DOUBLE) * CAST(b.na AS DOUBLE))
+                   >= {threshold}
+           ) AS keep
+    FROM qa a
+    """

@@ -4879,3 +4879,247 @@ def interleave_sources(sf_dir: str) -> ray.data.Dataset:
             .groupby("bucket")
             .map_groups(rank_group, batch_format="pandas")
             .map_batches(position_stage, batch_format="pyarrow"))
+
+
+# ---- embedding k-means + SemDeDup ----------------------------------------
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+# floor(x * 2^20): a power-of-two scale, so the multiply is an exact
+# exponent shift on the float64-widened float32 values and floor() is
+# engine-identical — every quantized coordinate is the same int64 in
+# numpy and in DuckDB's CAST(floor(x * 1048576.0) AS BIGINT)
+KMEANS_SCALE = 1 << 20
+SEMDEDUP_SIM_THRESHOLD = 0.4
+
+
+def _int_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """(n, d) int64 view of a list<int64> column (emb_ndarray's shape
+    trick without the float cast)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = np.asarray(arr.flatten())
+    n = len(arr)
+    if n == 0:
+        return np.zeros((0, 0), dtype=np.int64)
+    d, rem = divmod(len(flat), n)
+    assert rem == 0, "ragged quantized column"
+    return flat.reshape(n, d).astype(np.int64, copy=False)
+
+
+def _quantized_embeddings(sf_dir: str) -> ray.data.Dataset:
+    """Materialized (vec_id, q:list<int64>) rows — the integer working
+    set every k-means round streams over. Null-embedding rows are out
+    of scope (dropped; the SQL twin filters `embedding IS NOT NULL`).
+    ~8·d bytes per vector in the object store: the float read happens
+    ONCE, iterations never touch parquet again."""
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.is_valid(t.column("embedding")))
+        m = emb_ndarray(t["embedding"])  # exact float32 -> float64 widening
+        q = np.floor(m * KMEANS_SCALE).astype(np.int64)
+        n, d = q.shape
+        vals = pa.array(q.reshape(-1), type=pa.int64())
+        off = pa.array((np.arange(n + 1, dtype=np.int64) * d).astype(np.int32))
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "q": pa.ListArray.from_arrays(off, vals),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow").materialize()
+
+
+def _kmeans_assign(Q: np.ndarray, C: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized nearest-centroid assignment in EXACT int64 arithmetic:
+    dist = |q|^2 + |c|^2 - 2 q.c (all terms < 2^47 for |x| <= 0.5 at
+    KMEANS_SCALE, no overflow); np.argmin's first-occurrence tie rule
+    == the twin's row_number() ORDER BY dist, cid."""
+    qq = (Q * Q).sum(axis=1)
+    cc = (C * C).sum(axis=1)
+    if len(Q) == 0:  # empty batch: (0, 0) from _int_matrix can't matmul
+        z = np.zeros(0, dtype=np.int64)
+        return z, z
+    dist = qq[:, None] + cc[None, :] - 2 * (Q @ C.T)
+    a = np.argmin(dist, axis=1)
+    return a, dist[np.arange(len(a)), a]
+
+
+def _kmeans_fit(qds: ray.data.Dataset, k: int = KMEANS_K,
+                iters: int = KMEANS_ITERS) -> np.ndarray:
+    """Lloyd iterations over the quantized corpus -> (k', d) int64
+    centroids (k' = min(k, n)). Init = the k smallest vec_ids (cid in
+    that order), found via per-batch partial min-k — never a corpus
+    sort. Each round is ONE streamed pass emitting a k-row (cluster,
+    n, s0..s{d-1}) partial per batch, folded on the driver via
+    stream_reduce_counts (metadata-sized: k x d ints — the house rule
+    for tiny-partial finishes); the centroid update is truncating
+    integer division sign(s)*(|s|//n), matching DuckDB's `//`
+    semantics exactly (numpy's bare // floors negatives differently).
+    Empty clusters keep their previous centroid. The corpus itself
+    never shuffles in any round."""
+    def min_k(t: pa.Table) -> pa.Table:
+        vid = np.asarray(t["vec_id"])
+        order = np.argsort(vid)[:k]
+        return t.take(pa.array(order))
+
+    init_parts = [b for b in
+                  qds.map_batches(min_k, batch_format="pyarrow")
+                  .iter_batches(batch_size=None, batch_format="pyarrow")]
+    if not init_parts:
+        return np.zeros((0, 0), dtype=np.int64)
+    init = pa.concat_tables([pa.Table.from_batches([b])
+                             if isinstance(b, pa.RecordBatch) else b
+                             for b in init_parts])
+    if len(init) == 0:
+        return np.zeros((0, 0), dtype=np.int64)
+    order = np.argsort(np.asarray(init["vec_id"]))[:k]
+    C = _int_matrix(init["q"].combine_chunks().take(pa.array(order)))
+    d = C.shape[1]
+    scols = [f"s{i}" for i in range(d)]
+
+    for _ in range(iters):
+        ref = ray.put(C)
+
+        def partials(t: pa.Table, _ref=ref) -> pa.Table:
+            cent = ray.get(_ref)
+            Q = _int_matrix(t["q"])
+            a, _ = _kmeans_assign(Q, cent)
+            cols: dict = {"cluster": [], "n": []}
+            sums: list[np.ndarray] = []
+            for j in np.unique(a):
+                m = a == j
+                cols["cluster"].append(int(j))
+                cols["n"].append(int(m.sum()))
+                sums.append(Q[m].sum(axis=0))
+            smat = (np.stack(sums) if sums
+                    else np.zeros((0, cent.shape[1]), dtype=np.int64))
+            out = {"cluster": pa.array(cols["cluster"], pa.int64()),
+                   "n": pa.array(cols["n"], pa.int64())}
+            for i, c in enumerate(scols):
+                out[c] = pa.array(smat[:, i], pa.int64())
+            return pa.table(out)
+
+        df = stream_reduce_counts(
+            qds.map_batches(partials, batch_format="pyarrow"),
+            ["cluster"], ["n"] + scols)
+        C = C.copy()
+        for _, row in df.iterrows():
+            n = int(row["n"])
+            if n > 0:
+                s = np.array([row[c] for c in scols], dtype=np.int64)
+                C[int(row["cluster"])] = np.sign(s) * (np.abs(s) // n)
+    return C
+
+
+_KMEANS_EMPTY = {"vec_id": "int64", "cluster_id": "int64", "dist": "int64"}
+
+
+def embedding_kmeans(sf_dir: str, k: int = KMEANS_K,
+                     iters: int = KMEANS_ITERS) -> ray.data.Dataset:
+    """Integer fixed-point k-means over the embeddings table ->
+    streaming Dataset (vec_id, cluster_id, dist): the assignment under
+    the centroids after `iters` Lloyd rounds, dist = exact int64
+    squared L2 distance in quantized units. Everything is integer
+    arithmetic (quantize floor(x*2^20), distances, truncating-division
+    centroid updates), so the result is bit-reproducible in ANY engine
+    — the DuckDB twin unrolls the same rounds as CTE pairs (the
+    host_pagerank precedent for iterative algorithms).
+
+    Scale shape: the corpus quantizes once into materialized int rows
+    (8·d bytes/vector); each round is one streamed map_batches pass
+    whose per-batch output is k rows of (cluster, count, per-dim sums),
+    folded driver-side (k x d ints — metadata-sized); the final
+    labeling pass streams. No corpus shuffle in any round, no driver
+    materialization of any vector set beyond the k centroids.
+
+    Reference analog: none in Home.py (no clustering surface); this is
+    the curation-clustering primitive SemDeDup-style semantic dedup
+    builds on (Abbas et al. 2023, public paper).
+    """
+    qds = _quantized_embeddings(sf_dir)
+    C = _kmeans_fit(qds, k=k, iters=iters)
+    if C.size == 0:
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64()),
+            "dist": pa.array([], pa.int64())}))
+    ref = ray.put(C)
+
+    def label(t: pa.Table) -> pa.Table:
+        cent = ray.get(ref)
+        Q = _int_matrix(t["q"])
+        a, dist = _kmeans_assign(Q, cent)
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "cluster_id": pa.array(a.astype(np.int64), pa.int64()),
+            "dist": pa.array(dist, pa.int64()),
+        })
+
+    return qds.map_batches(label, batch_format="pyarrow")
+
+
+def semdedup(sf_dir: str, threshold: float = SEMDEDUP_SIM_THRESHOLD,
+             k: int = KMEANS_K, iters: int = KMEANS_ITERS) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023): semantic dedup WITHIN k-means
+    clusters -> streaming Dataset (vec_id, cluster_id, keep). A vector
+    is dropped iff some LOWER-id vector in its final cluster has
+    cosine similarity >= threshold (the paper keeps one representative
+    per semantic-duplicate neighborhood; the lowest-id rule replaces
+    its centroid-distance pick so both engines agree deterministically
+    — stated deviation). Cosines are bit-identical across engines:
+    integer dot products and squared norms over the quantized vectors
+    (exact), then ONE correctly-rounded double multiply, sqrt and
+    divide — dot/sqrt(double(na)*double(nb)) — in the same order on
+    both sides. Zero-norm vectors never match anything (keep=true).
+
+    Scale shape: k-means as in embedding_kmeans (no corpus shuffle),
+    then ONE bounded shuffle keyed on cluster_id; the within-cluster
+    pairwise pass is O(|cluster|^2) by design — the paper's regime
+    (k grows with N so clusters stay bounded; with k ~ sqrt(N) the
+    per-group work is O(N) total). The pairwise block never leaves the
+    worker.
+
+    Reference analog: the dedup family's keep/drop labeling contract
+    (exact_dedup_rows); SemDeDup itself is the published semantic
+    member of that family."""
+    qds = _quantized_embeddings(sf_dir)
+    C = _kmeans_fit(qds, k=k, iters=iters)
+    if C.size == 0:
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64()),
+            "keep": pa.array([], pa.bool_())}))
+    ref = ray.put(C)
+
+    def label(t: pa.Table) -> pa.Table:
+        cent = ray.get(ref)
+        Q = _int_matrix(t["q"])
+        a, _ = _kmeans_assign(Q, cent)
+        return t.append_column(
+            "cluster_id", pa.array(a.astype(np.int64), pa.int64()))
+
+    def prune(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:  # Ray may probe map_groups with an empty group
+            return typed_empty({"vec_id": "int64", "cluster_id": "int64",
+                                "keep": "bool"})
+        ids = g["vec_id"].to_numpy(dtype=np.int64)
+        order = np.argsort(ids)
+        ids = ids[order]
+        Q = np.stack(g["q"].to_numpy()[order]).astype(np.int64, copy=False)
+        na = (Q * Q).sum(axis=1)
+        naf = na.astype(np.float64)
+        dot = (Q @ Q.T).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = dot / np.sqrt(naf[:, None] * naf[None, :])
+        sims = np.where((na[:, None] > 0) & (na[None, :] > 0), sims, -np.inf)
+        blocked = np.tril(sims >= threshold, k=-1).any(axis=1)
+        return pd.DataFrame({
+            "vec_id": ids,
+            "cluster_id": np.full(len(ids), int(g["cluster_id"].iloc[0]),
+                                  dtype=np.int64),
+            "keep": ~blocked,
+        })
+
+    return (qds.map_batches(label, batch_format="pyarrow")
+            .groupby("cluster_id")
+            .map_groups(prune, batch_format="pandas"))
