@@ -350,6 +350,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # dedup_normalized's (url, n_variants) is reconstructed
         # byte-equal from this op's (keep, norm_hash) in the pin test
         "dedup_normalized_rows": _dedup_normalized_rows,
+        # cluster_cap_sample (r5-s9, same exception): its full output
+        # is reconstructed BYTE-EQUAL from the in-cap embedding_kmeans
+        # rows in the pin test (keep = per-cluster mix64 rank <= m, a
+        # pure function of (vec_id, cluster_id)), so the driver value
+        # check transfers; the local sweep runs its own SQL twin
+        "cluster_cap_sample": D.cluster_cap_sample,
         # The four remaining PMIS flows yielded their slots to the four
         # r5-session-4 NEW ops (token_balanced_mixture /
         # url_snapshot_changes / remove_boilerplate_lines /
@@ -912,6 +918,7 @@ def oracle_sql() -> dict[str, str]:
         # same-cluster lower-id NOT EXISTS with the exact int cosine
         "embedding_kmeans": O.embedding_kmeans_sql(),
         "semdedup": O.semdedup_sql(),
+        "cluster_cap_sample": O.cluster_cap_sample_sql(),
         # frozen-BPE subword family: the merge table applied as staged
         # nested REPLACEs over a fully-delimited symbol string (one
         # spec, two engines — functions.bpe.bpe_ntok_ctes)

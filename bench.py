@@ -178,6 +178,10 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("knn_self_join", D.knn_self_join),
         ("knn_self_join_ivf", D.knn_self_join_ivf),
         ("embedding_neardup_clusters", D.embedding_neardup_clusters),
+        # r5 session 9: integer k-means + SemDeDup + cluster-cap sample
+        ("embedding_kmeans", D.embedding_kmeans),
+        ("semdedup", D.semdedup),
+        ("cluster_cap_sample", D.cluster_cap_sample),
         ("chunk_for_training", D.chunk_for_training),
         ("weighted_sample", D.weighted_sample),
         ("prep_to_chunks", D.prep_to_chunks),

@@ -154,3 +154,54 @@ def test_semdedup_null_embedding_out_of_scope(ray_session, tmp_path):
     km = (embedding_kmeans(sf).to_pandas()
           .sort_values("vec_id", ignore_index=True))
     assert km["vec_id"].tolist() == [0, 2]
+
+
+def test_cluster_cap_sample_transfer_pin(ray_session):
+    """Tail-exception pin: cluster_cap_sample's FULL output is a pure
+    function of embedding_kmeans's (vec_id, cluster_id) — keep iff the
+    vector's mix64(vec_id) rank within its cluster is <= m. The in-cap
+    driver value check of embedding_kmeans therefore transfers to this
+    op through this byte-equality."""
+    from txiac_qc_ray.pipelines.docs import (CLUSTER_CAP_M, _mix64,
+                                             cluster_cap_sample,
+                                             embedding_kmeans)
+
+    km = (embedding_kmeans(SF).to_pandas()
+          .sort_values("vec_id", ignore_index=True))
+    key = _mix64(km["vec_id"].to_numpy(dtype=np.int64).astype(np.uint64))
+    keep_ref = np.zeros(len(km), dtype=bool)
+    cl = km["cluster_id"].to_numpy()
+    for j in np.unique(cl):
+        mask = np.where(cl == j)[0]
+        order = mask[np.argsort(key[mask])]
+        keep_ref[order[:CLUSTER_CAP_M]] = True
+    rec = km[["vec_id", "cluster_id"]].copy()
+    rec["keep"] = keep_ref
+    got = (cluster_cap_sample(SF).to_pandas()
+           .sort_values("vec_id", ignore_index=True))
+    pd.testing.assert_frame_equal(got, rec)
+
+
+def test_cluster_cap_sample_caps_at_m(ray_session, tmp_path):
+    """A cluster larger than m keeps exactly m members; smaller
+    clusters keep all (m-th-smallest-key threshold semantics)."""
+    from txiac_qc_ray.pipelines.docs import cluster_cap_sample
+
+    d = 4
+    n = 40
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=d)
+    vecs = [(0.2 * base + 0.01 * rng.normal(size=d)).astype(np.float32)
+            for _ in range(n)]
+    tab = pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array([v.tolist() for v in vecs],
+                              pa.list_(pa.float32())),
+        "label": pa.array(np.zeros(n, dtype=np.int32)),
+    })
+    sf = str(tmp_path)
+    pq.write_table(tab, os.path.join(sf, "embeddings.parquet"))
+    got = cluster_cap_sample(sf, m=5).to_pandas()
+    per = got.groupby("cluster_id")["keep"].agg(["sum", "count"])
+    for _, row in per.iterrows():
+        assert row["sum"] == min(5, row["count"])

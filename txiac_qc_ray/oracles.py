@@ -2399,3 +2399,25 @@ def semdedup_sql(threshold: float | None = None, k: int | None = None,
            ) AS keep
     FROM qa a
     """
+
+
+def cluster_cap_sample_sql(m: int | None = None, k: int | None = None,
+                           iters: int | None = None) -> str:
+    """Cluster-cap twin: k-means CTEs + row_number over the SAME
+    splitmix64(vec_id) order within each final cluster (keys are
+    distinct — mix64 is a bijection — so rn <= m equals the engine's
+    key <= m-th-smallest-key threshold exactly)."""
+    from .pipelines import docs as d
+
+    m = d.CLUSTER_CAP_M if m is None else m
+    iters = d.KMEANS_ITERS if iters is None else iters
+    mix = mix64_scalar("CAST(vec_id AS HUGEINT)")
+    return f"""
+    WITH {_kmeans_ctes(k, iters)},
+    ranked AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY cid ORDER BY {mix}) AS rn
+      FROM asg{iters + 1})
+    SELECT vec_id, cid AS cluster_id, rn <= {m} AS keep
+    FROM ranked
+    """

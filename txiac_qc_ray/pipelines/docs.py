@@ -5123,3 +5123,88 @@ def semdedup(sf_dir: str, threshold: float = SEMDEDUP_SIM_THRESHOLD,
     return (qds.map_batches(label, batch_format="pyarrow")
             .groupby("cluster_id")
             .map_groups(prune, batch_format="pandas"))
+
+
+CLUSTER_CAP_M = 16
+
+
+def cluster_cap_sample(sf_dir: str, m: int = CLUSTER_CAP_M,
+                       k: int = KMEANS_K,
+                       iters: int = KMEANS_ITERS) -> ray.data.Dataset:
+    """Cluster-balanced diversity sampling -> streaming Dataset
+    (vec_id, cluster_id, keep): cap every k-means cluster at m members,
+    chosen by replayable mix64(vec_id) order (the cap_per_host recipe
+    keyed on semantic clusters instead of hosts — the D4/DataComp-style
+    move that stops dense semantic regions from dominating a training
+    mix). mix64 is a bijection on uint64, so keys are distinct and
+    `keep = key <= (m-th smallest key in cluster)` equals the twin's
+    row_number() <= m exactly; clusters with <= m members keep all.
+
+    Scale shape: k-means as in embedding_kmeans (no corpus shuffle);
+    then one streamed pass emits per-batch per-cluster partial min-m
+    keys (<= k*m rows per batch), a cluster-keyed groupby reduces the
+    partial stream (bounded: k groups), and the k thresholds broadcast
+    into a final streamed labeling pass. The corpus NEVER shuffles; the
+    only driver state is k uint64 thresholds.
+
+    Reference analog: cap_per_host's replayable min-k contract
+    (SURVEY §2 sampling family) over the kmeans assignment."""
+    qds = _quantized_embeddings(sf_dir)
+    C = _kmeans_fit(qds, k=k, iters=iters)
+    if C.size == 0:
+        return ray.data.from_arrow(pa.table({
+            "vec_id": pa.array([], pa.int64()),
+            "cluster_id": pa.array([], pa.int64()),
+            "keep": pa.array([], pa.bool_())}))
+    ref = ray.put(C)
+
+    def partial_minm(t: pa.Table) -> pa.Table:
+        cent = ray.get(ref)
+        Q = _int_matrix(t["q"])
+        a, _ = _kmeans_assign(Q, cent)
+        key = _mix64(np.asarray(t["vec_id"]).astype(np.uint64))
+        order = np.lexsort((key, a))
+        ac, ks = a[order], key[order]
+        runs = np.flatnonzero(np.r_[True, ac[1:] != ac[:-1]])
+        lens = np.diff(np.r_[runs, len(ac)])
+        rank = np.arange(len(ac)) - np.repeat(runs, lens)
+        sel = rank < m
+        return pa.table({
+            "cluster": pa.array(ac[sel].astype(np.int64), pa.int64()),
+            # uint64 keys carried as bit-cast int64; the ORDER is not
+            # preserved by the cast, so the min-m picks always happen
+            # in uint64 space (here and in finish/threshold below)
+            "key": pa.array(ks[sel].view(np.int64), pa.int64()),
+        })
+
+    def finish(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:  # Ray may probe map_groups with an empty group
+            return typed_empty({"cluster": "int64", "thr": "int64"})
+        ks = np.sort(g["key"].to_numpy(dtype=np.int64).view(np.uint64))
+        thr = ks[m - 1] if len(ks) >= m else np.uint64(0xFFFFFFFFFFFFFFFF)
+        return pd.DataFrame({
+            "cluster": [int(g["cluster"].iloc[0])],
+            "thr": np.array([thr], dtype=np.uint64).view(np.int64)})
+
+    parts = qds.map_batches(partial_minm, batch_format="pyarrow")
+    thr_df = (parts.groupby("cluster")
+              .map_groups(finish, batch_format="pandas").to_pandas())
+    thr = np.full(len(C), np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+    if len(thr_df):
+        thr[thr_df["cluster"].to_numpy(dtype=np.int64)] = (
+            thr_df["thr"].to_numpy(dtype=np.int64).view(np.uint64))
+    tref = ray.put(thr)
+
+    def label(t: pa.Table) -> pa.Table:
+        cent = ray.get(ref)
+        th = ray.get(tref)
+        Q = _int_matrix(t["q"])
+        a, _ = _kmeans_assign(Q, cent)
+        key = _mix64(np.asarray(t["vec_id"]).astype(np.uint64))
+        return pa.table({
+            "vec_id": t["vec_id"],
+            "cluster_id": pa.array(a.astype(np.int64), pa.int64()),
+            "keep": pa.array(key <= th[a]),
+        })
+
+    return qds.map_batches(label, batch_format="pyarrow")
