@@ -314,9 +314,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # yielded its slot: r4-driver-green, unmodified in r5, and the
         # in-cap chunk_for_training_bpe shares _chunk_token_stream)
         "topk_per_group": W.topk_per_group,
-        # r5-NEW deterministic text->embedding stage + the end-to-end
-        # text -> embedding -> ANN composition (the reserved slots)
-        "embed_docs": D.embed_docs,
+        # r5-NEW (session 10): language-temperature sampling (alpha=1/2,
+        # integer-exact isqrt weights) — takes embed_docs' slot:
+        # ann_topk_from_text (in-cap, below) RUNS embed_docs' entire
+        # hashing-projection kernel end to end as its first fused stage,
+        # so one driver row value-checks both; embed_docs stays swept
+        # locally against its own HUGEINT twin
+        "temperature_sample": D.temperature_sample,
+        # r5-NEW end-to-end text -> embedding -> ANN composition (runs
+        # the embed_docs kernel in-cap; see temperature_sample's slot)
         "ann_topk_from_text": D.ann_topk_from_text,
         # ---------------- 50-row cap ends here -------------------------
         # tail: unmodified in r5 AND driver-green in CORRECTNESS_r04
@@ -325,6 +331,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified since r2; read_csv + strptime stay pytest-pinned
         # (test_cli, test_pmis_round2) and locally swept
         "csv_ingest_sections": _csv_ingest_sections,
+        # yielded to temperature_sample (r5-s10): r5-s1 op with zero
+        # driver rows either way; its entire hashing-projection kernel
+        # (fnv1a64 token hash -> mix64 Rademacher signs -> int doc
+        # sums) runs end to end IN-CAP as ann_topk_from_text's first
+        # fused stage, so the driver row transfers; the local sweep
+        # still value-checks embed_docs against its own HUGEINT twin
+        "embed_docs": D.embed_docs,
         # yielded to dedup_normalized (r5-s8): driver-green r1-r4 (the
         # strongest record on the surface); its r5-modified candidate
         # generator keeps driver rows in-cap via prep_corpus /
@@ -928,6 +941,10 @@ def oracle_sql() -> dict[str, str]:
         # HUGEINT SQL) and its end-to-end ANN composition
         "embed_docs": O.embed_docs_sql(),
         "ann_topk_from_text": O.ann_topk_from_text_sql(),
+        # language-temperature sampling (r5-s10): exact isqrt weights +
+        # the same HUGEINT threshold / mix64 compare — no float in the
+        # keep rule on either side
+        "temperature_sample": O.temperature_sample_sql(),
         # cross-source audits: integer-cleared TV (one BIGINT->DOUBLE
         # division, the TV-not-KL float-parity rule) and the hash-free
         # shared-shingle self-join

@@ -209,7 +209,15 @@ def test_correctness_cap_covers_priority_queries():
         "prep_corpus", "prep_to_chunks",
         # r5-new
         "token_counts_bpe", "chunk_for_training_bpe",
-        "embed_docs", "ann_topk_from_text",
+        # (embed_docs — r5-s1, zero driver rows either way — yielded its
+        # slot to temperature_sample in session 10: its entire
+        # hashing-projection kernel runs end to end IN-CAP as
+        # ann_topk_from_text's first fused stage, so the driver row
+        # transfers; the local sweep still value-checks embed_docs
+        # against its own HUGEINT twin)
+        "ann_topk_from_text",
+        # r5-session-10 new ops (same rule: new ops ride the cap)
+        "temperature_sample",
         "dup_window_fraction", "ccnet_ppl_buckets", "remove_dup_windows",
         # (knn_self_join / embedding_neardup_clusters — both r5-s2 ops
         # with zero driver rows either way — yielded their slots to the

@@ -169,3 +169,34 @@ def test_language_balanced_sample_semantics(ray_session, tmp_path):
     en = out[out["lang"] == "en"]
     assert 0 < len(en) < n_en                        # dominant lang thinned
     assert set(en["rate"]) == {60.0 / n_en}
+
+
+def test_temperature_sample_semantics(ray_session, tmp_path):
+    # alpha=1/2 damping: en (n=400, w=20) thins to p = 150*20/(sum_w*400);
+    # the three small langs straddle the perfect square 16 (15/16/17) to
+    # exercise the SQL twin's floor(sqrt)+correction EXACT-isqrt branch
+    # on both sides of the boundary (isqrt(15)=3, isqrt(16)=4, isqrt(17)=4)
+    sizes = {"en": 400, "s15": 15, "s16": 16, "s17": 17}
+    langs = [l for l, n in sizes.items() for _ in range(n)]
+    t = pa.table({
+        "doc_id": pa.array(list(range(len(langs))), type=pa.int64()),
+        "text": pa.array(["x"] * len(langs)),
+        "lang": pa.array(langs),
+        "source": pa.array(["s"] * len(langs)),
+        "n_chars": pa.array([10] * len(langs), type=pa.int64()),
+    })
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    p = os.path.join(d, "documents.parquet")
+    pq.write_table(t, p)
+    out = _twin_equal(D.temperature_sample(d),
+                      O.temperature_sample_sql(), _docs_view(p))
+    out["doc_id"] = out["doc_id"].astype(int)
+    kept = out["lang"].value_counts().to_dict()
+    # sum_w = 20 + 3 + 4 + 4 = 31; p_small = 150*w/(31*n) > 1 for every
+    # small lang -> they pass through WHOLE; en is thinned
+    assert kept["s15"] == 15 and kept["s16"] == 16 and kept["s17"] == 17
+    assert 0 < kept["en"] < 400
+    # damping sanity: en keeps roughly p_en*400 = 150*20/31 ~ 97 docs
+    # (mix64 is uniform; generous band)
+    assert 60 < kept["en"] < 140

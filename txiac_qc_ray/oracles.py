@@ -524,6 +524,43 @@ def token_balanced_mixture_sql() -> str:
     """
 
 
+def temperature_sample_sql(target_docs: int | None = None) -> str:
+    """Language-temperature sampling twin (alpha = 1/2): the same exact
+    integer weights w_l = isqrt(n_l) — floor(sqrt(double)) plus a +/-1
+    Newton correction makes the SQL isqrt exact for any n < 2^52 — and
+    the same HUGEINT threshold t_l = (target*w*2^64 - 1) // (sum_w*n)
+    with the same mix64(doc_id) <= t_l compare. No float enters the
+    keep rule on either side. NULL lang joins via IS NOT DISTINCT FROM
+    (its own group, engine semantics)."""
+    from .pipelines.docs import TEMP_SAMPLE_TARGET
+
+    target = TEMP_SAMPLE_TARGET if target_docs is None else int(target_docs)
+    mix = mix64_scalar("CAST(doc_id AS HUGEINT)")
+    return f"""
+    WITH cnt AS (
+      SELECT lang, CAST(count(*) AS HUGEINT) AS n
+      FROM documents GROUP BY lang),
+    w AS (
+      SELECT lang, n,
+             CASE WHEN (f + 1) * (f + 1) <= n THEN f + 1
+                  WHEN f * f > n THEN f - 1
+                  ELSE f END AS w
+      FROM (SELECT lang, n,
+                   CAST(floor(sqrt(CAST(n AS DOUBLE))) AS HUGEINT) AS f
+            FROM cnt)),
+    g AS (SELECT CAST(sum(w) AS HUGEINT) AS sw FROM w),
+    thr AS (
+      SELECT lang,
+             LEAST(({target}::HUGEINT * w
+                      * 18446744073709551616::HUGEINT - 1) // (sw * n),
+                   18446744073709551615::HUGEINT) AS t
+      FROM w CROSS JOIN g)
+    SELECT doc_id, d.lang AS lang, n_chars
+    FROM documents d JOIN thr ON d.lang IS NOT DISTINCT FROM thr.lang
+    WHERE {mix} <= thr.t
+    """
+
+
 def hex16(v: str) -> str:
     """16-digit lowercase hex of a HUGEINT in [0, 2^64)."""
     return (f"printf('%08x%08x', CAST(({v}) >> 32 AS BIGINT), "

@@ -5208,3 +5208,79 @@ def cluster_cap_sample(sf_dir: str, m: int = CLUSTER_CAP_M,
         })
 
     return qds.map_batches(label, batch_format="pyarrow")
+
+
+# temperature-sampling exponent is FIXED at alpha = 1/2: it is the one
+# smoothing exponent whose per-language weight n^alpha has an EXACT
+# integer form (isqrt), which is what keeps the keep decision replayable
+# and bit-identical across engines (see temperature_sample docstring)
+TEMP_SAMPLE_TARGET = 150
+
+
+def temperature_sample(sf_dir: str,
+                       target_docs: int = TEMP_SAMPLE_TARGET
+                       ) -> ray.data.Dataset:
+    """Language-TEMPERATURE corpus sampling (the multilingual mixing rule
+    of XLM-R / mBERT-style training: sample language l with probability
+    q_l ∝ n_l^alpha, alpha<1, so high-resource languages are damped but
+    still dominant — between language_balanced_sample's hard equal
+    target (alpha=0) and natural sampling (alpha=1)). alpha is fixed at
+    1/2 because isqrt(n) is EXACT in integers on both engines; a general
+    pow(n, 0.3) would put a transcendental in the keep rule and break
+    bit parity. Per language: w_l = isqrt(n_l), expected kept docs
+    = target * w_l / sum_w, keep probability p_l = target*w_l/(sum_w*n_l)
+    (clipped at 1).
+
+    The keep decision is INTEGER-exact (token_balanced_mixture's
+    contract): keep iff mix64(doc_id) <= t_l where
+    t_l = (target*w_l*2^64 - 1) // (sum_w*n_l), clipped to 2^64-1 — the
+    same u < p compare with no float anywhere (python ints here,
+    HUGEINT in the twin; overflow bound target*w*2^64 < 2^127 holds for
+    any corpus below 2^40 docs per language).
+
+    Scale shape: one metadata-sized count pass (groupby over LANGUAGE
+    cardinality -> a handful of int rows on the driver), thresholds
+    broadcast as a sorted-array lookup, then a pure streamed filter —
+    the corpus never shuffles. Null lang is its own group (SQL
+    semantics).
+
+    -> streaming Dataset of kept (doc_id, lang, n_chars).
+    Reference analog: none (training-mix op beyond Home.py's surface)."""
+    import math
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    U64_MAX = (1 << 64) - 1
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        lang = np.asarray(pc.fill_null(t["lang"], _NULL_KEY), dtype=object)
+        uniq, cnt = np.unique(lang, return_counts=True)
+        return pa.table({"lang_key": pa.array(uniq.tolist(), type=pa.string()),
+                         "cnt": cnt.astype(np.int64)})
+
+    counts = ensure_columns(
+        ds.map_batches(count_partial, batch_format="pyarrow")
+          .groupby("lang_key").aggregate(RaySum("cnt", alias_name="cnt"))
+          .to_pandas(),
+        {"lang_key": "object", "cnt": "int64"})
+    langs = np.asarray(counts["lang_key"], dtype=object)
+    order = np.argsort(langs)
+    langs = langs[order]
+    ns = [int(v) for v in counts["cnt"].to_numpy()[order]]
+    ws = [math.isqrt(n) for n in ns]  # alpha = 1/2, exact
+    sum_w = sum(ws)
+    thr = np.array(
+        [min(U64_MAX, (target_docs * w * (1 << 64) - 1) // (sum_w * n))
+         for n, w in zip(ns, ws)], dtype=np.uint64)
+    thr_ref = ray.put((langs, thr))
+
+    def stage(t: pa.Table) -> pa.Table:
+        ls, ts_ = ray.get(thr_ref)
+        lang = np.asarray(pc.fill_null(t["lang"], _NULL_KEY), dtype=object)
+        out = t.select(["doc_id", "lang", "n_chars"])
+        if len(ls) == 0:
+            return out.filter(pa.array(np.zeros(len(lang), bool)))
+        idx = np.clip(np.searchsorted(ls, lang), 0, len(ls) - 1)
+        u = _mix64(np.asarray(t["doc_id"]).astype(np.uint64))
+        return out.filter(pa.array(u <= ts_[idx]))
+
+    return ds.map_batches(stage, batch_format="pyarrow")
