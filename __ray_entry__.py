@@ -92,8 +92,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # r5-MODIFIED: drop sets now ride a sharded-actor DropIndex
         "prep_corpus": D.prep_corpus,
         "prep_to_chunks": D.prep_to_chunks,
-        # r5-NEW frozen-BPE subword family (functions/bpe.py)
-        "token_counts_bpe": D.token_counts_bpe,
+        # r5-NEW (session 10): RAG-style sliding-passage export — takes
+        # token_counts_bpe's slot: chunk_for_training_bpe (in-cap, next
+        # row) RUNS the full frozen-BPE subword-count kernel (the same
+        # bpe_ntok chain on both engines) as its first stage, so one
+        # driver row value-checks both; token_counts_bpe stays swept
+        # locally against the same staged-REPLACE twin
+        "passage_chunks": D.passage_chunks,
+        # r5-NEW frozen-BPE subword family (functions/bpe.py; runs the
+        # token_counts_bpe kernel in-cap — see passage_chunks' slot)
         "chunk_for_training_bpe": D.chunk_for_training_bpe,
         # ---- r5-session-3 NEW ops (in-cap: an op NEW in a round may not
         # rely on the local sweep alone — ADVICE r3 rule). They take the
@@ -331,6 +338,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified since r2; read_csv + strptime stay pytest-pinned
         # (test_cli, test_pmis_round2) and locally swept
         "csv_ingest_sections": _csv_ingest_sections,
+        # yielded to passage_chunks (r5-s10): r5-s1 op with zero driver
+        # rows either way; its entire subword-count kernel (the frozen
+        # bpe_ntok chain, identical spec both engines) runs end to end
+        # IN-CAP as chunk_for_training_bpe's first stage, so the driver
+        # row transfers; the local sweep still value-checks it
+        "token_counts_bpe": D.token_counts_bpe,
         # yielded to temperature_sample (r5-s10): r5-s1 op with zero
         # driver rows either way; its entire hashing-projection kernel
         # (fnv1a64 token hash -> mix64 Rademacher signs -> int doc
@@ -945,6 +958,10 @@ def oracle_sql() -> dict[str, str]:
         # the same HUGEINT threshold / mix64 compare — no float in the
         # keep rule on either side
         "temperature_sample": O.temperature_sample_sql(),
+        # RAG-style sliding-passage export (r5-s10): generate_series
+        # starts + 1-based inclusive list slice + array_to_string over
+        # the same [a-z]+ token list
+        "passage_chunks": O.passage_chunks_sql(),
         # cross-source audits: integer-cleared TV (one BIGINT->DOUBLE
         # division, the TV-not-KL float-parity rule) and the hash-free
         # shared-shingle self-join

@@ -207,8 +207,10 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         # r5 session 4: mixture/holdout samplers (documents) and the
         # crawl-snapshot + boilerplate webtext ops (pages corpus)
         ("token_balanced_mixture", D.token_balanced_mixture),
-        # r5 session 10: language-temperature sampling (documents)
+        # r5 session 10: language-temperature sampling + sliding
+        # passage export (documents)
         ("temperature_sample", D.temperature_sample),
+        ("passage_chunks", D.passage_chunks),
         ("train_val_split", lambda _sf: WT.train_val_split(corpus)),
         ("url_snapshot_changes",
          lambda _sf: WT.url_snapshot_changes(corpus)),

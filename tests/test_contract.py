@@ -208,7 +208,13 @@ def test_correctness_cap_covers_priority_queries():
         # covered by neardup_clusters_distributed in the r4 tail above)
         "prep_corpus", "prep_to_chunks",
         # r5-new
-        "token_counts_bpe", "chunk_for_training_bpe",
+        # (token_counts_bpe — r5-s1, zero driver rows either way —
+        # yielded its slot to passage_chunks in session 10: its entire
+        # subword-count kernel runs end to end IN-CAP as
+        # chunk_for_training_bpe's first stage, so the driver row
+        # transfers; the local sweep still value-checks it)
+        "chunk_for_training_bpe",
+        "passage_chunks",
         # (embed_docs — r5-s1, zero driver rows either way — yielded its
         # slot to temperature_sample in session 10: its entire
         # hashing-projection kernel runs end to end IN-CAP as
@@ -284,6 +290,9 @@ def test_corpus_sized_ops_return_streaming_datasets(ray_session):
     # r5-session-3 ops keep the same boundary
     assert isinstance(D.host_reputation_filter(sf), ray.data.Dataset)
     assert isinstance(D.language_balanced_sample(sf), ray.data.Dataset)
+    # r5-session-10 op keeps the same boundary
+    assert isinstance(D.passage_chunks(sf), ray.data.Dataset)
+    assert isinstance(D.temperature_sample(sf), ray.data.Dataset)
     # r5-session-4 ops keep the same boundary
     from txiac_qc_ray.pipelines import webtext as WT
     from txiac_qc_ray.sources.pages import default_pages_dir

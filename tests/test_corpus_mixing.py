@@ -200,3 +200,40 @@ def test_temperature_sample_semantics(ray_session, tmp_path):
     # damping sanity: en keeps roughly p_en*400 = 150*20/31 ~ 97 docs
     # (mix64 is uniform; generous band)
     assert 60 < kept["en"] < 140
+
+
+def test_passage_chunks_semantics(ray_session, tmp_path):
+    # 7-token doc with P=4, S=2 -> starts 0/2/4/6: overlapping interior
+    # passages, a short tail, plus null / empty / punctuation-only docs
+    # (no tokens -> no passage) and a doc shorter than one passage
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta"),
+        (1, None),
+        (2, ""),
+        (3, "!!! 123 ..."),
+        (4, "one two"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array(["s"] * len(rows)),
+        "n_chars": pa.array([0] * len(rows), type=pa.int64()),
+    })
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    p = os.path.join(d, "documents.parquet")
+    pq.write_table(t, p)
+    out = _twin_equal(D.passage_chunks(d, passage_len=4, stride=2),
+                      O.passage_chunks_sql(passage_len=4, stride=2),
+                      _docs_view(p))
+    out = out.sort_values(["doc_id", "passage_id"], ignore_index=True)
+    out["doc_id"] = out["doc_id"].astype(int)
+    d0 = out[out["doc_id"] == 0]
+    assert list(d0["passage"]) == [
+        "alpha beta gamma delta", "gamma delta epsilon zeta",
+        "epsilon zeta eta", "eta"]
+    assert list(d0["tok_start"]) == [0, 2, 4, 6]
+    assert list(d0["tok_end"]) == [4, 4 + 2, 7, 7]
+    assert set(out["doc_id"]) == {0, 4}  # null/empty/no-token docs drop
+    assert list(out[out["doc_id"] == 4]["passage"]) == ["one two"]

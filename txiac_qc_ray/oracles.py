@@ -561,6 +561,38 @@ def temperature_sample_sql(target_docs: int | None = None) -> str:
     """
 
 
+def passage_chunks_sql(passage_len: int | None = None,
+                       stride: int | None = None) -> str:
+    """Sliding-passage twin: 3-arg generate_series starts + DuckDB's
+    1-based INCLUSIVE list slice + array_to_string over the same [a-z]+
+    token list (so the joined passage text matches the engine's
+    binary_join byte for byte on the ASCII corpus). Null/empty/
+    no-token docs drop via the len(ts) > 0 guard (len(NULL) is NULL ->
+    false, same as the engine's zero-token skip)."""
+    from .pipelines.docs import PASSAGE_LEN, PASSAGE_STRIDE
+
+    P = PASSAGE_LEN if passage_len is None else int(passage_len)
+    S = PASSAGE_STRIDE if stride is None else int(stride)
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+      FROM documents),
+    p AS (
+      SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n,
+             unnest(generate_series(0::BIGINT,
+                                    CAST(len(ts) AS BIGINT) - 1,
+                                    {S}::BIGINT)) AS s
+      FROM tk WHERE len(ts) > 0)
+    SELECT doc_id,
+           CAST(s // {S} AS BIGINT) AS passage_id,
+           CAST(s AS BIGINT) AS tok_start,
+           CAST(LEAST(s + {P}, n) AS BIGINT) AS tok_end,
+           array_to_string(ts[s + 1 : CAST(LEAST(s + {P}, n) AS BIGINT)],
+                           ' ') AS passage
+    FROM p
+    """
+
+
 def hex16(v: str) -> str:
     """16-digit lowercase hex of a HUGEINT in [0, 2^64)."""
     return (f"printf('%08x%08x', CAST(({v}) >> 32 AS BIGINT), "

@@ -5284,3 +5284,84 @@ def temperature_sample(sf_dir: str,
         return out.filter(pa.array(u <= ts_[idx]))
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+PASSAGE_LEN = 64     # tokens per retrieval passage
+PASSAGE_STRIDE = 32  # start-to-start overlap step (50% overlap)
+
+
+def passage_chunks(sf_dir: str, passage_len: int = PASSAGE_LEN,
+                   stride: int = PASSAGE_STRIDE) -> ray.data.Dataset:
+    """RAG-style sliding-passage export: split every document into
+    OVERLAPPING fixed-size retrieval passages (passage_len tokens,
+    stride-token step — the standard retrieval-corpus prep where
+    chunk_for_training's GLOBAL concat-and-chunk is the training-side
+    packing; here chunks never cross documents and neighbors overlap so
+    no answer span is cut). Tokens are the house [a-z]+ word tokens
+    (functions.textstats.tokenize — the same normalization every text
+    op shares), so a passage's text is its tokens joined by one space.
+    Per doc with n>0 tokens: starts s = 0, stride, 2*stride, ... while
+    s < n; tok_end = min(s+passage_len, n); passage_id = s // stride.
+    Null/empty/no-token docs emit nothing.
+
+    Scale shape: ONE stateless vectorized map_batches pass — per batch,
+    tokenize once, explode passages with repeat/cumsum run arithmetic
+    (no row loop), gather passage tokens as one flat take, reassemble
+    text via a LargeList binary_join. The corpus never shuffles and
+    nothing lands on the driver; output is ~n/stride rows per doc,
+    streamed. -> Dataset (doc_id, passage_id, tok_start, tok_end,
+    passage), canonical order (doc_id, passage_id).
+
+    Reference analog: none (retrieval-prep op beyond Home.py's
+    surface); the SQL twin is a 3-arg generate_series + 1-based
+    inclusive list slice + array_to_string."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "doc_id": pa.array([], pa.int64()),
+            "passage_id": pa.array([], pa.int64()),
+            "tok_start": pa.array([], pa.int64()),
+            "tok_end": pa.array([], pa.int64()),
+            "passage": pa.array([], pa.string())})
+        if len(t) == 0:
+            return empty
+        tv = ts.tokenize(t["text"].combine_chunks()
+                         if isinstance(t["text"], pa.ChunkedArray)
+                         else t["text"])
+        n = np.diff(tv.offsets)
+        n_pass = np.where(n > 0, (n - 1) // stride + 1, 0).astype(np.int64)
+        total = int(n_pass.sum())
+        if total == 0:
+            return empty
+        doc_idx = np.repeat(np.arange(len(n), dtype=np.int64), n_pass)
+        first = np.cumsum(n_pass) - n_pass
+        pid = np.arange(total, dtype=np.int64) - np.repeat(first, n_pass)
+        s = pid * stride
+        e = np.minimum(s + passage_len, n[doc_idx])
+        # one flat gather of every passage's tokens (overlap means a
+        # token may be taken twice — by construction, never more than
+        # ceil(passage_len/stride) times)
+        lens = e - s
+        tot_tok = int(lens.sum())
+        base = tv.offsets[:-1][doc_idx] + s
+        blk0 = np.cumsum(lens) - lens
+        take_idx = (np.repeat(base, lens)
+                    + np.arange(tot_tok, dtype=np.int64)
+                    - np.repeat(blk0, lens))
+        toks = pc.take(tv.flat, pa.array(take_idx, pa.int64()))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        loff = np.zeros(total + 1, dtype=np.int64)
+        np.cumsum(lens, out=loff[1:])
+        lst = pa.LargeListArray.from_arrays(pa.array(loff, pa.int64()), toks)
+        passage = pc.binary_join(lst, " ")
+        doc_ids = pc.take(t["doc_id"], pa.array(doc_idx, pa.int64()))
+        return pa.table({
+            "doc_id": doc_ids,
+            "passage_id": pa.array(pid, pa.int64()),
+            "tok_start": pa.array(s, pa.int64()),
+            "tok_end": pa.array(e, pa.int64()),
+            "passage": passage})
+
+    return ds.map_batches(stage, batch_format="pyarrow")
