@@ -89,8 +89,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # reference-parity PMIS anchors (frozen two-cycle fixture)
         "pmis_audit_flow": _pmis_audit_flow,
         "pmis_counters": _pmis_counters,
-        # r5-MODIFIED: drop sets now ride a sharded-actor DropIndex
-        "prep_corpus": D.prep_corpus,
+        # r5-NEW (session 10): frozen-lexicon topic classifier — takes
+        # prep_corpus's slot: prep_to_chunks (in-cap, next row) RUNS the
+        # full r5-modified survivor chain (_prep_survivors with the
+        # DropIndex drop sets) end to end and its SQL twin composes the
+        # same _prep_surv_ctes, so one driver row value-checks the
+        # shared path; prep_corpus stays swept locally and its own
+        # adversarial 52%-duplicate pytest still runs every session
+        "topic_classify": D.topic_classify,
+        # r5-MODIFIED: drop sets ride a sharded-actor DropIndex (the
+        # prep_corpus kernel runs in-cap here — see topic_classify)
         "prep_to_chunks": D.prep_to_chunks,
         # r5-NEW (session 10): RAG-style sliding-passage export — takes
         # token_counts_bpe's slot: chunk_for_training_bpe (in-cap, next
@@ -338,6 +346,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified since r2; read_csv + strptime stay pytest-pinned
         # (test_cli, test_pmis_round2) and locally swept
         "csv_ingest_sections": _csv_ingest_sections,
+        # yielded to topic_classify (r5-s10): r5-MODIFIED but its entire
+        # modified path (_prep_survivors + DropIndex) runs end to end
+        # IN-CAP inside prep_to_chunks, whose twin composes the same
+        # _prep_surv_ctes CTE block — so the driver row transfers; the
+        # local sweep and the 52%-duplicate adversarial pytest still
+        # value-check prep_corpus directly
+        "prep_corpus": D.prep_corpus,
         # yielded to passage_chunks (r5-s10): r5-s1 op with zero driver
         # rows either way; its entire subword-count kernel (the frozen
         # bpe_ntok chain, identical spec both engines) runs end to end
@@ -962,6 +977,9 @@ def oracle_sql() -> dict[str, str]:
         # starts + 1-based inclusive list slice + array_to_string over
         # the same [a-z]+ token list
         "passage_chunks": O.passage_chunks_sql(),
+        # frozen-lexicon topic classifier (r5-s10): same lexicons both
+        # engines, CASE-chain argmax in sorted topic order
+        "topic_classify": O.topic_classify_sql(),
         # cross-source audits: integer-cleared TV (one BIGINT->DOUBLE
         # division, the TV-not-KL float-parity rule) and the hash-free
         # shared-shingle self-join

@@ -205,8 +205,13 @@ def test_correctness_cap_covers_priority_queries():
         # permanent anchors
         "qc_label_documents", "pmis_audit_flow", "pmis_counters",
         # r5-modified (DropIndex drop sets; data-sized CC partitions is
-        # covered by neardup_clusters_distributed in the r4 tail above)
-        "prep_corpus", "prep_to_chunks",
+        # covered by neardup_clusters_distributed in the r4 tail above).
+        # prep_corpus yielded its slot to topic_classify in session 10:
+        # its entire modified path runs end to end IN-CAP inside
+        # prep_to_chunks (whose twin composes the same _prep_surv_ctes),
+        # and the 52%-duplicate adversarial pytest still runs
+        "prep_to_chunks",
+        "topic_classify",
         # r5-new
         # (token_counts_bpe — r5-s1, zero driver rows either way —
         # yielded its slot to passage_chunks in session 10: its entire
@@ -290,9 +295,10 @@ def test_corpus_sized_ops_return_streaming_datasets(ray_session):
     # r5-session-3 ops keep the same boundary
     assert isinstance(D.host_reputation_filter(sf), ray.data.Dataset)
     assert isinstance(D.language_balanced_sample(sf), ray.data.Dataset)
-    # r5-session-10 op keeps the same boundary
+    # r5-session-10 ops keep the same boundary
     assert isinstance(D.passage_chunks(sf), ray.data.Dataset)
     assert isinstance(D.temperature_sample(sf), ray.data.Dataset)
+    assert isinstance(D.topic_classify(sf), ray.data.Dataset)
     # r5-session-4 ops keep the same boundary
     from txiac_qc_ray.pipelines import webtext as WT
     from txiac_qc_ray.sources.pages import default_pages_dir

@@ -237,3 +237,34 @@ def test_passage_chunks_semantics(ray_session, tmp_path):
     assert list(d0["tok_end"]) == [4, 4 + 2, 7, 7]
     assert set(out["doc_id"]) == {0, 4}  # null/empty/no-token docs drop
     assert list(out[out["doc_id"] == 4]["passage"]) == ["one two"]
+
+
+def test_topic_classify_semantics(ray_session, tmp_path):
+    rows = [
+        (0, "scan filter sort"),            # execution 3
+        (1, "table row stream window"),     # storage 2 == streaming 2 ->
+                                            # 'storage' (first max in
+                                            # sorted topic-name order)
+        (2, "hello world nothing relevant"),  # all-zero -> none
+        (3, None),                          # null -> none, score 0
+        (4, "query query key table"),       # query 3 > storage 1
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array(["s"] * len(rows)),
+        "n_chars": pa.array([0] * len(rows), type=pa.int64()),
+    })
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    p = os.path.join(d, "documents.parquet")
+    pq.write_table(t, p)
+    out = _twin_equal(D.topic_classify(d), O.topic_classify_sql(),
+                      _docs_view(p))
+    by = out.set_index(out["doc_id"].astype(int))
+    assert by.loc[0, "topic"] == "execution" and by.loc[0, "score"] == 3
+    assert by.loc[1, "topic"] == "storage" and by.loc[1, "score"] == 2
+    assert by.loc[2, "topic"] == "none" and by.loc[2, "score"] == 0
+    assert by.loc[3, "topic"] == "none" and by.loc[3, "score"] == 0
+    assert by.loc[4, "topic"] == "query" and by.loc[4, "score"] == 3

@@ -593,6 +593,41 @@ def passage_chunks_sql(passage_len: int | None = None,
     """
 
 
+def topic_classify_sql() -> str:
+    """Topic-classifier twin generated from the SAME frozen lexicons
+    (one spec, two engines): per-topic scores via list_filter counts
+    over the same [a-z]+ token list, argmax via a CASE chain evaluated
+    in sorted topic-name order (== the engine's first-max tie-break).
+    Null text: list ops go NULL -> coalesce to 0 -> ('none', 0), the
+    engine's zero-token result."""
+    from .pipelines.docs import TOPIC_LEXICONS
+
+    names = sorted(TOPIC_LEXICONS)
+    score_cols = []
+    for n in names:
+        words = ", ".join(f"'{w}'" for w in sorted(TOPIC_LEXICONS[n]))
+        score_cols.append(
+            f"coalesce(len(list_filter(ts, t -> t IN ({words}))), 0)"
+            f" AS s_{n}")
+    greatest = "GREATEST(" + ", ".join(f"s_{n}" for n in names) + ")"
+    whens = []
+    for i, n in enumerate(names):
+        rest = [f"s_{n} >= s_{m}" for m in names[i + 1:]]
+        cond = " AND ".join(rest) if rest else "TRUE"
+        whens.append(f"WHEN {cond} THEN '{n}'")
+    case = (f"CASE WHEN {greatest} = 0 THEN 'none' "
+            + " ".join(whens) + " END")
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+      FROM documents),
+    s AS (SELECT doc_id, {", ".join(score_cols)} FROM tk)
+    SELECT doc_id, {case} AS topic,
+           CAST({greatest} AS BIGINT) AS score
+    FROM s
+    """
+
+
 def hex16(v: str) -> str:
     """16-digit lowercase hex of a HUGEINT in [0, 2^64)."""
     return (f"printf('%08x%08x', CAST(({v}) >> 32 AS BIGINT), "

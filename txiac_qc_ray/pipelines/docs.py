@@ -5365,3 +5365,54 @@ def passage_chunks(sf_dir: str, passage_len: int = PASSAGE_LEN,
             "passage": passage})
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+# frozen topic lexicons for domain tagging (mixture-construction tags,
+# DoReMi-style domains): disjoint keyword sets over the corpus
+# vocabulary; tie-break is FIRST max over topics in sorted-name order
+TOPIC_LEXICONS = {
+    "execution": ("scan", "filter", "sort", "merge", "join", "hash"),
+    "query": ("query", "key", "value", "agg", "group", "order"),
+    "storage": ("table", "row", "column", "part", "data"),
+    "streaming": ("stream", "window", "batch", "line"),
+}
+
+
+def topic_classify(sf_dir: str) -> ray.data.Dataset:
+    """Frozen keyword-lexicon TOPIC classifier — the domain-tagging step
+    a mixture-construction pipeline runs before per-domain reweighting
+    (DoReMi-style domains / taxonomy tags): per doc, score each topic as
+    the count of its lexicon words among the house [a-z]+ tokens, tag
+    the doc with the argmax topic (ties -> lexicographically smallest
+    topic name; all-zero scores -> 'none'). Multi-class sibling of
+    quality_classifier's binary frozen-weight scorer.
+
+    Scale shape: ONE stateless vectorized pass — tokenize once per
+    batch, each lexicon membership tested once per batch DICTIONARY
+    entry and gathered per token (ts.count_in_set), argmax over a
+    k x n score matrix; no shuffle, no driver state, output streams.
+
+    -> Dataset (doc_id, topic, score); null/empty text -> ('none', 0).
+    Reference analog: the reference's rule flaggers assign one label
+    from a fixed bank (Home.py:176-183); here the bank is a frozen
+    multi-class lexicon and the label is the argmax."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    names = sorted(TOPIC_LEXICONS)
+    sets = {n: pa.array(list(TOPIC_LEXICONS[n]), type=pa.string())
+            for n in names}
+
+    def stage(t: pa.Table) -> pa.Table:
+        tv = ts.tokenize(t["text"].combine_chunks()
+                         if isinstance(t["text"], pa.ChunkedArray)
+                         else t["text"])
+        scores = np.stack([ts.count_in_set(tv, sets[n]) for n in names])
+        best = np.argmax(scores, axis=0)  # first max == sorted-name tie
+        smax = scores[best, np.arange(scores.shape[1])]
+        topic = np.where(smax > 0, np.asarray(names, dtype=object)[best],
+                         "none")
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "topic": pa.array(topic.tolist(), pa.string()),
+            "score": pa.array(smax.astype(np.int64), pa.int64())})
+
+    return ds.map_batches(stage, batch_format="pyarrow")
