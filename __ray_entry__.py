@@ -221,12 +221,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the same signature kernel end to end)
         "canonical_url_dedup": _canonical_url_dedup,
         "simhash_neardup_pairs": D.simhash_neardup_pairs,
-        # most-duplicated-passages audit report — takes
-        # dedup_adjacent_tokens's slot (driver-green r2+r3, unmodified
-        # in r5, a trivial stateless scan; the window machinery this op
-        # drives end to end stays in-cap via dup_window_fraction and
-        # remove_dup_windows)
-        "top_dup_windows": D.top_dup_windows,
+        # r5-NEW (session 10): BM25 full-text top-k retrieval — takes
+        # top_dup_windows' slot (r5-s5, zero driver rows either way; the
+        # shared-window index/verify machinery top_dup_windows drives
+        # runs end to end IN-CAP via dup_window_fraction and
+        # remove_dup_windows, and its report assembly stays swept
+        # locally against its own SQL twin)
+        "bm25_search": D.bm25_search,
         # r5-NEW (session 7): lexical-diversity gate (unique-word /
         # hapax fractions) — takes embedding_neardup_pairs' slot
         # (driver-green r2+r3, unmodified in r5; the in-cap
@@ -346,6 +347,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified since r2; read_csv + strptime stay pytest-pinned
         # (test_cli, test_pmis_round2) and locally swept
         "csv_ingest_sections": _csv_ingest_sections,
+        # yielded to bm25_search (r5-s10): r5-s5 op with zero driver
+        # rows either way; the shared-window index/verify core it
+        # drives runs end to end IN-CAP via dup_window_fraction +
+        # remove_dup_windows; its unique report assembly stays swept
+        # locally and shard/order-invariance pytest-pinned
+        "top_dup_windows": D.top_dup_windows,
         # yielded to topic_classify (r5-s10): r5-MODIFIED but its entire
         # modified path (_prep_survivors + DropIndex) runs end to end
         # IN-CAP inside prep_to_chunks, whose twin composes the same
@@ -980,6 +987,10 @@ def oracle_sql() -> dict[str, str]:
         # frozen-lexicon topic classifier (r5-s10): same lexicons both
         # engines, CASE-chain argmax in sorted topic order
         "topic_classify": O.topic_classify_sql(),
+        # BM25 full-text top-k (r5-s10): rational-idf variant — a fixed
+        # tree of correctly-rounded IEEE ops over exact ints, summed in
+        # sorted term order on both engines
+        "bm25_search": O.bm25_search_sql(),
         # cross-source audits: integer-cleared TV (one BIGINT->DOUBLE
         # division, the TV-not-KL float-parity rule) and the hash-free
         # shared-shingle self-join

@@ -201,7 +201,13 @@ def test_correctness_cap_covers_priority_queries():
         "calibrated_outlier_flags", "contamination_fraction",
         "export_chunks_jsonl", "exact_budget_sample",
         "canonical_url_dedup", "ngram_fluency",
-        "extract_page_metadata", "top_dup_windows",
+        # (top_dup_windows — r5-s5, zero driver rows either way —
+        # yielded its slot to bm25_search in session 10: the shared
+        # window index/verify core it drives runs end to end IN-CAP via
+        # dup_window_fraction + remove_dup_windows; its unique report
+        # assembly stays swept locally and invariance-pinned)
+        "extract_page_metadata",
+        "bm25_search",
         # permanent anchors
         "qc_label_documents", "pmis_audit_flow", "pmis_counters",
         # r5-modified (DropIndex drop sets; data-sized CC partitions is

@@ -44,7 +44,7 @@ def pages_dir(tmp_path_factory):
 
 
 def _twin_equal(ds, sql, con=None):
-    mine = normalize(ds.to_pandas())
+    mine = normalize(ds if isinstance(ds, pd.DataFrame) else ds.to_pandas())
     orc = normalize((con or duckdb.connect()).execute(sql).df())
     pd.testing.assert_frame_equal(mine, orc)
     return mine
@@ -268,3 +268,36 @@ def test_topic_classify_semantics(ray_session, tmp_path):
     assert by.loc[2, "topic"] == "none" and by.loc[2, "score"] == 0
     assert by.loc[3, "topic"] == "none" and by.loc[3, "score"] == 0
     assert by.loc[4, "topic"] == "query" and by.loc[4, "score"] == 3
+
+
+def test_bm25_search_semantics(ray_session, tmp_path):
+    # query 0 = ("fast", "query"): tf dominance and length normalization
+    # are both visible; docs without either term score exactly 0.0
+    rows = [
+        (0, "fast fast fast query"),          # high tf, short -> top
+        (1, "fast query " + "pad " * 60),     # same terms, long -> penalized
+        (2, "fast"),                          # one term only
+        (3, "table row column"),              # no query-0 terms -> 0.0
+        (4, None),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array(["s"] * len(rows)),
+        "n_chars": pa.array([0] * len(rows), type=pa.int64()),
+    })
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    p = os.path.join(d, "documents.parquet")
+    pq.write_table(t, p)
+    out = _twin_equal(D.bm25_search(d, k=3), O.bm25_search_sql(k=3),
+                      _docs_view(p))
+    q0 = out[out["query_id"] == 0].sort_values("rk")
+    assert list(q0["doc_id"].astype(int)) == [0, 2, 1]
+    assert (q0["score"] > 0).all()
+    # docs with no query terms tie at exactly 0.0, broken by doc_id:
+    # q2 = ("stream", "window") matches nothing -> 0.0 everywhere
+    q2 = out[out["query_id"] == 2].sort_values("rk")
+    assert set(q2["score"]) == {0.0}
+    assert list(q2["doc_id"].astype(int)) == [0, 1, 2]

@@ -628,6 +628,62 @@ def topic_classify_sql() -> str:
     """
 
 
+def bm25_search_sql(k: int | None = None) -> str:
+    """BM25 top-k twin generated from the SAME frozen query set: the
+    rational-idf variant (one double division of exact ints — no ln, so
+    both engines agree bit for bit), the classic tf normalization with
+    k1/b derived from the same small-int ratios (6::DOUBLE/5 == np 6/5),
+    and per-query contributions summed LEFT-ASSOCIATIVELY in sorted term
+    order (SQL + parses left-assoc — the engine adds in the same
+    order). Null text: len/list ops go NULL -> coalesce to 0 tokens,
+    score 0, same as the engine."""
+    from .pipelines.docs import BM25_QUERIES, BM25_TOPK
+
+    kk = BM25_TOPK if k is None else int(k)
+    terms = sorted({t for q in BM25_QUERIES.values() for t in q})
+    dfv = ", ".join(
+        f"CAST(count(*) FILTER (WHERE list_contains(ts, '{t}')) AS BIGINT)"
+        f" AS df_{t}" for t in terms)
+    arms = []
+    for qid in sorted(BM25_QUERIES):
+        contribs = []
+        for t in sorted(BM25_QUERIES[qid]):
+            idf = (f"(CAST(2 * n_docs - 2 * df_{t} + 1 AS DOUBLE)"
+                   f" / CAST(2 * df_{t} + 1 AS DOUBLE))")
+            tf = (f"CAST(coalesce(len(list_filter(ts, x -> x = '{t}')), 0)"
+                  f" AS DOUBLE)")
+            contribs.append(
+                f"{idf} * (({tf} * (CAST(11 AS DOUBLE) / 5))"
+                f" / ({tf} + (CAST(6 AS DOUBLE) / 5)"
+                f" * (0.25 + 0.75 * r)))")
+        arms.append(f"SELECT {qid} AS query_id, doc_id, "
+                    + " + ".join(contribs)
+                    + " AS score FROM st CROSS JOIN g CROSS JOIN dfv")
+    union = "\n      UNION ALL ".join(arms)
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ts
+      FROM documents),
+    st0 AS (SELECT doc_id, ts,
+                   CAST(coalesce(len(ts), 0) AS BIGINT) AS dl FROM tk),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(coalesce(sum(dl), 0) AS BIGINT) AS total_tok
+          FROM st0),
+    dfv AS (SELECT {dfv} FROM st0),
+    st AS (SELECT doc_id, ts,
+                  CAST(dl * (SELECT n_docs FROM g) AS DOUBLE)
+                    / CAST((SELECT total_tok FROM g) AS DOUBLE) AS r
+           FROM st0),
+    scored AS ({union})
+    SELECT query_id, doc_id, round(score, 4) AS score,
+           CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY score DESC, doc_id) AS rk
+          FROM scored)
+    WHERE rk <= {kk}
+    """
+
+
 def hex16(v: str) -> str:
     """16-digit lowercase hex of a HUGEINT in [0, 2^64)."""
     return (f"printf('%08x%08x', CAST(({v}) >> 32 AS BIGINT), "

@@ -5416,3 +5416,123 @@ def topic_classify(sf_dir: str) -> ray.data.Dataset:
             "score": pa.array(smax.astype(np.int64), pa.int64())})
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+# frozen BM25 query set (query_id -> terms); scoring constants are the
+# classic k1=1.2, b=0.75 expressed as small-int ratios so BOTH engines
+# derive the identical IEEE doubles (6/5, 11/5; 0.25/0.75 are dyadic)
+BM25_QUERIES = {
+    0: ("fast", "query"),
+    1: ("hash", "join", "table"),
+    2: ("stream", "window"),
+    3: ("customer", "order", "data"),
+}
+BM25_TOPK = 10
+
+
+def bm25_search(sf_dir: str, k: int = BM25_TOPK) -> pd.DataFrame:
+    """Full-text BM25 top-k retrieval over the corpus — the LEXICAL side
+    of similarity search (the ann_topk family is the embedding side):
+    for each frozen query, rank documents by a BM25 score over the
+    house [a-z]+ tokens and return the top k by (score desc, doc_id).
+
+    PARITY VARIANT (documented deviation): the idf factor is the
+    RATIONAL Robertson idf (N - df + 0.5)/(df + 0.5) WITHOUT the log —
+    ln() is not guaranteed bit-identical across engines, while this
+    variant is a fixed tree of correctly-rounded IEEE ops over exact
+    integers (= (2N-2df+1)/(2df+1), one double division), so engine and
+    twin agree bit for bit. Same ranking family, steeper rare-term
+    weighting than log-idf; every other factor is classic BM25:
+    tf*(k1+1) / (tf + k1*(1-b + b*dl/avgdl)), k1=1.2, b=0.75. Per-doc
+    scores sum query-term contributions in SORTED TERM ORDER (both
+    engines), so float association is identical. int64 bound: dl*N must
+    stay under 2^53 for the exact dl/avgdl ratio — at larger scale the
+    ratio moves to the twin's HUGEINT form.
+
+    Scale shape: pass A reduces the corpus to ONE tiny stats row
+    (n_docs, total tokens, df per frozen term — per-batch int partials,
+    driver folds a handful of rows); idf/thresholds broadcast; pass B
+    scores every doc vectorized (per-term tf via dictionary membership,
+    once per batch dictionary entry) and emits per-batch partial top-k
+    (<= k rows per query per batch); the driver finishes a
+    (batches*queries*k)-row lexsort. The corpus never shuffles.
+
+    -> DataFrame (query_id, doc_id, score, rk), k rows per query.
+    Reference analog: none (retrieval op beyond Home.py's surface)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    qids = sorted(BM25_QUERIES)
+    terms = sorted({t for q in BM25_QUERIES.values() for t in q})
+    term_sets = {t: pa.array([t], type=pa.string()) for t in terms}
+
+    def stats_partial(t: pa.Table) -> pa.Table:
+        tv = ts.tokenize(t["text"].combine_chunks()
+                         if isinstance(t["text"], pa.ChunkedArray)
+                         else t["text"])
+        dl = np.diff(tv.offsets).astype(np.int64)
+        cols = {"n_docs": pa.array([len(dl)], pa.int64()),
+                "total_tok": pa.array([int(dl.sum())], pa.int64())}
+        for tm in terms:
+            cnt = ts.count_in_set(tv, term_sets[tm])
+            cols[f"df_{tm}"] = pa.array([int((cnt > 0).sum())], pa.int64())
+        return pa.table(cols)
+
+    stat_cols = {"n_docs": "int64", "total_tok": "int64",
+                 **{f"df_{tm}": "int64" for tm in terms}}
+    stats = ensure_columns(
+        ds.map_batches(stats_partial, batch_format="pyarrow").to_pandas(),
+        stat_cols).sum()
+    n_docs, total_tok = int(stats["n_docs"]), int(stats["total_tok"])
+    if n_docs == 0:
+        return typed_empty({"query_id": "int64", "doc_id": "int64",
+                            "score": "float64", "rk": "int64"})
+    # rational idf: one double division of exact ints (driver-computed
+    # once; the twin recomputes the same division per row)
+    idf = {tm: np.float64(2 * n_docs - 2 * int(stats[f"df_{tm}"]) + 1)
+           / np.float64(2 * int(stats[f"df_{tm}"]) + 1) for tm in terms}
+    K1 = np.float64(6) / np.float64(5)       # 1.2
+    K1P1 = np.float64(11) / np.float64(5)    # 2.2
+    bc = ray.put((idf, n_docs, total_tok))
+
+    def score_partial(t: pa.Table) -> pa.Table:
+        idf_, N, tot = ray.get(bc)
+        tv = ts.tokenize(t["text"].combine_chunks()
+                         if isinstance(t["text"], pa.ChunkedArray)
+                         else t["text"])
+        dl = np.diff(tv.offsets).astype(np.int64)
+        doc_id = np.asarray(t["doc_id"]).astype(np.int64)
+        r = (dl * N).astype(np.float64) / np.float64(tot)
+        m = 0.25 + 0.75 * r
+        tf = {tm: ts.count_in_set(tv, term_sets[tm]).astype(np.float64)
+              for tm in terms}
+        out_q, out_d, out_s = [], [], []
+        for qid in qids:
+            score = np.zeros(len(dl), dtype=np.float64)
+            for tm in sorted(BM25_QUERIES[qid]):
+                num = tf[tm] * K1P1
+                den = tf[tm] + K1 * m
+                score = score + idf_[tm] * (num / den)
+            order = np.lexsort((doc_id, -score))[:k]
+            out_q.append(np.full(len(order), qid, np.int64))
+            out_d.append(doc_id[order])
+            out_s.append(score[order])
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q), pa.int64()),
+            "doc_id": pa.array(np.concatenate(out_d), pa.int64()),
+            "score": pa.array(np.concatenate(out_s), pa.float64())})
+
+    parts = ensure_columns(
+        ds.map_batches(score_partial, batch_format="pyarrow").to_pandas(),
+        {"query_id": "int64", "doc_id": "int64", "score": "float64"})
+    qv = parts["query_id"].to_numpy()
+    dv = parts["doc_id"].to_numpy()
+    sv = parts["score"].to_numpy()
+    order = np.lexsort((dv, -sv, qv))
+    qv, dv, sv = qv[order], dv[order], sv[order]
+    first = np.searchsorted(qv, np.unique(qv))
+    rk = np.arange(len(qv)) - np.repeat(first, np.diff(
+        np.r_[first, len(qv)])) + 1
+    keep = rk <= k
+    return pd.DataFrame({
+        "query_id": qv[keep], "doc_id": dv[keep],
+        "score": round_half_away(sv[keep], 4),
+        "rk": rk[keep].astype(np.int64)})
