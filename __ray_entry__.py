@@ -284,11 +284,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # flagger core is the flagship's entire rule stage, driven
         # in-cap every round by qc_label_documents' golden compare)
         "host_pagerank": _host_pagerank,
-        # r5-NEW (this session): sliding-window duplicate-substring
-        # fraction (Lee et al. 2021 signal) — takes exact_dedup's spare
-        # slot (r4-driver-green, unmodified in r5; exact_dedup_rows
-        # stays in-cap and shares its hash/verify core)
-        "dup_window_fraction": D.dup_window_fraction,
+        # r5-NEW (session 10): byte-balanced output-shard assignment —
+        # takes dup_window_fraction's slot (r5-s2, zero driver rows
+        # either way; the shared window index/verify core
+        # (_shared_window_index / _candidate_window_rows) runs end to
+        # end IN-CAP via remove_dup_windows, and dup_window_fraction's
+        # unique fraction accounting stays locally swept AND fuzz-
+        # pinned against a single-process python reference)
+        "assign_output_shards": D.assign_output_shards,
         # ---- r4-green heavyweights kept in-cap (spare slots) ---------
         # r5-NEW (session 8): normalized exact dedup over the perturbed-
         # recapture view — takes minhash_lsh_dedup's slot: that row
@@ -347,6 +350,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified since r2; read_csv + strptime stay pytest-pinned
         # (test_cli, test_pmis_round2) and locally swept
         "csv_ingest_sections": _csv_ingest_sections,
+        # yielded to assign_output_shards (r5-s10): r5-s2 op with zero
+        # driver rows either way; its shared window index/verify core
+        # runs end to end IN-CAP via remove_dup_windows, and its unique
+        # fraction accounting is fuzz-pinned vs a python reference and
+        # swept locally against its own SQL twin
+        "dup_window_fraction": D.dup_window_fraction,
         # yielded to bm25_search (r5-s10): r5-s5 op with zero driver
         # rows either way; the shared-window index/verify core it
         # drives runs end to end IN-CAP via dup_window_fraction +
@@ -991,6 +1000,9 @@ def oracle_sql() -> dict[str, str]:
         # tree of correctly-rounded IEEE ops over exact ints, summed in
         # sorted term order on both engines
         "bm25_search": O.bm25_search_sql(),
+        # byte-balanced output sharding (r5-s10): exclusive window
+        # cumsum of strlen bytes // shard size
+        "assign_output_shards": O.assign_output_shards_sql(),
         # cross-source audits: integer-cleared TV (one BIGINT->DOUBLE
         # division, the TV-not-KL float-parity rule) and the hash-free
         # shared-shingle self-join

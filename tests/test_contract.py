@@ -235,7 +235,7 @@ def test_correctness_cap_covers_priority_queries():
         "ann_topk_from_text",
         # r5-session-10 new ops (same rule: new ops ride the cap)
         "temperature_sample",
-        "dup_window_fraction", "ccnet_ppl_buckets", "remove_dup_windows",
+        "ccnet_ppl_buckets", "remove_dup_windows",
         # (knn_self_join / embedding_neardup_clusters — both r5-s2 ops
         # with zero driver rows either way — yielded their slots to the
         # session-9 new ops embedding_kmeans / semdedup: the broadcast
@@ -247,6 +247,12 @@ def test_correctness_cap_covers_priority_queries():
         # byte-equal pin still value-transfers through that sweep)
         # r5-session-9 new ops (same rule: new ops ride the cap)
         "embedding_kmeans", "semdedup",
+        # (dup_window_fraction — r5-s2, zero driver rows either way —
+        # yielded its slot to assign_output_shards in session 10: the
+        # shared window index/verify core runs end to end IN-CAP via
+        # remove_dup_windows, and its unique fraction accounting is
+        # fuzz-pinned vs a python reference + swept locally)
+        "assign_output_shards",
         # r5-modified (Arrow-native partial top-k)
         "topk_per_group",
         # (minhash_lsh_dedup — r5-modified via the shared
@@ -305,6 +311,7 @@ def test_corpus_sized_ops_return_streaming_datasets(ray_session):
     assert isinstance(D.passage_chunks(sf), ray.data.Dataset)
     assert isinstance(D.temperature_sample(sf), ray.data.Dataset)
     assert isinstance(D.topic_classify(sf), ray.data.Dataset)
+    assert isinstance(D.assign_output_shards(sf), ray.data.Dataset)
     # r5-session-4 ops keep the same boundary
     from txiac_qc_ray.pipelines import webtext as WT
     from txiac_qc_ray.sources.pages import default_pages_dir

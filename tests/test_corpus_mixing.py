@@ -301,3 +301,28 @@ def test_bm25_search_semantics(ray_session, tmp_path):
     q2 = out[out["query_id"] == 2].sort_values("rk")
     assert set(q2["score"]) == {0.0}
     assert list(q2["doc_id"].astype(int)) == [0, 1, 2]
+
+
+def test_assign_output_shards_semantics(ray_session, tmp_path):
+    # shard_bytes=10: doc sizes 6,6,6 -> starts 0,6,12 -> shards 0,0,1
+    # (doc 1 STRADDLES the boundary and belongs to the shard it starts
+    # in); null text is 0 bytes and inherits its offset's shard
+    rows = [(0, "aaaaaa"), (1, "bbbbbb"), (2, "cccccc"),
+            (3, None), (4, "dd")]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array(["s"] * len(rows)),
+        "n_chars": pa.array([0] * len(rows), type=pa.int64()),
+    })
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    p = os.path.join(d, "documents.parquet")
+    pq.write_table(t, p)
+    out = _twin_equal(D.assign_output_shards(d, shard_bytes=10),
+                      O.assign_output_shards_sql(shard_bytes=10),
+                      _docs_view(p))
+    out = out.sort_values("doc_id", ignore_index=True)
+    assert list(out["shard_id"].astype(int)) == [0, 0, 1, 1, 1]
+    assert list(out["n_bytes"].astype(int)) == [6, 6, 6, 0, 2]

@@ -684,6 +684,27 @@ def bm25_search_sql(k: int | None = None) -> str:
     """
 
 
+def assign_output_shards_sql(shard_bytes: int | None = None) -> str:
+    """Byte-balanced shard-assignment twin: exclusive window cumsum of
+    strlen BYTES (DuckDB strlen is bytes, length is chars — the house
+    extraction_yield note) in doc_id order, floor-divided by the shard
+    size. Null text -> 0 bytes via coalesce, same as the engine."""
+    from .pipelines.docs import OUTPUT_SHARD_BYTES
+
+    S = OUTPUT_SHARD_BYTES if shard_bytes is None else int(shard_bytes)
+    return f"""
+    WITH b AS (
+      SELECT doc_id,
+             CAST(coalesce(strlen(text), 0) AS BIGINT) AS n_bytes
+      FROM documents)
+    SELECT doc_id, n_bytes,
+           CAST(coalesce(sum(n_bytes) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                0) // {S} AS BIGINT) AS shard_id
+    FROM b
+    """
+
+
 def hex16(v: str) -> str:
     """16-digit lowercase hex of a HUGEINT in [0, 2^64)."""
     return (f"printf('%08x%08x', CAST(({v}) >> 32 AS BIGINT), "

@@ -5536,3 +5536,88 @@ def bm25_search(sf_dir: str, k: int = BM25_TOPK) -> pd.DataFrame:
         "query_id": qv[keep], "doc_id": dv[keep],
         "score": round_half_away(sv[keep], 4),
         "rk": rk[keep].astype(np.int64)})
+
+
+OUTPUT_SHARD_BYTES = 16 * 1024  # target text bytes per output shard
+
+
+def assign_output_shards(sf_dir: str,
+                         shard_bytes: int = OUTPUT_SHARD_BYTES
+                         ) -> ray.data.Dataset:
+    """Byte-balanced OUTPUT-shard assignment — the export-planning step
+    before a partitioned write: lay documents end-to-end in doc_id
+    order and assign each to the shard its starting byte offset lands
+    in (shard_id = exclusive-prefix-bytes // shard_bytes), so every
+    output shard carries ~shard_bytes of text no matter how skewed the
+    per-doc sizes are (the resumable-sink story: equal shards = equal
+    retry units; a doc straddling a boundary belongs to the shard it
+    starts in). Bytes are the utf-8 text bytes (null text -> 0 bytes —
+    the doc still gets the shard of its offset).
+
+    Scale shape: the house two-phase distributed prefix scan
+    (chunk_for_training's primitive): one text pass reduces to int rows
+    (doc_id, n_bytes) materialized once; doc_id-range buckets carry
+    exclusive-prefix byte offsets (driver state = n_buckets ints); each
+    bucket group labels locally — no corpus shuffle of text, output
+    streams. -> Dataset (doc_id, n_bytes, shard_id), canonical order
+    doc_id.
+
+    Reference analog: the reference writes ONE whole-frame CSV
+    (Home.py:320-324); this is the partitioned, size-balanced,
+    resume-friendly equivalent plan."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    S = int(shard_bytes)
+
+    def byte_counts(t: pa.Table) -> pa.Table:
+        nb = pc.fill_null(
+            pc.cast(pc.binary_length(t["text"]), pa.int64()), 0)
+        return pa.table({"doc_id": t["doc_id"], "n_bytes": nb})
+
+    counted = (ds.map_batches(byte_counts, batch_format="pyarrow")
+                 .materialize())
+    n_buckets = _shard_count(sf_dir, "documents")
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_bytes": pa.array([], pa.int64()),
+                      "shard_id": pa.array([], pa.int64())})
+    bounds = counted.aggregate(Min("doc_id"), Max("doc_id")) or {}
+    lo = bounds.get("min(doc_id)")
+    if lo is None:
+        return ray.data.from_arrow(empty)
+    lo, hi = int(lo), int(bounds["max(doc_id)"])
+    span = max(1, -(-(hi - lo + 1) // n_buckets))
+
+    def bucket_partials(t: pa.Table) -> pa.Table:
+        b = (np.asarray(t["doc_id"]) - lo) // span
+        uniq, inv = np.unique(b, return_inverse=True)
+        sums = np.bincount(inv, weights=np.asarray(t["n_bytes"]))
+        return pa.table({"bucket": uniq.astype(np.int64),
+                         "cnt": sums.astype(np.int64)})
+
+    per_bucket = ensure_columns(
+        counted.map_batches(bucket_partials, batch_format="pyarrow")
+               .groupby("bucket").aggregate(RaySum("cnt", alias_name="cnt"))
+               .to_pandas(),
+        {"bucket": "int64", "cnt": "int64"})
+    per = np.zeros(n_buckets, dtype=np.int64)
+    per[per_bucket["bucket"].to_numpy()] = per_bucket["cnt"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(per)[:-1]])
+    off_ref = ray.put(offsets)
+
+    def with_bucket(t: pa.Table) -> pa.Table:
+        b = (np.asarray(t["doc_id"]) - lo) // span
+        return t.append_column("bucket", pa.array(b.astype(np.int64)))
+
+    def label(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return typed_empty({"doc_id": "int64", "n_bytes": "int64",
+                                "shard_id": "int64"})
+        carry = ray.get(off_ref)[int(g["bucket"].iloc[0])]
+        g = g.sort_values("doc_id", ignore_index=True)
+        nb = g["n_bytes"].to_numpy().astype(np.int64)
+        start = carry + np.concatenate([[0], np.cumsum(nb)[:-1]])
+        return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                             "n_bytes": nb,
+                             "shard_id": start // S})
+
+    return (counted.map_batches(with_bucket, batch_format="pyarrow")
+            .groupby("bucket").map_groups(label, batch_format="pandas"))
