@@ -240,16 +240,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # in-cap by ann_topk_from_text, and knn_self_join is the in-cap
         # all-pairs exact sibling)
         "readability_scores": _readability_scores,
-        # r5-NEW (session 8): declared-vs-predicted language confusion
-        # matrix — takes ngram_jaccard_pairs' slot (driver-green r1-r4,
-        # four consecutive recorded rounds; its r5 modification is
-        # exactly the shared _run_pair_indices sweep, which keeps
-        # driver rows in-cap via prep_corpus / prep_to_chunks /
-        # neardup_keep_best + simhash_neardup_pairs — the same argument
-        # as minhash_lsh_dedup's displacement; its unique df-cap
-        # shard/partial kernels are unmodified since r3, locally swept,
-        # and pinned by the n_shards-invariance pytest)
-        "lang_confusion": _lang_confusion,
+        # r5-NEW (session 10): DoReMi-style excess-loss source weights —
+        # takes lang_confusion's slot (r5-s8, zero driver rows either
+        # way; its langid prediction kernel runs end to end IN-CAP via
+        # ccnet_ppl_buckets — the same frozen LangIdModel + tokenizer —
+        # and its unique part is a metadata-sized count matrix whose
+        # fused-counter kernel the pmis_counters anchor drives in-cap;
+        # it stays swept locally against its own SQL twin)
+        "doremi_source_weights": D.doremi_source_weights,
         # r5-NEW (final session): signup->purchase conversion funnel —
         # takes ann_topk_lsh's slot (driver-green r2+r3, unmodified in
         # r5; the exact ANN siblings bruteforce/ivf/ivf_indexed and the
@@ -350,6 +348,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified since r2; read_csv + strptime stay pytest-pinned
         # (test_cli, test_pmis_round2) and locally swept
         "csv_ingest_sections": _csv_ingest_sections,
+        # yielded to doremi_source_weights (r5-s10): r5-s8 op with zero
+        # driver rows either way; its langid kernel runs end to end
+        # IN-CAP via ccnet_ppl_buckets and its rollup is a metadata-
+        # sized count matrix (fused-counter kernel anchored in-cap by
+        # pmis_counters); stays swept locally against its own twin
+        "lang_confusion": _lang_confusion,
         # yielded to assign_output_shards (r5-s10): r5-s2 op with zero
         # driver rows either way; its shared window index/verify core
         # runs end to end IN-CAP via remove_dup_windows, and its unique
@@ -1003,6 +1007,9 @@ def oracle_sql() -> dict[str, str]:
         # byte-balanced output sharding (r5-s10): exclusive window
         # cumsum of strlen bytes // shard size
         "assign_output_shards": O.assign_output_shards_sql(),
+        # DoReMi-style excess-loss source weights (r5-s10): integer
+        # sign test + one HUGEINT->DOUBLE division
+        "doremi_source_weights": O.doremi_source_weights_sql(),
         # cross-source audits: integer-cleared TV (one BIGINT->DOUBLE
         # division, the TV-not-KL float-parity rule) and the hash-free
         # shared-shingle self-join

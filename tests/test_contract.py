@@ -269,8 +269,14 @@ def test_correctness_cap_covers_priority_queries():
         # via the prep chain + simhash_neardup_pairs, unique df-cap
         # shard kernels unmodified since r3 and n_shards-invariance
         # pytest-pinned)
-        # r5-session-8 new ops (same rule: new ops ride the cap)
-        "extraction_yield", "dedup_normalized", "lang_confusion",
+        # r5-session-8 new ops (same rule: new ops ride the cap).
+        # (lang_confusion yielded its slot to doremi_source_weights in
+        # session 10: its langid kernel runs end to end IN-CAP via
+        # ccnet_ppl_buckets and its rollup is a metadata-sized count
+        # matrix anchored by pmis_counters; stays swept locally)
+        "extraction_yield", "dedup_normalized",
+        # r5-session-10 new ops (same rule)
+        "doremi_source_weights",
     }
     missing = priority - first50
     assert not missing, f"priority queries past the 50-row cap: {missing}"

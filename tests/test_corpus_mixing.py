@@ -326,3 +326,30 @@ def test_assign_output_shards_semantics(ray_session, tmp_path):
     out = out.sort_values("doc_id", ignore_index=True)
     assert list(out["shard_id"].astype(int)) == [0, 0, 1, 1, 1]
     assert list(out["n_bytes"].astype(int)) == [6, 6, 6, 0, 2]
+
+
+def test_doremi_source_weights_semantics(ray_session, tmp_path):
+    # srcA's text is all OOV (costly) -> positive excess; srcB's is a
+    # cheap frozen-vocab word repeated -> zero (clamped); empty-token
+    # and null docs contribute 0 cost and 0 tokens
+    from txiac_qc_ray.stages.perplexity import quantized_cost_table
+    vocab, costs, _ = quantized_cost_table()
+    cheap = vocab.to_pylist()[int(np.argmin(costs))]
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+        "text": pa.array(["zzqy wvvx qqzz", f"{cheap} {cheap} {cheap}",
+                          None, "!!!"], type=pa.string()),
+        "lang": pa.array(["en"] * 4),
+        "source": pa.array(["srcA", "srcB", "srcB", "srcA"]),
+        "n_chars": pa.array([0] * 4, type=pa.int64()),
+    })
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    p = os.path.join(d, "documents.parquet")
+    pq.write_table(t, p)
+    out = _twin_equal(D.doremi_source_weights(d),
+                      O.doremi_source_weights_sql(), _docs_view(p))
+    by = out.set_index("source")
+    assert by.loc["srcA", "excess_w"] > 0       # costlier than average
+    assert by.loc["srcB", "excess_w"] == 0.0    # below average, clamped
+    assert by.loc["srcA", "n_docs"] == 2 and by.loc["srcB", "n_tokens"] == 3

@@ -705,6 +705,48 @@ def assign_output_shards_sql(shard_bytes: int | None = None) -> str:
     """
 
 
+def doremi_source_weights_sql() -> str:
+    """DoReMi source-weight twin: the same frozen micro-nat cost table
+    as VALUES, per-source HUGEINT totals, the integer sign test
+    cost_s*tok_g > cost_g*tok_s, and one HUGEINT->DOUBLE division for
+    the magnitude (the grouped_variance correctly-rounded-cast
+    precedent). Docs with no tokens contribute 0 via the LEFT JOIN
+    coalesce."""
+    from .stages.perplexity import quantized_cost_table
+
+    vocab, costs, oov = quantized_cost_table()
+    cost_rows = ", ".join(
+        f"('{t}', {c})" for t, c in zip(vocab.to_pylist(), costs.tolist()))
+    return f"""
+    WITH cost(tok, c) AS (VALUES {cost_rows}),
+    ctok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+      FROM documents),
+    dcost AS (
+      SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(sum(coalesce(c.c, {oov})) AS BIGINT) AS total_cost
+      FROM ctok t LEFT JOIN cost c USING (tok) GROUP BY t.doc_id),
+    per AS (
+      SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(coalesce(sum(dc.n_tok), 0) AS HUGEINT) AS tok_s,
+             CAST(coalesce(sum(dc.total_cost), 0) AS HUGEINT) AS cost_s
+      FROM documents d LEFT JOIN dcost dc USING (doc_id)
+      GROUP BY d.source),
+    g AS (SELECT CAST(coalesce(sum(tok_s), 0) AS HUGEINT) AS tok_g,
+                 CAST(coalesce(sum(cost_s), 0) AS HUGEINT) AS cost_g
+          FROM per)
+    SELECT source, n_docs,
+           CAST(tok_s AS BIGINT) AS n_tokens,
+           CAST(cost_s AS BIGINT) AS total_cost,
+           round(CASE WHEN tok_s = 0 OR cost_s * tok_g <= cost_g * tok_s
+                      THEN 0.0
+                      ELSE CAST(cost_s * tok_g - cost_g * tok_s AS DOUBLE)
+                             / CAST(tok_s * tok_g AS DOUBLE) END,
+                 4) AS excess_w
+    FROM per CROSS JOIN g
+    """
+
+
 def hex16(v: str) -> str:
     """16-digit lowercase hex of a HUGEINT in [0, 2^64)."""
     return (f"printf('%08x%08x', CAST(({v}) >> 32 AS BIGINT), "

@@ -5621,3 +5621,81 @@ def assign_output_shards(sf_dir: str,
 
     return (counted.map_batches(with_bucket, batch_format="pyarrow")
             .groupby("bucket").map_groups(label, batch_format="pandas"))
+
+
+def doremi_source_weights(sf_dir: str) -> pd.DataFrame:
+    """DoReMi-style SOURCE-weight report (Xie et al. 2023, *DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining*,
+    public): upweight domains whose per-token loss EXCEEDS the corpus
+    average — the deterministic single-pass analog where the proxy loss
+    is the frozen unigram micro-nat cost table (ccnet_ppl_buckets'
+    kernel) instead of a trained proxy model. Per source s:
+    excess_w = max(0, cost_s/tok_s - cost_g/tok_g), reported UNNORMALIZED
+    (micro-nats per token; the mixture consumer normalizes — a sum of
+    per-source doubles has no cross-engine association order, so the
+    report stops at the last bit-exact step).
+
+    Float parity: the sign test is INTEGER (cost_s*tok_g > cost_g*tok_s
+    in python ints / HUGEINT) and the magnitude is ONE double division
+    of two exact big ints (float(int) and CAST(HUGEINT AS DOUBLE) are
+    both correctly rounded — the grouped_variance precedent).
+
+    Scale shape: one streamed pass reduces the corpus to per-batch
+    int partials (source, n_docs, n_tok, cost); a source-cardinality
+    groupby finishes; the driver holds n_sources int rows. The corpus
+    never shuffles. -> DataFrame (source, n_docs, n_tokens,
+    total_cost, excess_w), one row per source.
+
+    Reference analog: none (mixture-optimization op beyond Home.py)."""
+    from ..stages.perplexity import quantized_cost_table
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    vocab, costs, oov = quantized_cost_table()
+
+    def partials(t: pa.Table) -> pa.Table:
+        tv = ts.tokenize(t["text"].combine_chunks()
+                         if isinstance(t["text"], pa.ChunkedArray)
+                         else t["text"])
+        n = ts.token_counts(tv)
+        total = np.zeros(len(n), dtype=np.int64)
+        if len(tv.flat) > 0:
+            didx = np.asarray(pc.fill_null(
+                pc.index_in(tv.dictionary, value_set=vocab), -1))
+            dcost = np.where(didx >= 0, costs[np.clip(didx, 0, None)],
+                             np.int64(oov))
+            total = ts.seg_sum(dcost[tv.ids], tv.offsets).astype(np.int64)
+        src = np.asarray(pc.fill_null(t["source"], _NULL_KEY), dtype=object)
+        uniq, inv = np.unique(src, return_inverse=True)
+        return pa.table({
+            "src_key": pa.array(uniq.tolist(), type=pa.string()),
+            "n_docs": np.bincount(inv, minlength=len(uniq)).astype(np.int64),
+            "n_tok": np.bincount(inv, weights=n,
+                                 minlength=len(uniq)).astype(np.int64),
+            "cost": np.bincount(inv, weights=total,
+                                minlength=len(uniq)).astype(np.int64)})
+
+    agg = ensure_columns(
+        ds.map_batches(partials, batch_format="pyarrow")
+          .groupby("src_key")
+          .aggregate(RaySum("n_docs", alias_name="n_docs"),
+                     RaySum("n_tok", alias_name="n_tok"),
+                     RaySum("cost", alias_name="cost"))
+          .to_pandas(),
+        {"src_key": "object", "n_docs": "int64", "n_tok": "int64",
+         "cost": "int64"})
+    tok_g = int(agg["n_tok"].sum())
+    cost_g = int(agg["cost"].sum())
+    w = []
+    for tok_s, cost_s in zip(agg["n_tok"], agg["cost"]):
+        tok_s, cost_s = int(tok_s), int(cost_s)
+        num = cost_s * tok_g - cost_g * tok_s
+        w.append(0.0 if tok_s == 0 or num <= 0
+                 else float(num) / float(tok_s * tok_g))
+    src = agg["src_key"].to_numpy(dtype=object)
+    src = np.where(src == _NULL_KEY, None, src)
+    return pd.DataFrame({
+        "source": src,
+        "n_docs": agg["n_docs"].to_numpy(),
+        "n_tokens": agg["n_tok"].to_numpy(),
+        "total_cost": agg["cost"].to_numpy(),
+        "excess_w": round_half_away(np.asarray(w, dtype=np.float64), 4)})
