@@ -260,10 +260,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ann_topk_bruteforce; the partitioned-index variant
         # ann_topk_ivf_indexed carries the family's r4 driver green)
         "retention_cohorts": W.retention_cohorts,
-        # r5-NEW (final session): per-rule first-fail funnel counters —
-        # takes tolerance_join's slot (driver-green r1+r2+r3, the
-        # longest green streak on the surface, unmodified since r2)
-        "rule_bank_funnel": _rule_bank_funnel,
+        # r5-NEW (session 10): per-rule ABLATION counters (fail + unique-
+        # fail per bank) — takes rule_bank_funnel's slot (r5-final, zero
+        # driver rows either way): the ablation runs the SAME five
+        # _BANK_KEEP cores in one pass — a strict superset of the
+        # funnel's predicate work (all five keeps per page vs the
+        # first-fail label) — so one driver row value-checks every bank
+        # kernel; the funnel's first-fail attribution stays swept
+        # locally against its own composed twin
+        "rule_bank_ablation": _rule_bank_ablation,
         # r5-NEW (final session): quality-based cluster representative
         # selection — takes quantile_thresholds' slot (driver-green
         # r1+r2+r3, unmodified since r2; its calibration siblings
@@ -348,6 +353,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified since r2; read_csv + strptime stay pytest-pinned
         # (test_cli, test_pmis_round2) and locally swept
         "csv_ingest_sections": _csv_ingest_sections,
+        # yielded to rule_bank_ablation (r5-s10): r5-final op with zero
+        # driver rows either way; the ablation runs the same five
+        # _BANK_KEEP cores as a strict superset in-cap, and the funnel's
+        # unique first-fail CASE stays swept locally
+        "rule_bank_funnel": _rule_bank_funnel,
         # yielded to doremi_source_weights (r5-s10): r5-s8 op with zero
         # driver rows either way; its langid kernel runs end to end
         # IN-CAP via ccnet_ppl_buckets and its rollup is a metadata-
@@ -692,6 +702,12 @@ def _dedup_lines_within_doc(_sf_dir: str):
     return dedup_lines_within_doc(_webtext_dir())
 
 
+def _rule_bank_ablation(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import rule_bank_ablation
+
+    return rule_bank_ablation(_webtext_dir())
+
+
 def _rule_bank_funnel(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import rule_bank_funnel
 
@@ -926,6 +942,7 @@ def oracle_sql() -> dict[str, str]:
         # within-doc duplicate-line removal (r5 s3)
         "dedup_lines_within_doc": O.dedup_lines_within_doc_sql(pages_glob),
         "rule_bank_funnel": O.rule_bank_funnel_sql(pages_glob),
+        "rule_bank_ablation": O.rule_bank_ablation_sql(pages_glob),
         "dedup_url_keep_latest": O.dedup_url_keep_latest_sql(pages_glob),
         # cross-snapshot content-change detection over the same
         # deterministic two-crawl union (r5 s4)

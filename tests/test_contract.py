@@ -188,8 +188,13 @@ def test_correctness_cap_covers_priority_queries():
         # r5-session-4 new ops (same rule)
         "token_balanced_mixture", "url_snapshot_changes",
         "remove_boilerplate_lines", "train_val_split",
-        # r5-final-session new ops (same rule: new ops ride the cap)
-        "rule_bank_funnel", "neardup_keep_best", "dedup_url_keep_latest",
+        # r5-final-session new ops (same rule: new ops ride the cap).
+        # (rule_bank_funnel yielded its slot to rule_bank_ablation in
+        # session 10: the ablation runs the same five _BANK_KEEP cores
+        # as a strict superset; the funnel's first-fail CASE stays
+        # swept locally against its own composed twin)
+        "rule_bank_ablation",
+        "neardup_keep_best", "dedup_url_keep_latest",
         "source_divergence_tv", "source_overlap_matrix",
         "interleave_sources", "funnel_conversion", "retention_cohorts",
         # r5-session-6 new ops (same rule: new ops ride the cap)

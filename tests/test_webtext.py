@@ -833,3 +833,25 @@ def test_dedup_normalized_rows_twin_and_pin(ray_session):
     # loser totals agree and out-of-scope rows never drop
     assert int((~rows["keep"]).sum()) == int((rep["n_variants"] - 1).sum())
     assert rows.loc[rows["norm_hash"].isna(), "keep"].all()
+
+
+def test_rule_bank_ablation_consistency(ray_session):
+    """Ablation counters agree with the funnel on the frozen fixture:
+    a bank's funnel row counts first-fails, so it is bounded by the
+    ablation's n_failed; unique drops are bounded by n_failed; and the
+    kept population matches: docs failing NOTHING = funnel 'kept'."""
+    from txiac_qc_ray.pipelines.webtext import (rule_bank_ablation,
+                                                rule_bank_funnel)
+    from txiac_qc_ray.sources.pages import default_pages_dir
+
+    pages = default_pages_dir(2000)
+    abl = rule_bank_ablation(pages).set_index("bank")
+    fun = rule_bank_funnel(pages).set_index("drop_stage")
+    for bank in abl.index:
+        assert 0 <= abl.loc[bank, "n_unique_drops"] <= abl.loc[bank, "n_failed"]
+        # first-fail count can never exceed total fails of that bank
+        assert fun.loc[bank, "n_docs"] <= abl.loc[bank, "n_failed"]
+    # a doc uniquely dropped by the LAST funnel stage (classifier) is
+    # by definition that stage's first fail too
+    assert (abl.loc["classifier", "n_unique_drops"]
+            <= fun.loc["classifier", "n_docs"])

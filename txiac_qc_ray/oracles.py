@@ -747,6 +747,57 @@ def doremi_source_weights_sql() -> str:
     """
 
 
+def rule_bank_ablation_sql(pages_glob: str) -> str:
+    """Ablation twin: the five bank keeps come from THEIR OWN oracle
+    builders nested as subqueries (the rule_bank_funnel_sql pattern —
+    the twins can never drift), null-text pages are excluded from
+    every count, and per bank the twin counts fails and UNIQUE fails
+    (fails with the other four passing) over a VALUES spine so zero
+    rows survive."""
+    from .pipelines import webtext as w
+
+    spine = ", ".join(
+        f"({i}, '{b}')" for i, b in enumerate(w.FUNNEL_BANKS))
+    fail = {"url": "NOT k_url", "c4": "NOT k_c4", "gopher": "NOT k_gopher",
+            "repetition": "NOT k_rep", "classifier": "NOT k_cls"}
+    arms = []
+    for i, b in enumerate(w.FUNNEL_BANKS):
+        others = " AND ".join(fail[o].replace("NOT ", "")
+                              for o in w.FUNNEL_BANKS if o != b)
+        arms.append(
+            f"SELECT {i} AS bank_idx, "
+            f"CAST(count(*) FILTER (WHERE {fail[b]}) AS BIGINT) AS n_failed, "
+            f"CAST(count(*) FILTER (WHERE {fail[b]} AND {others}) AS BIGINT)"
+            f" AS n_unique_drops FROM lab")
+    union = "\n      UNION ALL ".join(arms)
+    return f"""
+    WITH uf AS (SELECT url, coalesce(keep, FALSE) AS k_url
+                FROM ({url_host_filter_sql(pages_glob)})),
+    c4f AS (SELECT url, coalesce(keep, FALSE) AS k_c4
+            FROM ({c4_line_filter_sql(pages_glob)})),
+    gqf AS (SELECT url, coalesce(gopher_keep, FALSE) AS k_gopher
+            FROM ({gopher_quality_flags_sql(pages_glob)})),
+    repf AS (SELECT url, coalesce(repetition_keep, FALSE) AS k_rep
+             FROM ({gopher_repetition_sql(pages_glob)})),
+    qcf AS (SELECT url, coalesce(keep, FALSE) AS k_cls
+            FROM ({quality_classifier_sql(pages_glob)})),
+    base AS (SELECT url FROM read_parquet('{pages_glob}')
+             WHERE text IS NOT NULL),
+    lab AS (
+      SELECT k_url, k_c4, k_gopher, k_rep, k_cls
+      FROM base JOIN uf USING (url) JOIN c4f USING (url)
+                JOIN gqf USING (url) JOIN repf USING (url)
+                JOIN qcf USING (url)),
+    cnt AS ({union})
+    SELECT CAST(s.bank_idx AS BIGINT) AS bank_idx, s.bank,
+           coalesce(cnt.n_failed, 0::BIGINT) AS n_failed,
+           coalesce(cnt.n_unique_drops, 0::BIGINT) AS n_unique_drops
+    FROM (VALUES {spine}) s(bank_idx, bank)
+    LEFT JOIN cnt USING (bank_idx)
+    ORDER BY s.bank_idx
+    """
+
+
 def hex16(v: str) -> str:
     """16-digit lowercase hex of a HUGEINT in [0, 2^64)."""
     return (f"printf('%08x%08x', CAST(({v}) >> 32 AS BIGINT), "

@@ -2479,3 +2479,63 @@ def dedup_normalized_rows(paths: str | list[str],
                               batch_format="pyarrow")
                .groupby("shard").map_groups(label, batch_format="pandas"))
     return labeled.union(out_scope)
+
+
+def rule_bank_ablation(paths: str | list[str]) -> "pd.DataFrame":
+    """Per-bank ABLATION counters — the complement of rule_bank_funnel's
+    first-fail attribution: for every bank, how many (non-null-text)
+    pages FAIL it at all, and how many fail it UNIQUELY (pass all four
+    other banks) — i.e. how many docs removing that one bank would add
+    back to the corpus. The unique-drop column is the number an
+    operator reads when deciding whether a rule earns its false-positive
+    risk; overlap-heavy banks (n_failed high, n_unique_drops low) are
+    redundant with the rest of the stack.
+
+    All five bank predicates are computed in ONE stateless vectorized
+    pass (shared line split, same _BANK_KEEP cores as the flagship and
+    the funnel), each batch reduces to a constant 5-row partial, and a
+    5-group Sum finishes — no corpus shuffle, no driver state.
+
+    -> DataFrame (bank_idx, bank, n_failed, n_unique_drops), one row
+    per bank in the frozen FUNNEL_BANKS order (zero counts included).
+    Reference analog: Home.py's per-measure outlier counts (H:444-904)
+    ask "how often does each rule fire"; the ablation adds "does it
+    fire ALONE"."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from .relational import ensure_columns
+
+    banks = FUNNEL_BANKS
+    ds = _read_pages_text(paths)
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = _as_array(t.column("text"))
+        split = _line_split(text)
+        nonnull = ~np.asarray(pc.is_null(text))
+        fails = np.zeros((len(banks), len(text)), dtype=bool)
+        for i, b in enumerate(banks):
+            keep = np.asarray(_BANK_KEEP[b](t, text, None, split),
+                              dtype=bool)
+            fails[i] = ~keep & nonnull
+        n_fail_per_doc = fails.sum(axis=0)
+        unique = fails & (n_fail_per_doc == 1)
+        return pa.table({
+            "bank_idx": np.arange(len(banks), dtype=np.int64),
+            "n_failed": fails.sum(axis=1).astype(np.int64),
+            "n_unique_drops": unique.sum(axis=1).astype(np.int64),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("bank_idx")
+             .aggregate(Sum("n_failed", alias_name="n_failed"),
+                        Sum("n_unique_drops", alias_name="n_unique_drops")))
+    df = ensure_columns(agg.to_pandas(),
+                        {"bank_idx": "int64", "n_failed": "int64",
+                         "n_unique_drops": "int64"})
+    spine = pd.DataFrame({"bank_idx": np.arange(len(banks), dtype=np.int64),
+                          "bank": list(banks)})
+    out = spine.merge(df, on="bank_idx", how="left").fillna(0)
+    out["n_failed"] = out["n_failed"].astype("int64")
+    out["n_unique_drops"] = out["n_unique_drops"].astype("int64")
+    return out[["bank_idx", "bank", "n_failed", "n_unique_drops"]]
