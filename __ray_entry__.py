@@ -254,12 +254,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # end-to-end ann_topk_from_text all stay in-cap, and the LSH
         # path's recall is pytest-pinned against brute force)
         "funnel_conversion": W.funnel_conversion,
-        # r5-NEW (final session): cohort retention triangle — takes
-        # ann_topk_ivf's slot (driver-green r2+r3, unmodified in r5;
-        # exact by construction and pytest-pinned equal to the in-cap
-        # ann_topk_bruteforce; the partitioned-index variant
-        # ann_topk_ivf_indexed carries the family's r4 driver green)
-        "retention_cohorts": W.retention_cohorts,
+        # r5-NEW (session 10): hard-negative mining (k-means x cosine
+        # top-k composition) — takes retention_cohorts' slot (r5-final,
+        # zero driver rows either way; retention's two kernels — the
+        # integer epoch-week bucketing and the distinct (user, week)
+        # pair reduction — are exactly the tumbling_window and
+        # distinct_count_users kernels, both driver-green in recorded
+        # rounds r1-r4 and unmodified in r5, and its unique triangle
+        # rollup stays swept locally; a brand-new composition with zero
+        # coverage anywhere outranks it for the final driver run)
+        "hard_negatives": D.hard_negatives,
         # r5-NEW (session 10): per-rule ABLATION counters (fail + unique-
         # fail per bank) — takes rule_bank_funnel's slot (r5-final, zero
         # driver rows either way): the ablation runs the SAME five
@@ -353,6 +357,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified since r2; read_csv + strptime stay pytest-pinned
         # (test_cli, test_pmis_round2) and locally swept
         "csv_ingest_sections": _csv_ingest_sections,
+        # yielded to hard_negatives (r5-s10): r5-final op with zero
+        # driver rows either way; its epoch-week bucketing and distinct
+        # (user, week) pair kernels are the tumbling_window /
+        # distinct_count_users kernels (driver-green r1-r4, unmodified
+        # in r5); its unique triangle rollup stays swept locally
+        "retention_cohorts": W.retention_cohorts,
         # yielded to rule_bank_ablation (r5-s10): r5-final op with zero
         # driver rows either way; the ablation runs the same five
         # _BANK_KEEP cores as a strict superset in-cap, and the funnel's
@@ -1027,6 +1037,9 @@ def oracle_sql() -> dict[str, str]:
         # DoReMi-style excess-loss source weights (r5-s10): integer
         # sign test + one HUGEINT->DOUBLE division
         "doremi_source_weights": O.doremi_source_weights_sql(),
+        # hard-negative mining (r5-s10): k-means CTEs + different-
+        # cluster cosine top-k with the exact int-dot recipe
+        "hard_negatives": O.hard_negatives_sql(),
         # cross-source audits: integer-cleared TV (one BIGINT->DOUBLE
         # division, the TV-not-KL float-parity rule) and the hash-free
         # shared-shingle self-join

@@ -196,7 +196,12 @@ def test_correctness_cap_covers_priority_queries():
         "rule_bank_ablation",
         "neardup_keep_best", "dedup_url_keep_latest",
         "source_divergence_tv", "source_overlap_matrix",
-        "interleave_sources", "funnel_conversion", "retention_cohorts",
+        # (retention_cohorts yielded its slot to hard_negatives in
+        # session 10: its bucketing/distinct-pair kernels are the
+        # tumbling_window / distinct_count_users kernels, driver-green
+        # r1-r4; its triangle rollup stays swept locally)
+        "interleave_sources", "funnel_conversion",
+        "hard_negatives",
         # r5-session-6 new ops (same rule: new ops ride the cap)
         "extract_links", "host_pagerank", "host_rank_filter",
         "host_components",

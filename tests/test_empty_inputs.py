@@ -66,7 +66,8 @@ def test_every_query_survives_empty_tables(ray_session, empty_dir):
                             "scrub_docs", "c4_line_filter", "gopher_",
                             "url_host_filter", "pii_counts",
                             "quality_classifier", "dedup_lines_within_doc",
-                            "rule_bank_funnel", "dedup_url_keep_latest",
+                            "rule_bank_funnel", "rule_bank_ablation",
+                            "dedup_url_keep_latest",
                             "url_snapshot_changes",
                             "remove_boilerplate_lines", "train_val_split",
                             "calibrated_outlier_flags",

@@ -205,3 +205,24 @@ def test_cluster_cap_sample_caps_at_m(ray_session, tmp_path):
     per = got.groupby("cluster_id")["keep"].agg(["sum", "count"])
     for _, row in per.iterrows():
         assert row["sum"] == min(5, row["count"])
+
+
+def test_hard_negatives_cluster_exclusion(ray_session):
+    """Every mined negative sits in a DIFFERENT k-means cluster than its
+    probe, self-pairs never appear, and sims are (desc, nid asc) ranked
+    — checked against the embedding_kmeans assignment on the fixture."""
+    import numpy as np
+
+    from txiac_qc_ray.pipelines import docs as D
+
+    sf = "/root/testdata/sf0.001"
+    neg = D.hard_negatives(sf)
+    assert len(neg) > 0
+    km = D.embedding_kmeans(sf).to_pandas().set_index("vec_id")["cluster_id"]
+    for qid, grp in neg.groupby("qid"):
+        assert (grp["nid"] != qid).all()
+        qc = km.loc[qid]
+        assert (km.loc[grp["nid"]].to_numpy() != qc).all()
+        s = grp.sort_values("rk")["sim"].to_numpy()
+        assert (np.diff(s) <= 0).all()
+        assert list(grp.sort_values("rk")["rk"]) == list(range(1, len(grp) + 1))

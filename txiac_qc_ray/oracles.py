@@ -798,6 +798,42 @@ def rule_bank_ablation_sql(pages_glob: str) -> str:
     """
 
 
+def hard_negatives_sql(n_queries: int | None = None,
+                       k: int | None = None,
+                       iters: int | None = None) -> str:
+    """Hard-negative twin: the k-means CTEs + a probe-to-corpus join
+    restricted to DIFFERENT final clusters, ranked by the exact cosine
+    (int dot / sqrt(double(na)*double(nb)) — the semdedup recipe) with
+    row_number ties to the lower vec_id; sim rounds only in the output
+    projection (ranking sees the unrounded double, same as the
+    engine)."""
+    from .pipelines import docs as d
+
+    nq = d.HARDNEG_N_QUERIES if n_queries is None else int(n_queries)
+    kk = d.HARDNEG_TOPK if k is None else int(k)
+    iters = d.KMEANS_ITERS if iters is None else iters
+    return f"""
+    WITH {_kmeans_ctes(None, iters)},
+    qa AS (
+      SELECT a.vec_id, a.cid, v.q,
+             list_sum(list_transform(v.q, x -> x*x)) AS na
+      FROM asg{iters + 1} a JOIN q v USING (vec_id)),
+    pairs AS (
+      SELECT a.vec_id AS qid, b.vec_id AS nid,
+             CAST(list_sum(list_transform(list_zip(a.q, b.q),
+                  p -> p[1]*p[2])) AS DOUBLE)
+               / sqrt(CAST(a.na AS DOUBLE) * CAST(b.na AS DOUBLE)) AS sim
+      FROM qa a JOIN qa b
+        ON a.vec_id < {nq} AND b.vec_id != a.vec_id
+       AND b.cid != a.cid AND a.na > 0 AND b.na > 0)
+    SELECT qid, nid, round(sim, 4) AS sim, CAST(rk AS BIGINT) AS rk
+    FROM (SELECT *, row_number() OVER (PARTITION BY qid
+                        ORDER BY sim DESC, nid) AS rk
+          FROM pairs)
+    WHERE rk <= {kk}
+    """
+
+
 def hex16(v: str) -> str:
     """16-digit lowercase hex of a HUGEINT in [0, 2^64)."""
     return (f"printf('%08x%08x', CAST(({v}) >> 32 AS BIGINT), "

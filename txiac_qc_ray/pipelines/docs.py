@@ -5699,3 +5699,99 @@ def doremi_source_weights(sf_dir: str) -> pd.DataFrame:
         "n_tokens": agg["n_tok"].to_numpy(),
         "total_cost": agg["cost"].to_numpy(),
         "excess_w": round_half_away(np.asarray(w, dtype=np.float64), 4)})
+
+
+HARDNEG_N_QUERIES = 4  # frozen probe set: vec_id < 4 (the ann twins' set)
+HARDNEG_TOPK = 5
+
+
+def hard_negatives(sf_dir: str, n_queries: int = HARDNEG_N_QUERIES,
+                   k: int = HARDNEG_TOPK) -> pd.DataFrame:
+    """HARD-NEGATIVE mining for contrastive retrieval training: for each
+    probe vector, the top-k most-similar vectors that sit in a
+    DIFFERENT k-means cluster — near in cosine (hard) but semantically
+    separated by the clustering (negative), the standard positive/
+    negative curation step for training embedding models. Composes the
+    integer k-means (embedding_kmeans's frozen Lloyd rounds) with the
+    broadcast cosine partial-top-k kernel (ann_topk family).
+
+    Exactness: the cosine is the house exact recipe — int64 dot over
+    the 2^20-quantized vectors, divided by sqrt(double(na)*double(nb)),
+    all correctly rounded, so ranks and values are bit-identical to the
+    SQL twin; ties break (sim desc, vec_id asc). Zero-norm vectors are
+    excluded from both sides of a pair; self-pairs are excluded.
+
+    Scale shape: k-means never shuffles the corpus (_kmeans_fit's
+    streamed int partials); the probe matrix (n_queries x d + cluster
+    ids) broadcasts once; one streamed pass emits per-batch partial
+    top-k rows (<= k per query per batch) and the driver finishes a
+    bounded lexsort. -> DataFrame (qid, nid, sim, rk).
+
+    Reference analog: none (training-curation op beyond Home.py)."""
+    qds = _quantized_embeddings(sf_dir)
+    C = _kmeans_fit(qds)
+    empty = typed_empty({"qid": "int64", "nid": "int64",
+                         "sim": "float64", "rk": "int64"})
+    if C.size == 0:
+        return empty
+
+    probes = qds.map_batches(
+        lambda t: t.filter(pc.less(t["vec_id"], n_queries)),
+        batch_format="pyarrow").to_pandas()
+    if len(probes) == 0:
+        return empty
+    qids = probes["vec_id"].to_numpy(dtype=np.int64)
+    Qm = np.stack(probes["q"].to_numpy()).astype(np.int64, copy=False)
+    qa, _ = _kmeans_assign(Qm, C)
+    qn = (Qm * Qm).sum(axis=1)
+    ref = ray.put((qids, Qm, qa, qn, C))
+
+    def partial_topk(t: pa.Table) -> pa.Table:
+        ids_q, Qm_, qa_, qn_, cent = ray.get(ref)
+        V = _int_matrix(t["q"])
+        vid = np.asarray(t["vec_id"]).astype(np.int64)
+        if len(vid) == 0:
+            return pa.table({"qid": pa.array([], pa.int64()),
+                             "nid": pa.array([], pa.int64()),
+                             "sim": pa.array([], pa.float64())})
+        va, _ = _kmeans_assign(V, cent)
+        vn = (V * V).sum(axis=1)
+        dot = (Qm_ @ V.T).astype(np.float64)  # exact: < 2^53
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sims = dot / np.sqrt(qn_.astype(np.float64)[:, None]
+                                 * vn.astype(np.float64)[None, :])
+        # mask: zero norms, self pairs, SAME-cluster pairs (a hard
+        # negative must come from a different cluster)
+        bad = ((qn_[:, None] == 0) | (vn[None, :] == 0)
+               | (ids_q[:, None] == vid[None, :])
+               | (qa_[:, None] == va[None, :]))
+        sims = np.where(bad, -np.inf, sims)
+        out_q, out_n, out_s = [], [], []
+        for i in range(len(ids_q)):
+            order = np.lexsort((vid, -sims[i]))[:k]
+            good = sims[i][order] > -np.inf
+            order = order[good]
+            out_q.append(np.full(len(order), ids_q[i], np.int64))
+            out_n.append(vid[order])
+            out_s.append(sims[i][order])
+        return pa.table({
+            "qid": pa.array(np.concatenate(out_q), pa.int64()),
+            "nid": pa.array(np.concatenate(out_n), pa.int64()),
+            "sim": pa.array(np.concatenate(out_s), pa.float64())})
+
+    parts = ensure_columns(
+        qds.map_batches(partial_topk, batch_format="pyarrow").to_pandas(),
+        {"qid": "int64", "nid": "int64", "sim": "float64"})
+    qv = parts["qid"].to_numpy()
+    nv = parts["nid"].to_numpy()
+    sv = parts["sim"].to_numpy()
+    order = np.lexsort((nv, -sv, qv))
+    qv, nv, sv = qv[order], nv[order], sv[order]
+    first = np.searchsorted(qv, np.unique(qv))
+    rk = np.arange(len(qv)) - np.repeat(first, np.diff(
+        np.r_[first, len(qv)])) + 1
+    keep = rk <= k
+    return pd.DataFrame({
+        "qid": qv[keep], "nid": nv[keep],
+        "sim": round_half_away(sv[keep], 4),
+        "rk": rk[keep].astype(np.int64)})
