@@ -186,11 +186,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # trivial stateless scan whose textstats kernels the in-cap
         # flagship drives through its features stage)
         "extract_page_metadata": _extract_page_metadata,
-        # r5-NEW (final session): cross-source shared-shingle matrix —
-        # takes fingerprint_docs's slot (driver-green r2+r3, unmodified
-        # in r5, a trivial stateless scan; its fnv/mix hash kernels stay
-        # in-cap via simhash_neardup_pairs and dup_window_fraction)
-        "source_overlap_matrix": D.source_overlap_matrix,
+        # r5-NEW (session 10): first-seen shingle novelty score — takes
+        # source_overlap_matrix's slot (r5-final, zero driver rows
+        # either way; the novelty op drives the SAME distinct-shingle
+        # machinery in-cap — token_ngram_hashes + hash-shard group
+        # sweeps — and the overlap matrix's unique cross-source
+        # intersection stays swept locally against its own twin)
+        "shingle_novelty": D.shingle_novelty,
         # train-then-score n-gram fluency gate — takes langid_docs's
         # slot (driver-green r3, unmodified in r5; the frozen
         # LangIdModel + tokenizer it shares stay driven in-cap by
@@ -248,12 +250,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # fused-counter kernel the pmis_counters anchor drives in-cap;
         # it stays swept locally against its own SQL twin)
         "doremi_source_weights": D.doremi_source_weights,
-        # r5-NEW (final session): signup->purchase conversion funnel —
-        # takes ann_topk_lsh's slot (driver-green r2+r3, unmodified in
-        # r5; the exact ANN siblings bruteforce/ivf/ivf_indexed and the
-        # end-to-end ann_topk_from_text all stay in-cap, and the LSH
-        # path's recall is pytest-pinned against brute force)
-        "funnel_conversion": W.funnel_conversion,
+        # r5-NEW (session 10): inverted-index postings builder — takes
+        # funnel_conversion's slot (r5-final, zero driver rows either
+        # way; funnel's min-ts-per-user + strictly-later-exists kernels
+        # mirror the windows family's in-record asof/session machinery
+        # — driver-green r1-r4, unmodified in r5 — and its unique
+        # funnel CASE stays swept locally; a brand-new op with zero
+        # coverage anywhere outranks it for the final driver run)
+        "inverted_index": D.inverted_index,
         # r5-NEW (session 10): hard-negative mining (k-means x cosine
         # top-k composition) — takes retention_cohorts' slot (r5-final,
         # zero driver rows either way; retention's two kernels — the
@@ -357,6 +361,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified since r2; read_csv + strptime stay pytest-pinned
         # (test_cli, test_pmis_round2) and locally swept
         "csv_ingest_sections": _csv_ingest_sections,
+        # yielded to inverted_index (r5-s10): r5-final op with zero
+        # driver rows either way; its kernels mirror the in-record
+        # windows family and its unique funnel CASE stays swept locally
+        "funnel_conversion": W.funnel_conversion,
+        # yielded to shingle_novelty (r5-s10): r5-final op with zero
+        # driver rows either way; the novelty op drives the same
+        # distinct-shingle machinery in-cap; the cross-source
+        # intersection stays swept locally
+        "source_overlap_matrix": D.source_overlap_matrix,
         # yielded to hard_negatives (r5-s10): r5-final op with zero
         # driver rows either way; its epoch-week bucketing and distinct
         # (user, week) pair kernels are the tumbling_window /
@@ -1040,6 +1053,9 @@ def oracle_sql() -> dict[str, str]:
         # hard-negative mining (r5-s10): k-means CTEs + different-
         # cluster cosine top-k with the exact int-dot recipe
         "hard_negatives": O.hard_negatives_sql(),
+        # inverted-index postings + first-seen shingle novelty (r5-s10)
+        "inverted_index": O.inverted_index_sql(),
+        "shingle_novelty": O.shingle_novelty_sql(),
         # cross-source audits: integer-cleared TV (one BIGINT->DOUBLE
         # division, the TV-not-KL float-parity rule) and the hash-free
         # shared-shingle self-join

@@ -217,6 +217,8 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("doremi_source_weights", D.doremi_source_weights),
         ("rule_bank_ablation", lambda _sf: WT.rule_bank_ablation(corpus)),
         ("hard_negatives", D.hard_negatives),
+        ("inverted_index", D.inverted_index),
+        ("shingle_novelty", D.shingle_novelty),
         ("train_val_split", lambda _sf: WT.train_val_split(corpus)),
         ("url_snapshot_changes",
          lambda _sf: WT.url_snapshot_changes(corpus)),

@@ -195,13 +195,17 @@ def test_correctness_cap_covers_priority_queries():
         # swept locally against its own composed twin)
         "rule_bank_ablation",
         "neardup_keep_best", "dedup_url_keep_latest",
-        "source_divergence_tv", "source_overlap_matrix",
-        # (retention_cohorts yielded its slot to hard_negatives in
-        # session 10: its bucketing/distinct-pair kernels are the
-        # tumbling_window / distinct_count_users kernels, driver-green
-        # r1-r4; its triangle rollup stays swept locally)
-        "interleave_sources", "funnel_conversion",
-        "hard_negatives",
+        "source_divergence_tv",
+        # (retention_cohorts / funnel_conversion / source_overlap_matrix
+        # yielded their slots to hard_negatives / inverted_index /
+        # shingle_novelty in session 10: retention's and funnel's
+        # kernels mirror the in-record windows family (tumbling_window /
+        # distinct_count_users / asof / sessions, driver-green r1-r4),
+        # and shingle_novelty drives the same distinct-shingle machinery
+        # as the overlap matrix in-cap; all three displaced ops stay
+        # swept locally against their own twins)
+        "interleave_sources",
+        "hard_negatives", "inverted_index", "shingle_novelty",
         # r5-session-6 new ops (same rule: new ops ride the cap)
         "extract_links", "host_pagerank", "host_rank_filter",
         "host_components",
@@ -328,6 +332,8 @@ def test_corpus_sized_ops_return_streaming_datasets(ray_session):
     assert isinstance(D.temperature_sample(sf), ray.data.Dataset)
     assert isinstance(D.topic_classify(sf), ray.data.Dataset)
     assert isinstance(D.assign_output_shards(sf), ray.data.Dataset)
+    assert isinstance(D.inverted_index(sf), ray.data.Dataset)
+    assert isinstance(D.shingle_novelty(sf), ray.data.Dataset)
     # r5-session-4 ops keep the same boundary
     from txiac_qc_ray.pipelines import webtext as WT
     from txiac_qc_ray.sources.pages import default_pages_dir

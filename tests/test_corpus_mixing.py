@@ -353,3 +353,55 @@ def test_doremi_source_weights_semantics(ray_session, tmp_path):
     assert by.loc["srcA", "excess_w"] > 0       # costlier than average
     assert by.loc["srcB", "excess_w"] == 0.0    # below average, clamped
     assert by.loc["srcA", "n_docs"] == 2 and by.loc["srcB", "n_tokens"] == 3
+
+
+def test_shingle_novelty_semantics(ray_session, tmp_path):
+    # doc 0 coins every trigram (novelty 1.0); doc 1 is an exact copy
+    # (novelty 0.0); doc 2 shares a prefix and adds new text; docs with
+    # <3 tokens or null text have no shingles -> NULL novelty
+    rows = [
+        (0, "alpha beta gamma delta epsilon"),
+        (1, "alpha beta gamma delta epsilon"),
+        (2, "alpha beta gamma zeta eta theta"),
+        (3, "one two"),
+        (4, None),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array(["s"] * len(rows)),
+        "n_chars": pa.array([0] * len(rows), type=pa.int64()),
+    })
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    p = os.path.join(d, "documents.parquet")
+    pq.write_table(t, p)
+    out = _twin_equal(D.shingle_novelty(d, n_shards=4),
+                      O.shingle_novelty_sql(), _docs_view(p))
+    by = out.set_index(out["doc_id"].astype(int))
+    assert by.loc[0, "novelty"] == 1.0 and by.loc[0, "n_shingles"] == 3
+    assert by.loc[1, "novelty"] == 0.0
+    # doc 2: trigrams (alpha beta gamma) seen in doc 0; the other 3 new
+    assert by.loc[2, "n_shingles"] == 4 and by.loc[2, "n_novel"] == 3
+    assert np.isnan(by.loc[3, "novelty"]) and by.loc[3, "n_shingles"] == 0
+    assert np.isnan(by.loc[4, "novelty"])
+
+
+def test_inverted_index_semantics(ray_session, tmp_path):
+    rows = [(0, "apple banana apple"), (1, "banana"), (2, None), (3, "")]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array(["s"] * len(rows)),
+        "n_chars": pa.array([0] * len(rows), type=pa.int64()),
+    })
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    p = os.path.join(d, "documents.parquet")
+    pq.write_table(t, p)
+    out = _twin_equal(D.inverted_index(d), O.inverted_index_sql(),
+                      _docs_view(p))
+    got = {(r.tok, int(r.doc_id)): int(r.tf) for r in out.itertuples()}
+    assert got == {("apple", 0): 2, ("banana", 0): 1, ("banana", 1): 1}

@@ -834,6 +834,46 @@ def hard_negatives_sql(n_queries: int | None = None,
     """
 
 
+def inverted_index_sql() -> str:
+    """Postings twin: unnest the same [a-z]+ token list, count per
+    (token, document)."""
+    return """
+    SELECT tok, doc_id, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+          FROM documents)
+    GROUP BY tok, doc_id
+    """
+
+
+def shingle_novelty_sql() -> str:
+    """Novelty twin over the trigram STRINGS (the shared _SHINGLES
+    spec): per distinct (doc, shingle), novel iff doc == the shingle's
+    corpus-wide min doc_id; the engine attributes over 64-bit shingle
+    hashes — the documented collision tolerance (decontaminate
+    precedent). Zero-shingle docs keep NULL novelty via the LEFT
+    JOIN."""
+    return f"""
+    WITH {_SHINGLES},
+    tr AS (SELECT doc_id, unnest(s) AS sv FROM sh),
+    mn AS (SELECT sv, min(doc_id) AS first_doc FROM tr GROUP BY sv),
+    per AS (
+      SELECT tr.doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(count(*) FILTER (WHERE tr.doc_id = mn.first_doc)
+                  AS BIGINT) AS n_novel
+      FROM tr JOIN mn USING (sv) GROUP BY tr.doc_id)
+    SELECT d.doc_id,
+           coalesce(p.n_shingles, 0::BIGINT) AS n_shingles,
+           coalesce(p.n_novel, 0::BIGINT) AS n_novel,
+           CASE WHEN p.n_shingles > 0
+                THEN CAST(p.n_novel AS DOUBLE)
+                       / CAST(p.n_shingles AS DOUBLE)
+           END AS novelty
+    FROM documents d LEFT JOIN per p USING (doc_id)
+    """
+
+
 def hex16(v: str) -> str:
     """16-digit lowercase hex of a HUGEINT in [0, 2^64)."""
     return (f"printf('%08x%08x', CAST(({v}) >> 32 AS BIGINT), "

@@ -5795,3 +5795,155 @@ def hard_negatives(sf_dir: str, n_queries: int = HARDNEG_N_QUERIES,
         "qid": qv[keep], "nid": nv[keep],
         "sim": round_half_away(sv[keep], 4),
         "rk": rk[keep].astype(np.int64)})
+
+
+def inverted_index(sf_dir: str) -> ray.data.Dataset:
+    """Inverted-index POSTINGS builder — the materialized complement of
+    bm25_search's on-the-fly scoring: one row per (token, document)
+    with its term frequency, the layout a search engine writes once and
+    queries forever. Tokens are the house [a-z]+ words.
+
+    Scale shape: term frequencies are WITHIN-document, so the whole
+    index is ONE stateless vectorized pass — per batch, tokenize once,
+    count (doc, dictionary-id) pairs with a single lexsort run-length
+    pass, gather token strings from the batch dictionary; no shuffle,
+    no driver state, output streams (write_parquet partitioned by a
+    term-hash key is the natural sink). -> Dataset (tok, doc_id, tf),
+    canonical order (tok, doc_id).
+
+    Reference analog: none (retrieval-prep op beyond Home.py)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        empty = pa.table({"tok": pa.array([], pa.string()),
+                          "doc_id": pa.array([], pa.int64()),
+                          "tf": pa.array([], pa.int64())})
+        tv = ts.tokenize(t["text"].combine_chunks()
+                         if isinstance(t["text"], pa.ChunkedArray)
+                         else t["text"])
+        if len(tv.flat) == 0:
+            return empty
+        counts = np.diff(tv.offsets)
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        order = np.lexsort((tv.ids, doc_of))
+        d_s, i_s = doc_of[order], tv.ids[order]
+        new = np.r_[True, (d_s[1:] != d_s[:-1]) | (i_s[1:] != i_s[:-1])]
+        starts = np.flatnonzero(new)
+        tf = np.diff(np.r_[starts, len(d_s)])
+        doc_ids = np.asarray(t["doc_id"]).astype(np.int64)
+        toks = pc.take(tv.dictionary, pa.array(i_s[starts], pa.int64()))
+        return pa.table({
+            "tok": toks,
+            "doc_id": pa.array(doc_ids[d_s[starts]], pa.int64()),
+            "tf": pa.array(tf.astype(np.int64), pa.int64())})
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def shingle_novelty(sf_dir: str, n_shards: int | None = None
+                    ) -> ray.data.Dataset:
+    """First-seen n-gram NOVELTY score (the "how much of this doc is
+    new text" signal behind Lee et al.'s novel-token counts): per doc,
+    the fraction of its DISTINCT word trigrams whose corpus-wide FIRST
+    occurrence (minimum doc_id) is this document. Boilerplate-heavy or
+    re-crawled docs score low; original prose scores 1.0.
+
+    COLLISION TOLERANCE (deliberate, the decontaminate precedent): the
+    engine attributes first-seen over the 64-bit shingle hash while the
+    twin uses the trigram strings — a 64-bit collision could merge two
+    shingles, with ~n^2/2^65 probability over the corpus' distinct-
+    shingle count; the value-check passing is the evidence none occur
+    at fixture scale, and at 100 TB the error is bounded by the same
+    negligible rate.
+
+    Scale shape: one hash pass emits per-doc DISTINCT (hash, doc) int
+    pairs (plus a per-doc distinct-count row — zero-shingle docs
+    included, so no spine join later); ONE bounded shuffle groups by a
+    hash shard where a vectorized run sweep marks rows equal to their
+    run's min doc; per-doc partials fold through a doc-keyed groupby.
+    Shingle text never ships. -> streaming Dataset (doc_id, n_shingles,
+    n_novel, novelty), novelty NULL for zero-shingle docs.
+
+    Reference analog: none (corpus-audit op beyond Home.py)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    S = n_shards if n_shards is not None else _shard_count(sf_dir,
+                                                           "documents")
+
+    def pairs(t: pa.Table) -> pa.Table:
+        h, offsets = token_ngram_hashes(
+            t["text"].combine_chunks()
+            if isinstance(t["text"], pa.ChunkedArray) else t["text"], 3)
+        doc_ids = np.asarray(t["doc_id"]).astype(np.int64)
+        counts = np.diff(offsets)
+        # positional doc index (doc_ids need not be sorted in a batch)
+        doc_pos = np.repeat(np.arange(len(doc_ids), dtype=np.int64), counts)
+        # per-doc distinct (doc, hash) pairs via one lexsort
+        if len(h) == 0:  # batch of only short/null docs: no shingles
+            p_u = np.zeros(0, dtype=np.int64)
+            h_u = np.zeros(0, dtype=np.uint64)
+        else:
+            order = np.lexsort((h, doc_pos))
+            p_s, h_s = doc_pos[order], h[order]
+            keep = np.r_[True,
+                         (p_s[1:] != p_s[:-1]) | (h_s[1:] != h_s[:-1])]
+            p_u, h_u = p_s[keep], h_s[keep]
+        n_distinct = np.bincount(p_u, minlength=len(doc_ids))
+        # pair rows ride kind=1; per-doc distinct-count rows ride kind=0
+        # (hash column doubles as the count) — one stream, no spine
+        # join; kind-0 rows shard on doc_id so no single group ever
+        # holds the whole corpus
+        shard = (_mix64(h_u) % np.uint64(S)).astype(np.int64)
+        dshard = (_mix64(doc_ids.astype(np.uint64))
+                  % np.uint64(S)).astype(np.int64)
+        return pa.table({
+            "kind": pa.array(np.r_[np.zeros(len(doc_ids), np.int64),
+                                   np.ones(len(p_u), np.int64)]),
+            "shard": pa.array(np.r_[dshard, shard]),
+            "doc_id": pa.array(np.r_[doc_ids, doc_ids[p_u]], pa.int64()),
+            "h": pa.array(np.r_[n_distinct.astype(np.int64),
+                                h_u.view(np.int64)], pa.int64())})
+
+    emitted = ds.map_batches(pairs, batch_format="pyarrow")
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return typed_empty({"doc_id": "int64", "n_sh": "int64",
+                                "n_novel": "int64"})
+        if int(g["kind"].iloc[0]) == 0:  # distinct-count rows pass through
+            return pd.DataFrame({"doc_id": g["doc_id"].to_numpy(),
+                                 "n_sh": g["h"].to_numpy(),
+                                 "n_novel": np.zeros(len(g), np.int64)})
+        h = g["h"].to_numpy(dtype=np.int64).view(np.uint64)
+        d = g["doc_id"].to_numpy(dtype=np.int64)
+        order = np.lexsort((d, h))
+        h_s, d_s = h[order], d[order]
+        runs = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        lens = np.diff(np.r_[runs, len(h_s)])
+        # d asc within each run -> the run head IS the min doc
+        novel_doc = d_s[runs]
+        uniq, inv = np.unique(novel_doc, return_inverse=True)
+        return pd.DataFrame({
+            "doc_id": uniq,
+            "n_sh": np.zeros(len(uniq), np.int64),
+            "n_novel": np.bincount(inv, minlength=len(uniq)).astype(
+                np.int64)})
+
+    parts = (emitted.groupby(["kind", "shard"])
+             .map_groups(sweep, batch_format="pandas"))
+    folded = (parts.groupby("doc_id")
+              .aggregate(RaySum("n_sh", alias_name="n_shingles"),
+                         RaySum("n_novel", alias_name="n_novel")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        ns = np.asarray(t["n_shingles"]).astype(np.int64)
+        nv = np.asarray(t["n_novel"]).astype(np.int64)
+        pos = ns > 0
+        frac = np.full(len(ns), np.nan, dtype=np.float64)
+        frac[pos] = nv[pos].astype(np.float64) / ns[pos].astype(np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_shingles": pa.array(ns, pa.int64()),
+            "n_novel": pa.array(nv, pa.int64()),
+            "novelty": pa.array(frac, type=pa.float64(), mask=~pos)})
+
+    return folded.map_batches(finish, batch_format="pyarrow")
