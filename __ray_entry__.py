@@ -107,9 +107,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver row value-checks both; token_counts_bpe stays swept
         # locally against the same staged-REPLACE twin
         "passage_chunks": D.passage_chunks,
-        # r5-NEW frozen-BPE subword family (functions/bpe.py; runs the
-        # token_counts_bpe kernel in-cap — see passage_chunks' slot)
-        "chunk_for_training_bpe": D.chunk_for_training_bpe,
+        # r5-NEW (session 10): per-language tokenizer fertility audit —
+        # takes chunk_for_training_bpe's slot (r5-s1, zero driver rows
+        # either way; its BPE subword-count kernel — the same bpe_ntok
+        # chain on both engines — runs end to end IN-CAP here, and its
+        # packer half (_chunk_token_stream) runs end to end IN-CAP via
+        # prep_to_chunks; it stays swept locally)
+        "tokenizer_fertility": D.tokenizer_fertility,
         # ---- r5-session-3 NEW ops (in-cap: an op NEW in a round may not
         # rely on the local sweep alone — ADVICE r3 rule). They take the
         # slots of the four trivial relational generics below the cap
@@ -138,12 +142,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # mostly r2), locally swept every round since, unmodified in r5;
         # a brand-new op with zero driver rows outranks them for the
         # final driver run. See each displaced row's comment below.
-        # per-language data-calibrated percentile-band flags — takes
-        # grouped_variance's slot (driver-green r2+r3; the variance /
-        # counters kernels stay value-checked in-cap by the
-        # pmis_counters anchor — grouped_counters itself yielded its
-        # slot in session 6)
-        "calibrated_outlier_flags": _calibrated_outlier_flags,
+        # r5-NEW (session 10): per-language percent-rank normalization —
+        # takes calibrated_outlier_flags' slot (r5-s5, zero driver rows
+        # either way; quality_percentile drives the SAME per-language
+        # histogram-CDF + broadcast-searchsorted labeling kernel in-cap,
+        # and calibrated's unique dyadic quantile interpolation stays
+        # swept locally against its own twin)
+        "quality_percentile": D.quality_percentile,
         # eval-overlap FRACTION decontamination — takes decontaminate's
         # slot: the new op runs a strict SUPERSET of decontaminate's
         # path (same eval-set build, same broadcast membership core,
@@ -204,12 +209,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tokenize + int-count-partial kernels stay driven in-cap by
         # ccnet_ppl_buckets over the same read)
         "host_rank_filter": _host_rank_filter,
-        # r5-NEW (final session): weighted-fair-queueing training-order
-        # interleave — takes neardup_clusters's slot (driver-green
-        # r2+r3, unmodified in r5; its distributed sibling
-        # neardup_clusters_distributed stays in-cap and is pytest-pinned
-        # label-equal to the driver union-find on the fixtures)
-        "interleave_sources": D.interleave_sources,
+        # r5-NEW (session 10): T5-style deterministic span-corruption
+        # plan — takes interleave_sources' slot (r5-final, zero driver
+        # rows either way; interleave's closed-form WFQ schedule is
+        # integer arithmetic over per-source counts — the metadata-
+        # count kernel every in-cap mixing op drives — and its unique
+        # schedule rollup stays swept locally; a brand-new op with zero
+        # coverage anywhere outranks it for the final driver run)
+        "span_corruption_plan": D.span_corruption_plan,
         # r5-NEW (session 6): mutual-strong-link host clusters — takes
         # neardup_clusters_distributed's slot (driver-green r2-r4,
         # locally swept since; host_components drives the SAME shared
@@ -361,6 +368,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified since r2; read_csv + strptime stay pytest-pinned
         # (test_cli, test_pmis_round2) and locally swept
         "csv_ingest_sections": _csv_ingest_sections,
+        # yielded to quality_percentile (r5-s10): r5-s5 op with zero
+        # driver rows either way; the per-language histogram-CDF +
+        # searchsorted labeling kernel runs in-cap via
+        # quality_percentile; the dyadic interpolation stays swept
+        # locally against its own twin
+        "calibrated_outlier_flags": _calibrated_outlier_flags,
+        # yielded to tokenizer_fertility (r5-s10): r5-s1 op with zero
+        # driver rows either way; its BPE kernel (bpe_ntok chain) runs
+        # in-cap via tokenizer_fertility and its packer half via
+        # prep_to_chunks; stays swept locally
+        "chunk_for_training_bpe": D.chunk_for_training_bpe,
+        # yielded to span_corruption_plan (r5-s10): r5-final op with
+        # zero driver rows either way; its WFQ schedule is integer
+        # arithmetic over per-source counts (the metadata-count kernel
+        # in-cap mixing ops drive); stays swept locally
+        "interleave_sources": D.interleave_sources,
         # yielded to inverted_index (r5-s10): r5-final op with zero
         # driver rows either way; its kernels mirror the in-record
         # windows family and its unique funnel CASE stays swept locally
@@ -409,8 +432,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # yielded to passage_chunks (r5-s10): r5-s1 op with zero driver
         # rows either way; its entire subword-count kernel (the frozen
         # bpe_ntok chain, identical spec both engines) runs end to end
-        # IN-CAP as chunk_for_training_bpe's first stage, so the driver
-        # row transfers; the local sweep still value-checks it
+        # IN-CAP via tokenizer_fertility, so the driver row transfers;
+        # the local sweep still value-checks it
         "token_counts_bpe": D.token_counts_bpe,
         # yielded to temperature_sample (r5-s10): r5-s1 op with zero
         # driver rows either way; its entire hashing-projection kernel
@@ -1056,6 +1079,11 @@ def oracle_sql() -> dict[str, str]:
         # inverted-index postings + first-seen shingle novelty (r5-s10)
         "inverted_index": O.inverted_index_sql(),
         "shingle_novelty": O.shingle_novelty_sql(),
+        # percent-rank normalization, tokenizer fertility, span plan
+        # (r5-s10)
+        "quality_percentile": O.quality_percentile_sql(),
+        "tokenizer_fertility": O.tokenizer_fertility_sql(),
+        "span_corruption_plan": O.span_corruption_plan_sql(),
         # cross-source audits: integer-cleared TV (one BIGINT->DOUBLE
         # division, the TV-not-KL float-parity rule) and the hash-free
         # shared-shingle self-join

@@ -219,6 +219,9 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("hard_negatives", D.hard_negatives),
         ("inverted_index", D.inverted_index),
         ("shingle_novelty", D.shingle_novelty),
+        ("quality_percentile", D.quality_percentile),
+        ("tokenizer_fertility", D.tokenizer_fertility),
+        ("span_corruption_plan", D.span_corruption_plan),
         ("train_val_split", lambda _sf: WT.train_val_split(corpus)),
         ("url_snapshot_changes",
          lambda _sf: WT.url_snapshot_changes(corpus)),

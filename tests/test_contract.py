@@ -204,15 +204,24 @@ def test_correctness_cap_covers_priority_queries():
         # and shingle_novelty drives the same distinct-shingle machinery
         # as the overlap matrix in-cap; all three displaced ops stay
         # swept locally against their own twins)
-        "interleave_sources",
+        # (interleave_sources yielded its slot to span_corruption_plan
+        # in session 10: its WFQ schedule is integer arithmetic over
+        # per-source counts — the metadata-count kernel in-cap mixing
+        # ops drive; stays swept locally)
+        "span_corruption_plan",
         "hard_negatives", "inverted_index", "shingle_novelty",
         # r5-session-6 new ops (same rule: new ops ride the cap)
         "extract_links", "host_pagerank", "host_rank_filter",
         "host_components",
         # r5-session-7 new ops (same rule)
         "lexical_diversity", "readability_scores",
-        # r5-session-5 new ops (same rule)
-        "calibrated_outlier_flags", "contamination_fraction",
+        # r5-session-5 new ops (same rule).
+        # (calibrated_outlier_flags yielded its slot to
+        # quality_percentile in session 10: the per-language
+        # histogram-CDF + searchsorted labeling kernel runs in-cap via
+        # quality_percentile; the dyadic interpolation stays swept
+        # locally)
+        "quality_percentile", "contamination_fraction",
         "export_chunks_jsonl", "exact_budget_sample",
         "canonical_url_dedup", "ngram_fluency",
         # (top_dup_windows — r5-s5, zero driver rows either way —
@@ -233,12 +242,14 @@ def test_correctness_cap_covers_priority_queries():
         "prep_to_chunks",
         "topic_classify",
         # r5-new
-        # (token_counts_bpe — r5-s1, zero driver rows either way —
-        # yielded its slot to passage_chunks in session 10: its entire
-        # subword-count kernel runs end to end IN-CAP as
-        # chunk_for_training_bpe's first stage, so the driver row
-        # transfers; the local sweep still value-checks it)
-        "chunk_for_training_bpe",
+        # (token_counts_bpe and chunk_for_training_bpe — r5-s1, zero
+        # driver rows either way — yielded their slots to
+        # passage_chunks / tokenizer_fertility in session 10: the BPE
+        # subword-count kernel (the bpe_ntok chain, identical spec both
+        # engines) runs end to end IN-CAP via tokenizer_fertility, and
+        # the packer half (_chunk_token_stream) via prep_to_chunks;
+        # both stay swept locally)
+        "tokenizer_fertility",
         "passage_chunks",
         # (embed_docs — r5-s1, zero driver rows either way — yielded its
         # slot to temperature_sample in session 10: its entire
@@ -334,6 +345,8 @@ def test_corpus_sized_ops_return_streaming_datasets(ray_session):
     assert isinstance(D.assign_output_shards(sf), ray.data.Dataset)
     assert isinstance(D.inverted_index(sf), ray.data.Dataset)
     assert isinstance(D.shingle_novelty(sf), ray.data.Dataset)
+    assert isinstance(D.quality_percentile(sf), ray.data.Dataset)
+    assert isinstance(D.span_corruption_plan(sf), ray.data.Dataset)
     # r5-session-4 ops keep the same boundary
     from txiac_qc_ray.pipelines import webtext as WT
     from txiac_qc_ray.sources.pages import default_pages_dir

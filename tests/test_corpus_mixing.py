@@ -405,3 +405,79 @@ def test_inverted_index_semantics(ray_session, tmp_path):
                       _docs_view(p))
     got = {(r.tok, int(r.doc_id)): int(r.tf) for r in out.itertuples()}
     assert got == {("apple", 0): 2, ("banana", 0): 1, ("banana", 1): 1}
+
+
+def test_quality_percentile_semantics(ray_session, tmp_path):
+    # en: values 10,10,20,30 -> percent_rank 0,0,2/3,1 (ties share the
+    # MIN rank); xx has a single row -> 0.0; null lang own group
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2, 3, 4, 5], type=pa.int64()),
+        "text": pa.array(["x"] * 6),
+        "lang": pa.array(["en", "en", "en", "en", "xx", None]),
+        "source": pa.array(["s"] * 6),
+        "n_chars": pa.array([10, 10, 20, 30, 99, 7], type=pa.int64()),
+    })
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    p = os.path.join(d, "documents.parquet")
+    pq.write_table(t, p)
+    out = _twin_equal(D.quality_percentile(d), O.quality_percentile_sql(),
+                      _docs_view(p))
+    by = out.set_index(out["doc_id"].astype(int))
+    assert by.loc[0, "pct_rank"] == 0.0 and by.loc[1, "pct_rank"] == 0.0
+    assert by.loc[2, "pct_rank"] == 2.0 / 3.0
+    assert by.loc[3, "pct_rank"] == 1.0
+    assert by.loc[4, "pct_rank"] == 0.0  # single-row language
+    assert by.loc[5, "pct_rank"] == 0.0  # null-lang single row
+
+
+def test_span_corruption_plan_semantics(ray_session, tmp_path):
+    # grid=4, span=2: doc 0 has 10 tokens, offset = mix64(0) % 4; spans
+    # tile the grid and never overrun; a 1-token doc plans nothing
+    import txiac_qc_ray.pipelines.docs as dd
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["t0 t1 t2 t3 t4 t5 t6 t7 t8 t9", "one", None],
+                         type=pa.string()),
+        "lang": pa.array(["en"] * 3),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([0] * 3, type=pa.int64()),
+    })
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    p = os.path.join(d, "documents.parquet")
+    pq.write_table(t, p)
+    out = _twin_equal(D.span_corruption_plan(d, span_len=2, grid=4),
+                      O.span_corruption_plan_sql(span_len=2, grid=4),
+                      _docs_view(p))
+    out["doc_id"] = out["doc_id"].astype(int)
+    assert set(out["doc_id"]) == {0}
+    off = int(dd._mix64(np.array([0], np.uint64))[0] % 4)
+    d0 = out.sort_values("span_id")
+    assert list(d0["tok_start"]) == [off + 4 * k for k in range(len(d0))]
+    assert (d0["tok_end"] - d0["tok_start"] == 2).all()
+    assert (d0["tok_end"] <= 10).all()
+
+
+def test_tokenizer_fertility_semantics(ray_session, tmp_path):
+    # fertility >= 1 by construction (a word is at least one subword);
+    # a null-text-only language reports NULL fertility
+    t = pa.table({
+        "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+        "text": pa.array(["the table row", "zzqqy wvvxk", None],
+                         type=pa.string()),
+        "lang": pa.array(["en", "xx", "empty"]),
+        "source": pa.array(["s"] * 3),
+        "n_chars": pa.array([0] * 3, type=pa.int64()),
+    })
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    p = os.path.join(d, "documents.parquet")
+    pq.write_table(t, p)
+    out = _twin_equal(D.tokenizer_fertility(d), O.tokenizer_fertility_sql(),
+                      _docs_view(p))
+    by = out.set_index("lang")
+    assert by.loc["en", "fertility"] >= 1.0
+    assert by.loc["xx", "fertility"] >= by.loc["en", "fertility"]  # OOV-ish
+    assert np.isnan(by.loc["empty", "fertility"])
+    assert by.loc["en", "n_words"] == 3

@@ -874,6 +874,72 @@ def shingle_novelty_sql() -> str:
     """
 
 
+def quality_percentile_sql() -> str:
+    """Percent-rank twin: DuckDB's percent_rank() == the engine's
+    (strictly-below count)/(n-1) with tie-sharing min rank; single-row
+    partitions are 0.0 on both sides."""
+    return """
+    SELECT doc_id, lang, n_chars,
+           percent_rank() OVER (PARTITION BY lang ORDER BY n_chars)
+             AS pct_rank
+    FROM documents
+    """
+
+
+def tokenizer_fertility_sql() -> str:
+    """Fertility twin: the frozen BPE subword counts (bpe_ntok chain)
+    joined with the [a-z]+ word counts, grouped per language, ONE
+    int/int double division (NULL for zero-word languages)."""
+    from .functions.bpe import bpe_ntok_ctes
+
+    return ("WITH " + bpe_ntok_ctes() + """,
+    w AS (
+      SELECT doc_id, lang,
+             CAST(coalesce(len(regexp_extract_all(lower(text), '[a-z]+')),
+                  0) AS BIGINT) AS n_words
+      FROM documents),
+    per AS (
+      SELECT w.lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(w.n_words) AS BIGINT) AS n_words,
+             CAST(sum(b.n_tokens) AS BIGINT) AS n_subwords
+      FROM w JOIN bpe_ntok b USING (doc_id) GROUP BY w.lang)
+    SELECT lang, n_docs, n_words, n_subwords,
+           CASE WHEN n_words > 0
+                THEN round(CAST(n_subwords AS DOUBLE)
+                             / CAST(n_words AS DOUBLE), 4)
+           END AS fertility
+    FROM per""")
+
+
+def span_corruption_plan_sql(span_len: int | None = None,
+                             grid: int | None = None) -> str:
+    """Span-plan twin: the same mix64 grid offset and 3-arg
+    generate_series starts (empty when the doc is shorter than one
+    span — generate_series with end < start yields no rows)."""
+    from .pipelines.docs import SPAN_CORRUPT_GRID, SPAN_CORRUPT_LEN
+
+    L = SPAN_CORRUPT_LEN if span_len is None else int(span_len)
+    G = SPAN_CORRUPT_GRID if grid is None else int(grid)
+    mix = mix64_scalar("CAST(doc_id AS HUGEINT)")
+    return f"""
+    WITH d AS (
+      SELECT doc_id,
+             CAST(coalesce(len(regexp_extract_all(text, '\\S+')), 0)
+                  AS BIGINT) AS n,
+             CAST({mix} % {G} AS BIGINT) AS off
+      FROM documents),
+    s AS (
+      SELECT doc_id, off,
+             unnest(generate_series(off, n - {L}, {G}::BIGINT)) AS start
+      FROM d WHERE n - {L} >= off)
+    SELECT doc_id,
+           CAST((start - off) // {G} AS BIGINT) AS span_id,
+           CAST(start AS BIGINT) AS tok_start,
+           CAST(start + {L} AS BIGINT) AS tok_end
+    FROM s
+    """
+
+
 def hex16(v: str) -> str:
     """16-digit lowercase hex of a HUGEINT in [0, 2^64)."""
     return (f"printf('%08x%08x', CAST(({v}) >> 32 AS BIGINT), "

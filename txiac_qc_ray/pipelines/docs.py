@@ -5947,3 +5947,188 @@ def shingle_novelty(sf_dir: str, n_shards: int | None = None
             "novelty": pa.array(frac, type=pa.float64(), mask=~pos)})
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def quality_percentile(sf_dir: str) -> ray.data.Dataset:
+    """Per-language PERCENT-RANK normalization of a quality feature
+    (n_chars) — the rank-normalization step that makes thresholds
+    comparable across languages (the reference calibrates absolute
+    thresholds per group, Home.py:337-365; CCNet and fineweb-style
+    pipelines filter on per-language quantile position instead):
+    pct_rank = (rank - 1) / (n - 1) with rank = the tie-sharing MIN
+    rank (SQL RANK()/percent_rank semantics), 0.0 for a single-row
+    language. One int/int double division — bit-exact across engines.
+
+    Scale shape: the feature is an int, so the exact rank table is the
+    per-language HISTOGRAM of distinct values (the ccnet CDF move —
+    a groupby over language x distinct-value cardinality, never the
+    corpus); cumulative counts broadcast as sorted arrays; one
+    streamed searchsorted labeling pass. The corpus never shuffles.
+    -> Dataset (doc_id, lang, n_chars, pct_rank).
+
+    Reference analog: Home.py's percentile threshold calibration —
+    inverted: every doc gets its percentile instead of one cut."""
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def hist_partial(t: pa.Table) -> pa.Table:
+        lang = np.asarray(pc.fill_null(t["lang"], _NULL_KEY), dtype=object)
+        v = np.asarray(t["n_chars"]).astype(np.int64)
+        if len(v) == 0:
+            return pa.table({"lang_key": pa.array([], pa.string()),
+                             "val": pa.array([], pa.int64()),
+                             "cnt": pa.array([], pa.int64())})
+        order = np.lexsort((v, lang))
+        l_s, v_s = lang[order], v[order]
+        new = np.r_[True, (l_s[1:] != l_s[:-1]) | (v_s[1:] != v_s[:-1])]
+        starts = np.flatnonzero(new)
+        cnt = np.diff(np.r_[starts, len(v_s)])
+        return pa.table({
+            "lang_key": pa.array(l_s[starts].tolist(), pa.string()),
+            "val": pa.array(v_s[starts], pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    hist = ensure_columns(
+        ds.map_batches(hist_partial, batch_format="pyarrow")
+          .groupby(["lang_key", "val"])
+          .aggregate(RaySum("cnt", alias_name="cnt")).to_pandas(),
+        {"lang_key": "object", "val": "int64", "cnt": "int64"})
+    tables: dict[str, tuple[np.ndarray, np.ndarray, int]] = {}
+    for lg, grp in hist.groupby("lang_key"):
+        vals = grp["val"].to_numpy()
+        cnts = grp["cnt"].to_numpy()
+        order = np.argsort(vals)
+        vals, cnts = vals[order], cnts[order]
+        below = np.concatenate([[0], np.cumsum(cnts)[:-1]])
+        tables[str(lg)] = (vals, below, int(cnts.sum()))
+    ref = ray.put(tables)
+
+    def label(t: pa.Table) -> pa.Table:
+        tb = ray.get(ref)
+        lang = np.asarray(pc.fill_null(t["lang"], _NULL_KEY), dtype=object)
+        v = np.asarray(t["n_chars"]).astype(np.int64)
+        pct = np.zeros(len(v), dtype=np.float64)
+        for lg, (vals, below, n) in tb.items():
+            m = lang == lg
+            if not m.any() or n <= 1:
+                continue  # single-row language: percent_rank is 0.0
+            idx = np.searchsorted(vals, v[m])
+            pct[m] = below[idx].astype(np.float64) / np.float64(n - 1)
+        return pa.table({
+            "doc_id": t["doc_id"], "lang": t["lang"],
+            "n_chars": t["n_chars"],
+            "pct_rank": pa.array(pct, pa.float64())})
+
+    return ds.map_batches(label, batch_format="pyarrow")
+
+
+def tokenizer_fertility(sf_dir: str) -> pd.DataFrame:
+    """Tokenizer FERTILITY audit — subwords per word, per language: the
+    standard metric for judging whether a tokenizer serves every
+    language fairly (fertility >> 1 for a language means its text costs
+    proportionally more context budget). Words are the house [a-z]+
+    pre-tokens; subwords are the frozen BPE merge table's output
+    (functions/bpe.py) — the same pair every chunk_for_training_bpe
+    consumer sees. fertility = sum(subwords)/sum(words) per language,
+    ONE int/int double division (bit-exact both engines), NULL for a
+    zero-word language.
+
+    Scale shape: one stateless pass emits per-batch per-language int
+    partials (docs, words, subwords); a language-cardinality groupby
+    finishes; the driver holds n_langs rows. No corpus shuffle.
+    -> DataFrame (lang, n_docs, n_words, n_subwords, fertility).
+
+    Reference analog: none (tokenizer-eval op beyond Home.py)."""
+    from ..functions.bpe import bpe_subword_counts
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        text = (t["text"].combine_chunks()
+                if isinstance(t["text"], pa.ChunkedArray) else t["text"])
+        words = ts.token_counts(ts.tokenize(text))
+        subs = np.asarray(bpe_subword_counts(text)).astype(np.int64)
+        lang = np.asarray(pc.fill_null(t["lang"], _NULL_KEY), dtype=object)
+        uniq, inv = np.unique(lang, return_inverse=True)
+        return pa.table({
+            "lang_key": pa.array(uniq.tolist(), pa.string()),
+            "n_docs": np.bincount(inv, minlength=len(uniq)).astype(np.int64),
+            "n_words": np.bincount(inv, weights=words,
+                                   minlength=len(uniq)).astype(np.int64),
+            "n_subwords": np.bincount(inv, weights=subs,
+                                      minlength=len(uniq)).astype(np.int64)})
+
+    agg = ensure_columns(
+        ds.map_batches(partials, batch_format="pyarrow")
+          .groupby("lang_key")
+          .aggregate(RaySum("n_docs", alias_name="n_docs"),
+                     RaySum("n_words", alias_name="n_words"),
+                     RaySum("n_subwords", alias_name="n_subwords"))
+          .to_pandas(),
+        {"lang_key": "object", "n_docs": "int64", "n_words": "int64",
+         "n_subwords": "int64"})
+    nw = agg["n_words"].to_numpy().astype(np.int64)
+    nsw = agg["n_subwords"].to_numpy().astype(np.int64)
+    fert = np.full(len(agg), np.nan, dtype=np.float64)
+    pos = nw > 0
+    fert[pos] = nsw[pos].astype(np.float64) / nw[pos].astype(np.float64)
+    lang = agg["lang_key"].to_numpy(dtype=object)
+    return pd.DataFrame({
+        "lang": np.where(lang == _NULL_KEY, None, lang),
+        "n_docs": agg["n_docs"].to_numpy(),
+        "n_words": nw, "n_subwords": nsw,
+        "fertility": round_half_away(fert, 4)})
+
+
+SPAN_CORRUPT_LEN = 3    # noise-span length (T5's mean span length)
+SPAN_CORRUPT_GRID = 20  # one span per 20 tokens -> 15% corruption rate
+
+
+def span_corruption_plan(sf_dir: str, span_len: int = SPAN_CORRUPT_LEN,
+                         grid: int = SPAN_CORRUPT_GRID
+                         ) -> ray.data.Dataset:
+    """T5-style SPAN-CORRUPTION planning (Raffel et al. 2020 §3.1.4,
+    public) — the mask plan a denoising-objective data loader consumes:
+    per document, non-overlapping noise spans of span_len tokens at the
+    deterministic GRID positions start = offset + k*grid (offset =
+    mix64(doc_id) % grid), for every k with start + span_len <= n.
+    Deterministic-grid variant of T5's random spans (replayable across
+    engines and restarts — the weighted_sample uniform contract);
+    expected corruption rate = span_len/grid (15%), span length exactly
+    T5's mean of 3.
+
+    Scale shape: ONE stateless vectorized pass (repeat/cumsum explode,
+    no row loop); no shuffle, no driver state; output streams.
+    -> Dataset (doc_id, span_id, tok_start, tok_end).
+
+    Reference analog: none (training-objective prep beyond Home.py)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "span_id": pa.array([], pa.int64()),
+                          "tok_start": pa.array([], pa.int64()),
+                          "tok_end": pa.array([], pa.int64())})
+        if len(t) == 0:
+            return empty
+        n = pc.fill_null(pc.cast(pc.count_substring_regex(
+            t["text"], r"\S+"), pa.int64()), 0)
+        n = np.asarray(n).astype(np.int64)
+        doc_ids = np.asarray(t["doc_id"]).astype(np.int64)
+        off = (_mix64(doc_ids.astype(np.uint64))
+               % np.uint64(grid)).astype(np.int64)
+        # spans with start <= n - span_len: k in [0, n_spans)
+        n_spans = np.maximum(0, (n - span_len - off) // grid + 1)
+        total = int(n_spans.sum())
+        if total == 0:
+            return empty
+        rep = np.repeat(np.arange(len(n), dtype=np.int64), n_spans)
+        first = np.cumsum(n_spans) - n_spans
+        k = np.arange(total, dtype=np.int64) - np.repeat(first, n_spans)
+        start = off[rep] + k * grid
+        return pa.table({
+            "doc_id": pa.array(doc_ids[rep], pa.int64()),
+            "span_id": pa.array(k, pa.int64()),
+            "tok_start": pa.array(start, pa.int64()),
+            "tok_end": pa.array(start + span_len, pa.int64())})
+
+    return ds.map_batches(stage, batch_format="pyarrow")
