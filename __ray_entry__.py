@@ -173,13 +173,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # shards, the harder codec path), so one driver row checks the
         # source contract too; jsonl_ingest_docs stays swept locally
         "export_chunks_jsonl": D.export_chunks_jsonl,
-        # r5-NEW (session 8): extraction-yield gate (text/html byte
-        # ratio, the boilerplate-density signal) — takes
-        # csv_ingest_sections' slot (driver-green r3, unmodified since
-        # r2; its read_csv + strptime ingest kernel stays pinned by
-        # test_cli/test_pmis_round2 and value-checked by the local
-        # sweep — a brand-new op with zero driver rows outranks it)
-        "extraction_yield": _extraction_yield,
+        # r5-NEW (session 10): mean document-frequency boilerplate
+        # signal — takes extraction_yield's slot (r5-s8, zero driver
+        # rows either way; extraction_yield's byte-length kernels run
+        # in-cap via extract_page_metadata's byte_size and the flagship
+        # extraction stage, and its integer cross-multiplied gate is
+        # the house pattern quality_classifier / token_balanced_mixture
+        # drive in-cap; it stays swept locally against its own twin)
+        "doc_commonness": D.doc_commonness,
         # r5-NEW (final session): URL-keyed keep-latest snapshot dedup —
         # takes token_counts' slot (driver-green r1+r3, the longest
         # streak among the rotated-in tail, a trivial stateless scan
@@ -368,6 +369,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified since r2; read_csv + strptime stay pytest-pinned
         # (test_cli, test_pmis_round2) and locally swept
         "csv_ingest_sections": _csv_ingest_sections,
+        # yielded to doc_commonness (r5-s10): r5-s8 op with zero driver
+        # rows either way; its byte-length kernels run in-cap via
+        # extract_page_metadata and the flagship extraction stage, its
+        # integer cross-multiplied gate is the in-cap house pattern;
+        # stays swept locally
+        "extraction_yield": _extraction_yield,
         # yielded to quality_percentile (r5-s10): r5-s5 op with zero
         # driver rows either way; the per-language histogram-CDF +
         # searchsorted labeling kernel runs in-cap via
@@ -1084,6 +1091,8 @@ def oracle_sql() -> dict[str, str]:
         "quality_percentile": O.quality_percentile_sql(),
         "tokenizer_fertility": O.tokenizer_fertility_sql(),
         "span_corruption_plan": O.span_corruption_plan_sql(),
+        # mean document-frequency boilerplate signal (r5-s10)
+        "doc_commonness": O.doc_commonness_sql(),
         # cross-source audits: integer-cleared TV (one BIGINT->DOUBLE
         # division, the TV-not-KL float-parity rule) and the hash-free
         # shared-shingle self-join

@@ -299,7 +299,13 @@ def test_correctness_cap_covers_priority_queries():
         # session 10: its langid kernel runs end to end IN-CAP via
         # ccnet_ppl_buckets and its rollup is a metadata-sized count
         # matrix anchored by pmis_counters; stays swept locally)
-        "extraction_yield", "dedup_normalized",
+        # (extraction_yield yielded its slot to doc_commonness in
+        # session 10: its byte-length kernels run in-cap via
+        # extract_page_metadata + the flagship extraction stage, its
+        # integer cross-multiplied gate is the in-cap house pattern;
+        # stays swept locally)
+        "dedup_normalized",
+        "doc_commonness",
         # r5-session-10 new ops (same rule)
         "doremi_source_weights",
     }
@@ -347,6 +353,7 @@ def test_corpus_sized_ops_return_streaming_datasets(ray_session):
     assert isinstance(D.shingle_novelty(sf), ray.data.Dataset)
     assert isinstance(D.quality_percentile(sf), ray.data.Dataset)
     assert isinstance(D.span_corruption_plan(sf), ray.data.Dataset)
+    assert isinstance(D.doc_commonness(sf), ray.data.Dataset)
     # r5-session-4 ops keep the same boundary
     from txiac_qc_ray.pipelines import webtext as WT
     from txiac_qc_ray.sources.pages import default_pages_dir

@@ -481,3 +481,35 @@ def test_tokenizer_fertility_semantics(ray_session, tmp_path):
     assert by.loc["xx", "fertility"] >= by.loc["en", "fertility"]  # OOV-ish
     assert np.isnan(by.loc["empty", "fertility"])
     assert by.loc["en", "n_words"] == 3
+
+
+def test_doc_commonness_semantics(ray_session, tmp_path):
+    # 4 docs: "the the" appears in every doc (df=4); "rare" only in doc
+    # 0. Doc 3 is all-common -> commonness 1.0, dropped at the 1/2 bar;
+    # doc 0 mixes in rare words -> kept. Zero-token doc -> NULL, false.
+    rows = [
+        (0, "the rare words here"),
+        (1, "the common the common"),
+        (2, "the words appear here"),
+        (3, "the the the"),
+        (4, "!!!"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array(["s"] * len(rows)),
+        "n_chars": pa.array([0] * len(rows), type=pa.int64()),
+    })
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    p = os.path.join(d, "documents.parquet")
+    pq.write_table(t, p)
+    out = _twin_equal(D.doc_commonness(d), O.doc_commonness_sql(),
+                      _docs_view(p))
+    by = out.set_index(out["doc_id"].astype(int))
+    # doc 3: every token is "the" (df=4, N=5) -> commonness 4/5
+    assert by.loc[3, "commonness"] == 4.0 / 5.0 and not by.loc[3, "keep"]
+    assert by.loc[0, "keep"]  # rare words pull the mean df down
+    assert np.isnan(by.loc[4, "commonness"]) and not by.loc[4, "keep"]
+    assert by.loc[0, "commonness"] < by.loc[3, "commonness"]

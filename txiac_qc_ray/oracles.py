@@ -940,6 +940,36 @@ def span_corruption_plan_sql(span_len: int | None = None,
     """
 
 
+def doc_commonness_sql() -> str:
+    """Commonness twin: df = COUNT(DISTINCT doc) per token, per-doc
+    sum over token OCCURRENCES, the same integer cross-multiplied keep
+    and one exact-int double division for the score; zero-token docs
+    get NULL score / keep false via the LEFT JOIN coalesce."""
+    from .pipelines.docs import COMMONNESS_DEN, COMMONNESS_NUM
+
+    return f"""
+    WITH u AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+'))
+               AS tok
+      FROM documents),
+    df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+           FROM u GROUP BY tok),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    per AS (
+      SELECT u.doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+             CAST(sum(df.df) AS BIGINT) AS sum_df
+      FROM u JOIN df USING (tok) GROUP BY u.doc_id)
+    SELECT d.doc_id,
+           coalesce(p.n_tok, 0::BIGINT) AS n_tok,
+           CASE WHEN p.n_tok > 0
+                THEN CAST(p.sum_df AS DOUBLE)
+                       / CAST(p.n_tok * g.n AS DOUBLE) END AS commonness,
+           coalesce({COMMONNESS_NUM} * p.n_tok * g.n
+                      >= {COMMONNESS_DEN} * p.sum_df, FALSE) AS keep
+    FROM documents d CROSS JOIN g LEFT JOIN per p USING (doc_id)
+    """
+
+
 def hex16(v: str) -> str:
     """16-digit lowercase hex of a HUGEINT in [0, 2^64)."""
     return (f"printf('%08x%08x', CAST(({v}) >> 32 AS BIGINT), "

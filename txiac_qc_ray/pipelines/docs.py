@@ -6132,3 +6132,102 @@ def span_corruption_plan(sf_dir: str, span_len: int = SPAN_CORRUPT_LEN,
             "tok_end": pa.array(start + span_len, pa.int64())})
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+# commonness gate: keep iff mean token document-frequency <= 1/2 of the
+# corpus (2*sum_df <= n_tok*N — integer cross-multiply, no float)
+COMMONNESS_NUM = 1
+COMMONNESS_DEN = 2
+
+
+def doc_commonness(sf_dir: str) -> ray.data.Dataset:
+    """Mean document-frequency BOILERPLATE signal: per doc, the average
+    over its token occurrences of df(token)/N — how "everywhere else"
+    this document's vocabulary is. Navigation chrome, legal footers and
+    template pages score near 1; original prose scores low. The keep
+    rule is INTEGER-exact (keep iff COMMONNESS_NUM * n_tok * N >=
+    COMMONNESS_DEN * sum_df — cross-multiplied, no float in the gate);
+    the reported score is ONE double division of exact ints (both
+    < 2^53 up to ~10^15 token-doc products; beyond that the twin's
+    HUGEINT form is the reference).
+
+    Scale shape: pass 1 reduces the corpus to the vocabulary-sized df
+    table (per-batch distinct-token partials -> token groupby — the
+    tfidf shuffle contract); df broadcasts as sorted arrays (ray.put
+    once); pass 2 scores every doc via one dictionary lookup gather
+    per batch. The corpus never shuffles. -> Dataset (doc_id, n_tok,
+    commonness, keep); zero-token docs get NULL commonness / keep
+    false.
+
+    Reference analog: Home.py's threshold flaggers (H:176-183) — here
+    the feature itself is corpus-calibrated."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def df_partial(t: pa.Table) -> pa.Table:
+        tv = ts.tokenize(t["text"].combine_chunks()
+                         if isinstance(t["text"], pa.ChunkedArray)
+                         else t["text"])
+        n_docs_part = len(t)
+        if len(tv.flat) == 0:
+            return pa.table({"tok": pa.array([_NULL_KEY], pa.string()),
+                             "df": pa.array([0], pa.int64()),
+                             "n_docs": pa.array([n_docs_part], pa.int64())})
+        counts = np.diff(tv.offsets)
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        order = np.lexsort((tv.ids, doc_of))
+        d_s, i_s = doc_of[order], tv.ids[order]
+        keep = np.r_[True, (d_s[1:] != d_s[:-1]) | (i_s[1:] != i_s[:-1])]
+        dfc = np.bincount(i_s[keep], minlength=len(tv.dictionary))
+        nz = np.flatnonzero(dfc)
+        toks = pc.take(tv.dictionary, pa.array(nz, pa.int64()))
+        n_docs_col = np.zeros(len(nz), np.int64)
+        return pa.table({
+            "tok": pa.concat_arrays([pa.array([_NULL_KEY], pa.string()),
+                                     toks.combine_chunks()
+                                     if isinstance(toks, pa.ChunkedArray)
+                                     else toks]),
+            "df": pa.array(np.r_[np.int64(0), dfc[nz].astype(np.int64)],
+                           pa.int64()),
+            "n_docs": pa.array(np.r_[np.int64(n_docs_part), n_docs_col],
+                               pa.int64())})
+
+    dft = ensure_columns(
+        ds.map_batches(df_partial, batch_format="pyarrow")
+          .groupby("tok")
+          .aggregate(RaySum("df", alias_name="df"),
+                     RaySum("n_docs", alias_name="n_docs"))
+          .to_pandas(),
+        {"tok": "object", "df": "int64", "n_docs": "int64"})
+    n_total = int(dft["n_docs"].sum())
+    dft = dft[dft["tok"] != _NULL_KEY]
+    toks = dft["tok"].to_numpy(dtype=object)
+    order = np.argsort(toks)
+    toks = toks[order]
+    dfs = dft["df"].to_numpy().astype(np.int64)[order]
+    ref = ray.put((toks, dfs, n_total))
+
+    def score(t: pa.Table) -> pa.Table:
+        vtoks, vdf, N = ray.get(ref)
+        tv = ts.tokenize(t["text"].combine_chunks()
+                         if isinstance(t["text"], pa.ChunkedArray)
+                         else t["text"])
+        n = ts.token_counts(tv)
+        sum_df = np.zeros(len(n), dtype=np.int64)
+        if len(tv.flat) > 0 and len(vtoks) > 0:
+            darr = np.asarray(tv.dictionary, dtype=object)
+            idx = np.clip(np.searchsorted(vtoks, darr), 0, len(vtoks) - 1)
+            ddf = np.where(vtoks[idx] == darr, vdf[idx], 0)
+            sum_df = ts.seg_sum(ddf[tv.ids], tv.offsets).astype(np.int64)
+        pos = n > 0
+        common = np.full(len(n), np.nan, dtype=np.float64)
+        common[pos] = (sum_df[pos].astype(np.float64)
+                       / (n[pos] * np.int64(N)).astype(np.float64))
+        keep = pos & (COMMONNESS_NUM * n * np.int64(N)
+                      >= COMMONNESS_DEN * sum_df)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_tok": pa.array(n.astype(np.int64), pa.int64()),
+            "commonness": pa.array(common, type=pa.float64(), mask=~pos),
+            "keep": pa.array(keep)})
+
+    return ds.map_batches(score, batch_format="pyarrow")
