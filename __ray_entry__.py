@@ -161,12 +161,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified in r5; the mix64-uniform kernel it drives stays
         # in-cap via exact_budget_sample and language_balanced_sample)
         "source_divergence_tv": D.source_divergence_tv,
-        # exact-count stratified sampling via a distributed order
-        # statistic — takes embedding_neardup_lsh's slot (driver-green
-        # r2+r3, unmodified in r5; its exact sibling
-        # embedding_neardup_pairs and the cluster consumer
-        # embedding_neardup_clusters both stay in-cap)
-        "exact_budget_sample": D.exact_budget_sample,
+        # r5-NEW (session 10): per-source exact-duplicate-rate rollup —
+        # takes exact_budget_sample's slot (r5-s5, zero driver rows
+        # either way; its replayable mix64-uniform kernel stays driven
+        # in-cap by language_balanced_sample + temperature_sample, and
+        # its unique distributed order-statistic finish stays swept
+        # locally against its own twin)
+        "host_dup_rate": D.host_dup_rate,
         # gzip-JSONL training-export sink + read-back — takes
         # jsonl_ingest_docs's slot: the read-back half drives the SAME
         # sources/jsonl.py entry point (on sink-written .jsonl.gz
@@ -369,6 +370,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified since r2; read_csv + strptime stay pytest-pinned
         # (test_cli, test_pmis_round2) and locally swept
         "csv_ingest_sections": _csv_ingest_sections,
+        # yielded to host_dup_rate (r5-s10): r5-s5 op with zero driver
+        # rows either way; its mix64-uniform kernel stays in-cap via
+        # language_balanced_sample + temperature_sample; its unique
+        # order-statistic finish stays swept locally
+        "exact_budget_sample": D.exact_budget_sample,
         # yielded to doc_commonness (r5-s10): r5-s8 op with zero driver
         # rows either way; its byte-length kernels run in-cap via
         # extract_page_metadata and the flagship extraction stage, its
@@ -1093,6 +1099,8 @@ def oracle_sql() -> dict[str, str]:
         "span_corruption_plan": O.span_corruption_plan_sql(),
         # mean document-frequency boilerplate signal (r5-s10)
         "doc_commonness": O.doc_commonness_sql(),
+        # per-source duplicate-rate rollup (r5-s10)
+        "host_dup_rate": O.host_dup_rate_sql(),
         # cross-source audits: integer-cleared TV (one BIGINT->DOUBLE
         # division, the TV-not-KL float-parity rule) and the hash-free
         # shared-shingle self-join

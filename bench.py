@@ -223,6 +223,7 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("tokenizer_fertility", D.tokenizer_fertility),
         ("span_corruption_plan", D.span_corruption_plan),
         ("doc_commonness", D.doc_commonness),
+        ("host_dup_rate", D.host_dup_rate),
         ("train_val_split", lambda _sf: WT.train_val_split(corpus)),
         ("url_snapshot_changes",
          lambda _sf: WT.url_snapshot_changes(corpus)),

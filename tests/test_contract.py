@@ -222,7 +222,11 @@ def test_correctness_cap_covers_priority_queries():
         # quality_percentile; the dyadic interpolation stays swept
         # locally)
         "quality_percentile", "contamination_fraction",
-        "export_chunks_jsonl", "exact_budget_sample",
+        # (exact_budget_sample yielded its slot to host_dup_rate in
+        # session 10: its mix64-uniform kernel stays in-cap via
+        # language_balanced_sample + temperature_sample; its unique
+        # order-statistic finish stays swept locally)
+        "export_chunks_jsonl", "host_dup_rate",
         "canonical_url_dedup", "ngram_fluency",
         # (top_dup_windows — r5-s5, zero driver rows either way —
         # yielded its slot to bm25_search in session 10: the shared
@@ -354,6 +358,7 @@ def test_corpus_sized_ops_return_streaming_datasets(ray_session):
     assert isinstance(D.quality_percentile(sf), ray.data.Dataset)
     assert isinstance(D.span_corruption_plan(sf), ray.data.Dataset)
     assert isinstance(D.doc_commonness(sf), ray.data.Dataset)
+    assert isinstance(D.host_dup_rate(sf), ray.data.Dataset)
     # r5-session-4 ops keep the same boundary
     from txiac_qc_ray.pipelines import webtext as WT
     from txiac_qc_ray.sources.pages import default_pages_dir

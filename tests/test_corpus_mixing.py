@@ -513,3 +513,31 @@ def test_doc_commonness_semantics(ray_session, tmp_path):
     assert by.loc[0, "keep"]  # rare words pull the mean df down
     assert np.isnan(by.loc[4, "commonness"]) and not by.loc[4, "keep"]
     assert by.loc[0, "commonness"] < by.loc[3, "commonness"]
+
+
+def test_host_dup_rate_semantics(ray_session, tmp_path):
+    # "same text" appears on A twice and B once -> all three rows are
+    # duplicates (cross-source counts for both sides); null text never
+    # is; unique texts aren't
+    rows = [
+        (0, "same text", "A"), (1, "same text", "A"), (2, "same text", "B"),
+        (3, "unique a", "A"), (4, None, "B"), (5, "unique b", "C"),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array([r[2] for r in rows]),
+        "n_chars": pa.array([0] * len(rows), type=pa.int64()),
+    })
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    p = os.path.join(d, "documents.parquet")
+    pq.write_table(t, p)
+    out = _twin_equal(D.host_dup_rate(d, n_shards=4),
+                      O.host_dup_rate_sql(), _docs_view(p))
+    by = out.set_index("source")
+    assert by.loc["A", "n_docs"] == 3 and by.loc["A", "n_dup_docs"] == 2
+    assert by.loc["A", "dup_rate"] == 2.0 / 3.0
+    assert by.loc["B", "n_docs"] == 2 and by.loc["B", "n_dup_docs"] == 1
+    assert by.loc["C", "n_dup_docs"] == 0 and by.loc["C", "dup_rate"] == 0.0

@@ -970,6 +970,31 @@ def doc_commonness_sql() -> str:
     """
 
 
+def host_dup_rate_sql() -> str:
+    """Dup-rate rollup twin: duplication attributed over the text
+    itself (window count per text partition; the engine hashes — the
+    documented collision tolerance), per-source dup counts over
+    non-null text, doc counts over everything, one exact-int double
+    division."""
+    return """
+    WITH c AS (
+      SELECT source, count(*) OVER (PARTITION BY text) AS k
+      FROM documents WHERE text IS NOT NULL),
+    per AS (
+      SELECT source,
+             CAST(count(*) FILTER (WHERE k >= 2) AS BIGINT) AS n_dup
+      FROM c GROUP BY source),
+    nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           FROM documents GROUP BY source)
+    SELECT nd.source, nd.n_docs,
+           coalesce(p.n_dup, 0::BIGINT) AS n_dup_docs,
+           CASE WHEN nd.n_docs > 0
+                THEN CAST(coalesce(p.n_dup, 0) AS DOUBLE)
+                       / CAST(nd.n_docs AS DOUBLE) END AS dup_rate
+    FROM nd LEFT JOIN per p ON nd.source IS NOT DISTINCT FROM p.source
+    """
+
+
 def hex16(v: str) -> str:
     """16-digit lowercase hex of a HUGEINT in [0, 2^64)."""
     return (f"printf('%08x%08x', CAST(({v}) >> 32 AS BIGINT), "

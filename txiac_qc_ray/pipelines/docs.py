@@ -6231,3 +6231,122 @@ def doc_commonness(sf_dir: str) -> ray.data.Dataset:
             "keep": pa.array(keep)})
 
     return ds.map_batches(score, batch_format="pyarrow")
+
+
+def host_dup_rate(sf_dir: str, n_shards: int | None = None
+                  ) -> ray.data.Dataset:
+    """Per-SOURCE exact-duplicate-rate rollup — the dedup-targeting
+    report (pii_density_by_host's contract, pointed at duplication):
+    per source, how many of its docs carry a text that appears in >= 2
+    docs CORPUS-WIDE (cross-source duplicates count for both sides),
+    and the rate as one int/int double division. Mirror-heavy hosts
+    surface at the top; the number feeds per-host crawl budgets.
+
+    COLLISION TOLERANCE (documented, the shingle_novelty/decontaminate
+    precedent): duplication is attributed over the 64-bit text hash
+    (text never ships); the twin groups the text itself — the value
+    check passing is the no-collision evidence at fixture scale.
+    Null-text docs are counted in n_docs but never duplicates.
+
+    Scale shape: one pass emits per-batch pre-reduced (hash, source,
+    count) int partials plus per-source doc-count rows riding the same
+    stream (kind column — no spine join); ONE bounded hash-shard
+    groupby marks hashes with corpus total >= 2 and credits each
+    (hash, source) count; a source-cardinality fold finishes.
+    -> Dataset (source, n_docs, n_dup_docs, dup_rate).
+
+    Reference analog: Home.py's per-group outlier counts (H:444-904) —
+    the group is the host and the predicate is 'text seen elsewhere'."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    S = n_shards if n_shards is not None else _shard_count(sf_dir,
+                                                           "documents")
+
+    def partials(t: pa.Table) -> pa.Table:
+        src = np.asarray(pc.fill_null(t["source"], _NULL_KEY), dtype=object)
+        nonnull = np.asarray(pc.is_valid(t["text"]))
+        # per-source doc counts (kind 0; hash column carries the count)
+        u_all, inv_all = np.unique(src, return_inverse=True)
+        ndocs = np.bincount(inv_all, minlength=len(u_all)).astype(np.int64)
+        dshard = (_mix64(fnv1a64(pa.array(u_all.tolist(), pa.string())))
+                  % np.uint64(S)).astype(np.int64)
+        # per-(hash, source) counts over non-null text (kind 1)
+        h = fnv1a64(t["text"])[nonnull]
+        s_nn = src[nonnull]
+        if len(h):
+            order = np.lexsort((s_nn, h))
+            h_s, s_s = h[order], s_nn[order]
+            new = np.r_[True, (h_s[1:] != h_s[:-1]) | (s_s[1:] != s_s[:-1])]
+            starts = np.flatnonzero(new)
+            cnt = np.diff(np.r_[starts, len(h_s)]).astype(np.int64)
+            h_u, s_u = h_s[starts], s_s[starts]
+        else:
+            h_u = np.zeros(0, np.uint64)
+            s_u = np.zeros(0, object)
+            cnt = np.zeros(0, np.int64)
+        shard = (_mix64(h_u) % np.uint64(S)).astype(np.int64)
+        return pa.table({
+            "kind": pa.array(np.r_[np.zeros(len(u_all), np.int64),
+                                   np.ones(len(h_u), np.int64)]),
+            "shard": pa.array(np.r_[dshard, shard]),
+            "src_key": pa.array(np.r_[u_all, s_u].tolist(), pa.string()),
+            "h": pa.array(np.r_[ndocs, h_u.view(np.int64)], pa.int64()),
+            "cnt": pa.array(np.r_[np.zeros(len(u_all), np.int64), cnt],
+                            pa.int64())})
+
+    emitted = ds.map_batches(partials, batch_format="pyarrow")
+
+    def sweep(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) == 0:
+            return typed_empty({"src_key": "object", "n_docs": "int64",
+                                "n_dup": "int64"})
+        if int(g["kind"].iloc[0]) == 0:  # doc-count rows: fold per source
+            src = g["src_key"].to_numpy(dtype=object)
+            uniq, inv = np.unique(src, return_inverse=True)
+            return pd.DataFrame({
+                "src_key": uniq,
+                "n_docs": np.bincount(
+                    inv, weights=g["h"].to_numpy(),
+                    minlength=len(uniq)).astype(np.int64),
+                "n_dup": np.zeros(len(uniq), np.int64)})
+        h = g["h"].to_numpy(dtype=np.int64).view(np.uint64)
+        src = g["src_key"].to_numpy(dtype=object)
+        cnt = g["cnt"].to_numpy(dtype=np.int64)
+        # corpus totals per hash (all partials of a hash land here)
+        order = np.argsort(h, kind="stable")
+        h_s, src_s, cnt_s = h[order], src[order], cnt[order]
+        runs = np.flatnonzero(np.r_[True, h_s[1:] != h_s[:-1]])
+        lens = np.diff(np.r_[runs, len(h_s)])
+        totals = np.add.reduceat(cnt_s, runs)
+        dup = np.repeat(totals >= 2, lens)
+        src_d, cnt_d = src_s[dup], cnt_s[dup]
+        if len(src_d) == 0:
+            return typed_empty({"src_key": "object", "n_docs": "int64",
+                                "n_dup": "int64"})
+        uniq, inv = np.unique(src_d, return_inverse=True)
+        return pd.DataFrame({
+            "src_key": uniq,
+            "n_docs": np.zeros(len(uniq), np.int64),
+            "n_dup": np.bincount(inv, weights=cnt_d,
+                                 minlength=len(uniq)).astype(np.int64)})
+
+    folded = (emitted.groupby(["kind", "shard"])
+              .map_groups(sweep, batch_format="pandas")
+              .groupby("src_key")
+              .aggregate(RaySum("n_docs", alias_name="n_docs"),
+                         RaySum("n_dup", alias_name="n_dup_docs")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        src = np.asarray(pc.fill_null(t["src_key"], _NULL_KEY), dtype=object)
+        nd = np.asarray(t["n_docs"]).astype(np.int64)
+        nu = np.asarray(t["n_dup_docs"]).astype(np.int64)
+        pos = nd > 0
+        rate = np.full(len(nd), np.nan, dtype=np.float64)
+        rate[pos] = nu[pos].astype(np.float64) / nd[pos].astype(np.float64)
+        return pa.table({
+            "source": pa.array(np.where(src == _NULL_KEY, None,
+                                        src).tolist(), pa.string()),
+            "n_docs": pa.array(nd, pa.int64()),
+            "n_dup_docs": pa.array(nu, pa.int64()),
+            "dup_rate": pa.array(rate, type=pa.float64(), mask=~pos)})
+
+    return folded.map_batches(finish, batch_format="pyarrow")
