@@ -134,7 +134,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the slots of four r4-driver-green rows unmodified in r5 (see
         # the rotation comments at each displaced row below).
         "token_balanced_mixture": D.token_balanced_mixture,
-        "url_snapshot_changes": _url_snapshot_changes,
+        # r5-NEW (session 10): distinct users per tumbling window —
+        # takes url_snapshot_changes' slot (r5-s4, zero driver rows
+        # either way; its snapshot-compare kernel rides the same
+        # bounded url-shard exchange canonical_url_dedup drives in-cap,
+        # and its unique change detection stays swept locally)
+        "tumbling_distinct_users": R.tumbling_distinct_users,
         "remove_boilerplate_lines": _remove_boilerplate_lines,
         "train_val_split": _train_val_split,
         # ---- r5-session-5 NEW ops (in-cap: ADVICE r3 rule; each takes
@@ -182,12 +187,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the house pattern quality_classifier / token_balanced_mixture
         # drive in-cap; it stays swept locally against its own twin)
         "doc_commonness": D.doc_commonness,
-        # r5-NEW (final session): URL-keyed keep-latest snapshot dedup —
-        # takes token_counts' slot (driver-green r1+r3, the longest
-        # streak among the rotated-in tail, a trivial stateless scan
-        # unmodified since r1 whose BPE sibling token_counts_bpe is
-        # in-cap and value-checks the same read path)
-        "dedup_url_keep_latest": _dedup_url_keep_latest,
+        # r5-NEW (session 10): host-level datacard rollup — takes
+        # dedup_url_keep_latest's slot (r5-final, zero driver rows
+        # either way; its snapshot-winner kernel — ONE bounded url-hash
+        # shard shuffle + per-group extremum pick over the same
+        # decorated two-crawl view — runs in-cap via canonical_url_dedup
+        # and dedup_normalized; its max-ts detail stays swept locally)
+        "source_datacard": _source_datacard,
         # ingestion-side html metadata enrichment — takes
         # quality_stats's slot (driver-green r2+r3, unmodified in r5, a
         # trivial stateless scan whose textstats kernels the in-cap
@@ -200,11 +206,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sweeps — and the overlap matrix's unique cross-source
         # intersection stays swept locally against its own twin)
         "shingle_novelty": D.shingle_novelty,
-        # train-then-score n-gram fluency gate — takes langid_docs's
-        # slot (driver-green r3, unmodified in r5; the frozen
-        # LangIdModel + tokenizer it shares stay driven in-cap by
-        # ccnet_ppl_buckets)
-        "ngram_fluency": D.ngram_fluency,
+        # r5-NEW (session 10): trigram LM count-table export — takes
+        # ngram_fluency's slot (r5-s5, zero driver rows either way; the
+        # export IS fluency's fit table — the same trigram construction
+        # over the same training split, value-checked here in-cap —
+        # and fluency's unique held-out scoring stays swept locally
+        # with its ~40% label rate pinned in pytest)
+        "ngram_lm_export": D.ngram_lm_export,
         # r5-NEW (session 6): PageRank-percentile page gate — takes
         # vocab_topk's slot (driver-green r1-r3, unmodified in r5; its
         # CMS scale twin is pytest-pinned equal, and the [a-z]+
@@ -370,6 +378,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified since r2; read_csv + strptime stay pytest-pinned
         # (test_cli, test_pmis_round2) and locally swept
         "csv_ingest_sections": _csv_ingest_sections,
+        # yielded to source_datacard (r5-s10): r5-final op with zero
+        # driver rows either way; its snapshot-winner kernel runs
+        # in-cap via canonical_url_dedup + dedup_normalized; max-ts
+        # detail stays swept locally
+        "dedup_url_keep_latest": _dedup_url_keep_latest,
+        # yielded to tumbling_distinct_users (r5-s10): r5-s4 op with
+        # zero driver rows either way; same bounded url-shard exchange
+        # family as the in-cap canonical_url_dedup; change detection
+        # stays swept locally
+        "url_snapshot_changes": _url_snapshot_changes,
+        # yielded to ngram_lm_export (r5-s10): r5-s5 op with zero
+        # driver rows either way; its fit table is value-checked in-cap
+        # by the export itself; held-out scoring stays swept locally
+        "ngram_fluency": D.ngram_fluency,
         # yielded to host_dup_rate (r5-s10): r5-s5 op with zero driver
         # rows either way; its mix64-uniform kernel stays in-cap via
         # language_balanced_sample + temperature_sample; its unique
@@ -761,6 +783,12 @@ def _dedup_lines_within_doc(_sf_dir: str):
     return dedup_lines_within_doc(_webtext_dir())
 
 
+def _source_datacard(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import source_datacard
+
+    return source_datacard(_webtext_dir())
+
+
 def _rule_bank_ablation(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import rule_bank_ablation
 
@@ -1101,6 +1129,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_commonness": O.doc_commonness_sql(),
         # per-source duplicate-rate rollup (r5-s10)
         "host_dup_rate": O.host_dup_rate_sql(),
+        # host datacard, windowed distinct, trigram LM export (r5-s10)
+        "source_datacard": O.source_datacard_sql(pages_glob),
+        "tumbling_distinct_users": O.tumbling_distinct_users_sql(),
+        "ngram_lm_export": O.ngram_lm_export_sql(),
         # cross-source audits: integer-cleared TV (one BIGINT->DOUBLE
         # division, the TV-not-KL float-parity rule) and the hash-free
         # shared-shingle self-join

@@ -224,6 +224,9 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("span_corruption_plan", D.span_corruption_plan),
         ("doc_commonness", D.doc_commonness),
         ("host_dup_rate", D.host_dup_rate),
+        ("source_datacard", lambda _sf: WT.source_datacard(corpus)),
+        ("tumbling_distinct_users", R.tumbling_distinct_users),
+        ("ngram_lm_export", D.ngram_lm_export),
         ("train_val_split", lambda _sf: WT.train_val_split(corpus)),
         ("url_snapshot_changes",
          lambda _sf: WT.url_snapshot_changes(corpus)),

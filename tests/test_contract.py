@@ -186,7 +186,7 @@ def test_correctness_cap_covers_priority_queries():
         "host_reputation_filter", "language_balanced_sample",
         "dedup_lines_within_doc",
         # r5-session-4 new ops (same rule)
-        "token_balanced_mixture", "url_snapshot_changes",
+        "token_balanced_mixture",
         "remove_boilerplate_lines", "train_val_split",
         # r5-final-session new ops (same rule: new ops ride the cap).
         # (rule_bank_funnel yielded its slot to rule_bank_ablation in
@@ -194,7 +194,15 @@ def test_correctness_cap_covers_priority_queries():
         # as a strict superset; the funnel's first-fail CASE stays
         # swept locally against its own composed twin)
         "rule_bank_ablation",
-        "neardup_keep_best", "dedup_url_keep_latest",
+        # (dedup_url_keep_latest / url_snapshot_changes / ngram_fluency
+        # yielded their slots to source_datacard /
+        # tumbling_distinct_users / ngram_lm_export in session 10: the
+        # snapshot-winner and url-shard-exchange kernels run in-cap via
+        # canonical_url_dedup + dedup_normalized, and the trigram fit
+        # table is value-checked in-cap by the export itself; all three
+        # displaced ops stay swept locally)
+        "neardup_keep_best", "source_datacard",
+        "tumbling_distinct_users", "ngram_lm_export",
         "source_divergence_tv",
         # (retention_cohorts / funnel_conversion / source_overlap_matrix
         # yielded their slots to hard_negatives / inverted_index /
@@ -227,7 +235,7 @@ def test_correctness_cap_covers_priority_queries():
         # language_balanced_sample + temperature_sample; its unique
         # order-statistic finish stays swept locally)
         "export_chunks_jsonl", "host_dup_rate",
-        "canonical_url_dedup", "ngram_fluency",
+        "canonical_url_dedup",
         # (top_dup_windows — r5-s5, zero driver rows either way —
         # yielded its slot to bm25_search in session 10: the shared
         # window index/verify core it drives runs end to end IN-CAP via
@@ -359,6 +367,7 @@ def test_corpus_sized_ops_return_streaming_datasets(ray_session):
     assert isinstance(D.span_corruption_plan(sf), ray.data.Dataset)
     assert isinstance(D.doc_commonness(sf), ray.data.Dataset)
     assert isinstance(D.host_dup_rate(sf), ray.data.Dataset)
+    assert isinstance(D.ngram_lm_export(sf), ray.data.Dataset)
     # r5-session-4 ops keep the same boundary
     from txiac_qc_ray.pipelines import webtext as WT
     from txiac_qc_ray.sources.pages import default_pages_dir

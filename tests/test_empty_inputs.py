@@ -67,6 +67,7 @@ def test_every_query_survives_empty_tables(ray_session, empty_dir):
                             "url_host_filter", "pii_counts",
                             "quality_classifier", "dedup_lines_within_doc",
                             "rule_bank_funnel", "rule_bank_ablation",
+                            "source_datacard",
                             "dedup_url_keep_latest",
                             "url_snapshot_changes",
                             "remove_boilerplate_lines", "train_val_split",

@@ -995,6 +995,75 @@ def host_dup_rate_sql() -> str:
     """
 
 
+def source_datacard_sql(pages_glob: str) -> str:
+    """Datacard twin: the same WORD/STOPWORD/SYMBOL RE2 constants
+    (webtext module — one spec, two engines), grouped on the raw
+    ^scheme://host capture (pii_density_by_host's host key), ratios as
+    single exact-int double divisions, NULL for zero-word hosts."""
+    from .pipelines import webtext as w
+
+    def cnt(pat: str) -> str:
+        esc = pat.replace("'", "''")
+        return f"coalesce(len(regexp_extract_all(text, '{esc}')), 0)"
+
+    return f"""
+    WITH c AS (
+      SELECT nullif(regexp_extract(url, '^[a-z]+://([^/]+)', 1), '')
+               AS host,
+             {cnt(w.WORD_RE)} AS n_words,
+             {cnt("(?i)" + w.GOPHER_STOPWORD_RE)} AS n_stop,
+             {cnt(w.SYMBOL_RE)} AS n_sym
+      FROM read_parquet('{pages_glob}')),
+    g AS (
+      SELECT host, CAST(count(*) AS BIGINT) AS n_pages,
+             CAST(sum(n_words) AS BIGINT) AS n_words,
+             CAST(sum(n_stop) AS BIGINT) AS n_stop,
+             CAST(sum(n_sym) AS BIGINT) AS n_sym
+      FROM c GROUP BY host)
+    SELECT host, n_pages, n_words,
+           round(CAST(n_words AS DOUBLE) / CAST(n_pages AS DOUBLE), 4)
+             AS mean_words,
+           CASE WHEN n_words > 0
+                THEN round(CAST(n_stop AS DOUBLE)
+                             / CAST(n_words AS DOUBLE), 4) END
+             AS stop_ratio,
+           CASE WHEN n_words > 0
+                THEN round(CAST(n_sym AS DOUBLE)
+                             / CAST(n_words AS DOUBLE), 4) END
+             AS symbol_ratio
+    FROM g
+    """
+
+
+def tumbling_distinct_users_sql() -> str:
+    """Windowed COUNT(DISTINCT) twin (the hopping_window timestamp
+    recipe at the 1-hour width)."""
+    return """
+    SELECT event_type,
+           make_timestamp((epoch_us(ts) // 3600000000) * 3600000000)
+             AS win,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """
+
+
+def ngram_lm_export_sql(train_mod: int = 2) -> str:
+    """Trigram count-table twin: the same [a-z]+ tokens, trigram =
+    three space-joined consecutive tokens within a doc, counted over
+    the same training split."""
+    return f"""
+    WITH tk AS (
+      SELECT regexp_extract_all(lower(text), '[a-z]+') AS lst
+      FROM documents WHERE doc_id % {train_mod} = 0),
+    g AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(lst) - 2, 0)),
+               i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2])) AS gram
+      FROM tk)
+    SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram
+    """
+
+
 def hex16(v: str) -> str:
     """16-digit lowercase hex of a HUGEINT in [0, 2^64)."""
     return (f"printf('%08x%08x', CAST(({v}) >> 32 AS BIGINT), "

@@ -6350,3 +6350,55 @@ def host_dup_rate(sf_dir: str, n_shards: int | None = None
             "dup_rate": pa.array(rate, type=pa.float64(), mask=~pos)})
 
     return folded.map_batches(finish, batch_format="pyarrow")
+
+
+def ngram_lm_export(sf_dir: str, train_mod: int = 2) -> ray.data.Dataset:
+    """Trigram LANGUAGE-MODEL count-table export — the model-FIT
+    artifact (ngram_fluency fits this table in memory and throws it
+    away; real pipelines materialize it for reuse): every word trigram
+    over the house [a-z]+ tokens of the TRAINING split
+    (doc_id % train_mod == 0, ngram_fluency's split), with its corpus
+    count. -> streaming Dataset (gram, cnt), gram = the three tokens
+    space-joined, canonical order gram.
+
+    Scale shape: one stateless pass builds trigram strings vectorized
+    (three shifted views of the flat token array, one
+    binary_join_element_wise, validity = the trigram stays inside one
+    doc), pre-reduces per batch via dictionary-encode + bincount, and
+    a distinct-trigram-sized groupby finishes (the vocab_topk shuffle
+    contract: the corpus text never moves, only trigram keys).
+
+    Reference analog: none (model-fit export beyond Home.py)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"gram": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        mask = (np.asarray(t["doc_id"]).astype(np.int64) % train_mod) == 0
+        t = t.filter(pa.array(mask))
+        if len(t) == 0:
+            return empty
+        tv = ts.tokenize(t["text"].combine_chunks()
+                         if isinstance(t["text"], pa.ChunkedArray)
+                         else t["text"])
+        n = len(tv.flat)
+        if n < 3:
+            return empty
+        counts = np.diff(tv.offsets)
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        valid = doc_of[: n - 2] == doc_of[2:]
+        grams = pc.binary_join_element_wise(
+            tv.flat.slice(0, n - 2), tv.flat.slice(1, n - 2),
+            tv.flat.slice(2, n - 2), " ")
+        grams = grams.filter(pa.array(valid))
+        if len(grams) == 0:
+            return empty
+        enc = pc.dictionary_encode(grams)
+        enc = enc.combine_chunks() if isinstance(enc, pa.ChunkedArray) else enc
+        cnt = np.bincount(np.asarray(enc.indices),
+                          minlength=len(enc.dictionary))
+        return pa.table({"gram": enc.dictionary,
+                         "cnt": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("gram").aggregate(RaySum("cnt", alias_name="cnt")))

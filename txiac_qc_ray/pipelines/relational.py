@@ -962,3 +962,54 @@ def stream_reduce_counts(partials: "ray.data.Dataset", key_cols: list[str],
         for c, sv in zip(sum_cols, v):
             cols[c].append(sv)
     return pd.DataFrame(cols)
+
+
+def tumbling_distinct_users(sf_dir: str) -> pd.DataFrame:
+    """EXACT distinct users per (event_type, 1-hour tumbling window) —
+    the windowed form of distinct_count_users (unique visitors per
+    hour, the classic streaming-analytics report). Same scale shape:
+    batches pre-dedup their local (type, window, user) triples, ONE
+    shuffle carries only distinct triples (groupby dedup), and
+    per-batch partial counts collapse to one row per (type, window).
+    Null users don't count (SQL COUNT(DISTINCT)); a null event_type is
+    its own group. -> (event_type, win, n_users)."""
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "ts"])
+
+    def triple_partials(t: pa.Table) -> pa.Table:
+        win = pc.cast(pc.floor_temporal(t["ts"], unit="hour"), pa.int64())
+        key = pc.binary_join_element_wise(
+            pc.fill_null(t["event_type"], _NULL_KEY),
+            pc.cast(win, pa.string()), "|")
+        k = np.asarray(key, dtype=object)
+        u = np.asarray(pc.fill_null(t["user_id"], _NULL_USER))
+        order = np.lexsort((u, k))
+        k2, u2 = k[order], u[order]
+        firsts = np.ones(len(k2), dtype=bool)
+        firsts[1:] = (k2[1:] != k2[:-1]) | (u2[1:] != u2[:-1])
+        return pa.table({"k": pa.array(k2[firsts].tolist(), pa.string()),
+                         "user_id": u2[firsts]})
+
+    triples = (ds.map_batches(triple_partials, batch_format="pyarrow")
+               .groupby(["k", "user_id"]).aggregate(Count(alias_name="c")))
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        k = np.asarray(t["k"], dtype=object)
+        real = (np.asarray(t["user_id"]) != _NULL_USER).astype(np.float64)
+        uniq, inv = np.unique(k, return_inverse=True)
+        return pa.table({
+            "k": pa.array(uniq.tolist(), pa.string()),
+            "n_users": np.bincount(inv, weights=real,
+                                   minlength=len(uniq)).astype(np.int64)})
+
+    agg = (triples.map_batches(count_partials, batch_format="pyarrow")
+           .groupby("k").aggregate(Sum("n_users", alias_name="n_users"))
+           .to_pandas())
+    if "n_users" not in agg.columns or len(agg) == 0:
+        return typed_empty({"event_type": "object",
+                            "win": "datetime64[ns]", "n_users": "int64"})
+    parts = agg["k"].str.rsplit("|", n=1, expand=True)
+    out = pd.DataFrame({
+        "event_type": parts[0].where(parts[0] != _NULL_KEY, None),
+        "win": pd.to_datetime(parts[1].astype(np.int64), unit="us"),
+        "n_users": agg["n_users"].astype(np.int64)})
+    return out.sort_values(["event_type", "win"], ignore_index=True)

@@ -2539,3 +2539,76 @@ def rule_bank_ablation(paths: str | list[str]) -> "pd.DataFrame":
     out["n_failed"] = out["n_failed"].astype("int64")
     out["n_unique_drops"] = out["n_unique_drops"].astype("int64")
     return out[["bank_idx", "bank", "n_failed", "n_unique_drops"]]
+
+
+def source_datacard(paths: str | list[str]) -> "pd.DataFrame":
+    """Host-level DATACARD rollup — the one-screen per-domain corpus
+    summary a data card publishes (docs, token mass, mean length,
+    stopword share, symbol share): -> (host, n_pages, n_words,
+    mean_words, stop_ratio, symbol_ratio). The three ratios are single
+    int/int float64 divisions over exact per-host sums — bit-identical
+    in the twin; a zero-word host reports NULL ratios. NULL /
+    unparsable-url pages roll up under a NULL host row.
+
+    Scale shape: the pii_density_by_host contract — the SAME RE2 count
+    kernels as the Gopher bank (WORD_RE / GOPHER_STOPWORD_RE /
+    SYMBOL_RE — one spec, shared constants), reduced per batch to
+    host-keyed integer partials, folded on the driver via
+    stream_reduce_counts (host-cardinality output). The corpus never
+    shuffles.
+
+    Reference analog: the county/district summaries (Home.py:215-270)
+    — per-group means over exact sums, the host as the group."""
+    import pandas as pd
+
+    from .relational import stream_reduce_counts
+
+    ds = ray.data.read_parquet(paths, columns=["url", "text"])
+
+    def _count(text: pa.Array, pattern: str) -> np.ndarray:
+        return np.asarray(pc.fill_null(
+            pc.count_substring_regex(text, pattern), 0)).astype(np.int64)
+
+    def partials(t: pa.Table) -> pa.Table:
+        text = _as_array(t.column("text"))
+        n_words = _count(text, WORD_RE)
+        n_stop = _count(text, "(?i)" + GOPHER_STOPWORD_RE)
+        n_sym = _count(text, SYMBOL_RE)
+        host = host_of_urls(_as_array(t.column("url")))
+        g = (pd.DataFrame({
+                "host": host.to_numpy(zero_copy_only=False),
+                "n_pages": np.ones(len(t), dtype=np.int64),
+                "n_words": n_words, "n_stop": n_stop, "n_sym": n_sym})
+             .groupby("host", dropna=False, sort=False).sum().reset_index())
+        return pa.table({
+            "host": pa.array([None if pd.isna(v) else v
+                              for v in g["host"]], pa.string()),
+            "n_pages": pa.array(g["n_pages"].to_numpy(), pa.int64()),
+            "n_words": pa.array(g["n_words"].to_numpy(), pa.int64()),
+            "n_stop": pa.array(g["n_stop"].to_numpy(), pa.int64()),
+            "n_sym": pa.array(g["n_sym"].to_numpy(), pa.int64()),
+        })
+
+    out = stream_reduce_counts(
+        ds.map_batches(partials, batch_format="pyarrow"),
+        key_cols=["host"],
+        sum_cols=["n_pages", "n_words", "n_stop", "n_sym"])
+    np_pages = out["n_pages"].to_numpy().astype(np.int64)
+    nw = out["n_words"].to_numpy().astype(np.int64)
+    ns = out["n_stop"].to_numpy().astype(np.int64)
+    ny = out["n_sym"].to_numpy().astype(np.int64)
+    mean_words = nw.astype(np.float64) / np_pages.astype(np.float64)
+    pos = nw > 0
+    stop_ratio = np.full(len(nw), np.nan, dtype=np.float64)
+    sym_ratio = np.full(len(nw), np.nan, dtype=np.float64)
+    stop_ratio[pos] = ns[pos].astype(np.float64) / nw[pos].astype(np.float64)
+    sym_ratio[pos] = ny[pos].astype(np.float64) / nw[pos].astype(np.float64)
+    from .relational import round_half_away
+
+    return pd.DataFrame({
+        "host": out["host"],
+        "n_pages": np_pages,
+        "n_words": nw,
+        "mean_words": round_half_away(mean_words, 4),
+        "stop_ratio": round_half_away(stop_ratio, 4),
+        "symbol_ratio": round_half_away(sym_ratio, 4)})
