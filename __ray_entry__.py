@@ -140,8 +140,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bounded url-shard exchange canonical_url_dedup drives in-cap,
         # and its unique change detection stays swept locally)
         "tumbling_distinct_users": R.tumbling_distinct_users,
-        "remove_boilerplate_lines": _remove_boilerplate_lines,
-        "train_val_split": _train_val_split,
+        # r5-NEW (session 10): incremental cross-corpus dedup — takes
+        # remove_boilerplate_lines' slot (r5-s4, zero driver rows
+        # either way; its line-split + per-line hash kernels run in-cap
+        # via dedup_lines_within_doc and the shared rule-bank line
+        # split, and its host-frequency strip stays swept locally)
+        "incremental_dedup": D.incremental_dedup,
+        # r5-NEW (session 10): per-(source, topic) mixture matrix —
+        # takes train_val_split's slot (r5-s4, zero driver rows either
+        # way; its mix64 deterministic-holdout kernel stays in-cap via
+        # language_balanced_sample + temperature_sample and its
+        # stream_reduce_counts finish via source_datacard; it stays
+        # swept locally against its own twin)
+        "topic_mixture_report": D.topic_mixture_report,
         # ---- r5-session-5 NEW ops (in-cap: ADVICE r3 rule; each takes
         # the slot of a rotated-in r4-TAIL row — driver-green in r3 (and
         # mostly r2), locally swept every round since, unmodified in r5;
@@ -378,6 +389,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified since r2; read_csv + strptime stay pytest-pinned
         # (test_cli, test_pmis_round2) and locally swept
         "csv_ingest_sections": _csv_ingest_sections,
+        # yielded to incremental_dedup (r5-s10): r5-s4 op with zero
+        # driver rows either way; line-split/hash kernels in-cap via
+        # dedup_lines_within_doc; host-frequency strip swept locally
+        "remove_boilerplate_lines": _remove_boilerplate_lines,
+        # yielded to topic_mixture_report (r5-s10): r5-s4 op with zero
+        # driver rows either way; mix64-holdout kernel in-cap via the
+        # sampling family; stays swept locally
+        "train_val_split": _train_val_split,
         # yielded to source_datacard (r5-s10): r5-final op with zero
         # driver rows either way; its snapshot-winner kernel runs
         # in-cap via canonical_url_dedup + dedup_normalized; max-ts
@@ -1133,6 +1152,9 @@ def oracle_sql() -> dict[str, str]:
         "source_datacard": O.source_datacard_sql(pages_glob),
         "tumbling_distinct_users": O.tumbling_distinct_users_sql(),
         "ngram_lm_export": O.ngram_lm_export_sql(),
+        # incremental cross-corpus dedup + topic mixture matrix (r5-s10)
+        "incremental_dedup": O.incremental_dedup_sql(),
+        "topic_mixture_report": O.topic_mixture_report_sql(),
         # cross-source audits: integer-cleared TV (one BIGINT->DOUBLE
         # division, the TV-not-KL float-parity rule) and the hash-free
         # shared-shingle self-join

@@ -187,7 +187,11 @@ def test_correctness_cap_covers_priority_queries():
         "dedup_lines_within_doc",
         # r5-session-4 new ops (same rule)
         "token_balanced_mixture",
-        "remove_boilerplate_lines", "train_val_split",
+        # (remove_boilerplate_lines / train_val_split yielded their
+        # slots to incremental_dedup / topic_mixture_report in session
+        # 10: line-split/hash kernels in-cap via dedup_lines_within_doc,
+        # mix64-holdout via the sampling family; both swept locally)
+        "incremental_dedup", "topic_mixture_report",
         # r5-final-session new ops (same rule: new ops ride the cap).
         # (rule_bank_funnel yielded its slot to rule_bank_ablation in
         # session 10: the ablation runs the same five _BANK_KEEP cores
@@ -368,6 +372,7 @@ def test_corpus_sized_ops_return_streaming_datasets(ray_session):
     assert isinstance(D.doc_commonness(sf), ray.data.Dataset)
     assert isinstance(D.host_dup_rate(sf), ray.data.Dataset)
     assert isinstance(D.ngram_lm_export(sf), ray.data.Dataset)
+    assert isinstance(D.incremental_dedup(sf), ray.data.Dataset)
     # r5-session-4 ops keep the same boundary
     from txiac_qc_ray.pipelines import webtext as WT
     from txiac_qc_ray.sources.pages import default_pages_dir

@@ -564,3 +564,51 @@ def test_tumbling_distinct_users_bounds(ray_session):
     for et, mx in tot.items():
         assert mx <= glob.loc[et, "n_users"]
     assert (win["n_users"] >= 1).all() or len(win) == 0
+
+
+def test_incremental_dedup_semantics(ray_session, tmp_path):
+    # old = even doc_ids. new doc 1 repeats old doc 0's text -> dropped;
+    # new doc 3 is new text -> kept; new doc 5 repeats ANOTHER NEW doc's
+    # text (7) but no old doc's -> kept (within-new dups are not this
+    # op's job); null text matches an old empty string (documented)
+    rows = [
+        (0, "seen before"), (1, "seen before"),
+        (2, "old only"), (3, "brand new"),
+        (4, ""), (5, "twin new"),
+        (6, "other old"), (7, "twin new"),
+        (8, "x"), (9, None),
+    ]
+    t = pa.table({
+        "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+        "text": pa.array([r[1] for r in rows], type=pa.string()),
+        "lang": pa.array(["en"] * len(rows)),
+        "source": pa.array(["s"] * len(rows)),
+        "n_chars": pa.array([0] * len(rows), type=pa.int64()),
+    })
+    d = str(tmp_path / "docs")
+    os.makedirs(d)
+    p = os.path.join(d, "documents.parquet")
+    pq.write_table(t, p)
+    out = _twin_equal(D.incremental_dedup(d), O.incremental_dedup_sql(),
+                      _docs_view(p))
+    by = out.set_index(out["doc_id"].astype(int))["keep"]
+    assert not by[1]          # exact old text
+    assert by[3] and by[5] and by[7]
+    assert not by[9]          # null == old empty string (doc 4)
+
+
+def test_topic_mixture_report_consistency(ray_session):
+    """The mixture matrix is the per-source rollup of topic_classify:
+    row sums match the classifier's label counts and shares sum to 1
+    per source."""
+    sf = "/root/testdata/sf0.001"
+    mix = D.topic_mixture_report(sf)
+    lab = D.topic_classify(sf).to_pandas()
+    docs = D._read(sf, "documents", ["doc_id", "source"]).to_pandas()
+    lab = lab.merge(docs, on="doc_id")
+    counts = (lab.groupby(["source", "topic"]).size()
+              .rename("n").reset_index())
+    m = mix.merge(counts, on=["source", "topic"], how="outer").fillna(0)
+    assert (m["n_docs"] == m["n"]).all()
+    share_sum = mix.groupby("source")["doc_share"].sum()
+    assert ((share_sum - 1.0).abs() < 0.01).all()  # 4dp rounding slack

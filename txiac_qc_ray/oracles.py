@@ -1064,6 +1064,64 @@ def ngram_lm_export_sql(train_mod: int = 2) -> str:
     """
 
 
+def incremental_dedup_sql(old_mod: int = 2) -> str:
+    """Incremental-dedup twin: membership by the TEXT itself (engine
+    hashes — documented collision tolerance), null text as empty
+    string on both sides."""
+    return f"""
+    WITH o AS (SELECT DISTINCT coalesce(text, '') AS t
+               FROM documents WHERE doc_id % {old_mod} = 0),
+    n AS (SELECT doc_id, source, coalesce(text, '') AS t
+          FROM documents WHERE doc_id % {old_mod} != 0)
+    SELECT doc_id, source,
+           NOT EXISTS (SELECT 1 FROM o WHERE o.t = n.t) AS keep
+    FROM n
+    """
+
+
+def topic_mixture_report_sql() -> str:
+    """Mixture-matrix twin: the SAME frozen lexicons and CASE-chain
+    argmax as topic_classify_sql, rolled up per (source, topic) with
+    the share as an exact-int double division (window sum over BIGINT
+    is exact)."""
+    from .pipelines.docs import TOPIC_LEXICONS
+
+    names = sorted(TOPIC_LEXICONS)
+    score_cols = []
+    for n in names:
+        words = ", ".join(f"'{w}'" for w in sorted(TOPIC_LEXICONS[n]))
+        score_cols.append(
+            f"coalesce(len(list_filter(ts, t -> t IN ({words}))), 0)"
+            f" AS s_{n}")
+    greatest = "GREATEST(" + ", ".join(f"s_{n}" for n in names) + ")"
+    whens = []
+    for i, n in enumerate(names):
+        rest = [f"s_{n} >= s_{m}" for m in names[i + 1:]]
+        cond = " AND ".join(rest) if rest else "TRUE"
+        whens.append(f"WHEN {cond} THEN '{n}'")
+    case = (f"CASE WHEN {greatest} = 0 THEN 'none' "
+            + " ".join(whens) + " END")
+    return f"""
+    WITH tk AS (
+      SELECT doc_id, source,
+             regexp_extract_all(lower(text), '[a-z]+') AS ts
+      FROM documents),
+    s AS (SELECT doc_id, source,
+                 CAST(coalesce(len(ts), 0) AS BIGINT) AS n_tok,
+                 {", ".join(score_cols)}
+          FROM tk),
+    lab AS (SELECT source, {case} AS topic, n_tok FROM s),
+    g AS (SELECT source, topic, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(n_tok) AS BIGINT) AS n_tokens
+          FROM lab GROUP BY 1, 2)
+    SELECT source, topic, n_docs, n_tokens,
+           round(CAST(n_docs AS DOUBLE)
+                   / CAST(sum(n_docs) OVER (PARTITION BY source)
+                          AS DOUBLE), 4) AS doc_share
+    FROM g
+    """
+
+
 def hex16(v: str) -> str:
     """16-digit lowercase hex of a HUGEINT in [0, 2^64)."""
     return (f"printf('%08x%08x', CAST(({v}) >> 32 AS BIGINT), "

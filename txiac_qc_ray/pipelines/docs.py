@@ -6402,3 +6402,119 @@ def ngram_lm_export(sf_dir: str, train_mod: int = 2) -> ray.data.Dataset:
 
     return (ds.map_batches(partials, batch_format="pyarrow")
             .groupby("gram").aggregate(RaySum("cnt", alias_name="cnt")))
+
+
+def incremental_dedup(sf_dir: str, old_mod: int = 2) -> ray.data.Dataset:
+    """Incremental cross-corpus dedup — the ingest step for every crawl
+    AFTER the first: drop a NEW document when its exact text already
+    exists in the OLD corpus (here the deterministic split old =
+    doc_id % old_mod == 0, new = the rest; on a real run "old" is last
+    month's shards and everything downstream is identical). Within-new
+    duplicates are NOT dropped (that's exact_dedup's job on the new
+    crawl alone) — this op answers only "have we already got this".
+
+    COLLISION TOLERANCE (documented, the shingle_novelty precedent):
+    membership is attributed over the 64-bit text hash; the twin
+    compares the text itself. Null text is treated as the empty string
+    on BOTH sides (fnv1a64's fill; coalesce in the twin).
+
+    Scale shape: the DropIndex pattern (state/dropindex.py — the
+    VERDICT r4 item-1 machinery, here driven end to end as its own
+    value-checked query): old-corpus text hashes stream INTO sharded
+    membership actors (no driver set, no broadcast of the id list),
+    one 512 KiB bloom broadcast prefilters, and the new corpus streams
+    through a probe pass paying an actor round trip only for bloom
+    candidates. -> streaming Dataset of NEW rows (doc_id, source, keep).
+
+    Reference analog: none (incremental-ingest op beyond Home.py)."""
+    from ..state.dropindex import DropIndex
+
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+
+    def old_hashes(t: pa.Table) -> pa.Table:
+        mask = (np.asarray(t["doc_id"]).astype(np.int64) % old_mod) == 0
+        t = t.filter(pa.array(mask))
+        h = np.unique(fnv1a64(t["text"]).view(np.int64))
+        return pa.table({"thash": pa.array(h, pa.int64())})
+
+    idx = DropIndex(_prep_drop_index_shards(sf_dir))
+    idx.add_dataset(
+        ds.map_batches(old_hashes, batch_format="pyarrow"), "thash")
+    idx.seal()
+
+    def probe(t: pa.Table) -> pa.Table:
+        mask = (np.asarray(t["doc_id"]).astype(np.int64) % old_mod) != 0
+        t = t.filter(pa.array(mask))
+        h = fnv1a64(t["text"]).view(np.int64)
+        seen = idx.contains(h)
+        return pa.table({"doc_id": t["doc_id"], "source": t["source"],
+                         "keep": pa.array(~seen)})
+
+    return ds.map_batches(probe, batch_format="pyarrow")
+
+
+def topic_mixture_report(sf_dir: str) -> pd.DataFrame:
+    """Per-(source, topic) MIXTURE matrix — the artifact a
+    domain-reweighting run consumes next to doremi_source_weights:
+    how much of each source is which topic (doc counts + token mass),
+    with the share as one int/int double division. Composes
+    topic_classify's frozen-lexicon tagger (same argmax, same
+    tie-break) with a source rollup.
+
+    Scale shape: ONE stateless pass tags each batch and reduces it to
+    (source, topic)-keyed int partials; a (sources x topics)-sized
+    groupby finishes (bounded: the topic set is frozen). The corpus
+    never shuffles. -> DataFrame (source, topic, n_docs, n_tokens,
+    doc_share), doc_share = n_docs / source total.
+
+    Reference analog: the pivot summaries (Home.py:215-270) with the
+    classifier's label as the pivot column."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+    names = sorted(TOPIC_LEXICONS)
+    sets = {n: pa.array(list(TOPIC_LEXICONS[n]), type=pa.string())
+            for n in names}
+
+    def partials(t: pa.Table) -> pa.Table:
+        tv = ts.tokenize(t["text"].combine_chunks()
+                         if isinstance(t["text"], pa.ChunkedArray)
+                         else t["text"])
+        scores = np.stack([ts.count_in_set(tv, sets[n]) for n in names])
+        best = np.argmax(scores, axis=0)
+        smax = scores[best, np.arange(scores.shape[1])]
+        topic = np.where(smax > 0, np.asarray(names, dtype=object)[best],
+                         "none")
+        ntok = ts.token_counts(tv)
+        src = np.asarray(pc.fill_null(t["source"], _NULL_KEY), dtype=object)
+        key = np.char.add(np.char.add(src.astype(str), "|"),
+                          topic.astype(str))
+        uniq, inv = np.unique(key, return_inverse=True)
+        return pa.table({
+            "k": pa.array(uniq.tolist(), pa.string()),
+            "n_docs": np.bincount(inv, minlength=len(uniq)).astype(np.int64),
+            "n_tokens": np.bincount(inv, weights=ntok,
+                                    minlength=len(uniq)).astype(np.int64)})
+
+    agg = ensure_columns(
+        ds.map_batches(partials, batch_format="pyarrow")
+          .groupby("k")
+          .aggregate(RaySum("n_docs", alias_name="n_docs"),
+                     RaySum("n_tokens", alias_name="n_tokens"))
+          .to_pandas(),
+        {"k": "object", "n_docs": "int64", "n_tokens": "int64"})
+    if len(agg) == 0:
+        return typed_empty({"source": "object", "topic": "object",
+                            "n_docs": "int64", "n_tokens": "int64",
+                            "doc_share": "float64"})
+    parts = agg["k"].str.rsplit("|", n=1, expand=True)
+    src = parts[0].to_numpy(dtype=object)
+    out = pd.DataFrame({
+        "source": np.where(src == _NULL_KEY, None, src),
+        "topic": parts[1].to_numpy(dtype=object),
+        "n_docs": agg["n_docs"].to_numpy(),
+        "n_tokens": agg["n_tokens"].to_numpy()})
+    totals = out.groupby("source", dropna=False)["n_docs"].transform("sum")
+    out["doc_share"] = round_half_away(
+        out["n_docs"].to_numpy().astype(np.float64)
+        / totals.to_numpy().astype(np.float64), 4)
+    return out.sort_values(["source", "topic"],
+                           ignore_index=True, na_position="first")
