@@ -107,7 +107,22 @@ def run_bench() -> dict:
             # Each query gets a fresh process + Ray session running
             # warm + best-of-2; the parent's session stays up for the
             # headline only.
+            # whole-bench time budget: the per-query list has grown to
+            # ~100 isolated subprocesses (~40 min on a quiet box); an
+            # external hard kill past some unknown ceiling would lose
+            # the ENTIRE JSON line, so past the budget the remaining
+            # queries record null (their isolated numbers live in
+            # BASELINE.md) and the bench still returns everything it
+            # measured.
+            budget = float(os.environ.get("GRAFT_BENCH_BUDGET_SEC",
+                                          "2700"))
+            t_start = time.time()
             for name, _ in _bench_query_fns(sf_dir, corpus):
+                if time.time() - t_start > budget:
+                    print(f"bench: budget exhausted, skipping {name}",
+                          file=sys.stderr)
+                    queries[name] = None
+                    continue
                 env = dict(os.environ, RAY_GRAFT_CPUS=str(num_cpus),
                            GRAFT_SF_DIR=sf_dir)
                 # a failing query records null instead of killing the
