@@ -264,12 +264,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # embedding_neardup_clusters RUNS the pairs path end to end as
         # its candidate source, so the kernel keeps a driver row)
         "lexical_diversity": _lexical_diversity,
-        # r5-NEW (session 7): sentence-shape readability gate — takes
-        # ann_topk_bruteforce's slot (driver-green r2+r3, unmodified in
-        # r5; the brute-force cosine partial-topk kernel stays driven
-        # in-cap by ann_topk_from_text, and knn_self_join is the in-cap
-        # all-pairs exact sibling)
-        "readability_scores": _readability_scores,
+        # r5-NEW (session 11): FineWeb supplementary line filters
+        # (Penedo et al. 2024 §3.6: punct-line ratio, short-line ratio,
+        # dup-line char fraction) — takes readability_scores' slot
+        # (r5-s7, zero driver rows either way; readability's sentence-
+        # run RE2 count kernel and integer cross-multiplied ratio gate
+        # both stay driven in-cap by rule_bank_ablation's five bank
+        # cores — the same _count_re counting kernel and the same gate
+        # pattern — and its unique words-per-sentence ratio stays swept
+        # locally against its own twin; a brand-new published-bank op
+        # with zero coverage anywhere outranks it for the final run)
+        "fineweb_quality_flags": _fineweb_quality_flags,
         # r5-NEW (session 10): DoReMi-style excess-loss source weights —
         # takes lang_confusion's slot (r5-s8, zero driver rows either
         # way; its langid prediction kernel runs end to end IN-CAP via
@@ -572,6 +577,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # brute-force cosine kernel stays in-cap via ann_topk_from_text
         "embedding_neardup_pairs": D.embedding_neardup_pairs,
         "ann_topk_bruteforce": D.ann_topk_bruteforce,
+        # yielded to fineweb_quality_flags (r5-s11): r5-s7 op with zero
+        # driver rows either way; its RE2 sentence-run count kernel and
+        # integer ratio gate stay driven in-cap by rule_bank_ablation's
+        # bank cores; its unique words-per-sentence ratio stays swept
+        # locally against its own twin
+        "readability_scores": _readability_scores,
         "pmis_yby_flow": _pmis_yby_flow,
         "pmis_county_summary": _pmis_county_summary,
         "pmis_diff_histogram": _pmis_diff_histogram,
@@ -752,6 +763,12 @@ def _readability_scores(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import readability_scores
 
     return readability_scores(_webtext_dir())
+
+
+def _fineweb_quality_flags(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import fineweb_quality_flags
+
+    return fineweb_quality_flags(_webtext_dir())
 
 
 def _lang_confusion(_sf_dir: str):
@@ -1039,6 +1056,9 @@ def oracle_sql() -> dict[str, str]:
         # sentence specs, integer cross-multiplied keep rules
         "lexical_diversity": O.lexical_diversity_sql(pages_glob),
         "readability_scores": O.readability_scores_sql(pages_glob),
+        # FineWeb supplementary line filters (r5 s11) — same line split,
+        # RE2 terminal-punct spec and integer cross-multiplied keep
+        "fineweb_quality_flags": O.fineweb_quality_flags_sql(pages_glob),
         "extraction_yield": O.extraction_yield_sql(pages_glob),
         "dedup_normalized": O.dedup_normalized_sql(pages_glob),
         "lang_confusion": O.lang_confusion_sql(pages_glob),

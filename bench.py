@@ -271,6 +271,8 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         # r5 session 7: lexical/readability gates (pages corpus)
         ("lexical_diversity", lambda _sf: WT.lexical_diversity(corpus)),
         ("readability_scores", lambda _sf: WT.readability_scores(corpus)),
+        ("fineweb_quality_flags",
+         lambda _sf: WT.fineweb_quality_flags(corpus)),
         # r5 session 8: extraction-yield gate + normalized dedup (pages)
         ("extraction_yield", lambda _sf: WT.extraction_yield(corpus)),
         ("dedup_normalized", lambda _sf: WT.dedup_normalized(corpus)),

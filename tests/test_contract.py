@@ -225,8 +225,17 @@ def test_correctness_cap_covers_priority_queries():
         # r5-session-6 new ops (same rule: new ops ride the cap)
         "extract_links", "host_pagerank", "host_rank_filter",
         "host_components",
-        # r5-session-7 new ops (same rule)
-        "lexical_diversity", "readability_scores",
+        # r5-session-7 new ops (same rule).
+        # (readability_scores yielded its slot to fineweb_quality_flags
+        # in session 11: its RE2 sentence-run count kernel and integer
+        # cross-multiplied ratio gate stay driven in-cap by
+        # rule_bank_ablation's five bank cores, and its unique
+        # words-per-sentence ratio stays swept locally against its own
+        # twin — a brand-new published-bank op with zero coverage
+        # anywhere outranks it for the final driver run)
+        "lexical_diversity",
+        # r5-session-11 new op (same rule: new ops ride the cap)
+        "fineweb_quality_flags",
         # r5-session-5 new ops (same rule).
         # (calibrated_outlier_flags yielded its slot to
         # quality_percentile in session 10: the per-language

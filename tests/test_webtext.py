@@ -291,7 +291,7 @@ def test_rule_banks_in_flagship(ray_session):
     from txiac_qc_ray.sources.pages import default_pages_dir
 
     d = default_pages_dir(2000)
-    banks = ("c4", "gopher", "repetition", "url", "classifier")
+    banks = ("c4", "gopher", "repetition", "url", "classifier", "fineweb")
     out = (build_qc_pipeline(read_pages(d), PipelineConfig(rule_banks=banks))
            .to_pandas().sort_values("url", ignore_index=True))
     out_actors = (build_qc_pipeline(
@@ -304,10 +304,11 @@ def test_rule_banks_in_flagship(ray_session):
                      ("gopher", W.gopher_quality_flags),
                      ("repetition", W.gopher_repetition_stats),
                      ("url", W.url_host_filter),
-                     ("classifier", W.quality_classifier)]:
+                     ("classifier", W.quality_classifier),
+                     ("fineweb", W.fineweb_quality_flags)]:
         keep_col = {"c4": "keep", "gopher": "gopher_keep",
                     "repetition": "repetition_keep", "url": "keep",
-                    "classifier": "keep"}[bank]
+                    "classifier": "keep", "fineweb": "keep"}[bank]
         standalone = fn(d).to_pandas().set_index("url")[keep_col].astype(bool)
         flag = by[f"{bank}_keep"].astype(bool)
         assert flag.equals(standalone.reindex(by.index)), bank
@@ -329,7 +330,8 @@ def test_rule_banks_in_flagship(ray_session):
               & by["gopher_keep"].to_numpy().astype(bool)
               & by["repetition_keep"].to_numpy().astype(bool)
               & by["url_keep"].to_numpy().astype(bool)
-              & by["classifier_keep"].to_numpy().astype(bool))
+              & by["classifier_keep"].to_numpy().astype(bool)
+              & by["fineweb_keep"].to_numpy().astype(bool))
     assert (out["keep"].to_numpy() == expect).all()
     # and the non-bank columns of the banks-on run match the default run
     shared = [c for c in base.columns if not c.startswith("rule_")
@@ -531,6 +533,80 @@ def test_readability_scores_twin_and_semantics(ray_session, corpus_dir):
         assert by.loc[u, "keep"] == False  # noqa: E712
     # the clean prose doc keeps
     assert by.loc["u0", "keep"] == True  # noqa: E712
+
+
+def test_fineweb_quality_flags_twin_and_semantics(ray_session, corpus_dir,
+                                                  tmp_path):
+    glob = corpus_dir + "/*.parquet"
+    mine = _twin_equal(W.fineweb_quality_flags(corpus_dir),
+                       O.fineweb_quality_flags_sql(glob))
+    by = mine.set_index("url")
+    # u9: ONE long punct-terminated line -> all three rules pass
+    assert by.loc["u9", "n_lines"] == 1
+    assert by.loc["u9", "punct_line_frac"] == 1.0
+    assert by.loc["u9", "short_line_frac"] == 0.0
+    assert by.loc["u9", "keep"] == True  # noqa: E712
+    # u0: 4 of 5 lines are under 30 chars -> short-line rule drops (>= 0.67)
+    assert by.loc["u0", "short_line_frac"] == 0.8
+    assert by.loc["u0", "keep"] == False  # noqa: E712
+    # null text -> NULL stats, drop; empty/whitespace -> short lines, drop
+    assert np.isnan(by.loc["u5", "punct_line_frac"])
+    for u in ("u5", "u6", "u7"):
+        assert by.loc[u, "keep"] == False  # noqa: E712
+
+    # adversarial corpus exercising each rule in isolation (the fixture
+    # never fires the dup-line rule: its pages repeat within one line).
+    # Filler lines are DISTINCT (via the index word) so only the rule
+    # under test fires.
+    def lp(i):
+        return f"Line variant {i} is comfortably longer than thirty chars."
+
+    def lnp(i):
+        return f"line variant {i} is comfortably longer than thirty chars"
+
+    dup = lp("dup")
+    rows = [
+        # all punct, no shorts, no dups -> keep
+        ("k0", "\n".join(lp(i) for i in range(5))),
+        # punct-line ratio 1/10 < 0.12 -> drop by rule (a) alone
+        ("d_punct", "\n".join([lnp(i) for i in range(9)] + [lp(9)])),
+        # short-line ratio 4/5 >= 0.67 -> drop by rule (b) alone
+        ("d_short", "\n".join([f"tiny {i}." for i in range(4)] + [lp(0)])),
+        # dup-line char fraction >= 0.10 -> drop by rule (c) alone
+        ("d_dup", "\n".join([dup] * 4 + [lp("unique-tail")])),
+        # boundary: punct ratio exactly 0.12 (3/25) KEEPS (rule is >=)
+        ("b_punct", "\n".join([lnp(i) for i in range(22)]
+                              + [lp(i) for i in range(3)])),
+    ]
+    d = str(tmp_path / "fineweb_adv")
+    os.makedirs(d, exist_ok=True)
+    pq.write_table(pa.table({"url": pa.array([r[0] for r in rows]),
+                             "text": pa.array([r[1] for r in rows])}),
+                   os.path.join(d, "part-0.parquet"))
+    adv = _twin_equal(W.fineweb_quality_flags(d),
+                      O.fineweb_quality_flags_sql(d + "/*.parquet"))
+    byadv = adv.set_index("url")
+    assert byadv.loc["k0", "keep"] == True  # noqa: E712
+    assert byadv.loc["b_punct", "keep"] == True  # noqa: E712
+    for u in ("d_punct", "d_short", "d_dup"):
+        assert byadv.loc[u, "keep"] == False, u  # noqa: E712
+    assert byadv.loc["d_dup", "dup_line_char_frac"] >= 0.10
+
+
+def test_fineweb_fixture_twin(ray_session):
+    """Driver-fixture equality + a discriminating keep rate (the
+    punct-line rule must fire on the symbol/repetition classes and the
+    short-line rule on the too-short class)."""
+    from txiac_qc_ray.sources.pages import default_pages_dir
+
+    d = default_pages_dir(2000)
+    fw = _twin_equal(W.fineweb_quality_flags(d),
+                     O.fineweb_quality_flags_sql(d + "/part-*.parquet"))
+    rate = fw["keep"].mean()
+    assert 0.85 < rate < 0.97, rate
+    # both rules discriminate on this corpus
+    assert (fw["punct_line_frac"] < 0.12).sum() > 50
+    assert (fw["short_line_frac"] >= 0.67).sum() > 20
 
 
 def test_lexical_readability_fixture_twin(ray_session):

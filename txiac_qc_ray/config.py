@@ -74,6 +74,7 @@ RULE_BANK_RULES: dict[str, RuleSpec] = {
     "url": RuleSpec("url_dropped", "url_keep", "lt", lo=0.5),
     "classifier": RuleSpec("classifier_dropped", "classifier_keep",
                            "lt", lo=0.5),
+    "fineweb": RuleSpec("fineweb_dropped", "fineweb_keep", "lt", lo=0.5),
 }
 
 # Feature columns the feature stage emits (all float64 unless noted).

@@ -2125,6 +2125,56 @@ def gopher_repetition_sql(pages_glob: str) -> str:
     """
 
 
+def fineweb_quality_flags_sql(pages_glob: str) -> str:
+    """FineWeb line-filter twin: lines from the SAME chr(10) split,
+    terminal-punctuation via the SAME C4_TERMINAL_RE, lengths in chars
+    (DuckDB length() == pyarrow utf8_length), dup-line chars via the
+    lc/ldup pattern of the Gopher repetition twin. Every fraction is
+    one int/int double division and the keep rule the SAME three
+    integer cross-multiplies, so values are bit-identical."""
+    from .pipelines import webtext as w
+
+    return f"""
+    WITH base AS (
+      SELECT url, text, filename || ':' || file_row_number AS rid,
+             string_split(text, chr(10)) AS ls
+      FROM read_parquet('{pages_glob}', filename=true,
+                        file_row_number=true)),
+    ln AS (SELECT rid, unnest(ls) AS line FROM base),
+    lagg AS (
+      SELECT rid, count(*) AS n_lines,
+             sum(CASE WHEN regexp_matches(line, '{w.C4_TERMINAL_RE}')
+                      THEN 1 ELSE 0 END) AS n_punct,
+             sum(CASE WHEN length(line) < {w.FINEWEB_SHORT_LINE_CHARS}
+                      THEN 1 ELSE 0 END) AS n_short,
+             sum(length(line)) AS line_chars
+      FROM ln GROUP BY rid),
+    lc AS (SELECT rid, line, count(*) AS cnt, length(line) AS len
+           FROM ln GROUP BY rid, line),
+    ldup AS (SELECT rid,
+                    sum(CASE WHEN cnt >= 2 THEN cnt * len ELSE 0 END)
+                      AS dup_chars
+             FROM lc GROUP BY rid)
+    SELECT b.url,
+           CAST(l.n_lines AS BIGINT) AS n_lines,
+           CAST(l.n_punct AS DOUBLE) / l.n_lines AS punct_line_frac,
+           CAST(l.n_short AS DOUBLE) / l.n_lines AS short_line_frac,
+           CASE WHEN coalesce(l.line_chars, 0) = 0 THEN NULL
+                ELSE CAST(d.dup_chars AS DOUBLE) / l.line_chars
+           END AS dup_line_char_frac,
+           coalesce(b.text IS NOT NULL
+             AND 100 * l.n_punct >= {w.FINEWEB_MIN_PUNCT_LINE_PCT} * l.n_lines
+             AND 100 * l.n_short < {w.FINEWEB_MAX_SHORT_LINE_PCT} * l.n_lines
+             AND (100 * d.dup_chars
+                    < {w.FINEWEB_MAX_DUP_LINE_CHAR_PCT} * l.line_chars
+                  OR l.line_chars = 0),
+             FALSE) AS keep
+    FROM base b
+    LEFT JOIN lagg l USING (rid)
+    LEFT JOIN ldup d USING (rid)
+    """
+
+
 def rule_bank_funnel_sql(pages_glob: str) -> str:
     """Funnel twin: each bank's keep comes from ITS OWN oracle builder
     nested as a subquery (same pattern constants, same thresholds —

@@ -447,6 +447,112 @@ def gopher_repetition_stats(paths: str | list[str]) -> ray.data.Dataset:
     return _read_pages_text(paths).map_batches(stage, batch_format="pyarrow")
 
 
+# FineWeb's three supplementary line filters (Penedo et al. 2024 §3.6,
+# the C4/Gopher-complementing heuristics their ablations kept): drop a
+# doc when (a) fewer than 12% of its lines end in terminal punctuation,
+# (b) 67% or more of its lines are shorter than 30 characters, or
+# (c) 10% or more of its line characters sit in duplicated lines.
+# All three are integer cross-multiplies here (100*n_punct >= 12*n_lines
+# etc.) so both engines decide exactly; the reported fractions are
+# single int/int double divisions -> bitwise-identical floats.
+FINEWEB_MIN_PUNCT_LINE_PCT = 12
+FINEWEB_SHORT_LINE_CHARS = 30
+FINEWEB_MAX_SHORT_LINE_PCT = 67
+FINEWEB_MAX_DUP_LINE_CHAR_PCT = 10
+
+
+def _fineweb_stats(text: pa.Array, split=None) -> dict:
+    """Core of the FineWeb line filters (shared by the query stage and
+    the flagship's opt-in rule bank): -> dict of int64/float64 numpy
+    arrays + keep. `split` = a precomputed _line_split(text)."""
+    flat, counts, valid = split if split is not None else _line_split(text)
+    n_docs = len(counts)
+    ends_punct = np.asarray(pc.match_substring_regex(flat, C4_TERMINAL_RE))
+    line_lens = (np.asarray(pc.utf8_length(flat), dtype=np.int64)
+                 if len(flat) else np.zeros(0, dtype=np.int64))
+    short = line_lens < FINEWEB_SHORT_LINE_CHARS
+    n_punct = _segment_counts(ends_punct, counts)
+    n_short = _segment_counts(short, counts)
+    # duplicated-line chars: same lexsort run-length pass as the Gopher
+    # family's dup_segment_stats, kept in integers for the keep rule
+    sdoc = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+    line_chars = np.zeros(n_docs, dtype=np.int64)
+    np.add.at(line_chars, sdoc, line_lens)
+    dup_chars = np.zeros(n_docs, dtype=np.int64)
+    if len(flat):
+        sid = np.asarray(pc.dictionary_encode(flat).indices, dtype=np.int64)
+        order = np.lexsort((sid, sdoc))
+        ss, ds = sid[order], sdoc[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (ss[1:] != ss[:-1]) | (ds[1:] != ds[:-1])
+        run_start = np.nonzero(first)[0]
+        rcnt = np.diff(np.concatenate([run_start, [len(order)]]))
+        dmask = rcnt >= 2
+        np.add.at(dup_chars, ds[run_start][dmask],
+                  rcnt[dmask] * line_lens[order][run_start][dmask])
+    # a doc with zero line chars has nothing duplicated: rule (c)
+    # passes (100*0 < 10*0 is false, so it needs the explicit branch)
+    dup_ok = ((100 * dup_chars < FINEWEB_MAX_DUP_LINE_CHAR_PCT * line_chars)
+              | (line_chars == 0))
+    keep = (
+        valid
+        & (100 * n_punct >= FINEWEB_MIN_PUNCT_LINE_PCT * counts)
+        & (100 * n_short < FINEWEB_MAX_SHORT_LINE_PCT * counts)
+        & dup_ok
+    )
+    return {"n_lines": counts, "n_punct": n_punct, "n_short": n_short,
+            "line_chars": line_chars, "dup_chars": dup_chars,
+            "valid": valid, "keep": keep}
+
+
+def fineweb_quality_flags(paths: str | list[str]) -> ray.data.Dataset:
+    """FineWeb supplementary line filters (Penedo et al. 2024 §3.6) ->
+    (url, n_lines, punct_line_frac, short_line_frac, dup_line_char_frac,
+    keep): the three published heuristics FineWeb's ablations added on
+    top of C4/Gopher — terminal-punctuation line ratio (drop < 12%),
+    short-line (<30 chars) ratio (drop >= 67%), and duplicated-line
+    character fraction (drop >= 10%).
+
+    Null text -> null fractions, keep=false; dup_line_char_frac is null
+    when the doc has zero line characters (rule (c) passes — nothing is
+    duplicated). Fractions are single int/int double divisions and the
+    keep rule is three integer cross-multiplies, so the DuckDB twin is
+    bit-identical.
+
+    Scale shape: one stateless vectorized pass (line split -> flat RE2 /
+    length kernels -> one per-batch lexsort for the dup-line runs), no
+    shuffle, no driver state — a pure map at 100 TB.
+
+    Reference analog: Home.py's per-measure threshold rules (H:176-183)
+    re-expressed as the published FineWeb bank (north_rule's heuristic
+    quality rules)."""
+    def stage(t: pa.Table) -> pa.Table:
+        s = _fineweb_stats(_as_array(t.column("text")))
+        nl, lc = s["n_lines"], s["line_chars"]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            punct = np.where(nl > 0, s["n_punct"] / np.where(nl > 0, nl, 1),
+                             np.nan)
+            shortf = np.where(nl > 0, s["n_short"] / np.where(nl > 0, nl, 1),
+                              np.nan)
+            dupf = np.where(lc > 0, s["dup_chars"] / np.where(lc > 0, lc, 1),
+                            np.nan)
+        invalid = ~s["valid"]
+        return pa.table({
+            "url": t["url"],
+            "n_lines": pa.array(np.where(s["valid"], nl, 0),
+                                type=pa.int64(), mask=invalid),
+            "punct_line_frac": pa.array(punct, type=pa.float64(),
+                                        mask=invalid),
+            "short_line_frac": pa.array(shortf, type=pa.float64(),
+                                        mask=invalid),
+            "dup_line_char_frac": pa.array(dupf, type=pa.float64(),
+                                           mask=invalid | (lc == 0)),
+            "keep": pa.array(s["keep"]),
+        })
+
+    return _read_pages_text(paths).map_batches(stage, batch_format="pyarrow")
+
+
 def _repetition_stats(text: pa.Array, tv=None,
                       split=None) -> dict[str, pa.Array]:
     """Core of the Gopher repetition stats (shared by the query
@@ -878,6 +984,11 @@ _BANK_KEEP = {
     # frozen-integer-weight linear quality classifier (r5 s3) — shared
     # _classifier_stats core with the standalone query
     "classifier": lambda batch, text, tv, split: _classifier_stats(text)[2],
+    # FineWeb supplementary line filters (r5 s11) — shared _fineweb_stats
+    # core with the standalone query. NOT in FUNNEL_BANKS: the funnel /
+    # ablation reports keep their frozen five-bank order.
+    "fineweb": lambda batch, text, tv, split: _fineweb_stats(
+        text, split=split)["keep"],
 }
 
 
