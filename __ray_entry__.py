@@ -198,13 +198,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the house pattern quality_classifier / token_balanced_mixture
         # drive in-cap; it stays swept locally against its own twin)
         "doc_commonness": D.doc_commonness,
-        # r5-NEW (session 10): host-level datacard rollup — takes
-        # dedup_url_keep_latest's slot (r5-final, zero driver rows
-        # either way; its snapshot-winner kernel — ONE bounded url-hash
-        # shard shuffle + per-group extremum pick over the same
-        # decorated two-crawl view — runs in-cap via canonical_url_dedup
-        # and dedup_normalized; its max-ts detail stays swept locally)
-        "source_datacard": _source_datacard,
+        # r5-NEW (session 11): Unicode NFC normalization over the
+        # decomposed-recapture view — takes source_datacard's slot
+        # (r5-s10, zero driver rows either way; the datacard's
+        # stream_reduce_counts rollup kernel stays driven in-cap by
+        # topic_mixture_report, its kind-column single-stream exchange
+        # by host_dup_rate, and its words/stopword/symbol textstats by
+        # the flagship's features stage — its unique part is only the
+        # stat selection, swept locally against its own twin; the NFC
+        # op's unicodedata kernel has NO other coverage anywhere, so it
+        # outranks for the final driver run)
+        "normalize_unicode": _normalize_unicode,
         # ingestion-side html metadata enrichment — takes
         # quality_stats's slot (driver-green r2+r3, unmodified in r5, a
         # trivial stateless scan whose textstats kernels the in-cap
@@ -394,6 +398,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified since r2; read_csv + strptime stay pytest-pinned
         # (test_cli, test_pmis_round2) and locally swept
         "csv_ingest_sections": _csv_ingest_sections,
+        # yielded to normalize_unicode (r5-s11): r5-s10 op with zero
+        # driver rows either way; its stream_reduce_counts rollup stays
+        # in-cap via topic_mixture_report, its kind-column exchange via
+        # host_dup_rate, its textstats via the flagship features stage;
+        # stays swept locally against its own twin
+        "source_datacard": _source_datacard,
         # yielded to incremental_dedup (r5-s10): r5-s4 op with zero
         # driver rows either way; line-split/hash kernels in-cap via
         # dedup_lines_within_doc; host-frequency strip swept locally
@@ -819,6 +829,12 @@ def _dedup_lines_within_doc(_sf_dir: str):
     return dedup_lines_within_doc(_webtext_dir())
 
 
+def _normalize_unicode(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import normalize_unicode
+
+    return normalize_unicode(_webtext_dir())
+
+
 def _source_datacard(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import source_datacard
 
@@ -1059,6 +1075,9 @@ def oracle_sql() -> dict[str, str]:
         # FineWeb supplementary line filters (r5 s11) — same line split,
         # RE2 terminal-punct spec and integer cross-multiplied keep
         "fineweb_quality_flags": O.fineweb_quality_flags_sql(pages_glob),
+        # NFC normalization (r5 s11) — same decomposed-recapture view,
+        # DuckDB nfc_normalize vs the engine's unicodedata (UAX #15)
+        "normalize_unicode": O.normalize_unicode_sql(pages_glob),
         "extraction_yield": O.extraction_yield_sql(pages_glob),
         "dedup_normalized": O.dedup_normalized_sql(pages_glob),
         "lang_confusion": O.lang_confusion_sql(pages_glob),

@@ -205,7 +205,9 @@ def test_correctness_cap_covers_priority_queries():
         # canonical_url_dedup + dedup_normalized, and the trigram fit
         # table is value-checked in-cap by the export itself; all three
         # displaced ops stay swept locally)
-        "neardup_keep_best", "source_datacard",
+        # (source_datacard later yielded its own slot to
+        # normalize_unicode in session 11 — see that entry below)
+        "neardup_keep_best",
         "tumbling_distinct_users", "ngram_lm_export",
         "source_divergence_tv",
         # (retention_cohorts / funnel_conversion / source_overlap_matrix
@@ -234,8 +236,13 @@ def test_correctness_cap_covers_priority_queries():
         # twin — a brand-new published-bank op with zero coverage
         # anywhere outranks it for the final driver run)
         "lexical_diversity",
-        # r5-session-11 new op (same rule: new ops ride the cap)
-        "fineweb_quality_flags",
+        # r5-session-11 new ops (same rule: new ops ride the cap).
+        # (source_datacard yielded its slot to normalize_unicode in
+        # session 11: its stream_reduce_counts rollup stays in-cap via
+        # topic_mixture_report, its kind-column exchange via
+        # host_dup_rate, its textstats via the flagship features stage;
+        # the NFC op's unicodedata kernel has no other coverage)
+        "fineweb_quality_flags", "normalize_unicode",
         # r5-session-5 new ops (same rule).
         # (calibrated_outlier_flags yielded its slot to
         # quality_percentile in session 10: the per-language

@@ -609,6 +609,57 @@ def test_fineweb_fixture_twin(ray_session):
     assert (fw["short_line_frac"] >= 0.67).sum() > 20
 
 
+def test_normalize_unicode_twin_and_semantics(ray_session, tmp_path):
+    import unicodedata
+
+    from txiac_qc_ray.functions.urls import fnv1a64 as _fnv
+
+    # handcrafted corpus: urls chosen so some rows ARE decorated;
+    # one row carries PRE-EXISTING decomposed unicode (no decoration
+    # needed for the normalize path to fire), one is pure ASCII
+    rows = [(f"https://h{i:02d}.example/p/{i}",
+             f"Plain ascii body number {i} ends here.") for i in range(16)]
+    rows.append(("u_decomp", "already café inline."))
+    rows.append(("u_null", None))
+    d = str(tmp_path / "nfc")
+    os.makedirs(d)
+    pq.write_table(pa.table({"url": pa.array([r[0] for r in rows]),
+                             "text": pa.array([r[1] for r in rows],
+                                              type=pa.string())}),
+                   os.path.join(d, "part-0.parquet"))
+    out = _twin_equal(W.normalize_unicode(d),
+                      O.normalize_unicode_sql(d + "/*.parquet"))
+    by = out.set_index("url")
+    # pre-existing decomposed text normalizes even when NOT decorated
+    if int(_fnv(pa.array(["u_decomp"]))[0]) % W.NFC_MOD != 0:
+        assert by.loc["u_decomp", "changed"]
+        assert by.loc["u_decomp", "text_nfc"] == "already café inline."
+    # null text stays null, changed false ('None' via normalize())
+    assert by.loc["u_null", "text_nfc"] == "None"
+    assert by.loc["u_null", "changed"] == False  # noqa: E712
+    # decorated rows compose; undecorated ASCII rows pass through
+    hs = _fnv(pa.array([r[0] for r in rows[:16]]))
+    n_dec = int((np.asarray(hs) % np.uint64(W.NFC_MOD) == 0).sum())
+    ascii_rows = out[out["url"].str.startswith("https://")]
+    assert int(ascii_rows["changed"].sum()) == n_dec
+    changed_texts = ascii_rows[ascii_rows["changed"]]["text_nfc"]
+    for t in changed_texts:
+        assert t.endswith(unicodedata.normalize("NFC", W.NFC_SUFFIX))
+        assert "́" not in t  # composed, no combining marks remain
+
+
+def test_normalize_unicode_fixture_twin(ray_session):
+    """Driver-fixture equality + the decoration rate (the op must FIRE
+    on the decorated eighth, not just hash-match)."""
+    from txiac_qc_ray.sources.pages import default_pages_dir
+
+    d = default_pages_dir(2000)
+    out = _twin_equal(W.normalize_unicode(d),
+                      O.normalize_unicode_sql(d + "/part-*.parquet"))
+    rate = out["changed"].mean()
+    assert 0.08 < rate < 0.16, rate  # ~1/8 decorated, minus null texts
+
+
 def test_lexical_readability_fixture_twin(ray_session):
     """Driver-fixture equality + discriminating flag rates (the gate
     must FIRE on the repetition class, not just hash-match)."""

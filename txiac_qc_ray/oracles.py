@@ -2175,6 +2175,28 @@ def fineweb_quality_flags_sql(pages_glob: str) -> str:
     """
 
 
+def normalize_unicode_sql(pages_glob: str) -> str:
+    """NFC-normalization twin over the same decomposed-recapture view:
+    the decoration predicate is the SAME fnv1a64(url) % NFC_MOD and the
+    suffix the SAME decomposed bytes (embedded verbatim — DuckDB string
+    literals are byte-preserving), normalized by DuckDB's own
+    nfc_normalize — an implementation of UAX #15 independent of the
+    engine's unicodedata path, like the RE2-vs-RE2 rule banks."""
+    from .pipelines import webtext as w
+
+    return f"""
+    WITH base AS (SELECT url, text, {fnv_expr('url')} AS h
+                  FROM read_parquet('{pages_glob}')),
+    dec AS (SELECT url,
+                   CASE WHEN text IS NOT NULL AND h % {w.NFC_MOD} = 0
+                        THEN text || '{w.NFC_SUFFIX}' ELSE text END AS t
+            FROM base)
+    SELECT url, nfc_normalize(t) AS text_nfc,
+           coalesce(nfc_normalize(t) != t, FALSE) AS changed
+    FROM dec
+    """
+
+
 def rule_bank_funnel_sql(pages_glob: str) -> str:
     """Funnel twin: each bank's keep comes from ITS OWN oracle builder
     nested as a subquery (same pattern constants, same thresholds —

@@ -553,6 +553,87 @@ def fineweb_quality_flags(paths: str | list[str]) -> ray.data.Dataset:
     return _read_pages_text(paths).map_batches(stage, batch_format="pyarrow")
 
 
+# Unicode NFC normalization (the CCNet/ftfy-family preprocessing step
+# that canonicalizes combining sequences before hashing/dedup — without
+# it, byte-exact dedup misses visually-identical recaptures that differ
+# only in composition form). The fixture corpus is pure ASCII, so the
+# operator is exercised through a deterministic decomposed-recapture
+# view (the dedup_normalized union-view pattern): pages with
+# fnv1a64(url) % NFC_MOD == 0 get NFC_SUFFIX appended — a suffix built
+# from DECOMPOSED sequences (e + U+0301, n + U+0303, c + U+0327) that
+# NFC composes. Both engines construct the same decorated bytes and
+# genuinely normalize them.
+NFC_MOD = 8
+NFC_SUFFIX = " Cafe\u0301 nin\u0303o fac\u0327ade"
+# NFC is the identity on pure ASCII (Unicode normalization stability),
+# so only rows containing a non-ASCII byte take the normalize path.
+NON_ASCII_RE = r"[^\x00-\x7F]"
+
+
+def normalize_unicode(paths: str | list[str]) -> ray.data.Dataset:
+    """Unicode NFC normalization over the decomposed-recapture view ->
+    (url, text_nfc, changed): text_nfc = the NFC form of the decorated
+    text, changed = whether normalization rewrote any bytes. Null text
+    stays null with changed=false.
+
+    Parity: the engine normalizes candidates with Python's unicodedata
+    (UAX #15 via the unicodedata C module), the DuckDB twin with its own
+    independent nfc_normalize — two implementations of the same frozen
+    spec, like the RE2-vs-RE2 rule banks. pyarrow's utf8_normalize is
+    NOT used: in this build it returns decomposed output for every
+    requested form (verified against both Python and DuckDB), so the
+    kernel would be wrong, not just slow.
+
+    Scale shape: one stateless pass; a vectorized RE2 prefilter
+    (NON_ASCII_RE) skips every pure-ASCII row — NFC is the identity on
+    ASCII by the Unicode stability policy — and only the candidate rows
+    (1/NFC_MOD of the fixture; real crawls: the non-ASCII share) pay the
+    per-row normalize call, the scrub stage's candidate-prefilter
+    pattern. No shuffle, no driver state — a pure map at 100 TB.
+
+    Reference analog: the reference canonicalizes compound key columns
+    on load (Home.py:98-106); this is the text-payload equivalent
+    (north_rule's byte-identical-extraction axis: normalization must be
+    an explicit, checked step, never an accident of an engine)."""
+    import unicodedata
+
+    ds = ray.data.read_parquet(paths, columns=["url", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        urls = _as_array(t.column("url"))
+        text = _as_array(t.column("text"))
+        h = fnv1a64(urls)
+        valid = np.asarray(pc.is_valid(text))
+        dec_mask = ((h % np.uint64(NFC_MOD)) == 0) & valid
+        dec = pc.if_else(pa.array(dec_mask),
+                         pc.binary_join_element_wise(text, NFC_SUFFIX, ""),
+                         text)
+        cand = np.asarray(pc.fill_null(
+            pc.match_substring_regex(dec, NON_ASCII_RE), False))
+        changed = np.zeros(len(text), dtype=bool)
+        out = dec
+        idx = np.nonzero(cand)[0]
+        if len(idx):
+            # only candidate rows cross the Arrow->Python boundary
+            raw = pc.take(dec, pa.array(idx, pa.int64())).to_pylist()
+            norm = [unicodedata.normalize("NFC", s) for s in raw]
+            changed[idx] = [a != b for a, b in zip(norm, raw)]
+            repl_mask = np.zeros(len(text), dtype=bool)
+            repl_mask[idx[changed[idx]]] = True
+            if repl_mask.any():
+                out = pc.replace_with_mask(
+                    dec, pa.array(repl_mask),
+                    pa.array([n for n, r in zip(norm, raw) if n != r],
+                             pa.string()))
+        return pa.table({
+            "url": urls,
+            "text_nfc": out,
+            "changed": pa.array(changed),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
+
 def _repetition_stats(text: pa.Array, tv=None,
                       split=None) -> dict[str, pa.Array]:
     """Core of the Gopher repetition stats (shared by the query
