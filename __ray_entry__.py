@@ -209,11 +209,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # op's unicodedata kernel has NO other coverage anywhere, so it
         # outranks for the final driver run)
         "normalize_unicode": _normalize_unicode,
-        # ingestion-side html metadata enrichment — takes
-        # quality_stats's slot (driver-green r2+r3, unmodified in r5, a
-        # trivial stateless scan whose textstats kernels the in-cap
-        # flagship drives through its features stage)
-        "extract_page_metadata": _extract_page_metadata,
+        # r5-NEW (session 11): meta-robots noindex/nofollow gate over
+        # the decorated-head view — takes extract_page_metadata's slot
+        # (r5-s5, zero driver rows either way; its html-RE2-over-bytes
+        # kernel runs in-cap via noindex_filter itself — the SAME
+        # decode + RE2 scan shape over the same column — and via
+        # extract_links' href capture; its unique title/byte-size
+        # selection stays swept locally against its own twin)
+        "noindex_filter": _noindex_filter,
         # r5-NEW (session 10): first-seen shingle novelty score — takes
         # source_overlap_matrix's slot (r5-final, zero driver rows
         # either way; the novelty op drives the SAME distinct-shingle
@@ -398,6 +401,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # unmodified since r2; read_csv + strptime stay pytest-pinned
         # (test_cli, test_pmis_round2) and locally swept
         "csv_ingest_sections": _csv_ingest_sections,
+        # yielded to noindex_filter (r5-s11): r5-s5 op with zero driver
+        # rows either way; its html-RE2 kernel runs in-cap via
+        # noindex_filter + extract_links; title/byte-size selection
+        # stays swept locally against its own twin
+        "extract_page_metadata": _extract_page_metadata,
         # yielded to normalize_unicode (r5-s11): r5-s10 op with zero
         # driver rows either way; its stream_reduce_counts rollup stays
         # in-cap via topic_mixture_report, its kind-column exchange via
@@ -829,6 +837,12 @@ def _dedup_lines_within_doc(_sf_dir: str):
     return dedup_lines_within_doc(_webtext_dir())
 
 
+def _noindex_filter(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import noindex_filter
+
+    return noindex_filter(_webtext_dir())
+
+
 def _normalize_unicode(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import normalize_unicode
 
@@ -1078,6 +1092,8 @@ def oracle_sql() -> dict[str, str]:
         # NFC normalization (r5 s11) — same decomposed-recapture view,
         # DuckDB nfc_normalize vs the engine's unicodedata (UAX #15)
         "normalize_unicode": O.normalize_unicode_sql(pages_glob),
+        # meta-robots gate (r5 s11) — same decorated head, same RE2
+        "noindex_filter": O.noindex_filter_sql(pages_glob),
         "extraction_yield": O.extraction_yield_sql(pages_glob),
         "dedup_normalized": O.dedup_normalized_sql(pages_glob),
         "lang_confusion": O.lang_confusion_sql(pages_glob),

@@ -274,6 +274,7 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("fineweb_quality_flags",
          lambda _sf: WT.fineweb_quality_flags(corpus)),
         ("normalize_unicode", lambda _sf: WT.normalize_unicode(corpus)),
+        ("noindex_filter", lambda _sf: WT.noindex_filter(corpus)),
         # r5 session 8: extraction-yield gate + normalized dedup (pages)
         ("extraction_yield", lambda _sf: WT.extraction_yield(corpus)),
         ("dedup_normalized", lambda _sf: WT.dedup_normalized(corpus)),

@@ -242,7 +242,10 @@ def test_correctness_cap_covers_priority_queries():
         # topic_mixture_report, its kind-column exchange via
         # host_dup_rate, its textstats via the flagship features stage;
         # the NFC op's unicodedata kernel has no other coverage)
-        "fineweb_quality_flags", "normalize_unicode",
+        # (extract_page_metadata yielded its slot to noindex_filter in
+        # session 11: its html-RE2 kernel runs in-cap via noindex_filter
+        # + extract_links; title/byte-size selection swept locally)
+        "fineweb_quality_flags", "normalize_unicode", "noindex_filter",
         # r5-session-5 new ops (same rule).
         # (calibrated_outlier_flags yielded its slot to
         # quality_percentile in session 10: the per-language
@@ -261,7 +264,8 @@ def test_correctness_cap_covers_priority_queries():
         # window index/verify core it drives runs end to end IN-CAP via
         # dup_window_fraction + remove_dup_windows; its unique report
         # assembly stays swept locally and invariance-pinned)
-        "extract_page_metadata",
+        # (extract_page_metadata later yielded its own slot to
+        # noindex_filter in session 11 — see that entry above)
         "bm25_search",
         # permanent anchors
         "qc_label_documents", "pmis_audit_flow", "pmis_counters",

@@ -78,6 +78,7 @@ def test_every_query_survives_empty_tables(ray_session, empty_dir):
                             "host_rank_filter", "host_components",
                             "lexical_diversity", "readability_scores",
                             "fineweb_quality_flags", "normalize_unicode",
+                            "noindex_filter",
                             "extraction_yield", "dedup_normalized",
                             "lang_confusion", "pii_density_by_host",
                             "crawl_drift")):

@@ -660,6 +660,66 @@ def test_normalize_unicode_fixture_twin(ray_session):
     assert 0.08 < rate < 0.16, rate  # ~1/8 decorated, minus null texts
 
 
+def test_noindex_filter_twin_and_semantics(ray_session, tmp_path):
+    from txiac_qc_ray.pipelines.docs import _mix64
+    from txiac_qc_ray.functions.urls import fnv1a64 as _fnv
+
+    # handcrafted corpus: real robots metas in the html itself (no
+    # decoration dependence), plus case-insensitivity and null html
+    rows = [
+        ("u_plain", b"<html><head></head><body>hello</body></html>"),
+        ("u_noidx", b'<html><head><meta name="robots" '
+                    b'content="noindex"></head><body>x</body></html>'),
+        ("u_nofol", b'<html><head><meta name="robots" '
+                    b'content="nofollow"></head><body>x</body></html>'),
+        ("u_upper", b'<html><head><META NAME="ROBOTS" '
+                    b'CONTENT="NOINDEX,NOFOLLOW"></head><body>x</body></html>'),
+        ("u_null", None),
+    ]
+    d = str(tmp_path / "noindex")
+    os.makedirs(d)
+    pq.write_table(pa.table({"url": pa.array([r[0] for r in rows]),
+                             "html": pa.array([r[1] for r in rows],
+                                              type=pa.binary())}),
+                   os.path.join(d, "part-0.parquet"))
+    out = _twin_equal(W.noindex_filter(d),
+                      O.noindex_filter_sql(d + "/*.parquet"))
+    by = out.set_index("url")
+    # decoration may add directives to any non-null row; assert the
+    # invariants that hold regardless: an embedded noindex always drops
+    assert by.loc["u_noidx", "noindex"] == True  # noqa: E712
+    assert by.loc["u_noidx", "keep"] == False  # noqa: E712
+    assert by.loc["u_upper", "noindex"] == True  # noqa: E712
+    assert by.loc["u_upper", "nofollow"] == True  # noqa: E712
+    assert by.loc["u_nofol", "nofollow"] == True  # noqa: E712
+    assert by.loc["u_null", "keep"] == False  # noqa: E712
+    assert by.loc["u_null", "noindex"] == False  # noqa: E712
+    # nofollow alone never drops: keep == NOT noindex for non-null html
+    nn = out[out["url"] != "u_null"]
+    assert (nn["keep"] == ~nn["noindex"]).all()
+    # u_plain / u_nofol keep unless the decoration landed a noindex tag
+    h = _mix64(_fnv(pa.array(["u_nofol"])) + np.uint64(W.NOINDEX_SALT))[0]
+    decorated_noindex = (int(h) % W.NOINDEX_MOD == 0
+                         and (int(h) // W.NOINDEX_MOD) % 2 == 0)
+    assert bool(by.loc["u_nofol", "keep"]) == (not decorated_noindex)
+
+
+def test_noindex_fixture_twin(ray_session):
+    """Driver-fixture equality + decoration rates (the gate must FIRE
+    on the decorated fifth: ~half noindex-dropped, ~half nofollow-kept)."""
+    from txiac_qc_ray.sources.pages import default_pages_dir
+
+    d = default_pages_dir(2000)
+    out = _twin_equal(W.noindex_filter(d),
+                      O.noindex_filter_sql(d + "/part-*.parquet"))
+    assert 0.05 < out["noindex"].mean() < 0.15
+    assert 0.12 < out["nofollow"].mean() < 0.28
+    # nofollow-only pages are kept
+    kept_nofollow = out[out["nofollow"] & ~out["noindex"]]
+    assert len(kept_nofollow) > 50
+    assert kept_nofollow["keep"].all()
+
+
 def test_lexical_readability_fixture_twin(ray_session):
     """Driver-fixture equality + discriminating flag rates (the gate
     must FIRE on the repetition class, not just hash-match)."""

@@ -2726,6 +2726,41 @@ def extract_links_sql(pages_glob: str) -> str:
     """
 
 
+def noindex_filter_sql(pages_glob: str) -> str:
+    """Meta-robots gate twin over the same decorated-head view: the
+    decoration predicate is the SAME mix64(fnv(url) + SALT) chain (fnv
+    materialized ONCE in a CTE column — inlining it into mix64_scalar's
+    textual expansion duplicates it ~100x), the appended tag the SAME
+    constants, and the scan the SAME RE2 patterns over decode(html)
+    (decode, NOT CAST: casting a BLOB renders quotes as \\x22 escapes
+    and silently hides every quoted attribute from the regex)."""
+    from .pipelines import webtext as w
+
+    mix = mix64_scalar(f"(f + {w.NOINDEX_SALT}::HUGEINT) % {M64}")
+    return f"""
+    WITH base AS (SELECT url, html, {fnv_expr('url')} AS f
+                  FROM read_parquet('{pages_glob}')),
+    m AS (SELECT url, html, {mix} AS h FROM base),
+    dec AS (SELECT url,
+                   CASE WHEN html IS NULL THEN NULL
+                        WHEN h % {w.NOINDEX_MOD} = 0
+                        THEN decode(html) ||
+                             (CASE WHEN (h // {w.NOINDEX_MOD}) % 2 = 0
+                                   THEN '{w.ROBOTS_NOINDEX_TAG}'
+                                   ELSE '{w.ROBOTS_NOFOLLOW_TAG}' END)
+                        ELSE decode(html) END AS d
+            FROM m)
+    SELECT url,
+           coalesce(regexp_matches(d, '{w.ROBOTS_NOINDEX_RE}'),
+                    FALSE) AS noindex,
+           coalesce(regexp_matches(d, '{w.ROBOTS_NOFOLLOW_RE}'),
+                    FALSE) AS nofollow,
+           coalesce(NOT regexp_matches(d, '{w.ROBOTS_NOINDEX_RE}'),
+                    FALSE) AS keep
+    FROM dec
+    """
+
+
 def host_pagerank_sql(pages_glob: str, n_iter: int = 3) -> str:
     """Host-PageRank twin: the SAME integer fixed-point damped power
     iteration, unrolled as one CTE pair per iteration over the edge

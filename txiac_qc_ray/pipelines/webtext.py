@@ -1809,6 +1809,69 @@ def canonical_url_dedup(paths: str | list[str],
 TITLE_RE = r"<title>([^<]*)</title>"
 LINK_RE = r"<a href="
 
+# Meta-robots directive gate (a compliant crawl pipeline must honor
+# <meta name="robots" content="noindex">: C4/CCNet-class corpora drop
+# such pages at ingest). The fixture html carries no robots meta, so
+# the op is exercised through a deterministic decorated-head view (the
+# extract_links decoration pattern): pages with mix64(fnv(url) +
+# NOINDEX_SALT) % NOINDEX_MOD == 0 get a robots meta APPENDED to the
+# html bytes — content "noindex,nofollow" when the next bit is 0 (page
+# must be dropped) and "nofollow" alone when 1 (page text is still
+# indexable: kept, links not followed). Both engines construct the
+# same decorated bytes and genuinely scan them with the same RE2.
+NOINDEX_MOD = 5
+NOINDEX_SALT = 9065923830046970997  # frozen odd 64-bit constant
+ROBOTS_NOINDEX_TAG = '<meta name="robots" content="noindex,nofollow">'
+ROBOTS_NOFOLLOW_TAG = '<meta name="robots" content="nofollow">'
+ROBOTS_NOINDEX_RE = r'(?i)<meta\s+name="robots"\s+content="[^"]*noindex'
+ROBOTS_NOFOLLOW_RE = r'(?i)<meta\s+name="robots"\s+content="[^"]*nofollow'
+
+
+def noindex_filter(paths: str | list[str]) -> ray.data.Dataset:
+    """Meta-robots directive gate over the decorated-head view ->
+    (url, noindex, nofollow, keep): scans the html BYTES for a robots
+    meta tag; keep = html present AND no noindex directive (nofollow
+    alone keeps the page — it governs link extraction, not indexing).
+    Null html -> false flags (no payload carries no directive — the
+    pii_counts null convention), keep false.
+
+    Scale shape: one stateless vectorized pass (one variadic join for
+    the decoration + two RE2 kernels over the html); the html column
+    never leaves the read task (map_batches fuses with the scan); no
+    shuffle, no driver state — a pure map at 100 TB.
+
+    Reference analog: the reference's isin/blocklist row filters
+    (Home.py:176-183) keyed on a payload-embedded directive instead of
+    a column value; north_rule's URL/ingest-policy filtering axis, the
+    politeness side (url_host_filter is the blocklist side)."""
+    ds = ray.data.read_parquet(paths, columns=["url", "html"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        urls = _as_array(t.column("url"))
+        html = _as_array(t.column("html"))
+        valid = np.asarray(pc.is_valid(html))
+        h = _mix64(fnv1a64(urls) + np.uint64(NOINDEX_SALT))
+        dec_on = ((h % np.uint64(NOINDEX_MOD)) == 0) & valid
+        pick_noindex = ((h // np.uint64(NOINDEX_MOD)) % np.uint64(2)) == 0
+        tag = np.where(dec_on,
+                       np.where(pick_noindex, ROBOTS_NOINDEX_TAG,
+                                ROBOTS_NOFOLLOW_TAG), "")
+        dec = pc.binary_join_element_wise(
+            pc.cast(html, pa.string()), pa.array(tag, pa.string()), "")
+        noindex = pc.fill_null(
+            pc.match_substring_regex(dec, ROBOTS_NOINDEX_RE), False)
+        nofollow = pc.fill_null(
+            pc.match_substring_regex(dec, ROBOTS_NOFOLLOW_RE), False)
+        keep = valid & ~np.asarray(noindex)
+        return pa.table({
+            "url": urls,
+            "noindex": noindex,
+            "nofollow": nofollow,
+            "keep": pa.array(keep),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow")
+
 
 def extract_page_metadata(paths: str | list[str]) -> ray.data.Dataset:
     """Ingestion-side page-metadata enrichment — the structured fields a
