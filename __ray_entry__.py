@@ -224,13 +224,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sweeps — and the overlap matrix's unique cross-source
         # intersection stays swept locally against its own twin)
         "shingle_novelty": D.shingle_novelty,
-        # r5-NEW (session 10): trigram LM count-table export — takes
-        # ngram_fluency's slot (r5-s5, zero driver rows either way; the
-        # export IS fluency's fit table — the same trigram construction
-        # over the same training split, value-checked here in-cap —
-        # and fluency's unique held-out scoring stays swept locally
-        # with its ~40% label rate pinned in pytest)
-        "ngram_lm_export": D.ngram_lm_export,
+        # r5-NEW (session 12): top-k bigram PMI collocations — takes
+        # ngram_lm_export's slot (r5-s10, zero driver rows either way;
+        # pmi drives the SAME shifted-flat-view n-gram construction +
+        # per-batch dictionary pre-reduce + distinct-gram groupby
+        # kernel in-cap — a strict sibling over bigrams instead of
+        # trigrams, plus the unigram broadcast join and the
+        # fixed-float-tree score; the export's unique train-split
+        # selection stays swept locally against its own twin, and its
+        # fit table remains pytest-pinned equal to ngram_fluency's)
+        "pmi_collocations": D.pmi_collocations,
         # r5-NEW (session 6): PageRank-percentile page gate — takes
         # vocab_topk's slot (driver-green r1-r3, unmodified in r5; its
         # CMS scale twin is pytest-pinned equal, and the [a-z]+
@@ -434,6 +437,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driver rows either way; its fit table is value-checked in-cap
         # by the export itself; held-out scoring stays swept locally
         "ngram_fluency": D.ngram_fluency,
+        # yielded to pmi_collocations (r5-s12): r5-s10 op with zero
+        # driver rows either way; its shifted-flat-view gram build +
+        # dictionary pre-reduce + distinct-gram groupby kernel runs
+        # in-cap via pmi_collocations (bigram sibling of the same
+        # code path); the train-split selection stays swept locally
+        # and the fit table stays pytest-pinned equal to
+        # ngram_fluency's in-memory fit
+        "ngram_lm_export": D.ngram_lm_export,
         # yielded to host_dup_rate (r5-s10): r5-s5 op with zero driver
         # rows either way; its mix64-uniform kernel stays in-cap via
         # language_balanced_sample + temperature_sample; its unique
@@ -1207,6 +1218,8 @@ def oracle_sql() -> dict[str, str]:
         "source_datacard": O.source_datacard_sql(pages_glob),
         "tumbling_distinct_users": O.tumbling_distinct_users_sql(),
         "ngram_lm_export": O.ngram_lm_export_sql(),
+        # top-k bigram PMI collocations (r5-s12)
+        "pmi_collocations": O.pmi_collocations_sql(),
         # incremental cross-corpus dedup + topic mixture matrix (r5-s10)
         "incremental_dedup": O.incremental_dedup_sql(),
         "topic_mixture_report": O.topic_mixture_report_sql(),

@@ -208,7 +208,14 @@ def test_correctness_cap_covers_priority_queries():
         # (source_datacard later yielded its own slot to
         # normalize_unicode in session 11 — see that entry below)
         "neardup_keep_best",
-        "tumbling_distinct_users", "ngram_lm_export",
+        "tumbling_distinct_users",
+        # (ngram_lm_export yielded its slot to pmi_collocations in
+        # session 12: pmi drives the same shifted-flat-view gram build
+        # + dictionary pre-reduce + distinct-gram groupby kernel
+        # in-cap as a strict bigram sibling; the export's train-split
+        # selection stays swept locally and its fit table stays
+        # pytest-pinned equal to ngram_fluency's)
+        "pmi_collocations",
         "source_divergence_tv",
         # (retention_cohorts / funnel_conversion / source_overlap_matrix
         # yielded their slots to hard_negatives / inverted_index /

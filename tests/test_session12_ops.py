@@ -1,0 +1,52 @@
+"""Round-5 session-12 ops — each checked against an independent
+pure-Python reference (not the DuckDB twin: the local sweep already
+runs that)."""
+
+import re
+from collections import Counter
+
+import numpy as np
+import pyarrow.parquet as pq
+
+SF = "/root/testdata/sf0.001"
+_TOK = re.compile(r"[a-z]+")
+
+
+def _toks(text):
+    return _TOK.findall((text or "").lower())
+
+
+def test_pmi_collocations_matches_python_reference(ray_session):
+    from txiac_qc_ray.pipelines.docs import pmi_collocations
+
+    df = pq.read_table(SF + "/documents.parquet",
+                      columns=["text"]).to_pandas()
+    uni: Counter = Counter()
+    big: Counter = Counter()
+    for t in df["text"]:
+        toks = _toks(t)
+        uni.update(toks)
+        big.update(f"{a} {b}" for a, b in zip(toks, toks[1:]))
+    n = float(sum(uni.values()))
+    rows = []
+    for g, cab in big.items():
+        if cab < 5:
+            continue
+        a, b = g.split(" ")
+        # the SAME fixed float expression tree as both engines
+        score = (float(cab) * n) / (float(uni[a]) * float(uni[b]))
+        rows.append((g, cab, score))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    expected = rows[:20]
+
+    out = pmi_collocations(SF)
+    assert len(out) == 20
+    got = list(zip(out["gram"], out["cnt"], out["score"]))
+    for (eg, ec, es), (gg, gc, gs) in zip(expected, got):
+        assert eg == gg and ec == gc
+        assert es == gs  # bit-identical: same IEEE expression tree
+
+    # ranking sanity: scores non-increasing, count guard respected
+    s = out["score"].to_numpy()
+    assert (np.diff(s) <= 0).all()
+    assert (out["cnt"].to_numpy() >= 5).all()

@@ -3126,3 +3126,32 @@ def cluster_cap_sample_sql(m: int | None = None, k: int | None = None,
     SELECT vec_id, cid AS cluster_id, rn <= {m} AS keep
     FROM ranked
     """
+
+
+def pmi_collocations_sql(k: int = 20, min_cnt: int = 5) -> str:
+    """PMI-collocation twin: the same [a-z]+ tokens, bigram = two
+    space-joined consecutive tokens within a doc, score = the SAME
+    fixed float expression tree (cab * N) / (ca * cb) — every factor a
+    correctly-rounded CAST of an exact integer, so both engines round
+    identically (the bm25 no-ln rule: the log is monotone and
+    omitted)."""
+    return f"""
+    WITH tk AS (SELECT regexp_extract_all(lower(text), '[a-z]+') AS lst
+                FROM documents),
+    uni AS (SELECT unnest(lst) AS tok FROM tk),
+    uc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY tok),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM uni),
+    bg AS (SELECT unnest(list_transform(
+             generate_series(1, greatest(len(lst) - 1, 0)),
+             i -> lst[i] || ' ' || lst[i+1])) AS gram FROM tk),
+    bc AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM bg
+           GROUP BY gram HAVING count(*) >= {min_cnt})
+    SELECT bc.gram, bc.cnt,
+           (CAST(bc.cnt AS DOUBLE) * CAST(n.n AS DOUBLE)) /
+           (CAST(ua.c AS DOUBLE) * CAST(ub.c AS DOUBLE)) AS score
+    FROM bc
+    CROSS JOIN n
+    JOIN uc ua ON ua.tok = split_part(bc.gram, ' ', 1)
+    JOIN uc ub ON ub.tok = split_part(bc.gram, ' ', 2)
+    ORDER BY score DESC, bc.gram LIMIT {k}
+    """

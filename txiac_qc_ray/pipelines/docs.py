@@ -6518,3 +6518,116 @@ def topic_mixture_report(sf_dir: str) -> pd.DataFrame:
         / totals.to_numpy().astype(np.float64), 4)
     return out.sort_values(["source", "topic"],
                            ignore_index=True, na_position="first")
+
+
+def pmi_collocations(sf_dir: str, k: int = 20, min_cnt: int = 5
+                     ) -> pd.DataFrame:
+    """Top-k bigram COLLOCATIONS by pointwise mutual information — the
+    association-mining step tokenizer/phrase pipelines run over a
+    corpus before merging multiword units (Church & Hanks 1990's
+    word-association ratio; word2vec's phrase pass uses the same
+    count form). score = (c_ab * N) / (c_a * c_b), the PMI ratio
+    WITHOUT the log: log is monotone, so the ranking is identical and
+    the score stays ONE tree of correctly-rounded IEEE ops (the
+    bm25_search precedent — ln is not cross-engine bit-stable, a fixed
+    float expression tree is). Bigrams with c_ab < min_cnt are dropped
+    (the classic low-count PMI blowup guard). -> (gram, cnt, score)
+    sorted (score desc, gram asc), k rows.
+
+    Scale shape: ONE pass over the corpus emits per-batch
+    dictionary-encoded partial counts for unigrams and bigrams on a
+    single kind-prefixed key stream (the host_dup_rate trick — no
+    second text scan, no spine join); one vocabulary-sized groupby-sum
+    finishes the counts; the unigram table broadcasts via ray.put
+    (doc_commonness precedent) and the bigram finisher streams through
+    searchsorted lookups + a distributed sort/limit — only k rows ever
+    reach the driver. The corpus text never shuffles.
+
+    Reference analog: the reference's data-calibrated ranking moves
+    (Home.py:337-365 derive thresholds FROM the data; here the corpus
+    ranks its own collocations). Twin: oracles.pmi_collocations_sql."""
+    ds = _read(sf_dir, "documents", ["text"])
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"key": pa.array([], pa.string()),
+                          "cnt": pa.array([], pa.int64())})
+        tv = ts.tokenize(t["text"].combine_chunks()
+                         if isinstance(t["text"], pa.ChunkedArray)
+                         else t["text"])
+        n = len(tv.flat)
+        if n == 0:
+            return empty
+        ucnt = np.bincount(tv.ids, minlength=len(tv.dictionary))
+        ukeys = pc.binary_join_element_wise(
+            pa.array(np.full(len(tv.dictionary), "u", dtype=object),
+                     pa.string()), tv.dictionary, "\x1f")
+        keys = [ukeys]
+        cnts = [ucnt.astype(np.int64)]
+        if n >= 2:
+            counts = np.diff(tv.offsets)
+            doc_of = np.repeat(np.arange(len(counts), dtype=np.int64),
+                               counts)
+            valid = doc_of[: n - 1] == doc_of[1:]
+            grams = pc.binary_join_element_wise(
+                tv.flat.slice(0, n - 1), tv.flat.slice(1, n - 1), " ")
+            grams = grams.filter(pa.array(valid))
+            if len(grams):
+                enc = pc.dictionary_encode(grams)
+                enc = (enc.combine_chunks()
+                       if isinstance(enc, pa.ChunkedArray) else enc)
+                bcnt = np.bincount(np.asarray(enc.indices),
+                                   minlength=len(enc.dictionary))
+                keys.append(pc.binary_join_element_wise(
+                    pa.array(np.full(len(enc.dictionary), "b",
+                                     dtype=object), pa.string()),
+                    enc.dictionary, "\x1f"))
+                cnts.append(bcnt.astype(np.int64))
+        return pa.table({"key": pa.concat_arrays(keys),
+                         "cnt": pa.array(np.concatenate(cnts), pa.int64())})
+
+    counts = (ds.map_batches(partials, batch_format="pyarrow")
+              .groupby("key").aggregate(RaySum("cnt", alias_name="cnt"))
+              .materialize())
+    spec = {"gram": "object", "cnt": "int64", "score": "float64"}
+    uni = ensure_columns(
+        counts.map_batches(
+            lambda t: t.filter(pc.starts_with(t["key"], "u\x1f")),
+            batch_format="pyarrow").to_pandas(),
+        {"key": "object", "cnt": "int64"})
+    if len(uni) == 0:
+        return typed_empty(spec)
+    toks = np.array([s[2:] for s in uni["key"]], dtype=object)
+    order = np.argsort(toks)
+    toks_sorted = toks[order]
+    ucnt_sorted = uni["cnt"].to_numpy()[order].astype(np.int64)
+    n_total = float(int(ucnt_sorted.sum()))
+    lookup_ref = ray.put((toks_sorted, ucnt_sorted))
+
+    def score(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.starts_with(t["key"], "b\x1f"))
+        t = t.filter(pc.greater_equal(t["cnt"], min_cnt))
+        if len(t) == 0:
+            return pa.table({"gram": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64()),
+                             "score": pa.array([], pa.float64())})
+        tks, ucs = ray.get(lookup_ref)
+        gram = pc.utf8_slice_codeunits(t["key"], 2)
+        parts_ = pc.split_pattern(gram, " ")
+        a = np.asarray(pc.list_element(parts_, 0)).astype(object)
+        b = np.asarray(pc.list_element(parts_, 1)).astype(object)
+        ca = ucs[np.searchsorted(tks, a)].astype(np.float64)
+        cb = ucs[np.searchsorted(tks, b)].astype(np.float64)
+        cab = np.asarray(t["cnt"]).astype(np.float64)
+        # fixed expression tree, mirrored in the SQL twin: every factor
+        # is a correctly-rounded double of an exact int, so mult/div
+        # round identically in both engines -> bit-identical score
+        sc = (cab * n_total) / (ca * cb)
+        return pa.table({"gram": gram, "cnt": t["cnt"],
+                         "score": pa.array(sc, pa.float64())})
+
+    out = ensure_columns(
+        counts.map_batches(score, batch_format="pyarrow")
+        .sort(["score", "gram"], descending=[True, False])
+        .limit(k).to_pandas(), spec)
+    out["cnt"] = out["cnt"].astype(np.int64)
+    return out[["gram", "cnt", "score"]].reset_index(drop=True)
