@@ -326,12 +326,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # tukey_fences + the PMIS-flow thresholds stay value-checked
         # in-cap)
         "neardup_keep_best": D.neardup_keep_best,
-        # r5-NEW (session 6): decorated-anchor outlink extraction ->
-        # host-level edge list — takes grouped_counters' slot
-        # (driver-green r1-r3, unmodified since r2; the fused counters
-        # core stays value-checked in-cap every round by the
-        # pmis_counters anchor's 8-dimension compare)
-        "extract_links": _extract_links,
+        # r5-NEW (session 12): anchor-text corpus construction — takes
+        # extract_links' slot (r5-s6; the new op drives the SAME
+        # decorated-anchor parse + bounded pair-shard exchange in-cap
+        # as a strict superset — two-capture RE2 instead of the href
+        # capture — and extract_links' own edge list runs end to end
+        # IN-CAP inside host_pagerank and host_components, which both
+        # call it as their first stage; extract_links stays swept
+        # locally against its own twin)
+        "anchor_text_corpus": _anchor_text_corpus,
         # r5-NEW (session 6): integer fixed-point host PageRank over
         # the extracted link graph — takes threshold_flag_two_sided's
         # slot (driver-green r1-r3, unmodified since r1; the threshold
@@ -445,6 +448,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # and the fit table stays pytest-pinned equal to
         # ngram_fluency's in-memory fit
         "ngram_lm_export": D.ngram_lm_export,
+        # yielded to anchor_text_corpus (r5-s12): r5-s6 op whose
+        # decorated-anchor parse + pair-shard exchange runs in-cap via
+        # anchor_text_corpus (two-capture superset), and whose edge
+        # list runs end to end in-cap inside host_pagerank +
+        # host_components; stays swept locally against its own twin
+        "extract_links": _extract_links,
         # yielded to host_dup_rate (r5-s10): r5-s5 op with zero driver
         # rows either way; its mix64-uniform kernel stays in-cap via
         # language_balanced_sample + temperature_sample; its unique
@@ -920,6 +929,12 @@ def _extract_page_metadata(_sf_dir: str):
     return extract_page_metadata(_webtext_dir())
 
 
+def _anchor_text_corpus(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import anchor_text_corpus
+
+    return anchor_text_corpus(_webtext_dir())
+
+
 def _extract_links(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import extract_links
 
@@ -1133,6 +1148,8 @@ def oracle_sql() -> dict[str, str]:
         # the unrolled integer fixed-point PageRank twin (same HUGEINT
         # fnv/splitmix constants, same floor arithmetic — oracles.py)
         "extract_links": O.extract_links_sql(pages_glob),
+        # anchor-text corpus over the same decorated-anchor view (r5-s12)
+        "anchor_text_corpus": O.anchor_text_corpus_sql(pages_glob),
         "host_pagerank": O.host_pagerank_sql(pages_glob),
         "host_rank_filter": O.host_rank_filter_sql(pages_glob),
         "host_components": O.host_components_sql(pages_glob),

@@ -231,8 +231,13 @@ def test_correctness_cap_covers_priority_queries():
         # ops drive; stays swept locally)
         "span_corruption_plan",
         "hard_negatives", "inverted_index", "shingle_novelty",
-        # r5-session-6 new ops (same rule: new ops ride the cap)
-        "extract_links", "host_pagerank", "host_rank_filter",
+        # r5-session-6 new ops (same rule: new ops ride the cap).
+        # (extract_links yielded its slot to anchor_text_corpus in
+        # session 12: the new op drives the same decorated-anchor parse
+        # + pair-shard exchange as a two-capture superset, and the edge
+        # list runs end to end in-cap inside host_pagerank +
+        # host_components; extract_links stays swept locally)
+        "anchor_text_corpus", "host_pagerank", "host_rank_filter",
         "host_components",
         # r5-session-7 new ops (same rule).
         # (readability_scores yielded its slot to fineweb_quality_flags

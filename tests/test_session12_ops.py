@@ -50,3 +50,27 @@ def test_pmi_collocations_matches_python_reference(ray_session):
     s = out["score"].to_numpy()
     assert (np.diff(s) <= 0).all()
     assert (out["cnt"].to_numpy() >= 5).all()
+
+
+def test_anchor_text_corpus_nav_invariant(ray_session):
+    """Every valid-html page carries exactly one Home/About/Contact nav
+    anchor pointing at its own host, so per host the three nav texts
+    must all count exactly the host's page count — independent of the
+    decoration (decorated anchors never use nav words)."""
+    import __ray_entry__ as E
+    from txiac_qc_ray.pipelines.webtext import anchor_text_corpus
+
+    wdir = E._webtext_dir()
+    out = anchor_text_corpus(wdir).to_pandas()
+    df = pq.read_table(wdir, columns=["url", "html"]).to_pandas()
+    df = df[df["html"].notna()]
+    pages_per_host = df["url"].str.extract(
+        r"^[a-z]+://([^/]+)")[0].value_counts()
+    nav = out[out["anchor_text"].isin(["Home", "About", "Contact"])]
+    assert set(nav["anchor_text"]) == {"Home", "About", "Contact"}
+    for host, grp in nav.groupby("dst_host"):
+        assert sorted(grp["n_anchors"]) == [pages_per_host[host]] * 3
+    # decorated texts come only from the frozen lexicon
+    from txiac_qc_ray.pipelines.webtext import ANCHOR_WORDS
+    rest = out[~out["anchor_text"].isin(["Home", "About", "Contact"])]
+    assert set(rest["anchor_text"]) <= set(ANCHOR_WORDS)

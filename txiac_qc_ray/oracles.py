@@ -3155,3 +3155,53 @@ def pmi_collocations_sql(k: int = 20, min_cnt: int = 5) -> str:
     JOIN uc ub ON ub.tok = split_part(bc.gram, ' ', 2)
     ORDER BY score DESC, bc.gram LIMIT {k}
     """
+
+
+def anchor_text_corpus_sql(pages_glob: str) -> str:
+    """Anchor-text-corpus twin: the extract_links decorated-anchor view
+    extended with the varied-text pick (a second mixed_list under
+    ANCHOR_TEXT_SALT indexes the frozen ANCHOR_WORDS lexicon), then the
+    decorated bytes are genuinely parsed with the SAME two-capture RE2
+    (list_zip of the two regexp_extract_all calls — numeric struct
+    index, named access fails on unnamed structs), relative hrefs
+    resolved against the page's own host, counts grouped per
+    (destination host, anchor text)."""
+    from .pipelines import webtext as w
+
+    lex = "[" + ", ".join(f"'{t}'" for t in w.ANCHOR_WORDS) + "]"
+    hs = (f"list_transform(generate_series(0, CAST(h % {w.LINK_OUT_MOD} "
+          f"AS BIGINT)), j -> (h + j) % {M64})")
+    anchor = (f"'<a href=\"https://host' || "
+              f"lpad(CAST(ml[i] % {w.LINK_HOST_SPACE} AS VARCHAR), 3, '0')"
+              f" || '.example/o/' || CAST(i-1 AS VARCHAR) || '\">' || "
+              f"({lex})[1 + CAST(mw[i] % {len(w.ANCHOR_WORDS)} AS BIGINT)]"
+              f" || '</a>'")
+    return f"""
+    WITH base AS (
+      SELECT url, decode(html) AS hs, {fnv_expr('url')} AS h
+      FROM read_parquet('{pages_glob}') WHERE html IS NOT NULL),
+    deco AS (
+      SELECT url, hs, {mixed_list(hs, w.LINK_SALT)} AS ml,
+             {mixed_list(hs, w.ANCHOR_TEXT_SALT)} AS mw FROM base),
+    anch AS (
+      SELECT url, hs || array_to_string(
+        list_transform(generate_series(1, len(ml)), i -> {anchor}),
+        '') AS dec
+      FROM deco),
+    zipped AS (
+      SELECT regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS src_host,
+             unnest(list_zip(
+               regexp_extract_all(dec, '{w.ANCHOR_PAIR_RE}', 1),
+               regexp_extract_all(dec, '{w.ANCHOR_PAIR_RE}', 2))) AS p
+      FROM anch),
+    resolved AS (
+      SELECT CASE WHEN p[1] LIKE '/%' THEN src_host
+                  ELSE regexp_extract(p[1], '{w.LINK_ABS_HOST_RE}', 1)
+             END AS dst_host, p[2] AS txt
+      FROM zipped)
+    SELECT dst_host, txt AS anchor_text,
+           CAST(count(*) AS BIGINT) AS n_anchors
+    FROM resolved
+    WHERE dst_host IS NOT NULL AND dst_host != ''
+    GROUP BY 1, 2
+    """

@@ -2867,3 +2867,115 @@ def source_datacard(paths: str | list[str]) -> "pd.DataFrame":
         "mean_words": round_half_away(mean_words, 4),
         "stop_ratio": round_half_away(stop_ratio, 4),
         "symbol_ratio": round_half_away(sym_ratio, 4)})
+
+
+# Anchor-text decoration: the extract_links decorated-outlink view,
+# extended with VARIED anchor text — the j-th appended anchor's text is
+# ANCHOR_WORDS[mix64(h + j + ANCHOR_TEXT_SALT) % 16] (the href target
+# stays the extract_links host pick, so the two ops describe the same
+# decorated graph). Both engines construct the same bytes and genuinely
+# parse them with the same two-capture RE2.
+ANCHOR_TEXT_SALT = 6364136223846793005  # frozen odd 64-bit constant
+ANCHOR_WORDS = ("click here", "read more", "home page", "official site",
+                "details", "next", "source", "reference", "download",
+                "learn more", "archive", "original", "report", "docs",
+                "profile", "gallery")
+ANCHOR_PAIR_RE = r'<a href="([^"]*)">([^<]*)</a>'  # the twin's form
+_ANCHOR_PIECE_RE = r'^(?P<h>[^"]*)">(?P<t>[^<]*)</a>'
+_HOSTNAMES = np.array([f"host{d:03d}.example"
+                       for d in range(LINK_HOST_SPACE)], dtype=object)
+_ANCHOR_WORDS_NP = np.array(ANCHOR_WORDS, dtype=object)
+
+
+def anchor_text_corpus(paths: str | list[str],
+                       n_shards: int | None = None) -> ray.data.Dataset:
+    """Anchor-text CORPUS construction over the decorated-anchor view —
+    the artifact retriever/query-generation training extracts from a
+    crawl (anchor text is the classic external document description;
+    MS-MARCO/ORCAS-class datasets are built exactly this way): parse
+    every `<a href="...">text</a>` from the html bytes, resolve the
+    destination host (relative hrefs -> the page's own host), and
+    aggregate texts per destination. -> streaming Dataset
+    (dst_host, anchor_text, n_anchors).
+
+    Scale shape: the extract_links contract exactly — one stateless
+    vectorized pass (variadic decoration join -> literal split ->
+    two-capture RE2 -> dictionary-encoded per-batch pair counts; html
+    never leaves the read task), then ONE bounded shuffle of
+    pre-aggregated (dst, text, partial-count) rows keyed on a pair-hash
+    shard; partials are (host x anchor-vocabulary)-sized, never
+    corpus-sized; no driver state.
+
+    Reference analog: the reference's pair-indicator concat + grouped
+    counters (Home.py:520-521 categorical pair keys -> groupby counts);
+    here the pair key is parsed out of the raw payload.
+    Twin: oracles.anchor_text_corpus_sql."""
+    ds = ray.data.read_parquet(paths, columns=["url", "html"])
+    if n_shards is None:
+        from .qc import _pages_shard_count
+
+        n_shards = _pages_shard_count(paths, floor=8)
+
+    def partials(t: pa.Table) -> pa.Table:
+        empty = pa.table({"dst_host": pa.array([], pa.string()),
+                          "anchor_text": pa.array([], pa.string()),
+                          "w": pa.array([], pa.int64()),
+                          "shard": pa.array([], pa.int64())})
+        t = t.filter(pc.is_valid(t.column("html")))
+        if len(t) == 0:
+            return empty
+        urls = _as_array(t.column("url"))
+        html = pc.cast(_as_array(t.column("html")), pa.string())
+        h = fnv1a64(urls)
+        k = 1 + (h % np.uint64(LINK_OUT_MOD)).astype(np.int64)
+        tags = []
+        for j in range(LINK_OUT_MOD):
+            dst_j = (_mix64(h + np.uint64(LINK_SALT + j))
+                     % np.uint64(LINK_HOST_SPACE)).astype(np.int64)
+            w_j = (_mix64(h + np.uint64(ANCHOR_TEXT_SALT + j))
+                   % np.uint64(len(ANCHOR_WORDS))).astype(np.int64)
+            tag = np.where(
+                j < k,
+                '<a href="https://' + _HOSTNAMES[dst_j] + f"/o/{j}" + '">'
+                + _ANCHOR_WORDS_NP[w_j] + "</a>", "")
+            tags.append(pa.array(tag, pa.string()))
+        dec = pc.binary_join_element_wise(html, *tags, "")
+        pieces = pc.list_slice(pc.split_pattern(dec, LINK_HREF_OPEN), 1)
+        parents = np.asarray(pc.list_parent_indices(pieces))
+        flat = pc.list_flatten(pieces)
+        ext = pc.extract_regex(flat, _ANCHOR_PIECE_RE)
+        href = pc.struct_field(ext, "h")
+        text = pc.struct_field(ext, "t")
+        src_flat = pc.take(host_of_urls(urls), pa.array(parents, pa.int64()))
+        abs_host = pc.struct_field(
+            pc.extract_regex(href, LINK_ABS_HOST_RE.replace(
+                "([^/?#]+)", "(?P<host>[^/?#]+)")), "host")
+        dst_host = pc.if_else(pc.starts_with(href, "/"), src_flat, abs_host)
+        key = pc.binary_join_element_wise(dst_host, text, "\x1f")
+        key = pc.drop_null(key)
+        if len(key) == 0:
+            return empty
+        d = pc.dictionary_encode(key)
+        vocab = d.dictionary
+        cnt = np.bincount(np.asarray(d.indices),
+                          minlength=len(vocab)).astype(np.int64)
+        parts = pc.split_pattern(vocab, "\x1f")
+        return pa.table({
+            "dst_host": pc.list_element(parts, 0),
+            "anchor_text": pc.list_element(parts, 1),
+            "w": pa.array(cnt),
+            "shard": pa.array((fnv1a64(vocab) % np.uint64(n_shards))
+                              .astype(np.int64)),
+        })
+
+    def finish(g: "pd.DataFrame") -> "pd.DataFrame":
+        import pandas as pd
+
+        s = (g.groupby(["dst_host", "anchor_text"], sort=False)["w"].sum()
+             .reset_index())
+        return pd.DataFrame({"dst_host": s["dst_host"],
+                             "anchor_text": s["anchor_text"],
+                             "n_anchors": s["w"].astype("int64")})
+
+    return (ds.map_batches(partials, batch_format="pyarrow")
+            .groupby("shard").map_groups(finish, batch_format="pandas"))
