@@ -234,12 +234,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # selection stays swept locally against its own twin, and its
         # fit table remains pytest-pinned equal to ngram_fluency's)
         "pmi_collocations": D.pmi_collocations,
-        # r5-NEW (session 6): PageRank-percentile page gate — takes
-        # vocab_topk's slot (driver-green r1-r3, unmodified in r5; its
-        # CMS scale twin is pytest-pinned equal, and the [a-z]+
-        # tokenize + int-count-partial kernels stay driven in-cap by
-        # ccnet_ppl_buckets over the same read)
-        "host_rank_filter": _host_rank_filter,
+        # r5-NEW (session 12): URL-shape spam-signal gate over the
+        # decorated-url view — takes host_rank_filter's slot (r5-s6,
+        # zero driver rows either way; its two kernels both stay driven
+        # in-cap — the integer PageRank via host_pagerank, the
+        # broadcast-rank searchsorted labeling via
+        # host_reputation_filter + quality_percentile, the same
+        # rank-table-then-label shape — and its unique order-statistic
+        # cut stays swept locally against its own twin)
+        "url_features": _url_features,
         # r5-NEW (session 10): T5-style deterministic span-corruption
         # plan — takes interleave_sources' slot (r5-final, zero driver
         # rows either way; interleave's closed-form WFQ schedule is
@@ -454,6 +457,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # list runs end to end in-cap inside host_pagerank +
         # host_components; stays swept locally against its own twin
         "extract_links": _extract_links,
+        # yielded to url_features (r5-s12): r5-s6 op with zero driver
+        # rows either way; the integer PageRank stays in-cap via
+        # host_pagerank and the broadcast-rank searchsorted labeling
+        # via host_reputation_filter + quality_percentile; its unique
+        # order-statistic cut stays swept locally against its own twin
+        "host_rank_filter": _host_rank_filter,
         # yielded to host_dup_rate (r5-s10): r5-s5 op with zero driver
         # rows either way; its mix64-uniform kernel stays in-cap via
         # language_balanced_sample + temperature_sample; its unique
@@ -947,6 +956,12 @@ def _host_pagerank(_sf_dir: str):
     return host_pagerank(_webtext_dir())
 
 
+def _url_features(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import url_features
+
+    return url_features(_webtext_dir())
+
+
 def _host_rank_filter(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import host_rank_filter
 
@@ -1104,6 +1119,8 @@ def oracle_sql() -> dict[str, str]:
         "gopher_quality_flags": O.gopher_quality_flags_sql(pages_glob),
         "gopher_repetition_stats": O.gopher_repetition_sql(pages_glob),
         "url_host_filter": O.url_host_filter_sql(pages_glob),
+        # URL-shape spam signals over the decorated-url view (r5-s12)
+        "url_features": O.url_features_sql(pages_glob),
         # PII audit counts + frozen-integer-weight linear quality
         # classifier (r5 session 3) — same RE2 constants both engines
         "pii_counts": O.pii_counts_sql(pages_glob),

@@ -267,6 +267,7 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         # r5 session 6: link-graph family (pages corpus)
         ("extract_links", lambda _sf: WT.extract_links(corpus)),
         ("anchor_text_corpus", lambda _sf: WT.anchor_text_corpus(corpus)),
+        ("url_features", lambda _sf: WT.url_features(corpus)),
         ("host_pagerank", lambda _sf: WT.host_pagerank(corpus)),
         ("host_rank_filter", lambda _sf: WT.host_rank_filter(corpus)),
         ("host_components", lambda _sf: WT.host_components(corpus)),

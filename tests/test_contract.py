@@ -237,7 +237,12 @@ def test_correctness_cap_covers_priority_queries():
         # + pair-shard exchange as a two-capture superset, and the edge
         # list runs end to end in-cap inside host_pagerank +
         # host_components; extract_links stays swept locally)
-        "anchor_text_corpus", "host_pagerank", "host_rank_filter",
+        # (host_rank_filter yielded its slot to url_features in session
+        # 12: the integer PageRank stays in-cap via host_pagerank and
+        # the broadcast-rank searchsorted labeling via
+        # host_reputation_filter + quality_percentile; its unique
+        # order-statistic cut stays swept locally)
+        "anchor_text_corpus", "host_pagerank", "url_features",
         "host_components",
         # r5-session-7 new ops (same rule).
         # (readability_scores yielded its slot to fineweb_quality_flags

@@ -74,3 +74,24 @@ def test_anchor_text_corpus_nav_invariant(ray_session):
     from txiac_qc_ray.pipelines.webtext import ANCHOR_WORDS
     rest = out[~out["anchor_text"].isin(["Home", "About", "Contact"])]
     assert set(rest["anchor_text"]) <= set(ANCHOR_WORDS)
+
+
+def test_url_features_gate_semantics(ray_session):
+    """Undecorated pages all keep (uniform fixture shape passes every
+    axis); each of the four decorations fails exactly its own axis;
+    the gate fires on a real fraction of the corpus (flag-rate lesson)."""
+    import __ray_entry__ as E
+    from txiac_qc_ray.pipelines import webtext as w
+
+    out = w.url_features(E._webtext_dir()).to_pandas()
+    base = out[out["url_len"] == 34]  # undecorated
+    assert base["keep"].all() and len(base) > 0
+    dec = out[out["url_len"] != 34]
+    assert 0.2 < len(dec) / len(out) < 0.5  # ~1/3 decorated
+    assert not dec["keep"].any()
+    # every axis fires somewhere
+    assert (dec["path_depth"] > w.URLFEAT_MAX_DEPTH).any()
+    assert (dec["n_params"] > w.URLFEAT_MAX_PARAMS).any()
+    assert (dec["url_len"] > w.URLFEAT_MAX_LEN).any()
+    assert (w.URLFEAT_DIGIT_DEN * dec["n_digits"]
+            > w.URLFEAT_DIGIT_NUM * dec["url_len"]).any()

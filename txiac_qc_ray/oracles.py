@@ -3205,3 +3205,45 @@ def anchor_text_corpus_sql(pages_glob: str) -> str:
     WHERE dst_host IS NOT NULL AND dst_host != ''
     GROUP BY 1, 2
     """
+
+
+def url_features_sql(pages_glob: str) -> str:
+    """URL-shape twin over the same decorated-url view: the SAME
+    mix64(fnv(url) + SALT) chain picks the decoration (fnv materialized
+    once per the house rule), the SAME four suffix constants, then
+    length/regexp-count kernels measure the identical string and the
+    keep gate is the identical integer comparison chain."""
+    from .pipelines import webtext as w
+
+    mix = mix64_scalar(f"(f + {w.URLFEAT_SALT}::HUGEINT) % {M64}")
+    variants = " ".join(
+        f"WHEN {i} THEN '{s}'" for i, s in enumerate(w.URLFEAT_DECOR))
+    return f"""
+    WITH base AS (SELECT url, {fnv_expr('url')} AS f
+                  FROM read_parquet('{pages_glob}')),
+    m AS (SELECT url, {mix} AS h FROM base),
+    dec AS (SELECT url,
+                   url || CASE WHEN h % {w.URLFEAT_MOD} = 0
+                     THEN (CASE CAST((h // {w.URLFEAT_MOD})
+                                     % {len(w.URLFEAT_DECOR)} AS BIGINT)
+                           {variants} END)
+                     ELSE '' END AS d
+            FROM m),
+    feat AS (SELECT url,
+                    CAST(length(d) AS BIGINT) AS url_len,
+                    CAST(len(regexp_extract_all(d, '/')) - 2 AS BIGINT)
+                      AS path_depth,
+                    CAST(CASE WHEN contains(d, '?')
+                         THEN len(regexp_extract_all(d, '&')) + 1
+                         ELSE 0 END AS BIGINT) AS n_params,
+                    CAST(len(regexp_extract_all(d, '[0-9]')) AS BIGINT)
+                      AS n_digits
+             FROM dec)
+    SELECT url, url_len, path_depth, n_params, n_digits,
+           (path_depth <= {w.URLFEAT_MAX_DEPTH}
+            AND n_params <= {w.URLFEAT_MAX_PARAMS}
+            AND url_len <= {w.URLFEAT_MAX_LEN}
+            AND {w.URLFEAT_DIGIT_DEN} * n_digits
+                <= {w.URLFEAT_DIGIT_NUM} * url_len) AS keep
+    FROM feat
+    """

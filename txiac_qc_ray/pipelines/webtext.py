@@ -2979,3 +2979,83 @@ def anchor_text_corpus(paths: str | list[str],
 
     return (ds.map_batches(partials, batch_format="pyarrow")
             .groupby("shard").map_groups(finish, batch_format="pandas"))
+
+
+# URL-shape decoration (the canonical_url_dedup union-view pattern):
+# the fixture's urls are uniform (`https://hostNNN.example/p/NNNNNNNN`),
+# so a shape gate would be constant; pages with
+# mix64(fnv(url) + URLFEAT_SALT) % URLFEAT_MOD == 0 get ONE of four
+# spam-shaped decorations appended (picked by the next hash bits), and
+# both engines construct and genuinely measure the same decorated url.
+URLFEAT_SALT = 11400714819323198485  # frozen odd 64-bit constant
+URLFEAT_MOD = 3
+URLFEAT_DECOR = (
+    "?utm_source=feed&utm_medium=rss&ref=123",   # tracking params
+    "/buy/cheap/pills/0001/9999/77777",          # deep spam path
+    "?s=9999999999999999999999999999999999999999",  # digit-stuffed query
+    "/a/b/c/d/e/f/g/h",                          # pure depth
+)
+URLFEAT_MAX_DEPTH = 6     # path segments past the host
+URLFEAT_MAX_PARAMS = 2
+URLFEAT_MAX_LEN = 64
+URLFEAT_DIGIT_NUM, URLFEAT_DIGIT_DEN = 1, 2  # digits/len <= 1/2
+
+
+def url_features(paths: str | list[str]) -> ray.data.Dataset:
+    """URL-shape quality signals over the decorated-url view — the
+    published URL-level filtering axis BEYOND the blocklist
+    (RefinedWeb/FineWeb drop SEO-spam urls by shape: excessive path
+    depth, tracking-parameter counts, digit stuffing, absurd length):
+    per page emit url_len, path_depth ('/' count minus the scheme's
+    two), n_params (0 without '?', else '&' count + 1), n_digits, and
+    keep = depth <= 6 AND params <= 2 AND len <= 64 AND the
+    integer-cross-multiplied digit-ratio gate
+    DIGIT_DEN * n_digits <= DIGIT_NUM * url_len (ratio <= 1/2; all
+    four thresholds are frozen module constants the twin embeds).
+    -> streaming Dataset (url, url_len, path_depth, n_params,
+    n_digits, keep); ~1/3 of fixture pages draw a decoration and fail
+    exactly one axis each (flag-rate lesson: a gate that never fires
+    checks nothing).
+
+    Scale shape: one stateless vectorized pass — five RE2/length
+    kernels over the url column only (html is never read), no shuffle,
+    no driver state; a pure map at 100 TB.
+
+    Reference analog: the reference's per-row derived features +
+    threshold flags (Home.py:138-139, 176-183) keyed on url shape.
+    Twin: oracles.url_features_sql."""
+    ds = ray.data.read_parquet(paths, columns=["url"])
+    n_var = len(URLFEAT_DECOR)
+
+    def stage(t: pa.Table) -> pa.Table:
+        urls = _as_array(t.column("url"))
+        h = _mix64(fnv1a64(urls) + np.uint64(URLFEAT_SALT))
+        dec_on = (h % np.uint64(URLFEAT_MOD)) == 0
+        pick = ((h // np.uint64(URLFEAT_MOD)) % np.uint64(n_var)
+                ).astype(np.int64)
+        suffix = np.where(
+            dec_on, np.array(URLFEAT_DECOR, dtype=object)[pick], "")
+        dec = pc.binary_join_element_wise(
+            urls, pa.array(suffix, pa.string()), "")
+        url_len = np.asarray(pc.utf8_length(dec)).astype(np.int64)
+        slashes = _count_re(dec, "/").astype(np.int64)
+        path_depth = slashes - 2  # 'https://' contributes two
+        has_q = np.asarray(pc.match_substring(dec, "?"))
+        amps = _count_re(dec, "&").astype(np.int64)
+        n_params = np.where(has_q, amps + 1, 0).astype(np.int64)
+        n_digits = _count_re(dec, "[0-9]").astype(np.int64)
+        keep = ((path_depth <= URLFEAT_MAX_DEPTH)
+                & (n_params <= URLFEAT_MAX_PARAMS)
+                & (url_len <= URLFEAT_MAX_LEN)
+                & (URLFEAT_DIGIT_DEN * n_digits
+                   <= URLFEAT_DIGIT_NUM * url_len))
+        return pa.table({
+            "url": urls,
+            "url_len": pa.array(url_len),
+            "path_depth": pa.array(path_depth),
+            "n_params": pa.array(n_params),
+            "n_digits": pa.array(n_digits),
+            "keep": pa.array(keep),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow")
