@@ -393,13 +393,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # yielded its slot: r4-driver-green, unmodified in r5, and the
         # in-cap chunk_for_training_bpe shares _chunk_token_stream)
         "topk_per_group": W.topk_per_group,
-        # r5-NEW (session 10): language-temperature sampling (alpha=1/2,
-        # integer-exact isqrt weights) — takes embed_docs' slot:
-        # ann_topk_from_text (in-cap, below) RUNS embed_docs' entire
-        # hashing-projection kernel end to end as its first fused stage,
-        # so one driver row value-checks both; embed_docs stays swept
-        # locally against its own HUGEINT twin
-        "temperature_sample": D.temperature_sample,
+        # r5-NEW (session 12): winnowing document fingerprints — takes
+        # temperature_sample's slot (r5-s10, zero driver rows either
+        # way; its mix64-uniform keep kernel stays driven in-cap by
+        # language_balanced_sample and its integer cross-multiplied
+        # decision by token_balanced_mixture; its unique isqrt
+        # smoothing stays swept locally against its own twin)
+        "winnow_fingerprints": D.winnow_fingerprints,
         # r5-NEW end-to-end text -> embedding -> ANN composition (runs
         # the embed_docs kernel in-cap; see temperature_sample's slot)
         "ann_topk_from_text": D.ann_topk_from_text,
@@ -463,6 +463,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # via host_reputation_filter + quality_percentile; its unique
         # order-statistic cut stays swept locally against its own twin
         "host_rank_filter": _host_rank_filter,
+        # yielded to winnow_fingerprints (r5-s12): r5-s10 op with zero
+        # driver rows either way; its mix64-uniform keep kernel stays
+        # in-cap via language_balanced_sample, its integer
+        # cross-multiplied decision via token_balanced_mixture; the
+        # isqrt smoothing stays swept locally against its own twin
+        "temperature_sample": D.temperature_sample,
         # yielded to host_dup_rate (r5-s10): r5-s5 op with zero driver
         # rows either way; its mix64-uniform kernel stays in-cap via
         # language_balanced_sample + temperature_sample; its unique
@@ -1341,6 +1347,8 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1, 2
         """,
         "fingerprint_docs": O.fingerprint_sql(),
+        # winnowing (pos, hash) fingerprint sets (r5-s12)
+        "winnow_fingerprints": O.winnow_fingerprints_sql(),
         "langid_docs": O.langid_sql(),
         "decontaminate": O.decontaminate_sql(50, 5),
         "contamination_fraction": O.contamination_fraction_sql(50, 10),

@@ -243,6 +243,7 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("tumbling_distinct_users", R.tumbling_distinct_users),
         ("ngram_lm_export", D.ngram_lm_export),
         ("pmi_collocations", D.pmi_collocations),
+        ("winnow_fingerprints", D.winnow_fingerprints),
         ("incremental_dedup", D.incremental_dedup),
         ("topic_mixture_report", D.topic_mixture_report),
         ("train_val_split", lambda _sf: WT.train_val_split(corpus)),

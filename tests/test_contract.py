@@ -312,7 +312,12 @@ def test_correctness_cap_covers_priority_queries():
         # against its own HUGEINT twin)
         "ann_topk_from_text",
         # r5-session-10 new ops (same rule: new ops ride the cap)
-        "temperature_sample",
+        # (temperature_sample yielded its slot to winnow_fingerprints
+        # in session 12: its mix64-uniform keep kernel stays in-cap via
+        # language_balanced_sample and its integer cross-multiplied
+        # decision via token_balanced_mixture; the isqrt smoothing
+        # stays swept locally)
+        "winnow_fingerprints",
         "ccnet_ppl_buckets", "remove_dup_windows",
         # (knn_self_join / embedding_neardup_clusters — both r5-s2 ops
         # with zero driver rows either way — yielded their slots to the

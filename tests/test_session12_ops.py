@@ -95,3 +95,42 @@ def test_url_features_gate_semantics(ray_session):
     assert (dec["url_len"] > w.URLFEAT_MAX_LEN).any()
     assert (w.URLFEAT_DIGIT_DEN * dec["n_digits"]
             > w.URLFEAT_DIGIT_NUM * dec["url_len"]).any()
+
+
+def test_winnow_guarantee_and_python_reference(ray_session):
+    """Winnowing property (Schleimer et al. 2003): within any doc with
+    >= w grams, every w-window contains a selected position — so the
+    gap between consecutive selections is < w. Plus a brute-force
+    python reference over the engine's own hash stream."""
+    import pyarrow as pa
+    from txiac_qc_ray.functions import textstats as ts
+    from txiac_qc_ray.pipelines.docs import (_ngram_hashes_tv,
+                                             winnow_fingerprints)
+
+    W = 4
+    out = winnow_fingerprints(SF, w=W).to_pandas()
+    df = pq.read_table(SF + "/documents.parquet",
+                      columns=["doc_id", "text"]).to_pandas()
+    tv = ts.tokenize(pa.array(df["text"], pa.string()))
+    h, offsets, _ = _ngram_hashes_tv(tv, 3)
+    by_doc = {d: g.sort_values("pos") for d, g in out.groupby("doc_id")}
+    n_checked = 0
+    for row_i, doc_id in enumerate(df["doc_id"]):
+        grams = h[offsets[row_i]:offsets[row_i + 1]]
+        if len(grams) < W:
+            assert doc_id not in by_doc
+            continue
+        # brute-force rightmost-min selection
+        sel = set()
+        for i in range(len(grams) - W + 1):
+            window = grams[i:i + W]
+            mn = window.min()
+            sel.add(i + max(j for j in range(W) if window[j] == mn))
+        got = by_doc[doc_id]
+        assert sorted(sel) == list(got["pos"])
+        # every w-window holds a selection => consecutive selections
+        # are at most w apart (the next window can pick its right edge)
+        gaps = np.diff(sorted(sel))
+        assert (gaps <= W).all() if len(gaps) else True
+        n_checked += 1
+    assert n_checked > 400  # the fixture docs are long enough

@@ -3247,3 +3247,40 @@ def url_features_sql(pages_glob: str) -> str:
                 <= {w.URLFEAT_DIGIT_NUM} * url_len) AS keep
     FROM feat
     """
+
+
+def winnow_fingerprints_sql(n: int = 3, w: int = 4) -> str:
+    """Winnowing twin: the SAME mixed_list gram hashes in HUGEINT
+    (m_k[i] = mix64(tokhash[i] + (k+1)), gram = xor chain — the
+    fingerprint_sql machinery), then per window of w grams the minimum
+    with the rightmost-tie rule via list_position over the REVERSED
+    slice (first position in the reversed window = rightmost in the
+    original — exactly the engine's argmin-of-reversed-view)."""
+    gram = "xor(xor(m0[i], m1[i+1]), m2[i+2])"
+    assert n == 3, "twin is generated for the house trigram"
+    mixes = ", ".join(f"{mixed_list('hs', k + 1)} AS m{k}" for k in range(n))
+    return f"""
+    WITH hs_t AS (
+      SELECT doc_id, list_transform(regexp_extract_all(lower(text), '[a-z]+'),
+                                    t -> {fnv_expr('t')}) AS hs
+      FROM documents
+    ),
+    mixed AS (SELECT doc_id, {mixes}, len(hs) AS nt FROM hs_t),
+    grams AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(nt - {n - 1}, 0)),
+                            i -> {gram}) AS g
+      FROM mixed
+    ),
+    sel AS (
+      SELECT doc_id, g,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(g) - {w - 1}, 0)),
+               i -> i + {w} - list_position(list_reverse(g[i:i+{w - 1}]),
+                                            list_min(g[i:i+{w - 1}]))))
+               AS poss
+      FROM grams
+    )
+    SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos, {hex16('g[p]')} AS fp
+    FROM (SELECT doc_id, g, unnest(poss) AS p FROM sel)
+    """

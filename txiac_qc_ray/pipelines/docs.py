@@ -6631,3 +6631,67 @@ def pmi_collocations(sf_dir: str, k: int = 20, min_cnt: int = 5
         .limit(k).to_pandas(), spec)
     out["cnt"] = out["cnt"].astype(np.int64)
     return out[["gram", "cnt", "score"]].reset_index(drop=True)
+
+
+def winnow_fingerprints(sf_dir: str, n: int = 3, w: int = 4
+                        ) -> ray.data.Dataset:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    2003, the MOSS algorithm — public): over each doc's word-{n}-gram
+    hash sequence, every window of {w} consecutive hashes selects its
+    minimum (rightmost on ties), and the fingerprint is the distinct
+    selected (position, hash) set. The winnowing guarantee: any shared
+    substring of >= w + n - 1 tokens between two docs shares at least
+    one selected fingerprint — the robust local sketch `fingerprint_docs`
+    (global min-3) cannot provide. Docs with fewer than w grams emit
+    nothing (the paper's guarantee needs one full window; documented).
+    -> streaming Dataset (doc_id, pos, fp): pos = 0-based gram start,
+    fp = 16-hex gram hash.
+
+    Scale shape: one stateless vectorized pass — gram hashes from the
+    shared _ngram_hashes_tv core, the windowed rightmost-argmin over a
+    zero-copy sliding_window_view (argmin of the reversed view), and a
+    per-batch lexsort dedup of selections; no shuffle, no driver state
+    (selection is per-document, so it never crosses batches).
+
+    Reference analog: none in Home.py (content-sketch op the north_rule
+    dedup family needs). Twin: oracles.winnow_fingerprints_sql — the
+    same mixed_list gram hashes in HUGEINT, the same rightmost rule via
+    list_position over the reversed window slice."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                          "pos": pa.array([], pa.int64()),
+                          "fp": pa.array([], pa.string())})
+        if len(t) == 0:
+            return empty
+        doc_ids = np.asarray(t["doc_id"]).astype(np.int64)
+        tv = ts.tokenize(t["text"].combine_chunks()
+                         if isinstance(t["text"], pa.ChunkedArray)
+                         else t["text"])
+        h, offsets, _ = _ngram_hashes_tv(tv, n)
+        if len(h) < w:
+            return empty
+        gram_doc = np.repeat(np.arange(len(offsets) - 1, dtype=np.int64),
+                             np.diff(offsets))
+        win = np.lib.stride_tricks.sliding_window_view(h, w)
+        valid = gram_doc[: len(win)] == gram_doc[w - 1:]
+        if not valid.any():
+            return empty
+        # rightmost argmin: first minimum of the REVERSED window
+        ridx = (w - 1) - np.argmin(win[:, ::-1], axis=1)
+        sel = np.nonzero(valid)[0] + ridx[valid]
+        doc = gram_doc[sel]
+        pos = sel - offsets[doc]
+        # distinct (doc, pos) — adjacent windows reselect the same min
+        order = np.lexsort((pos, doc))
+        doc, pos = doc[order], pos[order]
+        first = np.ones(len(doc), dtype=bool)
+        first[1:] = (doc[1:] != doc[:-1]) | (pos[1:] != pos[:-1])
+        doc, pos = doc[first], pos[first]
+        fp = h[sel[order][first]]
+        return pa.table({"doc_id": pa.array(doc_ids[doc]),
+                         "pos": pa.array(pos),
+                         "fp": _hex16(fp)})
+
+    return ds.map_batches(stage, batch_format="pyarrow")
