@@ -243,14 +243,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rank-table-then-label shape — and its unique order-statistic
         # cut stays swept locally against its own twin)
         "url_features": _url_features,
-        # r5-NEW (session 10): T5-style deterministic span-corruption
-        # plan — takes interleave_sources' slot (r5-final, zero driver
-        # rows either way; interleave's closed-form WFQ schedule is
-        # integer arithmetic over per-source counts — the metadata-
-        # count kernel every in-cap mixing op drives — and its unique
-        # schedule rollup stays swept locally; a brand-new op with zero
-        # coverage anywhere outranks it for the final driver run)
-        "span_corruption_plan": D.span_corruption_plan,
+        # r5-NEW (session 12): code-vs-prose routing gate over the
+        # decorated-text view — takes span_corruption_plan's slot
+        # (r5-s10, zero driver rows either way; its two kernels stay
+        # driven in-cap — the mix64 deterministic grid by the sampling
+        # family and the session-12 decoration ops, the
+        # generate_series/repeat span explode by passage_chunks — and
+        # its unique 15%-rate noise plan stays swept locally against
+        # its own twin)
+        "code_detect": _code_detect,
         # r5-NEW (session 6): mutual-strong-link host clusters — takes
         # neardup_clusters_distributed's slot (driver-green r2-r4,
         # locally swept since; host_components drives the SAME shared
@@ -469,6 +470,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # cross-multiplied decision via token_balanced_mixture; the
         # isqrt smoothing stays swept locally against its own twin
         "temperature_sample": D.temperature_sample,
+        # yielded to code_detect (r5-s12): r5-s10 op with zero driver
+        # rows either way; its mix64 grid kernel stays in-cap via the
+        # sampling family + the decoration ops, its span explode via
+        # passage_chunks; the 15%-rate plan stays swept locally
+        "span_corruption_plan": D.span_corruption_plan,
         # yielded to host_dup_rate (r5-s10): r5-s5 op with zero driver
         # rows either way; its mix64-uniform kernel stays in-cap via
         # language_balanced_sample + temperature_sample; its unique
@@ -962,6 +968,12 @@ def _host_pagerank(_sf_dir: str):
     return host_pagerank(_webtext_dir())
 
 
+def _code_detect(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import code_detect
+
+    return code_detect(_webtext_dir())
+
+
 def _url_features(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import url_features
 
@@ -1127,6 +1139,8 @@ def oracle_sql() -> dict[str, str]:
         "url_host_filter": O.url_host_filter_sql(pages_glob),
         # URL-shape spam signals over the decorated-url view (r5-s12)
         "url_features": O.url_features_sql(pages_glob),
+        # code-vs-prose gate over the decorated-text view (r5-s12)
+        "code_detect": O.code_detect_sql(pages_glob),
         # PII audit counts + frozen-integer-weight linear quality
         # classifier (r5 session 3) — same RE2 constants both engines
         "pii_counts": O.pii_counts_sql(pages_glob),

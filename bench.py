@@ -269,6 +269,7 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("extract_links", lambda _sf: WT.extract_links(corpus)),
         ("anchor_text_corpus", lambda _sf: WT.anchor_text_corpus(corpus)),
         ("url_features", lambda _sf: WT.url_features(corpus)),
+        ("code_detect", lambda _sf: WT.code_detect(corpus)),
         ("host_pagerank", lambda _sf: WT.host_pagerank(corpus)),
         ("host_rank_filter", lambda _sf: WT.host_rank_filter(corpus)),
         ("host_components", lambda _sf: WT.host_components(corpus)),

@@ -226,10 +226,11 @@ def test_correctness_cap_covers_priority_queries():
         # as the overlap matrix in-cap; all three displaced ops stay
         # swept locally against their own twins)
         # (interleave_sources yielded its slot to span_corruption_plan
-        # in session 10: its WFQ schedule is integer arithmetic over
-        # per-source counts — the metadata-count kernel in-cap mixing
-        # ops drive; stays swept locally)
-        "span_corruption_plan",
+        # in session 10; span_corruption_plan then yielded to
+        # code_detect in session 12: its mix64 grid kernel stays in-cap
+        # via the sampling family + the decoration ops, its span
+        # explode via passage_chunks; stays swept locally)
+        "code_detect",
         "hard_negatives", "inverted_index", "shingle_novelty",
         # r5-session-6 new ops (same rule: new ops ride the cap).
         # (extract_links yielded its slot to anchor_text_corpus in

@@ -134,3 +134,26 @@ def test_winnow_guarantee_and_python_reference(ray_session):
         assert (gaps <= W).all() if len(gaps) else True
         n_checked += 1
     assert n_checked > 400  # the fixture docs are long enough
+
+
+def test_code_detect_gate_semantics(ray_session):
+    """Undecorated prose never trips the gate (the symbol class
+    excludes '=' precisely because fixture prose carries url-query
+    runs); every decorated page trips it regardless of page length
+    (the proportional-repetition property); rate ~ 1/4."""
+    import __ray_entry__ as E
+    from txiac_qc_ray.pipelines import webtext as w
+    import numpy as np
+    import pyarrow as pa
+    from txiac_qc_ray.pipelines.docs import _mix64
+    from txiac_qc_ray.functions.urls import fnv1a64
+
+    out = w.code_detect(E._webtext_dir()).to_pandas()
+    h = _mix64(fnv1a64(pa.array(out["url"], pa.string()))
+               + np.uint64(w.CODE_SALT))
+    decorated = ((h % np.uint64(w.CODE_MOD)) == 0) & (out["n_words"] > 0)
+    assert out.loc[decorated, "is_code"].all()
+    assert not out.loc[~decorated, "is_code"].any()
+    rate = decorated.mean()
+    assert 0.15 < rate < 0.35
+    assert (out["keep"] == ~out["is_code"]).all()

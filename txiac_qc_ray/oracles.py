@@ -3284,3 +3284,48 @@ def winnow_fingerprints_sql(n: int = 3, w: int = 4) -> str:
     SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos, {hex16('g[p]')} AS fp
     FROM (SELECT doc_id, g, unnest(poss) AS p FROM sel)
     """
+
+
+def code_detect_sql(pages_glob: str) -> str:
+    """Code-gate twin over the same decorated-text view: the SAME
+    mix64(fnv(url) + SALT) pick, the SAME snippet constants repeated
+    1 + n_words // CODE_REP_WORDS times (repeat() mirrors the engine's
+    object-array string multiply), then the SAME three RE2 counts and
+    the identical integer gate chain. Null text -> NULL decorated
+    string -> zero counts -> is_code false (both engines)."""
+    from .pipelines import webtext as w
+
+    mix = mix64_scalar(f"(f + {w.CODE_SALT}::HUGEINT) % {M64}")
+    variants = " ".join(
+        f"WHEN {i} THEN '{s}'".replace("\n", chr(10))
+        for i, s in enumerate(x.replace("'", "''")
+                              for x in w.CODE_SNIPPETS))
+    return f"""
+    WITH base AS (SELECT url, text, {fnv_expr('url')} AS f
+                  FROM read_parquet('{pages_glob}')),
+    m AS (SELECT url, text, {mix} AS h FROM base),
+    dec AS (SELECT url,
+                   text || ' ' || CASE WHEN h % {w.CODE_MOD} = 0
+                     THEN repeat(
+                       (CASE CAST((h // {w.CODE_MOD})
+                                  % {len(w.CODE_SNIPPETS)} AS BIGINT)
+                        {variants} END),
+                       CAST(1 + len(regexp_extract_all(text, '{w.WORD_RE}'))
+                            // {w.CODE_REP_WORDS} AS BIGINT))
+                     ELSE '' END AS d
+            FROM m),
+    feat AS (SELECT url,
+                    coalesce(len(regexp_extract_all(d, '{w.WORD_RE}')), 0)
+                      ::BIGINT AS n_words,
+                    coalesce(len(regexp_extract_all(d, '{w.CODE_SYM_RE}')), 0)
+                      ::BIGINT AS n_code_sym,
+                    coalesce(len(regexp_extract_all(d, '{w.CODE_KW_RE}')), 0)
+                      ::BIGINT AS n_kw
+             FROM dec)
+    SELECT url, n_words, n_code_sym, n_kw,
+           ({w.CODE_SYM_DEN} * n_code_sym >= {w.CODE_SYM_NUM} * n_words
+            AND n_kw >= {w.CODE_MIN_KW} AND n_words > 0) AS is_code,
+           NOT ({w.CODE_SYM_DEN} * n_code_sym >= {w.CODE_SYM_NUM} * n_words
+                AND n_kw >= {w.CODE_MIN_KW} AND n_words > 0) AS keep
+    FROM feat
+    """

@@ -3059,3 +3059,87 @@ def url_features(paths: str | list[str]) -> ray.data.Dataset:
         })
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+# Code-vs-prose decoration (the url_features union-view pattern): the
+# fixture text is pure prose, so a code gate would never fire; pages
+# with mix64(fnv(url) + CODE_SALT) % CODE_MOD == 0 get ONE of three
+# frozen code snippets appended to the text view (picked by the next
+# hash bits). Both engines construct and genuinely measure the same
+# decorated text.
+CODE_SALT = 14029467366897019727  # frozen odd 64-bit constant
+CODE_MOD = 4
+CODE_SNIPPETS = (
+    "function init(x) { var y = x * 2; if (y > 10) { return y; } "
+    "else { return 0; } } const z = init(7); console.log(z);",
+    "def main(argv): import sys; x = int(argv[1]); return x * x\n"
+    "if __name__ == '__main__': print(main(['', '3']));",
+    "int sum(int n) { int s = 0; for (int i = 0; i < n; i++) "
+    "{ s += i; } return s; } void run() { printf(\"%d\", sum(9)); }",
+)
+# '=' is deliberately NOT in the symbol class: the fixture's prose
+# carries url-query '=' runs (scrub-target decorations), measured up to
+# ratio 0.22 — braces/parens/semicolons separate cleanly (base max
+# 0.036 vs decorated >= ~0.2 under the 1/10 gate)
+CODE_SYM_RE = r"[{}();\[\]]"
+CODE_KW_RE = (r"\b(def|return|import|function|var|const|void|int|"
+              r"for|if|else|printf|console)\b")
+CODE_SYM_NUM, CODE_SYM_DEN = 1, 10   # code iff syms/words >= 1/10 ...
+CODE_MIN_KW = 2                      # ... AND >= 2 keyword hits
+CODE_REP_WORDS = 32  # snippet repeats 1 + n_words//32 times (a real
+#                      code page is MOSTLY code, not a 25-word tail on
+#                      500 words of prose — repetition keeps the
+#                      decorated ratio scale-free in page length)
+
+
+def code_detect(paths: str | list[str]) -> ray.data.Dataset:
+    """Code-vs-prose gate over the decorated-text view — the routing
+    classifier corpus pipelines run before language-specific filtering
+    (StarCoder/RedPajama-class pipelines split code from prose with
+    exactly these surface signals: code-symbol density and reserved
+    words): per page emit n_words (\\S+ tokens), n_code_sym
+    (brace/paren/semicolon/assignment chars), n_kw (frozen reserved-
+    word alternation hits), is_code = the integer cross-multiplied
+    density gate CODE_SYM_DEN * n_code_sym >= CODE_SYM_NUM * n_words
+    AND n_kw >= CODE_MIN_KW, keep = NOT is_code (a prose-quality
+    pipeline drops code; a code pipeline flips the gate). Null text ->
+    zero counts, is_code false (pii_counts convention).
+
+    Scale shape: one stateless vectorized pass — one variadic join for
+    the decoration + three RE2 count kernels, no shuffle, no driver
+    state; a pure map at 100 TB.
+
+    Reference analog: the reference's threshold rule flagger
+    (Home.py:176-183) over payload-derived density features.
+    Twin: oracles.code_detect_sql."""
+    ds = ray.data.read_parquet(paths, columns=["url", "text"])
+    n_var = len(CODE_SNIPPETS)
+
+    def stage(t: pa.Table) -> pa.Table:
+        urls = _as_array(t.column("url"))
+        text = _as_array(t.column("text"))
+        h = _mix64(fnv1a64(urls) + np.uint64(CODE_SALT))
+        dec_on = ((h % np.uint64(CODE_MOD)) == 0) & np.asarray(
+            pc.is_valid(text))
+        pick = ((h // np.uint64(CODE_MOD)) % np.uint64(n_var)
+                ).astype(np.int64)
+        reps = 1 + _count_re(text, WORD_RE) // CODE_REP_WORDS
+        one = np.array(CODE_SNIPPETS, dtype=object)[pick]
+        suffix = np.where(dec_on, one * reps, "")
+        dec = pc.binary_join_element_wise(
+            text, pa.array(suffix, pa.string()), " ")
+        n_words = _count_re(dec, WORD_RE)
+        n_sym = _count_re(dec, CODE_SYM_RE)
+        n_kw = _count_re(dec, CODE_KW_RE)
+        is_code = ((CODE_SYM_DEN * n_sym >= CODE_SYM_NUM * n_words)
+                   & (n_kw >= CODE_MIN_KW) & (n_words > 0))
+        return pa.table({
+            "url": urls,
+            "n_words": pa.array(n_words),
+            "n_code_sym": pa.array(n_sym),
+            "n_kw": pa.array(n_kw),
+            "is_code": pa.array(is_code),
+            "keep": pa.array(~is_code),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow")
