@@ -78,7 +78,8 @@ def test_every_query_survives_empty_tables(ray_session, empty_dir):
                             "host_rank_filter", "host_components",
                             "lexical_diversity", "readability_scores",
                             "fineweb_quality_flags", "normalize_unicode",
-                            "noindex_filter",
+                            "noindex_filter", "url_features",
+                            "code_detect", "anchor_text_corpus",
                             "extraction_yield", "dedup_normalized",
                             "lang_confusion", "pii_density_by_host",
                             "crawl_drift")):
