@@ -172,11 +172,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # value-checks both; decontaminate stays swept locally
         "contamination_fraction": D.contamination_fraction,
         # ---- 28 of the 33 r4-tail queries, rotated back in (item 7) --
-        # r5-NEW (final session): per-source unigram TV divergence —
-        # takes deterministic_shuffle's slot (driver-green r2+r3,
-        # unmodified in r5; the mix64-uniform kernel it drives stays
-        # in-cap via exact_budget_sample and language_balanced_sample)
-        "source_divergence_tv": D.source_divergence_tv,
+        # r5-NEW (session 13): WARC source ingest — takes
+        # source_divergence_tv's slot (r5-final, zero driver rows
+        # either way; TV's per-source unigram dictionary pre-reduce +
+        # distinct-gram groupby kernel stays driven in-cap by
+        # pmi_collocations, its token df shuffle by doc_commonness, and
+        # its unique TV fold stays swept locally against its own twin).
+        # The WARC record parser has NO coverage anywhere else on the
+        # surface, so it outranks for the final driver run; the row
+        # also re-drives the frozen extractor + byte-identical-
+        # extraction invariant from the container format end to end.
+        "warc_ingest_pages": _warc_ingest_pages,
         # r5-NEW (session 10): per-source exact-duplicate-rate rollup —
         # takes exact_budget_sample's slot (r5-s5, zero driver rows
         # either way; its replayable mix64-uniform kernel stays driven
@@ -607,6 +613,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (mix64 uniforms via exact_budget_sample; fnv/mix hashing via
         # simhash_neardup_pairs + dup_window_fraction)
         "deterministic_shuffle": D.deterministic_shuffle,
+        # yielded to warc_ingest_pages (r5-s13): r5-final op with zero
+        # driver rows either way; its per-source unigram dictionary
+        # pre-reduce + distinct-gram groupby kernel stays driven in-cap
+        # by pmi_collocations and its token df shuffle by
+        # doc_commonness; the unique TV fold stays swept locally
+        "source_divergence_tv": D.source_divergence_tv,
         "fingerprint_docs": D.fingerprint_docs,
         # yielded to interleave_sources (r5-final): driver-green r2+r3,
         # unmodified in r5; neardup_clusters_distributed stays in-cap,
@@ -1085,6 +1097,39 @@ def _jsonl_ingest_docs(_sf_dir: str):
     return df.sort_values("doc_id", ignore_index=True)
 
 
+def _warc_ingest_pages(_sf_dir: str):
+    """WARC source parity (S1 family, fourth format — the Common Crawl
+    container, ISO 28500): render the deterministic pages fixture as
+    WARC/1.0 shards (cached like the parquet fixture), stream them back
+    through the from-scratch WarcDatasource (sources/warc.py — one read
+    task per shard, bounded in-task buffer, Arrow blocks every 512
+    records), and run the frozen extractor over the parsed payloads.
+    The DuckDB twin reads the SAME logical rows from the pages parquet,
+    so container round-trip fidelity (url, timestamp, payload bytes)
+    AND the byte-identical-extraction invariant are value-checked end
+    to end starting from the container format a real crawl ships.
+    NULL-html rows are not representable in WARC (a crawler never emits
+    a response record without a payload): the serializer skips them and
+    the twin filters `html IS NOT NULL`."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from txiac_qc_ray.sources.warc import default_warc_dir, read_pages_warc
+    from txiac_qc_ray.stages.extract import extract_texts_arrow
+
+    ds = read_pages_warc(default_warc_dir(_WEBTEXT_N))
+
+    def batch(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "url": t["url"],
+            "warc_ts": t["warc_ts"],
+            "n_html_bytes": pc.cast(pc.binary_length(t["html"]), pa.int64()),
+            "text": extract_texts_arrow(t["html"]),
+        })
+
+    return ds.map_batches(batch, batch_format="pyarrow")
+
+
 def _csv_ingest_sections(sf_dir: str):
     from txiac_qc_ray.sources.sections import read_sections_csv
 
@@ -1132,6 +1177,17 @@ def oracle_sql() -> dict[str, str]:
         "pmis_yby_district": O.pmis_yby_district_sql(pa_path, pb_path),
         "csv_ingest_sections": O.csv_ingest_sql(os.path.join(_PMIS_DIR, "cycle_a.csv")),
         # web-text rule banks over the frozen pages corpus (same bytes)
+        # WARC round trip: the engine side re-derives (url, warc_ts,
+        # payload, extracted text) from the WARC shards; the twin reads
+        # the same logical rows straight from the pages parquet. NULL
+        # html is not representable in WARC (serializer skips it).
+        "warc_ingest_pages": f"""
+            SELECT url, warc_ts,
+                   CAST(octet_length(html) AS BIGINT) AS n_html_bytes,
+                   text
+            FROM read_parquet('{pages_glob}')
+            WHERE html IS NOT NULL
+        """,
         "scrub_docs": O.scrub_docs_sql(pages_glob),
         "c4_line_filter": O.c4_line_filter_sql(pages_glob),
         "gopher_quality_flags": O.gopher_quality_flags_sql(pages_glob),

@@ -265,6 +265,12 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("extract_page_metadata",
          lambda _sf: WT.extract_page_metadata(corpus)),
         ("top_dup_windows", D.top_dup_windows),
+        # r5 session 13: WARC container ingest — streams the SAME 400k
+        # corpus back out of a cached WARC render (one-time serializer
+        # cost lands in the untimed warm pass), so the timing is the
+        # from-scratch record parser + extractor, comparable to the
+        # parquet-read paths above
+        ("warc_ingest_pages", lambda _sf: _warc_bench(corpus)),
         # r5 session 6: link-graph family (pages corpus)
         ("extract_links", lambda _sf: WT.extract_links(corpus)),
         ("anchor_text_corpus", lambda _sf: WT.anchor_text_corpus(corpus)),
@@ -296,6 +302,31 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("funnel_conversion", W.funnel_conversion),
         ("retention_cohorts", W.retention_cohorts),
     ]
+
+
+def _warc_bench(corpus: str):
+    """WARC-read bench body: stream the cached WARC render of the bench
+    corpus through the from-scratch record parser and run the frozen
+    extractor over the payloads. The driver-side serializer runs once
+    (untimed warm pass) and its shards are cached on disk across runs."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from txiac_qc_ray.sources.warc import read_pages_warc, write_pages_warc
+    from txiac_qc_ray.stages.extract import extract_texts_arrow
+
+    out = write_pages_warc(
+        corpus, "/tmp/txiac_warc/bench_" + os.path.basename(corpus),
+        rows_per_shard=2500)
+
+    def batch(t: "pa.Table") -> "pa.Table":
+        return pa.table({
+            "url": t["url"],
+            "n_html_bytes": pc.cast(pc.binary_length(t["html"]), pa.int64()),
+            "text": extract_texts_arrow(t["html"]),
+        })
+
+    return read_pages_warc(out).map_batches(batch, batch_format="pyarrow")
 
 
 def _timed(fn, sf_dir: str) -> float:

@@ -216,7 +216,14 @@ def test_correctness_cap_covers_priority_queries():
         # selection stays swept locally and its fit table stays
         # pytest-pinned equal to ngram_fluency's)
         "pmi_collocations",
-        "source_divergence_tv",
+        # (source_divergence_tv yielded its slot to warc_ingest_pages
+        # in session 13: TV's dictionary pre-reduce + distinct-gram
+        # groupby kernel stays in-cap via pmi_collocations and its
+        # token df shuffle via doc_commonness; the WARC record parser
+        # has no coverage anywhere else, so it outranks — and its row
+        # also re-drives the frozen extractor + byte-identical-
+        # extraction invariant from the container format end to end)
+        "warc_ingest_pages",
         # (retention_cohorts / funnel_conversion / source_overlap_matrix
         # yielded their slots to hard_negatives / inverted_index /
         # shingle_novelty in session 10: retention's and funnel's

@@ -79,6 +79,7 @@ def test_every_query_survives_empty_tables(ray_session, empty_dir):
                             "lexical_diversity", "readability_scores",
                             "fineweb_quality_flags", "normalize_unicode",
                             "noindex_filter", "url_features",
+                            "warc_ingest_pages",
                             "code_detect", "anchor_text_corpus",
                             "extraction_yield", "dedup_normalized",
                             "lang_confusion", "pii_density_by_host",
