@@ -134,12 +134,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # the slots of four r4-driver-green rows unmodified in r5 (see
         # the rotation comments at each displaced row below).
         "token_balanced_mixture": D.token_balanced_mixture,
-        # r5-NEW (session 10): distinct users per tumbling window —
-        # takes url_snapshot_changes' slot (r5-s4, zero driver rows
-        # either way; its snapshot-compare kernel rides the same
-        # bounded url-shard exchange canonical_url_dedup drives in-cap,
-        # and its unique change detection stays swept locally)
-        "tumbling_distinct_users": R.tumbling_distinct_users,
+        # r5-NEW (session 13): length-curriculum training order — takes
+        # tumbling_distinct_users' slot (r5-s10, zero driver rows
+        # either way; its two kernels are the in-tail tumbling_window +
+        # distinct_count_users, BOTH driver-green r1-r4 and unmodified
+        # in r5, and the combination stays swept locally against its
+        # own twin). curriculum_order drives the distributed-rank
+        # machinery (range-bucketed key space, prefix offsets as the
+        # only driver state) in-cap with a NEW composite bucket+mix64
+        # key — the permutation itself is value-checked via the rank
+        # column.
+        "curriculum_order": D.curriculum_order,
         # r5-NEW (session 10): incremental cross-corpus dedup — takes
         # remove_boilerplate_lines' slot (r5-s4, zero driver rows
         # either way; its line-split + per-line hash kernels run in-cap
@@ -258,13 +263,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # its unique 15%-rate noise plan stays swept locally against
         # its own twin)
         "code_detect": _code_detect,
-        # r5-NEW (session 6): mutual-strong-link host clusters — takes
-        # neardup_clusters_distributed's slot (driver-green r2-r4,
-        # locally swept since; host_components drives the SAME shared
-        # CC core — docs._cc_min_label_ds, the r5-modified path —
-        # in-cap, and neardup_clusters_distributed stays pytest-pinned
-        # label-equal to the driver union-find on the fixtures)
-        "host_components": _host_components,
+        # r5-NEW (session 13): near-dup cluster-size histogram (the
+        # Lee-et-al dedup audit) — takes host_components' slot (r5-s6,
+        # zero driver rows either way; dup_cluster_sizes drives the
+        # SAME shared CC core — docs._cc_min_label_ds, the r5-modified
+        # path — in-cap over the minhash pair graph, running the whole
+        # candidates->verify->CC chain end to end plus the histogram
+        # fold; host_components' unique mutual-strong-link edge build
+        # stays swept locally against its own recursive-CTE twin)
+        "dup_cluster_sizes": D.dup_cluster_sizes,
         # URL canonicalization + first-capture dedup — takes
         # simhash_docs's slot (driver-green r2+r3, unmodified in r5;
         # its consumer simhash_neardup_pairs stays in-cap and drives
@@ -278,12 +285,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # remove_dup_windows, and its report assembly stays swept
         # locally against its own SQL twin)
         "bm25_search": D.bm25_search,
-        # r5-NEW (session 7): lexical-diversity gate (unique-word /
-        # hapax fractions) — takes embedding_neardup_pairs' slot
-        # (driver-green r2+r3, unmodified in r5; the in-cap
-        # embedding_neardup_clusters RUNS the pairs path end to end as
-        # its candidate source, so the kernel keeps a driver row)
-        "lexical_diversity": _lexical_diversity,
+        # r5-NEW (session 13): dedup-threshold tuning curve — takes
+        # lexical_diversity's slot (r5-s7, zero driver rows either way;
+        # lexical's tokenize + per-doc distinct-count kernels stay
+        # driven in-cap by shingle_novelty's distinct-shingle machinery
+        # and the flagship's features stage, and its unique TTR/hapax
+        # ratios stay swept locally against their own twin). The curve
+        # drives the minhash candidates->verify chain in-cap at the
+        # loosest threshold plus the per-threshold pair/doc folds.
+        "neardup_threshold_curve": D.neardup_threshold_curve,
         # r5-NEW (session 11): FineWeb supplementary line filters
         # (Penedo et al. 2024 §3.6: punct-line ratio, short-line ratio,
         # dup-line char fraction) — takes readability_scores' slot
@@ -654,6 +664,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # bank cores; its unique words-per-sentence ratio stays swept
         # locally against its own twin
         "readability_scores": _readability_scores,
+        # yielded to neardup_threshold_curve (r5-s13): r5-s7 op with
+        # zero driver rows either way; its tokenize + per-doc
+        # distinct-count kernels stay driven in-cap by shingle_novelty
+        # and the flagship's features stage; its unique TTR/hapax
+        # ratios stay swept locally against their own twin
+        "lexical_diversity": _lexical_diversity,
         "pmis_yby_flow": _pmis_yby_flow,
         "pmis_county_summary": _pmis_county_summary,
         "pmis_diff_histogram": _pmis_diff_histogram,
@@ -681,6 +697,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # driven in-cap by host_components, and this op stays
         # pytest-pinned label-equal to the driver union-find
         "neardup_clusters_distributed": D.neardup_clusters_distributed,
+        # yielded to dup_cluster_sizes (r5-s13): r5-s6 op with zero
+        # driver rows either way; the shared CC core
+        # (docs._cc_min_label_ds) now runs in-cap via dup_cluster_sizes
+        # over the minhash pair graph; the unique mutual-strong-link
+        # edge build stays swept locally against its recursive-CTE twin
+        "host_components": _host_components,
         # yielded to host_pagerank (r5-s6): driver-green r1-r3,
         # unmodified since r1; the threshold-flagger core is the
         # flagship rule stage, driven in-cap by qc_label_documents
@@ -738,6 +760,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total_cents": W.running_total_cents,
         "chunk_for_training": D.chunk_for_training,
         "tumbling_window": R.tumbling_window,
+        # yielded to curriculum_order (r5-s13): r5-s10 op with zero
+        # driver rows either way; its kernels are tumbling_window +
+        # distinct_count_users (both driver-green r1-r4, unmodified in
+        # r5); the combination stays swept locally against its own twin
+        "tumbling_distinct_users": R.tumbling_distinct_users,
         "hopping_window": R.hopping_window,
         "distinct_count_users": R.distinct_count_users,
         "multiway_join_agg": R.multiway_join_agg,
@@ -1367,6 +1394,9 @@ def oracle_sql() -> dict[str, str]:
         "minhash_lsh_dedup": O.minhash_pairs_sql(0.5),
         "ngram_jaccard_pairs": O.ngram_jaccard_sql(0.25),
         "neardup_clusters": O.neardup_clusters_sql(0.5),
+        "dup_cluster_sizes": O.dup_cluster_sizes_sql(0.5),
+        "neardup_threshold_curve": O.neardup_threshold_curve_sql(),
+        "curriculum_order": O.curriculum_order_sql(),
         "neardup_clusters_distributed": O.neardup_clusters_sql(0.5),
         "neardup_keep_best": O.neardup_keep_best_sql(0.5),
         "simhash_docs": O.simhash_sql(),

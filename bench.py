@@ -259,6 +259,10 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("canonical_url_dedup",
          lambda _sf: WT.canonical_url_dedup(corpus)),
         ("contamination_fraction", D.contamination_fraction),
+        # r5 session 13: dedup audit reports + curriculum order
+        ("dup_cluster_sizes", D.dup_cluster_sizes),
+        ("neardup_threshold_curve", D.neardup_threshold_curve),
+        ("curriculum_order", D.curriculum_order),
         ("ngram_fluency", D.ngram_fluency),
         ("exact_budget_sample", D.exact_budget_sample),
         ("export_chunks_jsonl", D.export_chunks_jsonl),

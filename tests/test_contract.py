@@ -208,7 +208,12 @@ def test_correctness_cap_covers_priority_queries():
         # (source_datacard later yielded its own slot to
         # normalize_unicode in session 11 — see that entry below)
         "neardup_keep_best",
-        "tumbling_distinct_users",
+        # (tumbling_distinct_users yielded its slot to
+        # curriculum_order in session 13: its kernels are the in-tail
+        # tumbling_window + distinct_count_users, both driver-green
+        # r1-r4 and unmodified in r5; curriculum_order drives the
+        # distributed-rank machinery in-cap with a new composite key)
+        "curriculum_order",
         # (ngram_lm_export yielded its slot to pmi_collocations in
         # session 12: pmi drives the same shifted-flat-view gram build
         # + dictionary pre-reduce + distinct-gram groupby kernel
@@ -251,7 +256,12 @@ def test_correctness_cap_covers_priority_queries():
         # host_reputation_filter + quality_percentile; its unique
         # order-statistic cut stays swept locally)
         "anchor_text_corpus", "host_pagerank", "url_features",
-        "host_components",
+        # (host_components yielded its slot to dup_cluster_sizes in
+        # session 13: the shared CC core — docs._cc_min_label_ds —
+        # runs in-cap via dup_cluster_sizes over the minhash pair
+        # graph; host_components' unique mutual-strong-link edge build
+        # stays swept locally)
+        "dup_cluster_sizes",
         # r5-session-7 new ops (same rule).
         # (readability_scores yielded its slot to fineweb_quality_flags
         # in session 11: its RE2 sentence-run count kernel and integer
@@ -260,7 +270,12 @@ def test_correctness_cap_covers_priority_queries():
         # words-per-sentence ratio stays swept locally against its own
         # twin — a brand-new published-bank op with zero coverage
         # anywhere outranks it for the final driver run)
-        "lexical_diversity",
+        # (lexical_diversity yielded its slot to
+        # neardup_threshold_curve in session 13: its tokenize +
+        # per-doc distinct-count kernels stay driven in-cap by
+        # shingle_novelty and the flagship's features stage; the curve
+        # drives the minhash candidates->verify chain in-cap)
+        "neardup_threshold_curve",
         # r5-session-11 new ops (same rule: new ops ride the cap).
         # (source_datacard yielded its slot to normalize_unicode in
         # session 11: its stream_reduce_counts rollup stays in-cap via

@@ -51,6 +51,9 @@ def _row_count(out) -> int:
 MAY_BE_NONEMPTY = frozenset({
     "semi_join_agg", "anti_join_agg", "row_count",
     "quantile_thresholds", "tukey_fences", "funnel_conversion",
+    # one zero-count row per sweep threshold, matching the twin's
+    # LEFT JOIN against the threshold VALUES list
+    "neardup_threshold_curve",
 })
 
 

@@ -1,0 +1,55 @@
+"""Semantic pins for the session-13 ops (beyond the SQL value checks):
+curriculum_order's permutation laws, dup_cluster_sizes' conservation
+against the cluster table, neardup_threshold_curve's monotonicity and
+its t=0.5 anchor equality with the pair op it folds."""
+
+import numpy as np
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_curriculum_order_is_bucketed_permutation(ray_session):
+    from txiac_qc_ray.pipelines.docs import _mix64, curriculum_order
+
+    out = (curriculum_order(SF).to_pandas()
+           .sort_values("order_idx", ignore_index=True))
+    n = len(out)
+    assert n > 0
+    # rank column is a 0..n-1 permutation
+    assert out["order_idx"].tolist() == list(range(n))
+    assert out["doc_id"].is_unique
+    # buckets are non-decreasing along the curriculum (easy -> hard)
+    b = out["bucket"].to_numpy()
+    assert (np.diff(b) >= 0).all()
+    # within a bucket the order is the replayable mix64 shuffle
+    mk = _mix64(out["doc_id"].to_numpy().astype(np.uint64)) >> np.uint64(3)
+    for bucket in np.unique(b):
+        m = b == bucket
+        keys = list(zip(mk[m].tolist(), out["doc_id"].to_numpy()[m].tolist()))
+        assert keys == sorted(keys)
+
+
+def test_dup_cluster_sizes_conserves_label_table(ray_session):
+    from txiac_qc_ray.pipelines.docs import (dup_cluster_sizes,
+                                             neardup_clusters_distributed)
+
+    hist = dup_cluster_sizes(SF)
+    labels = neardup_clusters_distributed(SF)
+    assert (hist["cluster_size"] >= 2).all()  # singletons have no edges
+    assert hist["n_docs"].sum() == len(labels)
+    assert (hist["n_docs"] == hist["cluster_size"] * hist["n_clusters"]).all()
+
+
+def test_threshold_curve_monotone_and_anchored(ray_session):
+    from txiac_qc_ray.pipelines.docs import (minhash_lsh_candidates,
+                                             neardup_threshold_curve)
+
+    curve = neardup_threshold_curve(SF).sort_values(
+        "threshold", ignore_index=True)
+    assert (np.diff(curve["n_pairs"].to_numpy()) <= 0).all()
+    assert (np.diff(curve["n_docs"].to_numpy()) <= 0).all()
+    pairs = minhash_lsh_candidates(SF, 0.5)
+    anchor = curve[curve["threshold"] == 0.5].iloc[0]
+    assert anchor["n_pairs"] == len(pairs)
+    assert anchor["n_docs"] == len(
+        np.unique(np.concatenate([pairs["id_a"], pairs["id_b"]])))

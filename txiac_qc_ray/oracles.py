@@ -3329,3 +3329,71 @@ def code_detect_sql(pages_glob: str) -> str:
                 AND n_kw >= {w.CODE_MIN_KW} AND n_words > 0) AS keep
     FROM feat
     """
+
+
+def dup_cluster_sizes_sql(threshold: float = 0.5) -> str:
+    """Cluster-size histogram twin: the recursive min-label walk from
+    neardup_clusters_sql as a subquery, then two plain groupbys."""
+    return f"""
+    WITH cl AS ({neardup_clusters_sql(threshold)}),
+    sz AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size
+           FROM cl GROUP BY cluster_id)
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs
+    FROM sz GROUP BY cluster_size
+    """
+
+
+def neardup_threshold_curve_sql(
+        thresholds: tuple = (0.5, 0.6, 0.7, 0.8, 0.9)) -> str:
+    """Threshold-curve twin: the exact string-shingle Jaccard pair set
+    at the loosest sweep point, cross-joined with the threshold list
+    (same literals as the engine), counted per threshold. The engine
+    thresholds on the SAME round-to-4dp jaccard as `_JACCARD`, so the
+    boundary behavior is identical by construction."""
+    vals = ", ".join(f"({t})" for t in thresholds)
+    return f"""
+    WITH {_SHINGLES},
+    jp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) AS na, len(b.s) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ),
+    p AS (SELECT id_a, id_b, {_JACCARD} AS jaccard FROM jp
+          WHERE {_JACCARD} >= {min(thresholds)}),
+    th(t) AS (VALUES {vals}),
+    f AS (SELECT th.t, p.id_a, p.id_b FROM th JOIN p ON p.jaccard >= th.t),
+    pc AS (SELECT t, CAST(count(*) AS BIGINT) AS n_pairs FROM f GROUP BY t),
+    docs AS (SELECT t, id_a AS d FROM f UNION SELECT t, id_b FROM f),
+    dc AS (SELECT t, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+           FROM docs GROUP BY t)
+    SELECT th.t AS threshold,
+           coalesce(pc.n_pairs, 0) AS n_pairs,
+           coalesce(dc.n_docs, 0) AS n_docs
+    FROM th LEFT JOIN pc ON pc.t = th.t LEFT JOIN dc ON dc.t = th.t
+    """
+
+
+def curriculum_order_sql() -> str:
+    """Curriculum-order twin: the composite (length bucket, mixed key)
+    order recomputed in SQL — bucket CASE matches the engine's
+    searchsorted(side='right') edges, the within-bucket key is the same
+    splitmix64 output's top 61 bits, doc_id breaks ties."""
+    mix = mix64_scalar("CAST(doc_id AS HUGEINT)")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+             CASE WHEN n_chars < 200 THEN 0
+                  WHEN n_chars < 500 THEN 1
+                  WHEN n_chars < 1000 THEN 2
+                  WHEN n_chars < 2000 THEN 3
+                  ELSE 4 END AS bucket,
+             ({mix}) // 8 AS mk
+      FROM documents)
+    SELECT CAST(row_number() OVER (ORDER BY bucket, mk, doc_id) - 1
+                AS BIGINT) AS order_idx,
+           doc_id, n_chars, CAST(bucket AS BIGINT) AS bucket
+    FROM d
+    """

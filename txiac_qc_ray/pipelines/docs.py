@@ -6695,3 +6695,124 @@ def winnow_fingerprints(sf_dir: str, n: int = 3, w: int = 4
                          "fp": _hex16(fp)})
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+def dup_cluster_sizes(sf_dir: str,
+                      jaccard_threshold: float = 0.5) -> pd.DataFrame:
+    """Near-dup cluster-SIZE histogram — the dedup audit a corpus owner
+    reads before choosing policy: does the duplicate mass sit in a few
+    giant boilerplate clusters (keep-one saves almost everything) or in
+    many small pairs (threshold choice matters)? Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better", §4)
+    report exactly this cluster-size distribution for C4.
+
+    Rides the distributed min-label CC (`neardup_clusters_distributed`,
+    the beyond-driver-RAM path); the histogram itself is two
+    o(dup-rate)-sized groupbys — cluster labels only exist for docs
+    with at least one near-dup edge, so the table the driver folds is
+    duplicate-sized, not corpus-sized (house contract for this family).
+    -> (cluster_size, n_clusters, n_docs) sorted by cluster_size."""
+    labels = neardup_clusters_distributed(sf_dir, jaccard_threshold)
+    sizes = labels.groupby("cluster_id").size()
+    hist = sizes.value_counts().sort_index()
+    return pd.DataFrame({
+        "cluster_size": hist.index.to_numpy(dtype=np.int64),
+        "n_clusters": hist.to_numpy(dtype=np.int64),
+        "n_docs": (hist.index.to_numpy(dtype=np.int64)
+                   * hist.to_numpy(dtype=np.int64)),
+    })
+
+
+def neardup_threshold_curve(
+        sf_dir: str,
+        thresholds: tuple = (0.5, 0.6, 0.7, 0.8, 0.9)) -> pd.DataFrame:
+    """Dedup-threshold tuning curve: pair count and affected-doc count
+    at each candidate Jaccard threshold, from ONE near-dup pass. The
+    corpus is scanned once at the loosest threshold (all sweep points
+    are >= the banding design point 0.5, so the pinned banding-recall
+    argument is unchanged); the per-threshold counts are then vectorized
+    folds over the o(dup-rate) verified pair table — re-running the
+    candidate generator per threshold would multiply the only expensive
+    stage by len(thresholds) for identical information.
+    -> (threshold, n_pairs, n_docs) sorted by threshold."""
+    assert min(thresholds) >= 0.5, "sweep below the banding design point"
+    pairs = minhash_lsh_candidates(sf_dir, min(thresholds))
+    j = pairs["jaccard"].to_numpy()
+    ia = pairs["id_a"].to_numpy()
+    ib = pairs["id_b"].to_numpy()
+    rows = []
+    for t in thresholds:
+        m = j >= t
+        n_docs = len(np.unique(np.concatenate([ia[m], ib[m]])))
+        rows.append((float(t), int(m.sum()), int(n_docs)))
+    return pd.DataFrame(rows, columns=["threshold", "n_pairs", "n_docs"])
+
+
+CURRICULUM_EDGES = (200, 500, 1000, 2000)  # n_chars difficulty buckets
+
+
+def curriculum_order(sf_dir: str) -> ray.data.Dataset:
+    """Length-curriculum training order (curriculum learning, Bengio et
+    al. 2009: easy examples first): documents are ordered by a length
+    bucket (short -> long, CURRICULUM_EDGES on n_chars) and
+    deterministically shuffled WITHIN each bucket by the replayable
+    mix64 key — i.e. deterministic_shuffle's contract with a difficulty
+    prefix. One composite uint64 key (bucket in the top 3 bits, the
+    mixed key's top 61 bits below) makes the existing distributed-rank
+    machinery apply unchanged: range-bucket the key space, one
+    partial-count pass, prefix offsets as the only driver state, local
+    sort + offset per group. -> Dataset of (order_idx, doc_id, n_chars,
+    bucket); the permutation itself is value-checked (rank column)."""
+    edges = np.asarray(CURRICULUM_EDGES, dtype=np.int64)
+    n_bits = max(8, int(np.ceil(np.log2(_shard_count(sf_dir, "documents")))))
+    shift = np.uint64(64 - n_bits)
+    n_buckets = 1 << n_bits
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def composite_key(t: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        n = np.asarray(t["n_chars"], dtype=np.int64)
+        b = np.searchsorted(edges, n, side="right").astype(np.uint64)
+        mk = _mix64(np.asarray(t["doc_id"]).astype(np.uint64))
+        return (b << np.uint64(61)) | (mk >> np.uint64(3)), b
+
+    def count_partials(t: pa.Table) -> pa.Table:
+        k, _ = composite_key(t)
+        uniq, cnt = np.unique((k >> shift).astype(np.int64),
+                              return_counts=True)
+        return pa.table({"part": uniq, "cnt": cnt.astype(np.int64)})
+
+    counts = ensure_columns(
+        ds.map_batches(count_partials, batch_format="pyarrow")
+          .groupby("part").aggregate(RaySum("cnt", alias_name="cnt"))
+          .to_pandas(),
+        {"part": "int64", "cnt": "int64"})
+    per_part = np.zeros(n_buckets, dtype=np.int64)
+    per_part[counts["part"].to_numpy()] = counts["cnt"].to_numpy()
+    offsets = np.concatenate([[0], np.cumsum(per_part)[:-1]])
+    off_ref = ray.put(offsets)
+
+    def key_stage(t: pa.Table) -> pa.Table:
+        k, b = composite_key(t)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_chars": pc.cast(t["n_chars"], pa.int64()),
+            "bucket": b.astype(np.int64),
+            "key": k,
+            "part": (k >> shift).astype(np.int64),
+        })
+
+    def rank_group(g: pd.DataFrame) -> pd.DataFrame:
+        off = ray.get(off_ref)
+        p = int(g["part"].iloc[0])
+        order = np.lexsort((g["doc_id"].to_numpy(),
+                            g["key"].to_numpy().astype(np.uint64)))
+        return pd.DataFrame({
+            "order_idx": off[p] + np.arange(len(g), dtype=np.int64),
+            "doc_id": g["doc_id"].to_numpy()[order],
+            "n_chars": g["n_chars"].to_numpy()[order],
+            "bucket": g["bucket"].to_numpy()[order],
+        })
+
+    return (ds.map_batches(key_stage, batch_format="pyarrow")
+            .groupby("part").map_groups(rank_group, batch_format="pandas"))
