@@ -121,8 +121,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # stratified_sample: driver-green r1-r3, unmodified since r2 —
         # the oldest-green, lowest-risk rows in the whole surface).
         "pii_counts": _pii_counts,
-        "quality_classifier": _quality_classifier,
-        "host_reputation_filter": D.host_reputation_filter,
+        # r5-NEW (session 13): uniform-target mixture/epoch planner —
+        # takes quality_classifier's slot (r5-s3, zero driver rows
+        # either way; its linear-scorer bank core runs end to end
+        # IN-CAP as rule_bank_ablation's fifth _BANK_KEEP core, and its
+        # integer cross-multiplied gate is the house pattern
+        # token_balanced_mixture drives in-cap; its standalone keep
+        # surface stays swept locally against its own twin)
+        "mixture_epoch_plan": D.mixture_epoch_plan,
+        # r5-NEW (session 13): per-EVAL-doc leak report — takes
+        # host_reputation_filter's slot (r5-s3, zero driver rows either
+        # way; its int-partial per-host mean + broadcast-searchsorted
+        # labeling kernels stay driven in-cap by quality_percentile —
+        # the same rank-table-then-label shape, co-cited in
+        # url_features' argument — and its unique reputation threshold
+        # stays swept locally). The report drives the decontamination
+        # family's eval-set build + broadcast membership core with
+        # per-EVAL-doc resolution — the flip side of the in-cap
+        # contamination_fraction — plus a new bounded hit-set fold.
+        "eval_contamination_report": D.eval_contamination_report,
         "language_balanced_sample": D.language_balanced_sample,
         # (5th r5-s3 op) within-doc duplicate-line removal — takes
         # threshold_flag_audit's slot (driver-green r1-r3, unmodified
@@ -480,6 +497,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # via host_reputation_filter + quality_percentile; its unique
         # order-statistic cut stays swept locally against its own twin
         "host_rank_filter": _host_rank_filter,
+        # yielded to eval_contamination_report (r5-s13): r5-s3 op with
+        # zero driver rows either way; its int-partial per-host mean +
+        # broadcast-searchsorted labeling stays driven in-cap by
+        # quality_percentile (same rank-table-then-label shape); its
+        # unique reputation threshold stays swept locally
+        "host_reputation_filter": D.host_reputation_filter,
         # yielded to winnow_fingerprints (r5-s12): r5-s10 op with zero
         # driver rows either way; its mix64-uniform keep kernel stays
         # in-cap via language_balanced_sample, its integer
@@ -538,6 +561,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # _BANK_KEEP cores as a strict superset in-cap, and the funnel's
         # unique first-fail CASE stays swept locally
         "rule_bank_funnel": _rule_bank_funnel,
+        # yielded to mixture_epoch_plan (r5-s13): r5-s3 op with zero
+        # driver rows either way; its linear-scorer bank core runs end
+        # to end in-cap as rule_bank_ablation's fifth _BANK_KEEP core;
+        # its standalone keep surface stays swept locally
+        "quality_classifier": _quality_classifier,
         # yielded to doremi_source_weights (r5-s10): r5-s8 op with zero
         # driver rows either way; its langid kernel runs end to end
         # IN-CAP via ccnet_ppl_buckets and its rollup is a metadata-
@@ -1397,6 +1425,8 @@ def oracle_sql() -> dict[str, str]:
         "dup_cluster_sizes": O.dup_cluster_sizes_sql(0.5),
         "neardup_threshold_curve": O.neardup_threshold_curve_sql(),
         "curriculum_order": O.curriculum_order_sql(),
+        "mixture_epoch_plan": O.mixture_epoch_plan_sql(),
+        "eval_contamination_report": O.eval_contamination_report_sql(),
         "neardup_clusters_distributed": O.neardup_clusters_sql(0.5),
         "neardup_keep_best": O.neardup_keep_best_sql(0.5),
         "simhash_docs": O.simhash_sql(),

@@ -263,6 +263,8 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("dup_cluster_sizes", D.dup_cluster_sizes),
         ("neardup_threshold_curve", D.neardup_threshold_curve),
         ("curriculum_order", D.curriculum_order),
+        ("mixture_epoch_plan", D.mixture_epoch_plan),
+        ("eval_contamination_report", D.eval_contamination_report),
         ("ngram_fluency", D.ngram_fluency),
         ("exact_budget_sample", D.exact_budget_sample),
         ("export_chunks_jsonl", D.export_chunks_jsonl),

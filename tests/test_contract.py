@@ -182,8 +182,14 @@ def test_correctness_cap_covers_priority_queries():
     assert len(r4_tail) == 1
     priority = r4_tail | {
         # r5-session-3 new ops (ADVICE r3 rule: new ops ride the cap)
-        "pii_counts", "quality_classifier",
-        "host_reputation_filter", "language_balanced_sample",
+        # (quality_classifier yielded its slot to mixture_epoch_plan in
+        # session 13: its linear-scorer bank core runs end to end
+        # in-cap as rule_bank_ablation's fifth _BANK_KEEP core;
+        # host_reputation_filter yielded to eval_contamination_report:
+        # its rank-table-then-label kernel stays in-cap via
+        # quality_percentile; both stay swept locally)
+        "pii_counts", "mixture_epoch_plan",
+        "eval_contamination_report", "language_balanced_sample",
         "dedup_lines_within_doc",
         # r5-session-4 new ops (same rule)
         "token_balanced_mixture",

@@ -53,3 +53,31 @@ def test_threshold_curve_monotone_and_anchored(ray_session):
     assert anchor["n_pairs"] == len(pairs)
     assert anchor["n_docs"] == len(
         np.unique(np.concatenate([pairs["id_a"], pairs["id_b"]])))
+
+
+def test_mixture_epoch_plan_identities(ray_session):
+    from txiac_qc_ray.pipelines.docs import mixture_epoch_plan
+
+    plan = mixture_epoch_plan(SF)
+    assert len(plan) > 0
+    total = int(plan["n_tokens"].sum())
+    planned = total // len(plan)
+    assert (plan["planned_tokens"] == planned).all()
+    # epochs * available == planned share (one division, so exact here)
+    nz = plan[plan["n_tokens"] > 0]
+    assert np.allclose(nz["epochs"] * nz["n_tokens"], planned)
+    # small sources repeat (epochs > 1) iff below the uniform share
+    assert ((nz["epochs"] > 1) == (nz["n_tokens"] < planned)).all()
+
+
+def test_eval_contamination_report_bounds(ray_session):
+    from txiac_qc_ray.pipelines.docs import eval_contamination_report
+
+    rep = eval_contamination_report(SF)
+    assert len(rep) > 0
+    assert (rep["doc_id"] % 50 == 0).all()
+    assert (rep["n_leaked"] <= rep["n_shingles"]).all()
+    assert ((rep["frac"] >= 0) & (rep["frac"] <= 1)).all()
+    got = (100 * rep["n_leaked"] >= 50 * rep["n_shingles"]) & (
+        rep["n_shingles"] > 0)
+    assert (rep["compromised"] == got).all()

@@ -3397,3 +3397,58 @@ def curriculum_order_sql() -> str:
            doc_id, n_chars, CAST(bucket AS BIGINT) AS bucket
     FROM d
     """
+
+
+def mixture_epoch_plan_sql() -> str:
+    """Mixture-plan twin: the same \\S+ token mass as
+    token_balanced_mixture_sql, an exact integer floor for the uniform
+    planned share, and ONE int/int double division for epochs."""
+    return """
+    WITH c AS (
+      SELECT source,
+             CAST(coalesce(sum(len(regexp_extract_all(text, '\\S+'))), 0)
+                  AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source),
+    t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total,
+                 CAST(count(*) AS BIGINT) AS n_src FROM c)
+    SELECT c.source, c.n_tokens,
+           CAST(t.total // t.n_src AS BIGINT) AS planned_tokens,
+           CASE WHEN c.n_tokens = 0 THEN NULL
+                ELSE CAST(t.total // t.n_src AS DOUBLE) / c.n_tokens
+           END AS epochs
+    FROM c, t
+    """
+
+
+def eval_contamination_report_sql(eval_mod: int = 50,
+                                  frac_pct: int = 50) -> str:
+    """Per-eval-doc leak twin: distinct trigram STRINGS (strictly finer
+    than the engine's 64-bit hashes — decontaminate precedent), train
+    side as one DISTINCT set, integer cross-multiplied label."""
+    return f"""
+    WITH base AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(lst)-2, 0)),
+               i -> lst[i] || ' ' || lst[i+1] || ' ' || lst[i+2])) AS s
+      FROM (SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS lst
+            FROM documents)),
+    ev AS (SELECT doc_id, unnest(s) AS g FROM base
+           WHERE doc_id % {eval_mod} = 0),
+    tr AS (SELECT DISTINCT unnest(s) AS g FROM base
+           WHERE doc_id % {eval_mod} <> 0),
+    leaks AS (SELECT ev.doc_id, CAST(count(*) AS BIGINT) AS n_leaked
+              FROM ev JOIN tr USING (g) GROUP BY ev.doc_id),
+    tot AS (SELECT doc_id, CAST(coalesce(len(s), 0) AS BIGINT) AS n_shingles
+            FROM base WHERE doc_id % {eval_mod} = 0)
+    SELECT tot.doc_id, tot.n_shingles,
+           coalesce(l.n_leaked, 0) AS n_leaked,
+           CASE WHEN tot.n_shingles = 0 THEN 0.0
+                ELSE CAST(coalesce(l.n_leaked, 0) AS DOUBLE) / tot.n_shingles
+           END AS frac,
+           CASE WHEN tot.n_shingles = 0 THEN FALSE
+                ELSE 100 * coalesce(l.n_leaked, 0)
+                     >= {frac_pct} * tot.n_shingles
+           END AS compromised
+    FROM tot LEFT JOIN leaks l USING (doc_id)
+    """

@@ -6816,3 +6816,167 @@ def curriculum_order(sf_dir: str) -> ray.data.Dataset:
 
     return (ds.map_batches(key_stage, batch_format="pyarrow")
             .groupby("part").map_groups(rank_group, batch_format="pandas"))
+
+
+def mixture_epoch_plan(sf_dir: str) -> pd.DataFrame:
+    """Data-recipe planner — the LLaMA-style mixture table: per source,
+    the token mass available, the planned share of one training pass
+    under a UNIFORM target mixture (each source contributes an equal
+    token share — the published baseline before learned weights à la
+    DoReMi), and the epoch/repeat factor that share implies (small
+    sources are seen multiple times, big sources are subsampled).
+
+    Arithmetic contract: planned_tokens = total_tokens // n_sources is
+    an exact integer floor on both engines; epochs = planned / T_s is
+    ONE correctly-rounded int/int double division (house rule — stop at
+    the last exact step); a zero-token source gets NULL epochs. Token
+    counts are the same `\\S+` mass token_balanced_mixture budgets by,
+    so the plan and the sampler agree on what a token is.
+
+    Shape: one metadata-sized count pass (per-batch partials ->
+    groupby over SOURCE cardinality), then a driver fold over n_sources
+    int rows. The corpus never shuffles. -> (source, n_tokens,
+    planned_tokens, epochs) sorted by source."""
+    ds = _read(sf_dir, "documents", ["source", "text"])
+
+    def count_partial(t: pa.Table) -> pa.Table:
+        src = np.asarray(pc.fill_null(t["source"], _NULL_KEY), dtype=object)
+        ntok = np.asarray(pc.fill_null(pc.cast(
+            pc.count_substring_regex(t["text"], r"\S+"), pa.int64()), 0))
+        uniq, inv = np.unique(src, return_inverse=True)
+        sums = np.bincount(inv, weights=ntok, minlength=len(uniq))
+        return pa.table({"src_key": pa.array(uniq.tolist(), type=pa.string()),
+                         "toks": sums.astype(np.int64)})
+
+    totals = ensure_columns(
+        ds.map_batches(count_partial, batch_format="pyarrow")
+          .groupby("src_key").aggregate(RaySum("toks", alias_name="toks"))
+          .to_pandas(),
+        {"src_key": "object", "toks": "int64"})
+    if len(totals) == 0:
+        return pd.DataFrame({"source": pd.Series([], dtype="object"),
+                             "n_tokens": pd.Series([], dtype="int64"),
+                             "planned_tokens": pd.Series([], dtype="int64"),
+                             "epochs": pd.Series([], dtype="float64")})
+    srcs = totals["src_key"].to_numpy(dtype=object)
+    toks = [int(v) for v in totals["toks"].to_numpy()]
+    all_tok, n_src = sum(toks), len(toks)
+    planned = all_tok // n_src
+    out = pd.DataFrame({
+        "source": [None if s == _NULL_KEY else s for s in srcs],
+        "n_tokens": np.asarray(toks, dtype=np.int64),
+        "planned_tokens": np.full(n_src, planned, dtype=np.int64),
+        "epochs": [float(planned) / T if T else np.nan for T in toks],
+    })
+    return out.sort_values("source", ignore_index=True)
+
+
+def eval_contamination_report(sf_dir: str, eval_mod: int = 50,
+                              frac_pct: int = 50) -> pd.DataFrame:
+    """Per-EVAL-document leak report — the flip side of
+    `contamination_fraction` (which grades TRAIN docs): for every held-
+    out doc (doc_id % eval_mod == 0), the share of its distinct token
+    trigrams that appear anywhere in the train split, plus a
+    `compromised` label at frac >= frac_pct/100 — the table a benchmark
+    owner reads to decide which eval rows are unusable against this
+    corpus. Label compare is INTEGER-exact (100*n_leaked >=
+    frac_pct*n_shingles); `frac` is one int/int double division (0.0
+    for a zero-shingle doc, both engines by CASE).
+
+    Scale shape: the eval side is the tiny one — its distinct
+    (shingle-hash, eval-doc) pairs ride ONE broadcast (o(eval tokens),
+    the same bound as decontaminate's eval-set array); the train corpus
+    streams through a stateless pass emitting only the eval hashes it
+    hits (each partial is bounded by the eval vocabulary, NOT the train
+    batch), and the driver folds the bounded hit set. No shuffle
+    anywhere. 64-bit shingle-hash collision tolerance documented as for
+    decontaminate (the string twin is strictly finer)."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def eval_pairs(t: pa.Table) -> pa.Table:
+        keep = np.asarray(t["doc_id"]) % eval_mod == 0
+        t = t.filter(pa.array(keep))
+        h, off = token_ngram_hashes(t["text"], 3)
+        h = h.astype(np.int64)
+        ids = np.asarray(t["doc_id"])
+        doc_of = np.repeat(ids, np.diff(off))
+        order = np.lexsort((h, doc_of))
+        d, hh = doc_of[order], h[order]
+        first = np.ones(len(d), dtype=bool)
+        first[1:] = (d[1:] != d[:-1]) | (hh[1:] != hh[:-1])
+        return pa.table({"doc_id": d[first], "h": hh[first]})
+
+    parts = [b.to_pandas() for b in
+             ds.map_batches(eval_pairs, batch_format="pyarrow")
+               .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    if parts:
+        ev = pd.concat(parts, ignore_index=True).drop_duplicates()
+        ev = ev.sort_values(["h", "doc_id"], ignore_index=True)
+        ev_h = ev["h"].to_numpy()
+        ev_doc = ev["doc_id"].to_numpy()
+    else:
+        ev_h = np.zeros(0, dtype=np.int64)
+        ev_doc = np.zeros(0, dtype=np.int64)
+    ev_uniq = np.unique(ev_h)
+    ev_ref = ray.put(ev_uniq)
+
+    def train_hits(t: pa.Table) -> pa.Table:
+        evu = ray.get(ev_ref)
+        keep = np.asarray(t["doc_id"]) % eval_mod != 0
+        t = t.filter(pa.array(keep))
+        h, _ = token_ngram_hashes(t["text"], 3)
+        h = np.unique(h.astype(np.int64))
+        if len(evu):
+            idx = np.clip(np.searchsorted(evu, h), 0, len(evu) - 1)
+            h = h[evu[idx] == h]
+        else:
+            h = h[:0]
+        return pa.table({"h": h})
+
+    hit_parts = [np.asarray(b["h"]) for b in
+                 ds.map_batches(train_hits, batch_format="pyarrow")
+                   .iter_batches(batch_size=65536, batch_format="pyarrow")]
+    hits = (np.unique(np.concatenate(hit_parts)) if hit_parts
+            else np.zeros(0, dtype=np.int64))
+
+    # driver fold over the o(eval) pair table
+    if len(ev_h):
+        leaked_mask = np.zeros(len(ev_h), dtype=bool)
+        if len(hits):
+            idx = np.clip(np.searchsorted(hits, ev_h), 0, len(hits) - 1)
+            leaked_mask = hits[idx] == ev_h
+        docs, inv = np.unique(ev_doc, return_inverse=True)
+        n_sh = np.bincount(inv, minlength=len(docs)).astype(np.int64)
+        n_leak = np.bincount(inv, weights=leaked_mask,
+                             minlength=len(docs)).astype(np.int64)
+    else:
+        docs = np.zeros(0, dtype=np.int64)
+        n_sh = n_leak = np.zeros(0, dtype=np.int64)
+    # zero-shingle eval docs still get a row (they have no pairs above,
+    # so recover them from a metadata-cheap id scan)
+    def eval_ids(t: pa.Table) -> pa.Table:
+        ids = np.asarray(t["doc_id"])
+        return pa.table({"doc_id": ids[ids % eval_mod == 0]})
+
+    all_eval = np.sort(np.concatenate(
+        [np.asarray(b["doc_id"]) for b in
+         _read(sf_dir, "documents", ["doc_id"])
+         .map_batches(eval_ids, batch_format="pyarrow")
+         .iter_batches(batch_size=65536, batch_format="pyarrow")]
+        or [np.zeros(0, dtype=np.int64)]))
+    missing = np.setdiff1d(all_eval, docs)
+    docs = np.concatenate([docs, missing])
+    n_sh = np.concatenate([n_sh, np.zeros(len(missing), dtype=np.int64)])
+    n_leak = np.concatenate([n_leak, np.zeros(len(missing), dtype=np.int64)])
+    order = np.argsort(docs)
+    docs, n_sh, n_leak = docs[order], n_sh[order], n_leak[order]
+    frac = np.where(n_sh > 0, n_leak / np.maximum(n_sh, 1), 0.0)
+    compromised = (100 * n_leak) >= (frac_pct * n_sh)
+    compromised &= n_sh > 0
+    return pd.DataFrame({
+        "doc_id": docs.astype(np.int64),
+        "n_shingles": n_sh,
+        "n_leaked": n_leak,
+        "frac": frac,
+        "compromised": compromised,
+    })
