@@ -561,6 +561,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # _BANK_KEEP cores as a strict superset in-cap, and the funnel's
         # unique first-fail CASE stays swept locally
         "rule_bank_funnel": _rule_bank_funnel,
+        # r5-s13 NEW but TAIL by design (the knn_self_join_ivf
+        # exception): its five bank cores run end to end IN-CAP via
+        # rule_bank_ablation, and its diagonal is pytest-pinned
+        # BYTE-EQUAL to ablation's n_failed column on the fixture — the
+        # driver's value check transfers through the pin; the unique
+        # off-diagonal pairwise fold stays swept locally
+        "quality_flag_cooccurrence": _quality_flag_cooccurrence,
+        # r5-s13 NEW but TAIL by design (same exception): the report is
+        # pytest-pinned BYTE-EQUAL to an independent single-process
+        # numpy reference over the same fixture bytes (the
+        # qc_label_documents golden precedent), its fnv url-hash kernel
+        # runs in-cap via canonical_url_dedup's url-shard exchange, and
+        # it stays swept locally against its own HUGEINT twin
+        "partition_skew_report": _partition_skew_report,
         # yielded to mixture_epoch_plan (r5-s13): r5-s3 op with zero
         # driver rows either way; its linear-scorer bank core runs end
         # to end in-cap as rule_bank_ablation's fifth _BANK_KEEP core;
@@ -961,6 +975,18 @@ def _source_datacard(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import source_datacard
 
     return source_datacard(_webtext_dir())
+
+
+def _partition_skew_report(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import partition_skew_report
+
+    return partition_skew_report(_webtext_dir())
+
+
+def _quality_flag_cooccurrence(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import quality_flag_cooccurrence
+
+    return quality_flag_cooccurrence(_webtext_dir())
 
 
 def _rule_bank_ablation(_sf_dir: str):
@@ -1427,6 +1453,9 @@ def oracle_sql() -> dict[str, str]:
         "curriculum_order": O.curriculum_order_sql(),
         "mixture_epoch_plan": O.mixture_epoch_plan_sql(),
         "eval_contamination_report": O.eval_contamination_report_sql(),
+        "partition_skew_report": O.partition_skew_report_sql(pages_glob),
+        "quality_flag_cooccurrence":
+            O.quality_flag_cooccurrence_sql(pages_glob),
         "neardup_clusters_distributed": O.neardup_clusters_sql(0.5),
         "neardup_keep_best": O.neardup_keep_best_sql(0.5),
         "simhash_docs": O.simhash_sql(),

@@ -265,6 +265,10 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("curriculum_order", D.curriculum_order),
         ("mixture_epoch_plan", D.mixture_epoch_plan),
         ("eval_contamination_report", D.eval_contamination_report),
+        ("partition_skew_report",
+         lambda _sf: WT.partition_skew_report(corpus)),
+        ("quality_flag_cooccurrence",
+         lambda _sf: WT.quality_flag_cooccurrence(corpus)),
         ("ngram_fluency", D.ngram_fluency),
         ("exact_budget_sample", D.exact_budget_sample),
         ("export_chunks_jsonl", D.export_chunks_jsonl),

@@ -82,7 +82,8 @@ def test_every_query_survives_empty_tables(ray_session, empty_dir):
                             "lexical_diversity", "readability_scores",
                             "fineweb_quality_flags", "normalize_unicode",
                             "noindex_filter", "url_features",
-                            "warc_ingest_pages",
+                            "warc_ingest_pages", "partition_skew_report",
+                            "quality_flag_cooccurrence",
                             "code_detect", "anchor_text_corpus",
                             "extraction_yield", "dedup_normalized",
                             "lang_confusion", "pii_density_by_host",

@@ -81,3 +81,52 @@ def test_eval_contamination_report_bounds(ray_session):
     got = (100 * rep["n_leaked"] >= 50 * rep["n_shingles"]) & (
         rep["n_shingles"] > 0)
     assert (rep["compromised"] == got).all()
+
+
+def test_cooccurrence_diagonal_pins_to_ablation(ray_session):
+    """Tail-exception pin: the co-fire matrix diagonal IS ablation's
+    per-bank fail count — byte-equal, so the driver's value check of
+    rule_bank_ablation transfers to the shared five bank cores here."""
+    import __ray_entry__ as E
+
+    co = E.queries()["quality_flag_cooccurrence"]("unused")
+    ab = E.queries()["rule_bank_ablation"]("unused")
+    diag = co[co["bank_a"] == co["bank_b"]].set_index("bank_a")
+    for _, row in ab.iterrows():
+        assert int(diag.loc[row["bank"], "n_both_failed"]) == int(
+            row["n_failed"])
+    # off-diagonal is bounded by both diagonals (co-fire <= own fails)
+    for _, r in co.iterrows():
+        assert r["n_both_failed"] <= diag.loc[r["bank_a"], "n_both_failed"]
+        assert r["n_both_failed"] <= diag.loc[r["bank_b"], "n_both_failed"]
+
+
+def test_partition_skew_report_pins_to_single_process(ray_session):
+    """Tail-exception pin: the Ray report equals an independent
+    single-process numpy reference over the same fixture bytes."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    import __ray_entry__ as E
+    from __ray_entry__ import _webtext_dir
+    from txiac_qc_ray.functions.urls import fnv1a64
+
+    got = E.queries()["partition_skew_report"]("unused")
+    t = pq.read_table(sorted(glob.glob(_webtext_dir() + "/part-*.parquet")),
+                      columns=["url", "text"])
+    shard = (fnv1a64(t["url"].combine_chunks())
+             % np.uint64(16)).astype(np.int64)
+    import pyarrow.compute as pc_
+
+    nb = np.asarray(pc_.fill_null(
+        pc_.cast(pc_.binary_length(t["text"].combine_chunks()),
+                 "int64"), 0))
+    n = np.bincount(shard, minlength=16)
+    b = np.bincount(shard, weights=nb, minlength=16).astype(np.int64)
+    total = int(b.sum())
+    assert got["shard"].tolist() == [i for i in range(16) if n[i] > 0]
+    assert got["n_docs"].tolist() == [int(x) for x in n[n > 0]]
+    assert got["n_bytes"].tolist() == [int(x) for x in b[n > 0]]
+    assert got["byte_share"].tolist() == [
+        float(x) / total for x in b[n > 0]]

@@ -3452,3 +3452,69 @@ def eval_contamination_report_sql(eval_mod: int = 50,
            END AS compromised
     FROM tot LEFT JOIN leaks l USING (doc_id)
     """
+
+
+def partition_skew_report_sql(pages_glob: str, n_shards: int = 16) -> str:
+    """Skew-audit twin: the same FNV-1a url hash in HUGEINT, strlen
+    byte mass (DuckDB strlen is BYTES, matching Arrow binary_length on
+    utf8), one int/int division for the share."""
+    return f"""
+    WITH d AS (SELECT ({fnv_expr('url')}) % {n_shards} AS shard,
+                      CAST(coalesce(strlen(text), 0) AS BIGINT) AS nb
+               FROM read_parquet('{pages_glob}')),
+    g AS (SELECT CAST(shard AS BIGINT) AS shard,
+                 CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(nb) AS BIGINT) AS n_bytes
+          FROM d GROUP BY shard),
+    t AS (SELECT CAST(coalesce(sum(n_bytes), 0) AS BIGINT) AS total FROM g)
+    SELECT g.shard, g.n_docs, g.n_bytes,
+           CASE WHEN t.total = 0 THEN 0.0
+                ELSE CAST(g.n_bytes AS DOUBLE) / t.total END AS byte_share
+    FROM g, t
+    """
+
+
+def quality_flag_cooccurrence_sql(pages_glob: str) -> str:
+    """Co-fire twin: the five bank keeps from their own oracle builders
+    (the ablation pattern), null-text pages excluded, one UNION arm per
+    unordered bank pair over a VALUES spine so zero rows survive."""
+    from .pipelines import webtext as w
+
+    fail = {"url": "NOT k_url", "c4": "NOT k_c4", "gopher": "NOT k_gopher",
+            "repetition": "NOT k_rep", "classifier": "NOT k_cls"}
+    banks = w.FUNNEL_BANKS
+    pairs = [(i, j) for i in range(len(banks)) for j in range(i, len(banks))]
+    spine = ", ".join(f"({k}, '{banks[i]}', '{banks[j]}')"
+                      for k, (i, j) in enumerate(pairs))
+    arms = []
+    for k, (i, j) in enumerate(pairs):
+        cond = (fail[banks[i]] if i == j
+                else f"{fail[banks[i]]} AND {fail[banks[j]]}")
+        arms.append(f"SELECT {k} AS pair_idx, "
+                    f"CAST(count(*) FILTER (WHERE {cond}) AS BIGINT)"
+                    f" AS n FROM lab")
+    union = "\n      UNION ALL ".join(arms)
+    return f"""
+    WITH uf AS (SELECT url, coalesce(keep, FALSE) AS k_url
+                FROM ({url_host_filter_sql(pages_glob)})),
+    c4f AS (SELECT url, coalesce(keep, FALSE) AS k_c4
+            FROM ({c4_line_filter_sql(pages_glob)})),
+    gqf AS (SELECT url, coalesce(gopher_keep, FALSE) AS k_gopher
+            FROM ({gopher_quality_flags_sql(pages_glob)})),
+    repf AS (SELECT url, coalesce(repetition_keep, FALSE) AS k_rep
+             FROM ({gopher_repetition_sql(pages_glob)})),
+    qcf AS (SELECT url, coalesce(keep, FALSE) AS k_cls
+            FROM ({quality_classifier_sql(pages_glob)})),
+    base AS (SELECT url FROM read_parquet('{pages_glob}')
+             WHERE text IS NOT NULL),
+    lab AS (
+      SELECT k_url, k_c4, k_gopher, k_rep, k_cls
+      FROM base JOIN uf USING (url) JOIN c4f USING (url)
+                JOIN gqf USING (url) JOIN repf USING (url)
+                JOIN qcf USING (url)),
+    cnt AS ({union})
+    SELECT s.bank_a, s.bank_b, coalesce(cnt.n, 0::BIGINT) AS n_both_failed
+    FROM (VALUES {spine}) s(pair_idx, bank_a, bank_b)
+    LEFT JOIN cnt USING (pair_idx)
+    ORDER BY s.pair_idx
+    """

@@ -3143,3 +3143,116 @@ def code_detect(paths: str | list[str]) -> ray.data.Dataset:
         })
 
     return ds.map_batches(stage, batch_format="pyarrow")
+
+
+PARTITION_SKEW_SHARDS = 16
+
+
+def partition_skew_report(paths: str | list[str],
+                          n_shards: int = PARTITION_SKEW_SHARDS
+                          ) -> "pd.DataFrame":
+    """Partition-SKEW audit for the url-hash shuffle key the flagship
+    partitions by (north_star: "partitioning and skew handled
+    explicitly ... keyed on url-hash") — per shard fnv1a64(url) %
+    n_shards: doc count, text byte mass, and the byte SHARE (one
+    int/int double division). The report an operator reads before
+    sizing a repartition: a healthy hash key shows shares near
+    1/n_shards; a hot shard (one giant host crawled deep) shows up
+    immediately.
+
+    Shape: one stateless streamed pass emitting <= n_shards partial
+    rows per batch, finished by an n_shards-cardinality groupby — the
+    corpus never shuffles, driver state is n_shards rows.
+
+    Reference analog: none (Home.py is single-process); this audits
+    the distribution property the reference never had to care about."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    from ..functions.urls import fnv1a64
+
+    ds = _read_pages_text(paths)
+
+    def partial(t: pa.Table) -> pa.Table:
+        urls = _as_array(t.column("url"))
+        text = _as_array(t.column("text"))
+        shard = (fnv1a64(urls) % np.uint64(n_shards)).astype(np.int64)
+        nbytes = np.asarray(
+            pc.fill_null(pc.cast(pc.binary_length(text), pa.int64()), 0))
+        n = np.bincount(shard, minlength=n_shards).astype(np.int64)
+        b = np.bincount(shard, weights=nbytes,
+                        minlength=n_shards).astype(np.int64)
+        nz = n > 0
+        return pa.table({
+            "shard": np.arange(n_shards, dtype=np.int64)[nz],
+            "n_docs": n[nz], "n_bytes": b[nz],
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("shard")
+             .aggregate(Sum("n_docs", alias_name="n_docs"),
+                        Sum("n_bytes", alias_name="n_bytes")))
+    from ..pipelines.relational import ensure_columns
+
+    df = ensure_columns(agg.to_pandas(),
+                        {"shard": "int64", "n_docs": "int64",
+                         "n_bytes": "int64"})
+    df = df.sort_values("shard", ignore_index=True)
+    total = int(df["n_bytes"].sum())
+    df["byte_share"] = [float(b) / total if total else 0.0
+                        for b in df["n_bytes"]]
+    return df
+
+
+def quality_flag_cooccurrence(paths: str | list[str]) -> "pd.DataFrame":
+    """Pairwise rule-bank CO-FIRE matrix — the redundancy audit next to
+    rule_bank_ablation's unique-drop counts: for every unordered bank
+    pair (a <= b in the frozen FUNNEL_BANKS order, diagonal = that
+    bank's own fail count), how many non-null-text pages BOTH banks
+    drop. Two banks with co-fire ~= their own fail counts are
+    redundant; near-zero co-fire means they police different failure
+    modes. Null-text pages are excluded from every count (the ablation
+    convention — null text is attributed to the null_text stage before
+    any bank runs).
+
+    All five bank predicates come from the SAME shared-split pass the
+    funnel/ablation use; each batch reduces to a constant 15-row
+    partial (F.T @ F over the 5-column fail matrix) and a 15-group Sum
+    finishes — no corpus shuffle, no driver state."""
+    import pandas as pd
+    from ray.data.aggregate import Sum
+
+    n_banks = len(FUNNEL_BANKS)
+    ia, ib = np.triu_indices(n_banks)
+    ds = _read_pages_text(paths)
+
+    def partial(t: pa.Table) -> pa.Table:
+        text = _as_array(t.column("text"))
+        ok = ~np.asarray(pc.is_null(text))
+        split = _line_split(text)
+        F = np.zeros((len(text), n_banks), dtype=np.int64)
+        for i, b in enumerate(FUNNEL_BANKS):
+            keep = np.asarray(_BANK_KEEP[b](t, text, None, split),
+                              dtype=bool)
+            F[:, i] = ~keep
+        F[~ok, :] = 0
+        m = F.T @ F
+        return pa.table({
+            "pair_idx": np.arange(len(ia), dtype=np.int64),
+            "n_both_failed": m[ia, ib].astype(np.int64),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("pair_idx")
+             .aggregate(Sum("n_both_failed", alias_name="n_both_failed")))
+    from ..pipelines.relational import ensure_columns
+
+    df = ensure_columns(agg.to_pandas(),
+                        {"pair_idx": "int64", "n_both_failed": "int64"})
+    got = dict(zip(df["pair_idx"], df["n_both_failed"]))
+    return pd.DataFrame({
+        "bank_a": [FUNNEL_BANKS[i] for i in ia],
+        "bank_b": [FUNNEL_BANKS[j] for j in ib],
+        "n_both_failed": np.asarray(
+            [int(got.get(k, 0)) for k in range(len(ia))], dtype=np.int64),
+    })
