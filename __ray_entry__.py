@@ -575,6 +575,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # runs in-cap via canonical_url_dedup's url-shard exchange, and
         # it stays swept locally against its own HUGEINT twin
         "partition_skew_report": _partition_skew_report,
+        # r5-s13 NEW but TAIL by design (same exception): its leaf
+        # level is pytest-pinned BYTE-EQUAL to an independent
+        # single-process pandas groupby over the same parquet, and the
+        # rolled levels are pinned as exact folds of the leaf rows; the
+        # multi-level-partial + tiny-groupby kernel is the in-cap house
+        # pattern (pmis_counters / pivot_sum_wide); swept locally
+        # against the native GROUP BY ROLLUP twin
+        "grouped_rollup": R.grouped_rollup,
         # yielded to mixture_epoch_plan (r5-s13): r5-s3 op with zero
         # driver rows either way; its linear-scorer bank core runs end
         # to end in-cap as rule_bank_ablation's fifth _BANK_KEEP core;
@@ -1456,6 +1464,7 @@ def oracle_sql() -> dict[str, str]:
         "partition_skew_report": O.partition_skew_report_sql(pages_glob),
         "quality_flag_cooccurrence":
             O.quality_flag_cooccurrence_sql(pages_glob),
+        "grouped_rollup": O.grouped_rollup_sql(),
         "neardup_clusters_distributed": O.neardup_clusters_sql(0.5),
         "neardup_keep_best": O.neardup_keep_best_sql(0.5),
         "simhash_docs": O.simhash_sql(),

@@ -264,6 +264,7 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("neardup_threshold_curve", D.neardup_threshold_curve),
         ("curriculum_order", D.curriculum_order),
         ("mixture_epoch_plan", D.mixture_epoch_plan),
+        ("grouped_rollup", R.grouped_rollup),
         ("eval_contamination_report", D.eval_contamination_report),
         ("partition_skew_report",
          lambda _sf: WT.partition_skew_report(corpus)),

@@ -54,6 +54,8 @@ MAY_BE_NONEMPTY = frozenset({
     # one zero-count row per sweep threshold, matching the twin's
     # LEFT JOIN against the threshold VALUES list
     "neardup_threshold_curve",
+    # SQL ROLLUP of an empty input still yields the grand-total row
+    "grouped_rollup",
 })
 
 

@@ -130,3 +130,37 @@ def test_partition_skew_report_pins_to_single_process(ray_session):
     assert got["n_bytes"].tolist() == [int(x) for x in b[n > 0]]
     assert got["byte_share"].tolist() == [
         float(x) / total for x in b[n > 0]]
+
+
+def test_grouped_rollup_pins_and_folds(ray_session):
+    """Tail-exception pin: leaf level == an independent single-process
+    pandas groupby; rolled levels are exact folds of the leaf rows;
+    empty input still yields the grand-total row (SQL ROLLUP law)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from txiac_qc_ray.pipelines.relational import grouped_rollup
+
+    out = grouped_rollup(SF)
+    t = pq.read_table(SF + "/documents.parquet",
+                      columns=["source", "lang", "n_chars"]).to_pandas()
+    ref = (t.assign(n_chars=t["n_chars"].fillna(0).astype("int64"))
+            .groupby(["source", "lang"], dropna=False)
+            .agg(n_docs=("n_chars", "size"), sum_chars=("n_chars", "sum"))
+            .reset_index())
+    leaf = out[out["grouping_id"] == 0].reset_index(drop=True)
+    m = leaf.merge(ref, on=["source", "lang"], suffixes=("", "_ref"))
+    assert len(m) == len(leaf) == len(ref)
+    assert (m["n_docs"] == m["n_docs_ref"]).all()
+    assert (m["sum_chars"] == m["sum_chars_ref"]).all()
+    lvl1 = out[out["grouping_id"] == 1]
+    fold1 = leaf.groupby("source", dropna=False)[
+        ["n_docs", "sum_chars"]].sum().reset_index()
+    m1 = lvl1.merge(fold1, on="source", suffixes=("", "_f"))
+    assert len(m1) == len(lvl1) == len(fold1)
+    assert (m1["n_docs"] == m1["n_docs_f"]).all()
+    grand = out[out["grouping_id"] == 3]
+    assert len(grand) == 1
+    assert int(grand["n_docs"].iloc[0]) == len(t)
+    assert int(grand["sum_chars"].iloc[0]) == int(
+        t["n_chars"].fillna(0).sum())

@@ -3518,3 +3518,17 @@ def quality_flag_cooccurrence_sql(pages_glob: str) -> str:
     LEFT JOIN cnt USING (pair_idx)
     ORDER BY s.pair_idx
     """
+
+
+def grouped_rollup_sql() -> str:
+    """ROLLUP twin: native GROUP BY ROLLUP with the SQL grouping_id
+    convention (GROUPING(source)*2 + GROUPING(lang)); rolled key
+    columns are NULL, real NULL key values disambiguated by the id."""
+    return """
+    SELECT CAST(GROUPING(source)*2 + GROUPING(lang) AS BIGINT)
+               AS grouping_id,
+           source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars
+    FROM documents GROUP BY ROLLUP(source, lang)
+    """

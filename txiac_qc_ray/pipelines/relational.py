@@ -1013,3 +1013,78 @@ def tumbling_distinct_users(sf_dir: str) -> pd.DataFrame:
         "win": pd.to_datetime(parts[1].astype(np.int64), unit="us"),
         "n_users": agg["n_users"].astype(np.int64)})
     return out.sort_values(["event_type", "win"], ignore_index=True)
+
+
+def grouped_rollup(sf_dir: str) -> pd.DataFrame:
+    """SQL `GROUP BY ROLLUP(source, lang)` parity over documents — the
+    hierarchical aggregation every reporting layer wants (leaf totals,
+    per-source subtotals, grand total) computed in ONE streamed pass:
+    each batch emits partials for ALL THREE levels (the rolled levels
+    are just coarser bincounts of the same batch), and one
+    level+key-cardinality groupby finishes. At 100 TB the alternative
+    (three separate scans, one per level) pays the read thrice for no
+    reason. grouping_id follows SQL semantics (GROUPING(source)*2 +
+    GROUPING(lang): 0 = leaf, 1 = per-source, 3 = grand total), and
+    rolled-up key columns are NULL; real NULL key values are kept
+    distinct from rolled positions by the level column, exactly as
+    GROUPING() disambiguates in SQL.
+    -> (grouping_id, source, lang, n_docs, sum_chars)."""
+    ds = _read(sf_dir, "documents", ["source", "lang", "n_chars"])
+    _ROLL = "\x1eroll\x1e"  # rolled-up position (distinct from _NULL_KEY)
+
+    def partial(t: pa.Table) -> pa.Table:
+        src = np.asarray(pc.fill_null(t["source"], _NULL_KEY), dtype=object)
+        lng = np.asarray(pc.fill_null(t["lang"], _NULL_KEY), dtype=object)
+        nch = np.asarray(pc.fill_null(pc.cast(t["n_chars"], pa.int64()), 0))
+        out_g, out_s, out_l, out_n, out_c = [], [], [], [], []
+        for gid, keys in ((0, np.char.add(np.char.add(
+                              src.astype(str), "\x1f"), lng.astype(str))),
+                          (1, src.astype(str)),
+                          (3, np.zeros(len(src), dtype="U1"))):
+            uniq, inv = np.unique(keys, return_inverse=True)
+            n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+            c = np.bincount(inv, weights=nch,
+                            minlength=len(uniq)).astype(np.int64)
+            for k, key in enumerate(uniq):
+                if gid == 0:
+                    s, l = key.split("\x1f", 1)
+                elif gid == 1:
+                    s, l = key, _ROLL
+                else:
+                    s, l = _ROLL, _ROLL
+                out_g.append(gid); out_s.append(s); out_l.append(l)
+                out_n.append(int(n[k])); out_c.append(int(c[k]))
+        return pa.table({
+            "grouping_id": pa.array(out_g, pa.int64()),
+            "src_key": pa.array(out_s, pa.string()),
+            "lang_key": pa.array(out_l, pa.string()),
+            "n_docs": pa.array(out_n, pa.int64()),
+            "sum_chars": pa.array(out_c, pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["grouping_id", "src_key", "lang_key"])
+             .aggregate(Sum("n_docs", alias_name="n_docs"),
+                        Sum("sum_chars", alias_name="sum_chars")))
+    df = ensure_columns(agg.to_pandas(),
+                        {"grouping_id": "int64", "src_key": "object",
+                         "lang_key": "object", "n_docs": "int64",
+                         "sum_chars": "int64"})
+    if len(df) == 0:
+        # SQL ROLLUP of an empty input still yields the grand-total row
+        df = pd.DataFrame({"grouping_id": [3], "src_key": [_ROLL],
+                           "lang_key": [_ROLL], "n_docs": [0],
+                           "sum_chars": [0]})
+
+    def unkey(col):
+        return [None if v in (_ROLL, _NULL_KEY) else v for v in col]
+
+    out = pd.DataFrame({
+        "grouping_id": df["grouping_id"].astype("int64"),
+        "source": unkey(df["src_key"]),
+        "lang": unkey(df["lang_key"]),
+        "n_docs": df["n_docs"].astype("int64"),
+        "sum_chars": df["sum_chars"].astype("int64"),
+    })
+    return out.sort_values(["grouping_id", "source", "lang"],
+                           ignore_index=True)
