@@ -162,12 +162,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # key — the permutation itself is value-checked via the rank
         # column.
         "curriculum_order": D.curriculum_order,
-        # r5-NEW (session 10): incremental cross-corpus dedup — takes
-        # remove_boilerplate_lines' slot (r5-s4, zero driver rows
-        # either way; its line-split + per-line hash kernels run in-cap
-        # via dedup_lines_within_doc and the shared rule-bank line
-        # split, and its host-frequency strip stays swept locally)
-        "incremental_dedup": D.incremental_dedup,
+        # r5-NEW (session 13): encoding-damage gate over the mojibake
+        # view — takes incremental_dedup's slot (r5-s10, zero driver
+        # rows either way; its DropIndex actor core runs end to end
+        # IN-CAP via prep_to_chunks' _prep_survivors — the same sharded
+        # membership actors — and its unique new-crawl framing stays
+        # swept locally against its own twin). The mojibake RE2 kernel
+        # (double-encoding digraphs + U+FFFD counting) has no coverage
+        # anywhere else on the surface.
+        "mojibake_gate": _mojibake_gate,
         # r5-NEW (session 10): per-(source, topic) mixture matrix —
         # takes train_val_split's slot (r5-s4, zero driver rows either
         # way; its mix64 deterministic-holdout kernel stays in-cap via
@@ -575,6 +578,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # runs in-cap via canonical_url_dedup's url-shard exchange, and
         # it stays swept locally against its own HUGEINT twin
         "partition_skew_report": _partition_skew_report,
+        # r5-s13 NEW but TAIL by design (same exception): pytest-pinned
+        # BYTE-EQUAL to a single-process pandas value_counts reference
+        # over the same parquet; the value-counts partial + tiny
+        # groupby kernel is the in-cap house pattern; swept locally
+        # against its own ranked twin
+        "column_profile": R.column_profile,
+        # yielded to mojibake_gate (r5-s13): r5-s10 op with zero driver
+        # rows either way; its DropIndex actor core runs end to end
+        # in-cap via prep_to_chunks; its unique new-crawl framing stays
+        # swept locally against its own twin
+        "incremental_dedup": D.incremental_dedup,
         # r5-s13 NEW but TAIL by design (same exception): its leaf
         # level is pytest-pinned BYTE-EQUAL to an independent
         # single-process pandas groupby over the same parquet, and the
@@ -983,6 +997,12 @@ def _source_datacard(_sf_dir: str):
     from txiac_qc_ray.pipelines.webtext import source_datacard
 
     return source_datacard(_webtext_dir())
+
+
+def _mojibake_gate(_sf_dir: str):
+    from txiac_qc_ray.pipelines.webtext import mojibake_gate
+
+    return mojibake_gate(_webtext_dir())
 
 
 def _partition_skew_report(_sf_dir: str):
@@ -1465,6 +1485,9 @@ def oracle_sql() -> dict[str, str]:
         "quality_flag_cooccurrence":
             O.quality_flag_cooccurrence_sql(pages_glob),
         "grouped_rollup": O.grouped_rollup_sql(),
+        "column_profile": O.column_profile_sql(),
+        "mojibake_gate":
+            O.mojibake_gate_sql(pages_glob),
         "neardup_clusters_distributed": O.neardup_clusters_sql(0.5),
         "neardup_keep_best": O.neardup_keep_best_sql(0.5),
         "simhash_docs": O.simhash_sql(),

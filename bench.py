@@ -265,6 +265,8 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("curriculum_order", D.curriculum_order),
         ("mixture_epoch_plan", D.mixture_epoch_plan),
         ("grouped_rollup", R.grouped_rollup),
+        ("column_profile", R.column_profile),
+        ("mojibake_gate", lambda _sf: WT.mojibake_gate(corpus)),
         ("eval_contamination_report", D.eval_contamination_report),
         ("partition_skew_report",
          lambda _sf: WT.partition_skew_report(corpus)),

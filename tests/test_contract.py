@@ -197,7 +197,11 @@ def test_correctness_cap_covers_priority_queries():
         # slots to incremental_dedup / topic_mixture_report in session
         # 10: line-split/hash kernels in-cap via dedup_lines_within_doc,
         # mix64-holdout via the sampling family; both swept locally)
-        "incremental_dedup", "topic_mixture_report",
+        # (incremental_dedup yielded its slot to mojibake_gate in
+        # session 13: its DropIndex actor core runs end to end in-cap
+        # via prep_to_chunks' _prep_survivors; the mojibake RE2 kernel
+        # has no coverage anywhere else)
+        "mojibake_gate", "topic_mixture_report",
         # r5-final-session new ops (same rule: new ops ride the cap).
         # (rule_bank_funnel yielded its slot to rule_bank_ablation in
         # session 10: the ablation runs the same five _BANK_KEEP cores

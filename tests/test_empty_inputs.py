@@ -85,6 +85,7 @@ def test_every_query_survives_empty_tables(ray_session, empty_dir):
                             "fineweb_quality_flags", "normalize_unicode",
                             "noindex_filter", "url_features",
                             "warc_ingest_pages", "partition_skew_report",
+                            "mojibake_gate",
                             "quality_flag_cooccurrence",
                             "code_detect", "anchor_text_corpus",
                             "extraction_yield", "dedup_normalized",

@@ -164,3 +164,58 @@ def test_grouped_rollup_pins_and_folds(ray_session):
     assert int(grand["n_docs"].iloc[0]) == len(t)
     assert int(grand["sum_chars"].iloc[0]) == int(
         t["n_chars"].fillna(0).sum())
+
+
+def test_column_profile_pins_to_pandas(ray_session):
+    """Tail-exception pin: byte-equal to a single-process pandas
+    value_counts reference with the same (count DESC, value ASC,
+    NULLS LAST) ranking."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from txiac_qc_ray.pipelines.relational import column_profile
+
+    got = column_profile(SF)
+    t = pq.read_table(SF + "/documents.parquet",
+                      columns=["lang", "source"]).to_pandas()
+    for col in ("lang", "source"):
+        vc = t[col].value_counts(dropna=False).reset_index()
+        vc.columns = ["value", "n"]
+        vc["_null"] = vc["value"].isna()
+        vc = vc.sort_values(["n", "_null", "value"],
+                            ascending=[False, True, True],
+                            ignore_index=True).head(5)
+        sub = got[got["col"] == col].reset_index(drop=True)
+        assert sub["value"].where(sub["value"].notna(), None).tolist() == \
+            vc["value"].where(vc["value"].notna(), None).tolist()
+        assert sub["n_docs"].tolist() == vc["n"].tolist()
+        assert sub["rank"].tolist() == list(range(1, len(sub) + 1))
+
+
+def test_mojibake_gate_semantics(ray_session):
+    """Decorated rows (fnv(url)%5==0, non-null text) carry exactly the
+    suffix's 2 digraphs + 1 replacement char and are dropped; every
+    undecorated ASCII row keeps."""
+    from __ray_entry__ import _mojibake_gate, _webtext_dir
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from txiac_qc_ray.functions.urls import fnv1a64
+    from txiac_qc_ray.pipelines.webtext import MOJI_MOD
+
+    out = _mojibake_gate("unused").to_pandas().set_index("url")
+    t = pq.read_table(sorted(glob.glob(_webtext_dir() + "/part-*.parquet")),
+                      columns=["url", "text"])
+    h = fnv1a64(t["url"].combine_chunks()) % np.uint64(MOJI_MOD)
+    for url, hv, txt in zip(t["url"].to_pylist(), h.tolist(),
+                            t["text"].to_pylist()):
+        row = out.loc[url]
+        if hv == 0 and txt is not None:
+            assert row["n_mojibake"] == 2 and row["n_replacement"] == 1
+            assert not row["keep"]
+        else:
+            # the base fixture is ASCII (plus the 2% decorated NFC rows
+            # elsewhere — none of which contain the damage signature)
+            assert row["n_mojibake"] == 0 and row["n_replacement"] == 0
+            assert row["keep"]

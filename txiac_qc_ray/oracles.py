@@ -3532,3 +3532,52 @@ def grouped_rollup_sql() -> str:
            CAST(coalesce(sum(n_chars), 0) AS BIGINT) AS sum_chars
     FROM documents GROUP BY ROLLUP(source, lang)
     """
+
+
+def mojibake_gate_sql(pages_glob: str) -> str:
+    """Encoding-damage twin over the same mojibake view: the decoration
+    predicate is the SAME fnv1a64(url) % MOJI_MOD and suffix, the
+    digraph count runs the same RE2 class through DuckDB's regexp
+    binding (hex-escape spelling of the identical pattern), and the
+    replacement-char count is a length-difference (replace() removes
+    whole codepoints in DuckDB's char semantics)."""
+    from .pipelines import webtext as w
+
+    rc = "\ufffd"
+    moji_re = "\u00c3[\\x{80}-\\x{bf}]"
+    return f"""
+    WITH base AS (SELECT url, text, {fnv_expr('url')} AS h
+                  FROM read_parquet('{pages_glob}')),
+    dec AS (SELECT url,
+                   CASE WHEN text IS NOT NULL AND h % {w.MOJI_MOD} = 0
+                        THEN text || '{w.MOJI_SUFFIX}' ELSE text END AS t
+            FROM base),
+    c AS (SELECT url,
+                 CAST(coalesce(len(regexp_extract_all(t, '{moji_re}')), 0)
+                      AS BIGINT) AS n_mojibake,
+                 CAST(coalesce(length(t) - length(replace(t, '{rc}', '')),
+                               0) AS BIGINT) AS n_replacement
+          FROM dec)
+    SELECT url, n_mojibake, n_replacement,
+           (n_mojibake = 0 AND n_replacement = 0) AS keep
+    FROM c
+    """
+
+
+def column_profile_sql(top_k: int = 5) -> str:
+    """Profiling twin: per-column grouped counts, ranked (count DESC,
+    value ASC NULLS LAST) — the engine's explicit nulls-last sort."""
+    return f"""
+    WITH l AS (SELECT 'lang' AS col, lang AS value, count(*) AS n
+               FROM documents GROUP BY lang),
+    s AS (SELECT 'source' AS col, source AS value, count(*) AS n
+          FROM documents GROUP BY source),
+    u AS (SELECT * FROM l UNION ALL SELECT * FROM s),
+    r AS (SELECT col, value, CAST(n AS BIGINT) AS n_docs,
+                 CAST(row_number() OVER (
+                     PARTITION BY col
+                     ORDER BY n DESC, value ASC NULLS LAST)
+                      AS BIGINT) AS rank
+          FROM u)
+    SELECT col, value, n_docs, rank FROM r WHERE rank <= {top_k}
+    """

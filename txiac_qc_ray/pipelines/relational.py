@@ -1088,3 +1088,60 @@ def grouped_rollup(sf_dir: str) -> pd.DataFrame:
     })
     return out.sort_values(["grouping_id", "source", "lang"],
                            ignore_index=True)
+
+
+def column_profile(sf_dir: str, top_k: int = 5) -> pd.DataFrame:
+    """Table-profiling op — the data-quality report every ingestion run
+    opens with: for each categorical column of documents (lang,
+    source), the top-k values by count with their rank (count DESC,
+    value ASC, NULLs last — SQL NULLS LAST semantics). One streamed
+    pass emits per-batch value-count partials for BOTH columns (the
+    corpus is read once, not once per column); a (column x value)-
+    cardinality groupby finishes and the driver folds top-k over the
+    tiny result. -> (col, value, n_docs, rank)."""
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    cols = ("lang", "source")
+
+    def partial(t: pa.Table) -> pa.Table:
+        out_c, out_v, out_n = [], [], []
+        for c in cols:
+            v = np.asarray(pc.fill_null(t[c], _NULL_KEY), dtype=object)
+            uniq, cnt = np.unique(v, return_counts=True)
+            out_c.extend([c] * len(uniq))
+            out_v.extend(uniq.tolist())
+            out_n.extend(cnt.astype(np.int64).tolist())
+        return pa.table({"col": pa.array(out_c, pa.string()),
+                         "val_key": pa.array(out_v, pa.string()),
+                         "n_docs": pa.array(out_n, pa.int64())})
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby(["col", "val_key"])
+             .aggregate(Sum("n_docs", alias_name="n_docs")))
+    df = ensure_columns(agg.to_pandas(),
+                        {"col": "object", "val_key": "object",
+                         "n_docs": "int64"})
+    frames = []
+    for c in cols:
+        sub = df[df["col"] == c].copy()
+        if len(sub) == 0:
+            continue
+        is_null = sub["val_key"] == _NULL_KEY
+        sub["_null"] = is_null
+        sub = sub.sort_values(["n_docs", "_null", "val_key"],
+                              ascending=[False, True, True],
+                              ignore_index=True)
+        sub["rank"] = np.arange(1, len(sub) + 1, dtype=np.int64)
+        sub = sub[sub["rank"] <= top_k]
+        frames.append(pd.DataFrame({
+            "col": sub["col"],
+            "value": [None if v == _NULL_KEY else v
+                      for v in sub["val_key"]],
+            "n_docs": sub["n_docs"].astype("int64"),
+            "rank": sub["rank"],
+        }))
+    if not frames:
+        return pd.DataFrame({"col": pd.Series([], dtype="object"),
+                             "value": pd.Series([], dtype="object"),
+                             "n_docs": pd.Series([], dtype="int64"),
+                             "rank": pd.Series([], dtype="int64")})
+    return pd.concat(frames, ignore_index=True)

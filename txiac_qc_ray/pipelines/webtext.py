@@ -3256,3 +3256,56 @@ def quality_flag_cooccurrence(paths: str | list[str]) -> "pd.DataFrame":
         "n_both_failed": np.asarray(
             [int(got.get(k, 0)) for k in range(len(ia))], dtype=np.int64),
     })
+
+
+# Mojibake view: rows with fnv1a64(url) % MOJI_MOD == 0 get MOJI_SUFFIX
+# appended — a suffix carrying the two classic encoding-damage signals
+# (UTF-8 read as Latin-1 and re-encoded: 'A-tilde + continuation-range
+# char' digraphs; and U+FFFD replacement characters from lossy
+# decodes). The ASCII fixture can't exercise the kernel otherwise; the
+# decoration is a pure function of the url, replicated verbatim in the
+# SQL twin (the NFC-view precedent).
+MOJI_MOD = 5
+MOJI_SUFFIX = " caf\u00c3\u00a9 na\u00c3\u00af\u0076e \ufffd"  # 2 digraphs + 1 U+FFFD
+MOJIBAKE_RE = "\u00c3[\u0080-\u00bf]"  # double-encoding signature
+REPLACEMENT_CHAR = "\ufffd"
+
+
+def mojibake_gate(paths: str | list[str]) -> ray.data.Dataset:
+    """Encoding-damage gate over the mojibake view -> (url, n_mojibake,
+    n_replacement, keep): n_mojibake counts the classic UTF-8-as-Latin-1
+    double-encoding digraphs (U+00C3 followed by a U+0080-U+00BF
+    continuation-range char — the 'caf\u00c3\u00a9' signature shape),
+    n_replacement counts U+FFFD replacement characters (a lossy decode
+    happened upstream), and keep is true iff both are zero. Real crawl
+    pipelines drop or re-decode such pages before training (encoding
+    damage reads as high-perplexity noise). Null text: counts 0, keep
+    true (no evidence of damage — the null_text rule owns that drop).
+
+    One stateless vectorized pass (two RE2/substring counts per batch),
+    no shuffle, no driver state — a pure map at 100 TB. Engine and twin
+    run the same pattern constants through two independent RE2 bindings
+    (Arrow vs DuckDB), the rule-bank parity recipe."""
+    ds = ray.data.read_parquet(paths, columns=["url", "text"])
+
+    def stage(t: pa.Table) -> pa.Table:
+        urls = _as_array(t.column("url"))
+        text = _as_array(t.column("text"))
+        h = fnv1a64(urls)
+        valid = np.asarray(pc.is_valid(text))
+        dec_mask = ((h % np.uint64(MOJI_MOD)) == 0) & valid
+        dec = pc.if_else(pa.array(dec_mask),
+                         pc.binary_join_element_wise(text, MOJI_SUFFIX, ""),
+                         text)
+        n_moji = np.asarray(pc.fill_null(pc.cast(
+            pc.count_substring_regex(dec, MOJIBAKE_RE), pa.int64()), 0))
+        n_repl = np.asarray(pc.fill_null(pc.cast(
+            pc.count_substring(dec, REPLACEMENT_CHAR), pa.int64()), 0))
+        return pa.table({
+            "url": urls,
+            "n_mojibake": n_moji,
+            "n_replacement": n_repl,
+            "keep": pa.array((n_moji == 0) & (n_repl == 0)),
+        })
+
+    return ds.map_batches(stage, batch_format="pyarrow")
