@@ -584,6 +584,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # groupby kernel is the in-cap house pattern; swept locally
         # against its own ranked twin
         "column_profile": R.column_profile,
+        # r5-s13 NEW but TAIL by design (same exception): it is a pure
+        # composition of three IN-CAP-checked cores — exact losers
+        # (prep_to_chunks drives the same exact_dedup_losers_ds), the
+        # distributed CC + keep-best winner (dup_cluster_sizes /
+        # neardup_keep_best in-cap), and a broadcast-membership char
+        # fold (the decontaminate shape) — pytest pins each strategy
+        # row's doc count to the set sizes those in-cap ops produce;
+        # swept locally against its own composed twin
+        "dedup_savings_report": D.dedup_savings_report,
         # yielded to mojibake_gate (r5-s13): r5-s10 op with zero driver
         # rows either way; its DropIndex actor core runs end to end
         # in-cap via prep_to_chunks; its unique new-crawl framing stays
@@ -1488,6 +1497,7 @@ def oracle_sql() -> dict[str, str]:
         "column_profile": O.column_profile_sql(),
         "mojibake_gate":
             O.mojibake_gate_sql(pages_glob),
+        "dedup_savings_report": O.dedup_savings_report_sql(0.5),
         "neardup_clusters_distributed": O.neardup_clusters_sql(0.5),
         "neardup_keep_best": O.neardup_keep_best_sql(0.5),
         "simhash_docs": O.simhash_sql(),

@@ -267,6 +267,7 @@ def _bench_query_fns(sf_dir: str, corpus: str) -> list:
         ("grouped_rollup", R.grouped_rollup),
         ("column_profile", R.column_profile),
         ("mojibake_gate", lambda _sf: WT.mojibake_gate(corpus)),
+        ("dedup_savings_report", D.dedup_savings_report),
         ("eval_contamination_report", D.eval_contamination_report),
         ("partition_skew_report",
          lambda _sf: WT.partition_skew_report(corpus)),

@@ -56,6 +56,9 @@ MAY_BE_NONEMPTY = frozenset({
     "neardup_threshold_curve",
     # SQL ROLLUP of an empty input still yields the grand-total row
     "grouped_rollup",
+    # three fixed strategy rows with zero counts, matching the twin's
+    # three UNION ALL aggregate arms
+    "dedup_savings_report",
 })
 
 

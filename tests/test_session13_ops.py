@@ -219,3 +219,27 @@ def test_mojibake_gate_semantics(ray_session):
             # elsewhere — none of which contain the damage signature)
             assert row["n_mojibake"] == 0 and row["n_replacement"] == 0
             assert row["keep"]
+
+
+def test_dedup_savings_report_pins_to_components(ray_session):
+    """Tail-exception pin: each strategy row's doc count equals the
+    size of the drop set the in-cap-checked components produce, and
+    'either' is the distinct union (never more than the sum)."""
+    from txiac_qc_ray.pipelines.docs import (dedup_savings_report,
+                                             exact_dedup_losers,
+                                             neardup_clusters_distributed,
+                                             neardup_keep_best)
+
+    rep = dedup_savings_report(SF).set_index("strategy")
+    ex = exact_dedup_losers(SF)["doc_id"].to_numpy()
+    cl = neardup_clusters_distributed(SF)
+    best = neardup_keep_best(SF)
+    nd = np.setdiff1d(cl["doc_id"].to_numpy(),
+                      best["best_doc_id"].to_numpy())
+    assert rep.loc["exact", "n_docs_dropped"] == len(ex)
+    assert rep.loc["neardup", "n_docs_dropped"] == len(nd)
+    assert rep.loc["either", "n_docs_dropped"] == len(np.union1d(ex, nd))
+    assert (rep["chars_dropped"] >= 0).all()
+    assert rep.loc["either", "chars_dropped"] <= (
+        rep.loc["exact", "chars_dropped"] + rep.loc["neardup",
+                                                    "chars_dropped"])

@@ -3581,3 +3581,56 @@ def column_profile_sql(top_k: int = 5) -> str:
           FROM u)
     SELECT col, value, n_docs, rank FROM r WHERE rank <= {top_k}
     """
+
+
+def dedup_savings_report_sql(threshold: float = 0.5) -> str:
+    """Savings-planner twin: exact losers = everything but each text
+    group's min doc_id (SQL GROUP BY text semantics — the exact_dedup
+    twin's grouping, nulls one group); near-dup losers = cluster walk
+    members minus the per-cluster (n_chars DESC, doc_id ASC) winner;
+    'either' = their distinct union; char mass joined from documents."""
+    return f"""
+    WITH RECURSIVE {_SHINGLES},
+    jp AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.s, b.s)) AS inter,
+             len(a.s) AS na, len(b.s) AS nb
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    ),
+    pairs AS (SELECT id_a, id_b FROM jp WHERE {_JACCARD} >= {threshold}),
+    edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    walk(node, label) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+    ),
+    cl AS (SELECT node AS doc_id, min(label) AS cluster_id
+           FROM walk GROUP BY node),
+    j AS (SELECT cl.cluster_id, d.doc_id,
+                 CAST(coalesce(d.n_chars, 0) AS BIGINT) AS n_chars
+          FROM cl JOIN documents d USING (doc_id)),
+    r AS (SELECT cluster_id, doc_id,
+                 row_number() OVER (PARTITION BY cluster_id
+                                    ORDER BY n_chars DESC, doc_id ASC) AS rk
+          FROM j),
+    nd AS (SELECT doc_id FROM r WHERE rk > 1),
+    exd AS (SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT min(doc_id) FROM documents
+                                 GROUP BY text)),
+    eit AS (SELECT doc_id FROM exd UNION SELECT doc_id FROM nd),
+    ch AS (SELECT doc_id, CAST(coalesce(n_chars, 0) AS BIGINT) AS c
+           FROM documents)
+    SELECT 'exact' AS strategy,
+           CAST(count(*) AS BIGINT) AS n_docs_dropped,
+           CAST(coalesce(sum(c), 0) AS BIGINT) AS chars_dropped
+    FROM exd JOIN ch USING (doc_id)
+    UNION ALL
+    SELECT 'neardup', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(c), 0) AS BIGINT)
+    FROM nd JOIN ch USING (doc_id)
+    UNION ALL
+    SELECT 'either', CAST(count(*) AS BIGINT),
+           CAST(coalesce(sum(c), 0) AS BIGINT)
+    FROM eit JOIN ch USING (doc_id)
+    """

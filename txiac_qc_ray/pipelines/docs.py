@@ -6980,3 +6980,72 @@ def eval_contamination_report(sf_dir: str, eval_mod: int = 50,
         "frac": frac,
         "compromised": compromised,
     })
+
+
+def dedup_savings_report(sf_dir: str,
+                         jaccard_threshold: float = 0.5) -> pd.DataFrame:
+    """Dedup strategy PLANNER report — before committing to a dedup
+    policy at 100 TB, the owner wants the savings each strategy buys:
+    per strategy (exact text dedup; MinHash near-dup keep-best; their
+    union), how many docs would drop and how many chars that is. The
+    strategies are reported INDEPENDENTLY (a doc can appear in both
+    'exact' and 'neardup'; 'either' is the distinct union) — the
+    combined sequential chain is prep_corpus's job, this is the
+    what-if table read before choosing it.
+
+    Scale shape: both drop-ID sets are o(dup-rate) (the house bound for
+    this family — the prep composite's DropIndex is the path for
+    pathological dup rates); the char mass is gathered by ONE streamed
+    broadcast-membership pass over (doc_id, n_chars) — sorted id
+    arrays via ray.put, searchsorted per batch, constant 3-row partials
+    — the corpus never shuffles and never lands on the driver.
+    -> (strategy, n_docs_dropped, chars_dropped), 3 rows."""
+    ex = exact_dedup_losers(sf_dir)["doc_id"].to_numpy()
+    clusters = neardup_clusters_distributed(sf_dir, jaccard_threshold)
+    best = neardup_keep_best(sf_dir, jaccard_threshold)
+    nd = np.setdiff1d(clusters["doc_id"].to_numpy(),
+                      best["best_doc_id"].to_numpy())
+    ex = np.sort(ex.astype(np.int64))
+    nd = np.sort(nd.astype(np.int64))
+    either = np.union1d(ex, nd)
+    sets_ref = ray.put((ex, nd, either))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def partial(t: pa.Table) -> pa.Table:
+        sets = ray.get(sets_ref)
+        ids = np.asarray(t["doc_id"], dtype=np.int64)
+        ch = np.asarray(pc.fill_null(pc.cast(t["n_chars"], pa.int64()), 0))
+        n_out, c_out = [], []
+        for arr in sets:
+            if len(arr):
+                idx = np.clip(np.searchsorted(arr, ids), 0, len(arr) - 1)
+                m = arr[idx] == ids
+            else:
+                m = np.zeros(len(ids), dtype=bool)
+            n_out.append(int(m.sum()))
+            c_out.append(int(ch[m].sum()))
+        return pa.table({
+            "strategy_idx": np.arange(3, dtype=np.int64),
+            "n_docs_dropped": pa.array(n_out, pa.int64()),
+            "chars_dropped": pa.array(c_out, pa.int64()),
+        })
+
+    agg = (ds.map_batches(partial, batch_format="pyarrow")
+             .groupby("strategy_idx")
+             .aggregate(RaySum("n_docs_dropped", alias_name="n_docs_dropped"),
+                        RaySum("chars_dropped", alias_name="chars_dropped")))
+    from .relational import ensure_columns as _ec
+
+    df = _ec(agg.to_pandas(),
+             {"strategy_idx": "int64", "n_docs_dropped": "int64",
+              "chars_dropped": "int64"})
+    got = {int(r["strategy_idx"]): (int(r["n_docs_dropped"]),
+                                    int(r["chars_dropped"]))
+           for _, r in df.iterrows()}
+    names = ("exact", "neardup", "either")
+    return pd.DataFrame({
+        "strategy": names,
+        "n_docs_dropped": [got.get(i, (0, 0))[0] for i in range(3)],
+        "chars_dropped": [got.get(i, (0, 0))[1] for i in range(3)],
+    })
